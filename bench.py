@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and print ONE JSON line with per-query
+wall-clock seconds.
+
+Each query is fully executed through the `noop` sink (forces complete
+evaluation of every partition without driver collection), matching how
+a production job would consume the result.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+from recommender_systems_spark import registry
+from recommender_systems_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_spark("bench")
+
+    # Warm the JVM/codegen paths once so per-query numbers measure the
+    # plan, not classloading.
+    registry.QUERIES["flagship_top_customers"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in sorted(registry.QUERIES):
+        t0 = time.perf_counter()
+        df = registry.QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,153 @@
+"""Sources and sinks (SURVEY §2.1, S1-S6).
+
+The reference ingests header CSVs with inferred types
+(``explicit_ratings/functions.py:20``) and persists model state as ``.npy``
+tensors (``prac_1.py:163-204``). Here every source declares an explicit
+schema (no inference — determinism at scale) and model state is Parquet
+``(id, features array)`` DataFrames, which is also MLlib's native model
+shape.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# Driver-provided star-schema tables (TESTDATA.md / FIXTURES.md §B).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables — always broadcast-join these.
+DIMENSION_TABLES = frozenset({"region", "nation", "supplier", "part"})
+
+# Reference-shaped schemas (FIXTURES.md §A). Declared, never inferred.
+RATINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("userId", T.LongType(), False),
+        T.StructField("movieId", T.LongType(), False),
+        T.StructField("rating", T.DoubleType(), False),
+        T.StructField("timestamp", T.LongType(), True),
+    ]
+)
+
+MOVIES_SCHEMA = T.StructType(
+    [
+        T.StructField("movieId", T.LongType(), False),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("genres", T.StringType(), True),
+    ]
+)
+
+FACTOR_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("features", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+BIAS_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("bias", T.DoubleType(), False),
+    ]
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S1/S6: read one driver parquet table. Column pruning and predicate
+    pushdown reach the scan because callers express plans declaratively.
+
+    Fallback: Spark's parquet reader rejects INT64 TIMESTAMP(NANOS)
+    columns (the driver's ``events.ts``); those files are transparently
+    rewritten once with nanoseconds truncated to microseconds (exactly
+    what DuckDB's reader does) into a local cache, preserving the
+    distributed scan path.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        return spark.read.parquet(path)
+    except Exception as exc:  # AnalysisException: PARQUET_TYPE_ILLEGAL
+        if "PARQUET" not in str(exc).upper():
+            raise
+        return spark.read.parquet(_microsecond_copy(path))
+
+
+def _microsecond_copy(path: str) -> str:
+    """Rewrite a parquet file with timestamp[ns] columns cast to
+    timestamp[us], cached under the repo. Truncation (not rounding)
+    matches DuckDB's ns→us conversion."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    digest = hashlib.sha1(path.encode()).hexdigest()[:12]
+    out_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", ".data_cache"
+    )
+    out = os.path.join(os.path.abspath(out_dir), f"{digest}.parquet")
+    if not os.path.exists(out):
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        table = pq.read_table(path)
+        fields = []
+        for f in table.schema:
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns":
+                fields.append(pa.field(f.name, pa.timestamp("us")))
+            else:
+                fields.append(f)
+        tmp = out + ".tmp"
+        pq.write_table(table.cast(pa.schema(fields), safe=False), tmp)
+        os.replace(tmp, out)
+    return out
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    use = names or TESTDATA_TABLES
+    return {n: load_table(spark, sf_dir, n) for n in use}
+
+
+def read_ratings_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S1: ratings CSV with declared schema (reference:
+    explicit_ratings/functions.py:20 uses pd.read_csv with inference)."""
+    return spark.read.schema(RATINGS_SCHEMA).option("header", True).csv(path)
+
+
+def read_movies_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S3: movies dim CSV — titles contain commas/quotes, so quoting on."""
+    return (
+        spark.read.schema(MOVIES_SCHEMA)
+        .option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """S4: CSV sink (reference: ab_test.py:234 ``to_csv``). ``single_file``
+    mirrors pandas' one-file output for small results; large results keep
+    their partitioning."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_factors(df: DataFrame, path: str) -> None:
+    """S5: model-state sink — Parquet replaces .npy (prac_1.py:163-204)."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def read_factors(spark: SparkSession, path: str) -> DataFrame:
+    """S6: model-state source (ab_test.py:72-85 ``np.load``)."""
+    return spark.read.parquet(path)

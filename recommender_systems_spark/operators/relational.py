@@ -1,0 +1,135 @@
+"""Relational operator library (SURVEY §2.2-2.6).
+
+Each function is a thin, composable DataFrame transform. Everything here
+is built-in-only (zero Python UDFs) so Catalyst retains full pushdown /
+pruning / join-reordering freedom and whole-stage codegen covers the hot
+path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def anti_join_below_threshold(
+    df: DataFrame, key: str, min_count: int, count_df: DataFrame | None = None
+) -> DataFrame:
+    """P6+P7: drop all rows whose ``key`` has fewer than ``min_count``
+    occurrences (reference: drop users with <10 ratings,
+    implicit_feedback/functions.py:284-287 via value_counts + ~isin).
+
+    Spark-first: the exclusion list is an aggregate, the NOT-IN becomes a
+    left_anti join — scales to arbitrarily many excluded keys, unlike the
+    reference's in-memory ``isin`` list. With AQE the small exclusion side
+    is broadcast at runtime.
+    """
+    counts = count_df if count_df is not None else df.groupBy(key).count()
+    excluded = counts.filter(F.col("count") < F.lit(min_count)).select(key)
+    return df.join(excluded, on=key, how="left_anti")
+
+
+def relative_frequency(df: DataFrame, key: str, freq_col: str = "freq") -> DataFrame:
+    """A2: empirical distribution of ``key`` (reference: popularity
+    distribution for negative sampling, prac_2.py:16-25,
+    ``value_counts(normalize=True)``).
+
+    The global total comes from a scalar subquery-style cross join of a
+    1-row aggregate (broadcast, no single-partition window)."""
+    counts = df.groupBy(key).count()
+    total = df.select(F.count(F.lit(1)).alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn(freq_col, F.col("count") / F.col("__total"))
+        .drop("__total")
+    )
+
+
+def global_top_k(df: DataFrame, order_by: Column | str, k: int) -> DataFrame:
+    """W3: global top-k (reference: top-N recommendations,
+    explicit_ratings/functions.py:634-647 ``sort_values().head(n)``).
+
+    ``orderBy().limit(k)`` plans TakeOrderedAndProject — per-partition
+    heaps + a k-row merge on the driver; no global sort materialises."""
+    col = F.col(order_by) if isinstance(order_by, str) else order_by
+    return df.orderBy(col.desc()).limit(k)
+
+
+def group_top_k(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: Column | str,
+    k: int,
+    rank_col: str = "rank",
+    keep_rank: bool = False,
+) -> DataFrame:
+    """W4: per-group top-k (reference: per-user top-k scores for P@k/R@k,
+    implicit_feedback/functions.py:233-241).
+
+    One hash shuffle on the group keys, then an in-partition sort;
+    ``row_number`` gives deterministic dedup of score ties."""
+    col = F.col(order_by) if isinstance(order_by, str) else order_by
+    w = Window.partitionBy(*partition_by).orderBy(col.desc())
+    out = df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+    return out if keep_rank else out.drop(rank_col)
+
+
+def cumulative_sum(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[str],
+    value: str,
+    out_col: str = "running_total",
+) -> DataFrame:
+    """A12: running total per key (reference: np.cumsum offset arrays,
+    explicit_ratings/functions.py:238-242). Partitioned window — no
+    global-order bottleneck."""
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_col, F.sum(value).over(w))
+
+
+def seeded_shuffle(df: DataFrame, seed: int) -> DataFrame:
+    """W6: deterministic order randomisation (reference:
+    np.random.shuffle(user_order) per epoch, prac_2.py:90-92)."""
+    return df.orderBy(F.rand(seed))
+
+
+def weighted_sample(
+    df: DataFrame, weight_col: str, n: int, seed: int
+) -> DataFrame:
+    """M8: weighted sampling without replacement via exponential-race keys
+    (Efraimidis-Spirakis): key = -ln(U)/w, take the n smallest. Fully
+    distributed replacement for ``np.random.choice(p=probs)``
+    (implicit_feedback/functions.py:47-58); one TakeOrderedAndProject, no
+    driver-side CDF."""
+    key = -F.log(F.rand(seed)) / F.col(weight_col)
+    return (
+        df.withColumn("__race", key)
+        .orderBy(F.col("__race").asc())
+        .limit(n)
+        .drop("__race")
+    )
+
+
+def equalize_groups(
+    df: DataFrame, group_col: str, unit_col: str, seed: int
+) -> DataFrame:
+    """E2: downsample the larger experiment arm so both groups hold the
+    same number of units (reference: ab_test.py:238-265 random user
+    removal loop). Set-semantics version: rank units per group by a
+    seeded hash-random key and keep the first ``min(group sizes)``."""
+    units = df.select(group_col, unit_col).distinct()
+    sizes = units.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    target = sizes.agg(F.min("__n").alias("__target"))
+    w = Window.partitionBy(group_col).orderBy(F.rand(seed), unit_col)
+    keep = (
+        units.withColumn("__rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(target))
+        .filter(F.col("__rn") <= F.col("__target"))
+        .select(group_col, unit_col)
+    )
+    return df.join(keep, on=[group_col, unit_col], how="left_semi")

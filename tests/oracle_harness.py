@@ -1,0 +1,75 @@
+"""Local replica of the driver's correctness gate: run each registered
+Spark query and its DuckDB oracle side by side and compare row count,
+schema-compatible values, and an order-insensitive canonical form.
+
+Values are compared EXACTLY (after each engine's own rounding inside the
+query) — if this harness passes, the driver's value-hash comparison
+passes too.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+from recommender_systems_spark.io import TESTDATA_TABLES
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, normalise cell values to hash-stable python
+    objects, sort rows."""
+    df = df[sorted(df.columns)].copy()
+
+    def norm(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NULL"
+            return repr(v)
+        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+            return "[" + ",".join(norm(x) for x in v) + "]"
+        return repr(v)
+
+    for c in df.columns:
+        df[c] = df[c].map(norm)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def compare_query(spark, name: str, q_fn, sql: str | None, sf_dir: str):
+    """Return (ok, message). Rows-only check when sql is None."""
+    sdf = q_fn(spark, sf_dir)
+    spark_pd = sdf.toPandas()
+    if sql is None:
+        return True, f"rows-only: {len(spark_pd)} rows"
+    con = duckdb_connection(sf_dir)
+    duck_pd = con.execute(sql).fetchdf()
+    con.close()
+    if len(spark_pd) != len(duck_pd):
+        return False, f"row count: spark={len(spark_pd)} duckdb={len(duck_pd)}"
+    if sorted(spark_pd.columns) != sorted(duck_pd.columns):
+        return (
+            False,
+            f"columns: spark={sorted(spark_pd.columns)} duckdb={sorted(duck_pd.columns)}",
+        )
+    a, b = canonicalize(spark_pd), canonicalize(duck_pd)
+    if not a.equals(b):
+        diff_mask = (a != b).any(axis=1)
+        n_diff = int(diff_mask.sum())
+        sample = pd.concat(
+            [a[diff_mask].head(3).assign(engine="spark"),
+             b[diff_mask].head(3).assign(engine="duckdb")]
+        )
+        return False, f"{n_diff}/{len(a)} rows differ:\n{sample.to_string()}"
+    return True, f"match: {len(spark_pd)} rows"

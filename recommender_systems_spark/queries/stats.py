@@ -1,0 +1,503 @@
+"""Evaluation & statistics queries (SURVEY §2.8 A/B harness, E-family)
+plus remaining aggregation/window coverage (A11 collect, rollup,
+event-time windows, the implicit-feedback curation pipeline).
+
+Statistic VALUES are computed distributed and oracle-checked; p-values
+(which need distribution CDFs) are driver-side scipy in
+``ml.abtest`` — exactly the split the reference's scale implies
+(ab_test.py computes them on ≤10k rows in-process).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from recommender_systems_spark.functions.vector import cosine_similarity
+from recommender_systems_spark.operators.densify import dense_id_map
+from recommender_systems_spark.operators.relational import (
+    anti_join_below_threshold,
+)
+from recommender_systems_spark.registry import _t, register
+
+
+def _events_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with the A/B arm derived from user_id parity (the driver's
+    suggested split, FIXTURES.md) — mirrors the reference's group column
+    (ab_test.py:92-97)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.withColumn(
+        "grp", F.when(F.col("user_id") % 2 == 0, F.lit("A")).otherwise(F.lit("B"))
+    )
+
+
+_GRP_SQL = """
+    SELECT *, CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS grp
+    FROM events
+"""
+
+
+@register(
+    "e_t_test_stats",
+    f"""
+    WITH g AS ({_GRP_SQL}),
+    agg AS (
+        SELECT grp, avg(value) AS m, var_samp(value) AS v,
+               CAST(count(*) AS BIGINT) AS n
+        FROM g GROUP BY grp
+    ),
+    w AS (
+        SELECT
+            max(CASE WHEN grp = 'A' THEN m END) AS ma,
+            max(CASE WHEN grp = 'B' THEN m END) AS mb,
+            max(CASE WHEN grp = 'A' THEN v END) AS va,
+            max(CASE WHEN grp = 'B' THEN v END) AS vb,
+            max(CASE WHEN grp = 'A' THEN n END) AS na,
+            max(CASE WHEN grp = 'B' THEN n END) AS nb
+        FROM agg
+    )
+    SELECT na, nb, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+           round((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_welch,
+           round(pow(va / na + vb / nb, 2)
+                 / (pow(va / na, 2) / (na - 1) + pow(vb / nb, 2) / (nb - 1)),
+                 4) AS df_welch
+    FROM w
+    """,
+)
+def e_t_test_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: Welch two-sample t statistic + degrees of freedom from group
+    aggregates only (reference: scipy.stats.ttest_ind, ab_test.py:304-347).
+    One distributed aggregation pass; no data leaves the cluster."""
+    g = _events_grouped(spark, sf_dir)
+    agg = g.groupBy("grp").agg(
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = agg.agg(
+        F.max(F.when(F.col("grp") == "A", F.col("m"))).alias("ma"),
+        F.max(F.when(F.col("grp") == "B", F.col("m"))).alias("mb"),
+        F.max(F.when(F.col("grp") == "A", F.col("v"))).alias("va"),
+        F.max(F.when(F.col("grp") == "B", F.col("v"))).alias("vb"),
+        F.max(F.when(F.col("grp") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("grp") == "B", F.col("n"))).alias("nb"),
+    )
+    se2 = F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
+    return w.select(
+        "na",
+        "nb",
+        F.round("ma", 6).alias("mean_a"),
+        F.round("mb", 6).alias("mean_b"),
+        F.round((F.col("ma") - F.col("mb")) / F.sqrt(se2), 6).alias("t_welch"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("va") / F.col("na"), 2) / (F.col("na") - 1)
+                + F.pow(F.col("vb") / F.col("nb"), 2) / (F.col("nb") - 1)
+            ),
+            4,
+        ).alias("df_welch"),
+    )
+
+
+@register(
+    "e_rank_sum",
+    f"""
+    WITH g AS ({_GRP_SQL}),
+    r AS (
+        SELECT grp,
+               CAST(rank() OVER (ORDER BY value) AS DOUBLE)
+                 + (CAST(count(*) OVER (PARTITION BY value) AS DOUBLE) - 1) / 2
+                 AS midrank
+        FROM g
+    ),
+    s AS (
+        SELECT
+            sum(CASE WHEN grp = 'A' THEN midrank END) AS wa,
+            CAST(sum(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+            CAST(sum(CASE WHEN grp = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        FROM r
+    )
+    SELECT na, nb, wa AS rank_sum_a,
+           round((wa - na * (na + nb + 1) / 2.0)
+                 / sqrt(na * nb * (na + nb + 1) / 12.0), 6) AS z
+    FROM s
+    """,
+)
+def e_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: Wilcoxon rank-sum z statistic, fully distributed (reference:
+    scipy.stats.ranksums, ab_test.py:348-391; like scipy's ranksums this
+    uses the normal approximation without tie correction, but midranks
+    for tied values).
+
+    Scale shape: rather than ranking every row (an unpartitioned window
+    = one-partition bottleneck), aggregate per distinct value first
+    (hash agg, fully parallel), then rank only the distinct-value table
+    — midrank(v) = #rows<v + (count(v)+1)/2 — and recombine. The window
+    runs over |distinct values| rows, not |rows|."""
+    g = _events_grouped(spark, sf_dir)
+    per_value = g.groupBy("value").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("grp") == "A", 1).otherwise(0)).alias("na_v"),
+    )
+    w_cum = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_value.withColumn(
+        "midrank",
+        F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).cast("double")
+        + (F.col("cnt").cast("double") + 1) / 2,
+    )
+    s = ranked.agg(
+        F.sum(F.col("na_v") * F.col("midrank")).alias("wa"),
+        F.sum("na_v").alias("na"),
+        F.sum(F.col("cnt") - F.col("na_v")).alias("nb"),
+    )
+    n_tot = F.col("na") + F.col("nb")
+    return s.select(
+        "na",
+        "nb",
+        F.col("wa").alias("rank_sum_a"),
+        F.round(
+            (F.col("wa") - F.col("na") * (n_tot + 1) / 2.0)
+            / F.sqrt(F.col("na") * F.col("nb") * (n_tot + 1) / 12.0),
+            6,
+        ).alias("z"),
+    )
+
+
+@register(
+    "e_levene_bf",
+    f"""
+    WITH g AS ({_GRP_SQL}),
+    med AS (SELECT grp, median(value) AS med FROM g GROUP BY grp),
+    z AS (
+        SELECT g.grp, abs(g.value - med.med) AS zij
+        FROM g JOIN med ON g.grp = med.grp
+    ),
+    per AS (
+        SELECT grp, avg(zij) AS zbar_i,
+               CAST(count(*) AS BIGINT) AS n_i,
+               sum(zij) AS zsum_i
+        FROM z GROUP BY grp
+    ),
+    ss AS (
+        SELECT z.grp, sum(pow(z.zij - per.zbar_i, 2)) AS within_i
+        FROM z JOIN per ON z.grp = per.grp GROUP BY z.grp
+    ),
+    tot AS (
+        SELECT (SELECT sum(zsum_i) FROM per) / (SELECT sum(n_i) FROM per)
+               AS zbar,
+               (SELECT CAST(sum(n_i) AS BIGINT) FROM per) AS n,
+               (SELECT CAST(count(*) AS BIGINT) FROM per) AS k
+    )
+    SELECT tot.n, tot.k,
+           round(((tot.n - tot.k) * (SELECT sum(per.n_i * pow(per.zbar_i - tot.zbar, 2)) FROM per))
+                 / ((tot.k - 1) * (SELECT sum(within_i) FROM ss)), 6) AS w_stat
+    FROM tot
+    """,
+)
+def e_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: Levene variance-equality test, Brown-Forsythe form (median
+    centering — scipy.stats.levene(center='median'); reference
+    ab_test.py:271-285). Two aggregation passes over the groups; the
+    W statistic is exact, the p-value (F distribution) is driver-side."""
+    g = _events_grouped(spark, sf_dir)
+    med = g.groupBy("grp").agg(F.median("value").alias("med"))
+    z = g.join(F.broadcast(med), "grp").select(
+        "grp", F.abs(F.col("value") - F.col("med")).alias("zij")
+    )
+    per = z.groupBy("grp").agg(
+        F.avg("zij").alias("zbar_i"),
+        F.count(F.lit(1)).alias("n_i"),
+        F.sum("zij").alias("zsum_i"),
+    )
+    ss = (
+        z.join(F.broadcast(per.select("grp", "zbar_i")), "grp")
+        .groupBy("grp")
+        .agg(F.sum(F.pow(F.col("zij") - F.col("zbar_i"), 2)).alias("within_i"))
+    )
+    tot = per.agg(
+        (F.sum("zsum_i") / F.sum("n_i")).alias("zbar"),
+        F.sum("n_i").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    between = (
+        per.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(F.col("n_i") * F.pow(F.col("zbar_i") - F.col("zbar"), 2)).alias(
+                "between"
+            ),
+            F.first("n").alias("n"),
+            F.first("k").alias("k"),
+        )
+    )
+    within = ss.agg(F.sum("within_i").alias("within"))
+    return between.crossJoin(F.broadcast(within)).select(
+        "n",
+        "k",
+        F.round(
+            ((F.col("n") - F.col("k")) * F.col("between"))
+            / ((F.col("k") - 1) * F.col("within")),
+            6,
+        ).alias("w_stat"),
+    )
+
+
+@register(
+    "e_precision_recall_at_k",
+    """
+    WITH q AS (
+        SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
+        FROM embeddings WHERE vec_id < 20
+    ),
+    scored AS (
+        SELECT q.qid, q.qlabel, e.vec_id, e.label,
+               round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                     / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(q.qv, q.qv))), 5) AS cs
+        FROM embeddings e JOIN q ON e.vec_id <> q.qid
+    ),
+    ranked AS (
+        SELECT qid, qlabel, label,
+               row_number() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id)
+                   AS rnk
+        FROM scored
+    ),
+    rel AS (
+        SELECT q.qid, CAST(count(*) AS BIGINT) AS n_relevant
+        FROM q JOIN embeddings e
+          ON e.label = q.qlabel AND e.vec_id <> q.qid
+        GROUP BY q.qid
+    )
+    SELECT r.qid AS vec_id,
+           CAST(sum(CASE WHEN r.label = r.qlabel THEN 1 ELSE 0 END) AS BIGINT)
+               AS hits,
+           round(sum(CASE WHEN r.label = r.qlabel THEN 1 ELSE 0 END) / 10.0, 4)
+               AS p_at_10,
+           round(sum(CASE WHEN r.label = r.qlabel THEN 1 ELSE 0 END)
+                 / CAST(max(rel.n_relevant) AS DOUBLE), 4) AS r_at_10
+    FROM ranked r JOIN rel ON r.qid = rel.qid
+    WHERE r.rnk <= 10
+    GROUP BY r.qid
+    """,
+)
+def e_precision_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: precision@k / recall@k per query (reference:
+    implicit_feedback/functions.py:212-246 — score all items, top-k,
+    hits = |top-k ∩ relevant|). Here: embeddings are both queries
+    (vec_id < 20) and catalog; 'relevant' = same label.
+
+    Shape at scale: the scored set is a broadcast (queries) × catalog
+    join → per-query top-k window on the query id — the canonical
+    recommendForUserSubset plan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        emb.select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("ev")
+        )
+        .join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "vec_id",
+            "label",
+            F.round(cosine_similarity(F.col("ev"), F.col("qv")), 5).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cs").desc(), F.col("vec_id"))
+    ranked = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 10
+    )
+    rel = (
+        q.join(
+            emb.select("vec_id", "label"),
+            (F.col("label") == F.col("qlabel")) & (F.col("vec_id") != F.col("qid")),
+        )
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_relevant"))
+    )
+    hits = F.sum(F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0))
+    return (
+        ranked.join(F.broadcast(rel), "qid")
+        .groupBy("qid")
+        .agg(
+            hits.alias("hits"),
+            F.round(hits / 10.0, 4).alias("p_at_10"),
+            F.round(hits / F.max("n_relevant").cast("double"), 4).alias("r_at_10"),
+        )
+        .withColumnRenamed("qid", "vec_id")
+    )
+
+
+@register(
+    "a_collect_list",
+    """
+    SELECT event_type,
+           array_to_string(list_sort(list(DISTINCT user_id)), ',') AS users,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events WHERE user_id < 25
+    GROUP BY event_type
+    """,
+)
+def a_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: grouped list collection (reference: invert movie→genres to
+    genre→[movies], functions.py:477-488 → explode + collect_list).
+    Output canonicalised (sorted, joined) for engine-portable hashing."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 25)
+    return ev.groupBy("event_type").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_set("user_id")), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("users"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "a_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets extension (free via Spark SQL — the reference has
+    no rollup/cube, SURVEY §2.4 note; exposed as engine capability)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("sum_qty")
+    )
+
+
+@register(
+    "s_window_agg",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def s_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregation — the batch twin of the
+    Structured Streaming operator in ``streaming.events`` (same F.window
+    call, same results; the streaming variant adds a watermark)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+    )
+
+
+@register(
+    "w_curation_densify",
+    """
+    WITH filtered AS (
+        SELECT * FROM events WHERE value >= 4.0
+    ),
+    kept AS (
+        SELECT * FROM filtered
+        WHERE user_id NOT IN (
+            SELECT user_id FROM filtered GROUP BY user_id HAVING count(*) < 10
+        )
+    ),
+    ids AS (
+        SELECT user_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY user_id) - 1 AS BIGINT)
+                   AS user_id_order
+        FROM (SELECT DISTINCT user_id FROM kept)
+    )
+    SELECT k.user_id, i.user_id_order,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM kept k JOIN ids i ON k.user_id = i.user_id
+    GROUP BY k.user_id, i.user_id_order
+    """,
+)
+def w_curation_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full implicit-feedback curation pipeline shape
+    (implicit_feedback/functions.py:278-317): threshold filter (rating≥4
+    → value≥4) → drop sparse users (<10 events) → densify ids. All three
+    operators fused in one plan: filter pushes to the scan, the
+    anti-join side is an aggregate, densify is the two-phase rank."""
+    ev = _t(spark, sf_dir, "events")
+    filtered = ev.filter(F.col("value") >= 4.0).select("user_id")
+    kept = anti_join_below_threshold(filtered, "user_id", 10)
+    mapping = dense_id_map(kept, "user_id", "user_id_order")
+    return (
+        kept.join(mapping, "user_id")
+        .groupBy("user_id", "user_id_order")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
+    "m_vector_norms",
+    """
+    SELECT vec_id,
+           round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))), 5)
+               AS l2_norm
+    FROM embeddings
+    """,
+)
+def m_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M14: row-wise L2 norms over the factor/embedding matrix
+    (reference: np.linalg.norm(V, axis=1), prac_1_results.py:104)."""
+    from recommender_systems_spark.functions.vector import l2_norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.round(l2_norm(F.col("embedding").cast("array<double>")), 5).alias("l2_norm"),
+    )
+
+
+@register(
+    "f_set_ops",
+    """
+    SELECT p_partkey,
+           array_to_string(list_sort(list_intersect(string_split(p_type, ' '),
+               ['ECONOMY', 'BRUSHED', 'STEEL', 'PLATED'])), '|') AS common,
+           CAST(len(list_intersect(string_split(p_type, ' '),
+               ['ECONOMY', 'BRUSHED', 'STEEL', 'PLATED'])) AS INT) AS n_common,
+           CAST(len(list_filter(string_split(p_type, ' '),
+               w -> NOT list_contains(['ECONOMY', 'BRUSHED', 'STEEL', 'PLATED'], w)))
+               AS INT) AS n_only_self
+    FROM part
+    """,
+)
+def f_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/F5: array set intersection / difference / overlap (reference:
+    genre-disjointness test implicit_feedback/functions.py:129, negative
+    candidate set :76-79). array_except not used for n_only_self because
+    it dedups; filter preserves multiplicity like the reference's list
+    comprehension."""
+    vocab = F.array(*[F.lit(w) for w in ["ECONOMY", "BRUSHED", "STEEL", "PLATED"]])
+    part = _t(spark, sf_dir, "part")
+    words = F.split(F.col("p_type"), " ")
+    inter = F.array_intersect(words, vocab)
+    return part.select(
+        "p_partkey",
+        F.array_join(F.array_sort(inter), "|").alias("common"),
+        F.size(inter).alias("n_common"),
+        F.size(F.filter(words, lambda w: ~F.array_contains(vocab, w))).alias(
+            "n_only_self"
+        ),
+    )

@@ -473,8 +473,8 @@ def m_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f_set_ops",
     """
     SELECT p_partkey,
-           array_to_string(list_sort(list_intersect(string_split(p_type, ' '),
-               ['ECONOMY', 'BRUSHED', 'STEEL', 'PLATED'])), '|') AS common,
+           COALESCE(array_to_string(list_sort(list_intersect(string_split(p_type, ' '),
+               ['ECONOMY', 'BRUSHED', 'STEEL', 'PLATED'])), '|'), '') AS common,
            CAST(len(list_intersect(string_split(p_type, ' '),
                ['ECONOMY', 'BRUSHED', 'STEEL', 'PLATED'])) AS INT) AS n_common,
            CAST(len(list_filter(string_split(p_type, ' '),

@@ -49,5 +49,3 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 from recommender_systems_spark.queries import core as _core  # noqa: E402,F401
 from recommender_systems_spark.queries import stats as _stats  # noqa: E402,F401
 from recommender_systems_spark.queries import textops as _textops  # noqa: E402,F401
-from recommender_systems_spark.queries import dedup as _dedup  # noqa: E402,F401
-from recommender_systems_spark.queries import similarity as _sim  # noqa: E402,F401

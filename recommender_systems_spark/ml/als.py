@@ -1,0 +1,405 @@
+"""Bias-augmented alternating least squares (SURVEY §2.7 M2-M6, §2.8 E8).
+
+The reference trains matrix factorisation with per-user/per-movie bias
+terms by looping over users and movies in Python, solving a k×k ridge
+system per entity with a Cholesky factorisation
+(explicit_ratings/prac_1.py:62-135, functions.py:283-439). The model:
+
+    r_mn ≈ u_m · v_n + b_m + b_n
+
+with objective (functions.py:49-116):
+
+    -(λ/2) Σ (r - (u·v + b_m + b_n))²
+    -(τ/2)(‖U‖²_F + ‖V‖²_F) - (α/2)(‖b_m‖² + ‖b_n‖²)
+
+Spark-first re-expression:
+
+- Each half-sweep ("update every user" / "update every movie") becomes
+  ONE distributed job: join ratings with the frozen side's factors
+  (+bias), shuffle-group by the updated side's id, and solve the k×k
+  normal equations per group inside ``applyInPandas`` (Arrow-batched
+  NumPy/Cholesky — the per-entity solve is exactly the reference's math,
+  the orchestration is Spark's).
+- Monitoring (RMSE, regularised log-likelihood, max parameter delta) are
+  plain DataFrame aggregations over a scoring join — no data leaves the
+  cluster; the driver sees one scalar per iteration.
+- ``localCheckpoint`` per iteration cuts lineage growth, the standard
+  Spark pattern for iterative algorithms (SURVEY §4.3).
+
+Scale notes: the per-sweep shuffle is keyed on the entity id (same key
+distribution as MLlib ALS's in/out blocks). The frozen side's factors
+join is a shuffle hash join at 100 TB (both sides large) or a broadcast
+when the entity count is dimension-sized; AQE decides. Skewed "power
+users" land in one Arrow batch each — fine, a group is |Ω_m| rows × k
+doubles.
+
+``mllib_als`` exposes Spark's built-in blocked ALS (no biases) as the
+big-data fast path for M2/M3.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recommender_systems_spark.functions.vector import dot_product
+
+# Reference hyperparameters (prac_1.py:35-39).
+DEFAULT_LMD = 0.1
+DEFAULT_TAU = 0.01
+DEFAULT_ALPHA = 0.01
+DEFAULT_RANK = 12
+
+_FACTOR_SCHEMA = "id long, features array<double>, bias double"
+
+
+def init_factors(
+    ids: DataFrame, id_col: str, k: int, seed: int, scale: float | None = None
+) -> DataFrame:
+    """M6: random factor init, N(0, (5/√k)²) like prac_1.py:41-46, with
+    zero biases. ``randn(seed+i)`` per latent column — deterministic for
+    a fixed partitioning, engine-local (the reference's NumPy stream is
+    not reproducible cross-engine; SURVEY §7 fixes semantics, not bits).
+    """
+    scale = 5.0 / np.sqrt(k) if scale is None else scale
+    cols = F.array(*[F.randn(seed + i) * F.lit(scale) for i in range(k)])
+    return ids.select(
+        F.col(id_col).cast("long").alias("id"),
+        cols.alias("features"),
+        F.lit(0.0).alias("bias"),
+    )
+
+
+def _solve_side(pdf: pd.DataFrame, lmd: float, tau: float, alpha: float, k: int):
+    """Solve one entity's bias + ridge system (reference update_user,
+    functions.py:283-357): executed per group inside applyInPandas.
+
+    bias  = λ Σ(r - u_old·v - b_other) / (α + λ|Ω|)
+    vec   = (λ Σ v vᵀ + τI)⁻¹ · λ Σ (r - b_other - bias) v   (Cholesky)
+    """
+    vid = pdf["id"].iloc[0]
+    v = np.stack(pdf["other_features"].to_numpy())  # (n, k)
+    r = pdf["rating"].to_numpy(dtype=np.float64)
+    b_other = pdf["other_bias"].to_numpy(dtype=np.float64)
+    u_old = np.asarray(pdf["self_features"].iloc[0], dtype=np.float64)
+    n = len(r)
+    bias = lmd * float(np.sum(r - v @ u_old - b_other)) / (alpha + lmd * n)
+    a_mat = lmd * (v.T @ v) + tau * np.eye(k)
+    rhs = lmd * (v.T @ (r - b_other - bias))
+    try:
+        c = np.linalg.cholesky(a_mat)
+        vec = np.linalg.solve(c.T, np.linalg.solve(c, rhs))
+    except np.linalg.LinAlgError:  # τI makes this near-impossible; belt+braces
+        vec = np.linalg.solve(a_mat, rhs)
+    return pd.DataFrame({"id": [vid], "features": [vec.tolist()], "bias": [bias]})
+
+
+def als_half_sweep(
+    ratings: DataFrame,
+    self_col: str,
+    other_col: str,
+    rating_col: str,
+    self_factors: DataFrame,
+    other_factors: DataFrame,
+    lmd: float = DEFAULT_LMD,
+    tau: float = DEFAULT_TAU,
+    alpha: float = DEFAULT_ALPHA,
+    rank: int = DEFAULT_RANK,
+) -> DataFrame:
+    """One half-sweep: re-solve every ``self_col`` entity against frozen
+    ``other_factors``. Returns a new (id, features, bias) DataFrame.
+
+    Plan shape: ratings ⋈ other(id) [shuffle or AQE-broadcast]
+    ⋈ self(id) → shuffle groupBy(self id) → Arrow-batched solves.
+    """
+    joined = (
+        ratings.select(
+            F.col(self_col).cast("long").alias("id"),
+            F.col(other_col).cast("long").alias("other_id"),
+            F.col(rating_col).cast("double").alias("rating"),
+        )
+        .join(
+            other_factors.select(
+                F.col("id").alias("other_id"),
+                F.col("features").alias("other_features"),
+                F.col("bias").alias("other_bias"),
+            ),
+            "other_id",
+        )
+        .join(
+            self_factors.select(
+                "id",
+                F.col("features").alias("self_features"),
+            ),
+            "id",
+        )
+    )
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _solve_side(pdf, lmd, tau, alpha, rank)
+
+    return joined.groupBy("id").applyInPandas(solve, schema=_FACTOR_SCHEMA)
+
+
+def predict(
+    ratings: DataFrame,
+    user_col: str,
+    item_col: str,
+    user_factors: DataFrame,
+    item_factors: DataFrame,
+    out_col: str = "prediction",
+) -> DataFrame:
+    """M1: û = u·v + b_m + b_n via a scoring join — zip_with/aggregate
+    dot product stays in whole-stage codegen (functions.py:273-277)."""
+    return (
+        ratings.join(
+            user_factors.select(
+                F.col("id").alias("__uid"),
+                F.col("features").alias("__uf"),
+                F.col("bias").alias("__ub"),
+            ),
+            F.col(user_col) == F.col("__uid"),
+        )
+        .join(
+            item_factors.select(
+                F.col("id").alias("__iid"),
+                F.col("features").alias("__if"),
+                F.col("bias").alias("__ib"),
+            ),
+            F.col(item_col) == F.col("__iid"),
+        )
+        .withColumn(
+            out_col,
+            dot_product(F.col("__uf"), F.col("__if")) + F.col("__ub") + F.col("__ib"),
+        )
+        .drop("__uid", "__uf", "__ub", "__iid", "__if", "__ib")
+    )
+
+
+def rmse(
+    ratings: DataFrame,
+    user_col: str,
+    item_col: str,
+    rating_col: str,
+    user_factors: DataFrame,
+    item_factors: DataFrame,
+) -> float:
+    """A9: √(Σ(û−r)²/n) as one aggregation (reference functions.py:250-280
+    is a 25M-row Python loop; here it's a distributed scoring join)."""
+    scored = predict(ratings, user_col, item_col, user_factors, item_factors)
+    row = scored.agg(
+        F.sqrt(F.avg(F.pow(F.col("prediction") - F.col(rating_col), 2))).alias("rmse")
+    ).collect()[0]
+    return float(row["rmse"])
+
+
+def reg_loglik(
+    ratings: DataFrame,
+    user_col: str,
+    item_col: str,
+    rating_col: str,
+    user_factors: DataFrame,
+    item_factors: DataFrame,
+    lmd: float = DEFAULT_LMD,
+    tau: float = DEFAULT_TAU,
+    alpha: float = DEFAULT_ALPHA,
+) -> float:
+    """A10: regularised log-likelihood (functions.py:49-116):
+    -(λ/2)Σerr² -(τ/2)(‖U‖²+‖V‖²) -(α/2)(‖b_m‖²+‖b_n‖²).
+    Three small aggregations; Frobenius norms via array HOFs."""
+    sq = F.aggregate("features", F.lit(0.0), lambda a, x: a + x * x)
+    u_pen = user_factors.agg(
+        F.sum(sq).alias("fro"), F.sum(F.pow("bias", 2)).alias("b2")
+    ).collect()[0]
+    v_pen = item_factors.agg(
+        F.sum(sq).alias("fro"), F.sum(F.pow("bias", 2)).alias("b2")
+    ).collect()[0]
+    scored = predict(ratings, user_col, item_col, user_factors, item_factors)
+    err = scored.agg(
+        F.sum(F.pow(F.col("prediction") - F.col(rating_col), 2)).alias("sse")
+    ).collect()[0]
+    return float(
+        -(alpha / 2) * (u_pen["b2"] + v_pen["b2"])
+        - (tau / 2) * (u_pen["fro"] + v_pen["fro"])
+        - (lmd / 2) * err["sse"]
+    )
+
+
+def max_param_delta(old: DataFrame, new: DataFrame) -> float:
+    """E8: max |θ_new − θ_old| over factors and biases (prac_1.py:161-187)
+    — join the snapshots on id, one max-abs aggregation."""
+    joined = old.select(
+        "id", F.col("features").alias("f0"), F.col("bias").alias("b0")
+    ).join(new.select("id", F.col("features").alias("f1"), F.col("bias").alias("b1")), "id")
+    vec_delta = F.aggregate(
+        F.zip_with("f0", "f1", lambda a, b: F.abs(a - b)),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    row = joined.agg(
+        F.max(F.greatest(vec_delta, F.abs(F.col("b1") - F.col("b0")))).alias("d")
+    ).collect()[0]
+    return float(row["d"])
+
+
+@dataclass
+class AlsBiasModel:
+    """Trained state — two (id, features, bias) DataFrames, MLlib-shaped."""
+
+    user_factors: DataFrame
+    item_factors: DataFrame
+    rmse_history: list[float]
+    loglik_history: list[float]
+    converged: bool
+
+
+def train_als_bias(
+    ratings: DataFrame,
+    user_col: str,
+    item_col: str,
+    rating_col: str,
+    rank: int = DEFAULT_RANK,
+    lmd: float = DEFAULT_LMD,
+    tau: float = DEFAULT_TAU,
+    alpha: float = DEFAULT_ALPHA,
+    max_iter: int = 10,
+    tol: float = 0.05,
+    seed: int = 42,
+    track_loglik: bool = False,
+) -> AlsBiasModel:
+    """The reference training loop (prac_1.py:53-188) as a driver-side
+    fixpoint over distributed sweeps: user half-sweep, item half-sweep,
+    monitor, stop when max parameter delta < tol (E8) or max_iter."""
+    ratings = ratings.select(
+        F.col(user_col).cast("long").alias("u"),
+        F.col(item_col).cast("long").alias("i"),
+        F.col(rating_col).cast("double").alias("r"),
+    ).localCheckpoint()
+    u_f = init_factors(ratings.select("u").distinct(), "u", rank, seed).localCheckpoint()
+    v_f = init_factors(
+        ratings.select("i").distinct(), "i", rank, seed + 1
+    ).localCheckpoint()
+
+    rmse_hist: list[float] = []
+    ll_hist: list[float] = []
+    converged = False
+    for _ in range(max_iter):
+        new_u = als_half_sweep(
+            ratings, "u", "i", "r", u_f, v_f, lmd, tau, alpha, rank
+        ).localCheckpoint()
+        new_v = als_half_sweep(
+            ratings, "i", "u", "r", v_f, new_u, lmd, tau, alpha, rank
+        ).localCheckpoint()
+        # E8 delta costs two extra jobs per iteration — only pay for it
+        # when a convergence tolerance is actually requested.
+        delta = (
+            max(max_param_delta(u_f, new_u), max_param_delta(v_f, new_v))
+            if tol > 0
+            else float("inf")
+        )
+        u_f, v_f = new_u, new_v
+        rmse_hist.append(rmse(ratings, "u", "i", "r", u_f, v_f))
+        if track_loglik:
+            ll_hist.append(reg_loglik(ratings, "u", "i", "r", u_f, v_f, lmd, tau, alpha))
+        if delta < tol:
+            converged = True
+            break
+    return AlsBiasModel(u_f, v_f, rmse_hist, ll_hist, converged)
+
+
+def train_bias_only(
+    ratings: DataFrame,
+    user_col: str,
+    item_col: str,
+    rating_col: str,
+    user_factors: DataFrame,
+    item_factors: DataFrame,
+    lmd: float = DEFAULT_LMD,
+    alpha: float = DEFAULT_ALPHA,
+    n_sweeps: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """M4: bias-only degenerate model (prac_1_bias_only.py:63-104) —
+    trait vectors FROZEN, alternate pure bias aggregations:
+
+        b_m = λ Σ(r − u·v − b_n) / (α + λ|Ω_m|)
+
+    No Cholesky, no Python in the plan — each sweep is a join + groupBy.
+    Returns (user_factors, item_factors) with updated biases."""
+    r = ratings.select(
+        F.col(user_col).cast("long").alias("u"),
+        F.col(item_col).cast("long").alias("i"),
+        F.col(rating_col).cast("double").alias("r"),
+    )
+    uf, vf = user_factors, item_factors
+
+    def bias_sweep(side: str, other: str, self_f: DataFrame, other_f: DataFrame):
+        joined = (
+            r.join(
+                other_f.select(
+                    F.col("id").alias(other),
+                    F.col("features").alias("of"),
+                    F.col("bias").alias("ob"),
+                ),
+                other,
+            )
+            .join(
+                self_f.select(F.col("id").alias(side), F.col("features").alias("sf")),
+                side,
+            )
+            .withColumn("resid", F.col("r") - dot_product("sf", "of") - F.col("ob"))
+        )
+        agg = joined.groupBy(side).agg(
+            F.sum("resid").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+        new_bias = agg.select(
+            F.col(side).alias("id"),
+            (F.lit(lmd) * F.col("s") / (F.lit(alpha) + F.lit(lmd) * F.col("n"))).alias(
+                "bias"
+            ),
+        )
+        return (
+            self_f.drop("bias")
+            .join(new_bias, "id", "left")
+            .fillna(0.0, subset=["bias"])
+        )
+
+    for _ in range(n_sweeps):
+        uf = bias_sweep("u", "i", uf, vf)
+        vf = bias_sweep("i", "u", vf, uf)
+    return uf, vf
+
+
+def mllib_als(
+    ratings: DataFrame,
+    user_col: str,
+    item_col: str,
+    rating_col: str,
+    rank: int = DEFAULT_RANK,
+    reg_param: float = DEFAULT_TAU,
+    max_iter: int = 10,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """M2/M3 fast path: Spark MLlib's blocked ALS — the same
+    normal-equation Cholesky solve as the reference (SURVEY §4.1), with
+    block partitioning instead of joblib fan-out. No bias terms; use
+    ``train_als_bias`` for exact reference semantics.
+
+    Returns (userFactors, itemFactors) as (id, features array<float>)."""
+    from pyspark.ml.recommendation import ALS
+
+    als = ALS(
+        rank=rank,
+        regParam=reg_param,
+        maxIter=max_iter,
+        seed=seed,
+        userCol=user_col,
+        itemCol=item_col,
+        ratingCol=rating_col,
+        coldStartStrategy="drop",
+    )
+    model = als.fit(ratings)
+    return model.userFactors, model.itemFactors

@@ -1,0 +1,394 @@
+"""ML-layer queries (SURVEY §2.7 M-family + A9/A10/E8) with DuckDB
+oracles.
+
+The driver star schema has no ratings table, so the reference's model
+shape is instantiated deterministically from driver data — the SAME
+construction on both engines, so every step is oracle-checkable:
+
+- ratings  := lineitem (user = l_suppkey, item = l_partkey,
+              rating = l_quantity) — the natural many-to-many fact.
+- factors  := embeddings joined on ``id % EMB_MOD`` (64-dim doubles).
+- biases   := exact affine formulas of the id (see ``_BU``/``_BV``) —
+              identical double arithmetic in both engines.
+
+Training itself (``m_als_train``: applyInPandas Cholesky sweeps,
+``m_fold_in_vector``: driver k×k solve) is not SQL-expressible; those
+register without an oracle → the driver's weaker rows-only check, per
+the contract. Everything else (RMSE, log-likelihood, bias sweeps,
+convergence delta, fold-in bias, top-N serving) is a pure dataflow and
+carries a full value-hash oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recommender_systems_spark.functions.vector import dot_product
+from recommender_systems_spark.registry import _t, register
+
+# Reference hyperparameters (prac_1.py:35-39).
+LMD, TAU, ALPHA = 0.1, 0.01, 0.01
+EMB_MOD = 500  # embeddings rows at sf0.01; modular join key for factors
+
+# Deterministic bias formulas — same IEEE ops in both engines.
+_BU_SQL = "((CAST(uid * 17 AS BIGINT) % 13) * 0.05 - 0.3)"
+_BV_SQL = "((CAST(iid * 29 AS BIGINT) % 11) * 0.04 - 0.2)"
+
+
+def _bu_col(uid):
+    return ((uid * 17) % 13) * F.lit(0.05) - F.lit(0.3)
+
+
+def _bv_col(iid):
+    return ((iid * 29) % 11) * F.lit(0.04) - F.lit(0.2)
+
+
+# Shared SQL prelude: ratings + factor lookup.
+_ML_CTE = f"""
+    r AS (SELECT l_suppkey AS uid, l_partkey AS iid,
+                 CAST(l_quantity AS DOUBLE) AS r
+          FROM lineitem),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS f FROM embeddings),
+    j AS (SELECT r.uid, r.iid, r.r, list_dot_product(u.f, v.f) AS uv
+          FROM r JOIN e u ON u.vec_id = r.uid % {EMB_MOD}
+                 JOIN e v ON v.vec_id = r.iid % {EMB_MOD})
+"""
+
+
+def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("uid"),
+        F.col("l_partkey").alias("iid"),
+        F.col("l_quantity").cast("double").alias("r"),
+    )
+
+
+def _factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, f double[]) — broadcast-sized factor dimension."""
+    return _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("f")
+    )
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ratings with u·v attached: the M1 scoring join. Both factor
+    lookups broadcast (embeddings is dimension-sized); the fact table
+    never shuffles."""
+    r = _ratings(spark, sf_dir)
+    e = _factors(spark, sf_dir)
+    return (
+        r.withColumn("__uk", F.col("uid") % EMB_MOD)
+        .join(
+            F.broadcast(e.select(F.col("vec_id").alias("__uk"), F.col("f").alias("uf"))),
+            "__uk",
+        )
+        .withColumn("__ik", F.col("iid") % EMB_MOD)
+        .join(
+            F.broadcast(e.select(F.col("vec_id").alias("__ik"), F.col("f").alias("vf"))),
+            "__ik",
+        )
+        .select("uid", "iid", "r", dot_product("uf", "vf").alias("uv"))
+    )
+
+
+@register(
+    "m_rmse",
+    f"""
+    WITH {_ML_CTE}
+    SELECT round(sqrt(avg(pow(uv + {_BU_SQL} + {_BV_SQL} - r, 2))), 6) AS rmse,
+           CAST(count(*) AS BIGINT) AS n_ratings
+    FROM j
+    """,
+)
+def m_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: RMSE of û = u·v + b_u + b_v as ONE distributed aggregation
+    (reference rmse(), functions.py:250-280, is a pure-Python loop over
+    25M rows). Plan: broadcast factor joins → whole-stage-codegen dot
+    product → partial/final avg."""
+    j = _scored(spark, sf_dir)
+    err = F.col("uv") + _bu_col(F.col("uid")) + _bv_col(F.col("iid")) - F.col("r")
+    return j.agg(
+        F.round(F.sqrt(F.avg(F.pow(err, 2))), 6).alias("rmse"),
+        F.count(F.lit(1)).alias("n_ratings"),
+    )
+
+
+@register(
+    "m_reg_loglik",
+    f"""
+    WITH {_ML_CTE},
+    users AS (SELECT DISTINCT uid FROM r),
+    items AS (SELECT DISTINCT iid FROM r),
+    upen AS (SELECT sum(list_dot_product(e.f, e.f)) AS fro,
+                    sum(pow((CAST(uid * 17 AS BIGINT) % 13) * 0.05 - 0.3, 2)) AS b2
+             FROM users JOIN e ON e.vec_id = uid % {EMB_MOD}),
+    vpen AS (SELECT sum(list_dot_product(e.f, e.f)) AS fro,
+                    sum(pow((CAST(iid * 29 AS BIGINT) % 11) * 0.04 - 0.2, 2)) AS b2
+             FROM items JOIN e ON e.vec_id = iid % {EMB_MOD}),
+    sse AS (SELECT sum(pow(uv + {_BU_SQL} + {_BV_SQL} - r, 2)) AS sse FROM j)
+    SELECT round(-({ALPHA} / 2) * (upen.b2 + vpen.b2)
+                 - ({TAU} / 2) * (upen.fro + vpen.fro)
+                 - ({LMD} / 2) * sse.sse, 2) AS loglik
+    FROM upen, vpen, sse
+    """,
+)
+def m_reg_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: regularised log-likelihood (functions.py:49-116):
+    -(λ/2)Σerr² -(τ/2)(‖U‖²_F+‖V‖²_F) -(α/2)(‖b_m‖²+‖b_n‖²).
+    Frobenius terms aggregate over DISTINCT entities (one factor row per
+    user/item, as in the reference's matrices), the error term over
+    ratings — three small aggregations cross-joined (all 1-row)."""
+    r = _ratings(spark, sf_dir)
+    e = _factors(spark, sf_dir)
+    fro = F.aggregate("f", F.lit(0.0), lambda a, x: a + x * x)
+
+    def penalty(ids: DataFrame, id_col: str, bias_col) -> DataFrame:
+        return (
+            ids.withColumn("__k", F.col(id_col) % EMB_MOD)
+            .join(F.broadcast(e.select(F.col("vec_id").alias("__k"), "f")), "__k")
+            .agg(
+                F.sum(fro).alias("fro"),
+                F.sum(F.pow(bias_col, 2)).alias("b2"),
+            )
+        )
+
+    upen = penalty(r.select("uid").distinct(), "uid", _bu_col(F.col("uid")))
+    vpen = penalty(r.select("iid").distinct(), "iid", _bv_col(F.col("iid")))
+    err = F.col("uv") + _bu_col(F.col("uid")) + _bv_col(F.col("iid")) - F.col("r")
+    sse = _scored(spark, sf_dir).agg(F.sum(F.pow(err, 2)).alias("sse"))
+    return (
+        upen.select(F.col("fro").alias("ufro"), F.col("b2").alias("ub2"))
+        .crossJoin(vpen.select(F.col("fro").alias("vfro"), F.col("b2").alias("vb2")))
+        .crossJoin(sse)
+        .select(
+            F.round(
+                -(ALPHA / 2) * (F.col("ub2") + F.col("vb2"))
+                - (TAU / 2) * (F.col("ufro") + F.col("vfro"))
+                - (LMD / 2) * F.col("sse"),
+                2,
+            ).alias("loglik")
+        )
+    )
+
+
+# Bias half-sweeps (M4): b_u = λΣ(r−u·v−b_v)/(α+λ|Ω|) from zero biases,
+# then b_v using the fresh b_u. Shared between three queries.
+_BIAS_CTE = f"""
+    {_ML_CTE},
+    bu AS (SELECT uid, {LMD} * sum(r - uv) / ({ALPHA} + {LMD} * count(*)) AS bu
+           FROM j GROUP BY uid),
+    bv AS (SELECT iid,
+                  {LMD} * sum(j.r - j.uv - bu.bu)
+                      / ({ALPHA} + {LMD} * count(*)) AS bv
+           FROM j JOIN bu ON j.uid = bu.uid GROUP BY iid)
+"""
+
+
+def _bias_sweeps(spark: SparkSession, sf_dir: str):
+    """Spark twin of _BIAS_CTE: returns (j, bu, bv) DataFrames."""
+    j = _scored(spark, sf_dir)
+    bu = j.groupBy("uid").agg(
+        (F.lit(LMD) * F.sum(F.col("r") - F.col("uv"))
+         / (F.lit(ALPHA) + F.lit(LMD) * F.count(F.lit(1)))).alias("bu")
+    )
+    bv = (
+        j.join(bu, "uid")
+        .groupBy("iid")
+        .agg(
+            (F.lit(LMD) * F.sum(F.col("r") - F.col("uv") - F.col("bu"))
+             / (F.lit(ALPHA) + F.lit(LMD) * F.count(F.lit(1)))).alias("bv")
+        )
+    )
+    return j, bu, bv
+
+
+@register(
+    "m_bias_only",
+    f"""
+    WITH {_BIAS_CTE}
+    SELECT iid AS item_id, round(bv, 6) AS bias FROM bv
+    """,
+)
+def m_bias_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4: bias-only model — one alternating sweep pair (user bias from
+    zero, item bias from the fresh user bias) with trait vectors frozen
+    (prac_1_bias_only.py:63-104). Each sweep is a single hash
+    aggregation; the user-bias side broadcasts back for the item sweep."""
+    _, _, bv = _bias_sweeps(spark, sf_dir)
+    return bv.select(
+        F.col("iid").alias("item_id"), F.round("bv", 6).alias("bias")
+    )
+
+
+@register(
+    "m_convergence",
+    f"""
+    WITH {_BIAS_CTE},
+    bu2 AS (SELECT j.uid,
+                   {LMD} * sum(j.r - j.uv - bv.bv)
+                       / ({ALPHA} + {LMD} * count(*)) AS bu2
+            FROM j JOIN bv ON j.iid = bv.iid GROUP BY j.uid)
+    SELECT round(max(abs(bu2.bu2 - bu.bu)), 6) AS max_abs_delta,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM bu JOIN bu2 ON bu.uid = bu2.uid
+    """,
+)
+def m_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8: convergence monitor — max |θ_new − θ_old| between successive
+    user-bias sweeps (prac_1.py:161-187). The fixpoint driver loop in
+    ``ml.als.train_als_bias`` collects exactly this scalar per
+    iteration."""
+    j, bu, bv = _bias_sweeps(spark, sf_dir)
+    bu2 = (
+        j.join(bv, "iid")
+        .groupBy("uid")
+        .agg(
+            (F.lit(LMD) * F.sum(F.col("r") - F.col("uv") - F.col("bv"))
+             / (F.lit(ALPHA) + F.lit(LMD) * F.count(F.lit(1)))).alias("bu2")
+        )
+    )
+    return (
+        bu.join(bu2, "uid")
+        .agg(
+            F.round(F.max(F.abs(F.col("bu2") - F.col("bu"))), 6).alias(
+                "max_abs_delta"
+            ),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+    )
+
+
+@register(
+    "m_fold_in_bias",
+    f"""
+    WITH {_BIAS_CTE},
+    hist AS (SELECT iid, r FROM j
+             WHERE uid = (SELECT min(l_suppkey) FROM lineitem))
+    SELECT round({LMD} * sum(hist.r - bv.bv)
+                 / ({ALPHA} + {LMD} * count(*)), 6) AS user_bias,
+           CAST(count(*) AS BIGINT) AS n_history
+    FROM hist JOIN bv ON hist.iid = bv.iid
+    """,
+)
+def m_fold_in_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11: cold-start fold-in of a new user's bias from their history
+    against trained item biases (functions.py:522-548): with u=0,
+    b_u = λΣ(r−b_n)/(α+λ|hist|). The 'new user' is the smallest
+    supplier key; 'trained' item biases come from the M4 sweep pair."""
+    from recommender_systems_spark.ml.foldin import fold_in_bias
+
+    j, _, bv = _bias_sweeps(spark, sf_dir)
+    min_uid = (
+        _t(spark, sf_dir, "lineitem").agg(F.min("l_suppkey").alias("m")).collect()[0]["m"]
+    )
+    hist = j.filter(F.col("uid") == min_uid).select("iid", "r")
+    item_factors = bv.select(
+        F.col("iid").alias("id"),
+        F.array().cast("array<double>").alias("features"),
+        F.col("bv").alias("bias"),
+    )
+    out = fold_in_bias(hist, "iid", "r", item_factors, lmd=LMD, alpha=ALPHA)
+    return out.select(
+        F.round("user_bias", 6).alias("user_bias"), "n_history"
+    )
+
+
+@register(
+    "m_top_n",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS f FROM embeddings),
+    q AS (SELECT f AS qf FROM e WHERE vec_id = 0),
+    counts AS (SELECT l_partkey AS iid, count(*) AS n FROM lineitem GROUP BY 1),
+    scored AS (
+        SELECT c.iid,
+               round(list_dot_product(q.qf, v.f)
+                     + 0.05 * ((CAST(c.iid * 29 AS BIGINT) % 11) * 0.04 - 0.2),
+                     5) AS score,
+               c.n
+        FROM counts c JOIN e v ON v.vec_id = c.iid % {EMB_MOD}, q)
+    SELECT iid AS item_id, score FROM scored
+    WHERE n >= 28
+    ORDER BY score DESC, iid LIMIT 20
+    """,
+)
+def m_top_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M13+P6+P7+W3: full-catalog serving (functions.py:599-647) —
+    score = u·v_n + 0.05·b_n for every item, exclude items with <28
+    ratings (the remove_movies_limit popularity filter), top-20.
+    Score is rounded BEFORE ranking so the tie-break (item id) is
+    engine-independent. Plan: broadcast query vector × item dimension →
+    count-filter semi-join → TakeOrderedAndProject."""
+    e = _factors(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy(F.col("l_partkey").alias("iid")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("f").alias("qf"))
+    scored = (
+        counts.withColumn("__k", F.col("iid") % EMB_MOD)
+        .join(F.broadcast(e.select(F.col("vec_id").alias("__k"), "f")), "__k")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "iid",
+            F.round(
+                dot_product("qf", "f") + F.lit(0.05) * _bv_col(F.col("iid")), 5
+            ).alias("score"),
+            "n",
+        )
+    )
+    return (
+        scored.filter(F.col("n") >= 28)
+        .select(F.col("iid").alias("item_id"), "score")
+        .orderBy(F.col("score").desc(), F.col("item_id"))
+        .limit(20)
+    )
+
+
+@register("m_als_train")  # no oracle: applyInPandas Cholesky training loop
+def m_als_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2/M3/M6/E8: the REAL bias-ALS training loop
+    (ml.als.train_als_bias — mirrors prac_1.py:53-188) for 2 iterations,
+    rank 8, on lineitem-as-ratings. Returns the per-iteration RMSE
+    trajectory; the golden test asserts monotone descent. Rows-only
+    driver check (sampling + Arrow solves are not SQL-expressible)."""
+    from recommender_systems_spark.ml.als import train_als_bias
+
+    r = _ratings(spark, sf_dir)
+    model = train_als_bias(
+        r, "uid", "iid", "r", rank=8, max_iter=2, tol=0.0, seed=42
+    )
+    rows = [(i + 1, round(v, 6)) for i, v in enumerate(model.rmse_history)]
+    return spark.createDataFrame(rows, "iter int, rmse double")
+
+
+@register("m_fold_in_vector")  # no oracle: driver-side k×k Cholesky solve
+def m_fold_in_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M12: cold-start trait vector — distributed Σvvᵀ / Σresid·v
+    assembly + driver k×k Cholesky (functions.py:551-596; SURVEY calls
+    the driver solve correct design at k≪1000). Returns the 64-dim
+    vector as (pos, value) rows. Rows-only driver check."""
+    from recommender_systems_spark.ml.foldin import fold_in_bias, fold_in_trait_vector
+
+    j, _, bv = _bias_sweeps(spark, sf_dir)
+    e = _factors(spark, sf_dir)
+    min_uid = (
+        _t(spark, sf_dir, "lineitem").agg(F.min("l_suppkey").alias("m")).collect()[0]["m"]
+    )
+    hist = j.filter(F.col("uid") == min_uid).select("iid", "r")
+    item_factors = (
+        bv.withColumn("__k", F.col("iid") % EMB_MOD)
+        .join(F.broadcast(e.select(F.col("vec_id").alias("__k"), "f")), "__k")
+        .select(
+            F.col("iid").alias("id"),
+            F.col("f").alias("features"),
+            F.col("bv").alias("bias"),
+        )
+    )
+    ub = fold_in_bias(hist, "iid", "r", item_factors, lmd=LMD, alpha=ALPHA).collect()[
+        0
+    ]["user_bias"]
+    vec = fold_in_trait_vector(hist, "iid", "r", item_factors, ub, lmd=LMD, tau=TAU)
+    return spark.createDataFrame(
+        [(i, round(float(v), 6)) for i, v in enumerate(vec)], "pos int, value double"
+    )

@@ -49,3 +49,4 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 from recommender_systems_spark.queries import core as _core  # noqa: E402,F401
 from recommender_systems_spark.queries import stats as _stats  # noqa: E402,F401
 from recommender_systems_spark.queries import textops as _textops  # noqa: E402,F401
+from recommender_systems_spark.queries import ml as _ml  # noqa: E402,F401

@@ -1,0 +1,135 @@
+"""Golden-value tests for the ML layer (SURVEY §5: the reference has no
+tests; correctness is established via monotone metrics + closed-form
+probes, which we encode here as assertions)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+ALPHA = 0.01
+LMD = 0.1
+TAU = 0.01
+
+
+def _ratings(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(
+            F.col("l_suppkey").alias("u"),
+            F.col("l_partkey").alias("i"),
+            F.col("l_quantity").cast("double").alias("r"),
+        )
+    )
+
+
+def test_als_rmse_monotone_descent(spark):
+    """prac_1.py's operational correctness signal: RMSE decreases every
+    iteration (param/rmse_vals.npy is monotone in the reference)."""
+    from recommender_systems_spark.ml.als import train_als_bias
+
+    r = _ratings(spark, SF_SMALL)
+    model = train_als_bias(r, "u", "i", "r", rank=4, max_iter=3, tol=0.0, seed=7)
+    hist = model.rmse_history
+    assert len(hist) == 3
+    assert hist[0] > hist[1] > hist[2], f"RMSE not monotone: {hist}"
+
+
+def test_als_beats_bias_free_baseline(spark):
+    """After 3 iterations the model must fit far better than predicting
+    the global mean (sanity on absolute quality, not just direction)."""
+    from recommender_systems_spark.ml.als import train_als_bias
+
+    r = _ratings(spark, SF_SMALL)
+    stats = r.agg(F.stddev("r").alias("sd")).collect()[0]
+    model = train_als_bias(r, "u", "i", "r", rank=4, max_iter=3, tol=0.0, seed=7)
+    assert model.rmse_history[-1] < stats["sd"]
+
+
+def test_bias_only_closed_form(spark):
+    """M4 fixpoint probe: one user, one item, one rating, zero factors.
+    Sweep 1: b_u = λr/(α+λ);  b_i = λ(r−b_u)/(α+λ)."""
+    from recommender_systems_spark.ml.als import train_bias_only
+
+    r = spark.createDataFrame([(1, 10, 8.0)], "u long, i long, r double")
+    zero = lambda ids, col: ids.select(  # noqa: E731
+        F.col(col).alias("id"),
+        F.array(F.lit(0.0), F.lit(0.0)).alias("features"),
+        F.lit(0.0).alias("bias"),
+    )
+    uf, vf = train_bias_only(
+        r, "u", "i", "r",
+        zero(r.select("u"), "u"), zero(r.select("i"), "i"),
+        lmd=LMD, alpha=ALPHA, n_sweeps=1,
+    )
+    bu = uf.collect()[0]["bias"]
+    bv = vf.collect()[0]["bias"]
+    exp_bu = LMD * 8.0 / (ALPHA + LMD)
+    exp_bv = LMD * (8.0 - exp_bu) / (ALPHA + LMD)
+    assert bu == pytest.approx(exp_bu, abs=1e-12)
+    assert bv == pytest.approx(exp_bv, abs=1e-12)
+
+
+def test_fold_in_vector_solves_normal_equations(spark):
+    """M12: the returned u must satisfy (λΣvvᵀ+τI)u = λΣ(r−b_n−b_u)v —
+    recomputed independently with NumPy from the same history."""
+    from recommender_systems_spark.ml.foldin import fold_in_bias, fold_in_trait_vector
+
+    hist = spark.createDataFrame(
+        [(1, 7.0), (2, 9.0), (3, 4.0)], "i long, r double"
+    )
+    vecs = {1: [1.0, 0.5], 2: [-0.5, 2.0], 3: [0.25, -1.0]}
+    biases = {1: 0.2, 2: -0.1, 3: 0.05}
+    factors = spark.createDataFrame(
+        [(i, vecs[i], biases[i]) for i in vecs],
+        "id long, features array<double>, bias double",
+    )
+    ub = fold_in_bias(hist, "i", "r", factors, lmd=LMD, alpha=ALPHA).collect()[0][
+        "user_bias"
+    ]
+    exp_ub = LMD * ((7.0 - 0.2) + (9.0 + 0.1) + (4.0 - 0.05)) / (ALPHA + LMD * 3)
+    assert ub == pytest.approx(exp_ub, abs=1e-12)
+
+    u = fold_in_trait_vector(hist, "i", "r", factors, ub, lmd=LMD, tau=TAU)
+    v = np.array([vecs[i] for i in (1, 2, 3)])
+    r = np.array([7.0, 9.0, 4.0])
+    b = np.array([biases[i] for i in (1, 2, 3)])
+    a_mat = LMD * v.T @ v + TAU * np.eye(2)
+    rhs = LMD * v.T @ (r - b - ub)
+    np.testing.assert_allclose(a_mat @ u, rhs, atol=1e-10)
+
+
+def test_top_n_recommendations_scoring_and_exclusion(spark):
+    """M13: score = u·v + 0.05·b, items with < limit ratings excluded."""
+    from recommender_systems_spark.ml.foldin import top_n_recommendations
+
+    factors = spark.createDataFrame(
+        [(1, [1.0, 0.0], 2.0), (2, [0.0, 1.0], 0.0), (3, [1.0, 1.0], -2.0)],
+        "id long, features array<double>, bias double",
+    )
+    # item 2 rated once -> excluded at limit=2
+    ratings = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,), (3,)], "i long"
+    )
+    out = top_n_recommendations(
+        [2.0, 1.0], factors, ratings, "i", n=2, remove_items_limit=2
+    ).collect()
+    assert [r["i"] for r in out] == [3, 1]
+    assert out[0]["score"] == pytest.approx(2.0 + 1.0 + 0.05 * -2.0)
+    assert out[1]["score"] == pytest.approx(2.0 + 0.05 * 2.0)
+
+
+def test_mllib_als_wrapper(spark):
+    """M2/M3 fast path smoke: MLlib blocked ALS trains and returns
+    MLlib-shaped factor DataFrames."""
+    from recommender_systems_spark.ml.als import mllib_als
+
+    r = _ratings(spark, SF_SMALL).withColumn("u", F.col("u").cast("int")).withColumn(
+        "i", F.col("i").cast("int")
+    )
+    uf, vf = mllib_als(r, "u", "i", "r", rank=4, max_iter=2, seed=1)
+    assert {"id", "features"} <= set(uf.columns)
+    assert uf.count() > 0 and vf.count() > 0

@@ -1,0 +1,239 @@
+"""MinHash-LSH and SimHash kernels (training-data near-dedup extensions).
+
+Spark side: pure built-in higher-order functions over shingle arrays —
+signatures and band keys are computed in whole-stage codegen, then
+near-dup candidates come from an equi-join on (band, key). No cross
+join anywhere: at 100 TB the only shuffle is the band-bucket join,
+whose key space is ~|docs|·BANDS rows of (int, small string).
+
+Oracle side: every expression has a DuckDB SQL generator driven by the
+SAME constants (``dedup.constants``), so the two engines cannot drift —
+the pattern established by ``queries.textops``.
+
+Pipeline (the standard LSH funnel):
+
+    tokens → word shingles → rolling-hash per shingle (portable 31-bit)
+    → MinHash signature (16 = LSH_BANDS×LSH_ROWS permutations)
+    → band keys (4 bands × 4 rows) → bucket equi-join → candidate pairs
+    → verify: signature agreement + exact shingle Jaccard.
+
+SimHash variant: char-5-gram hashes → 31-bit majority sketch → 8-bit
+band pigeonhole join (Hamming ≤ 3 ⟹ ≥1 of 4 bands equal) → bit_count
+verify.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from recommender_systems_spark.dedup.constants import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_COEFFS,
+    MINHASH_PRIME,
+    SIMHASH_BITS,
+)
+from recommender_systems_spark.functions.text import (
+    FINGERPRINT_MOD,
+    char_ngrams,
+    word_shingles,
+)
+
+SHINGLE_N = 3  # word-shingle width for MinHash
+SIMHASH_NGRAM = 5  # char-n-gram width for SimHash
+SIMHASH_BAND_BITS = 8  # pigeonhole band width (4 bands cover 31 bits)
+
+
+# ---------------------------------------------------------------------------
+# Spark column builders
+# ---------------------------------------------------------------------------
+
+
+def _fp(col: Column) -> Column:
+    """Portable base-31 rolling hash of a string expression (same math
+    as functions.text.rolling_fingerprint, usable inside lambdas)."""
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: F.pmod(acc * F.lit(31) + F.ascii(ch), F.lit(FINGERPRINT_MOD)),
+    )
+
+
+def shingle_hashes(col: Column | str, n: int = SHINGLE_N) -> Column:
+    """array<long>: rolling hash of every word n-shingle."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(word_shingles(c, n), _fp)
+
+
+def _affine(a: int, b: int):
+    """Single-arg lambda factory — default-arg closures would be read
+    by PySpark's HOF binder as extra lambda parameters."""
+
+    def fn(h: Column) -> Column:
+        return F.pmod(F.lit(a) * h + F.lit(b), F.lit(MINHASH_PRIME))
+
+    return fn
+
+
+def minhash_signature(hashes: Column) -> Column:
+    """array<long> of LSH_BANDS×LSH_ROWS minima under the affine hash
+    family h_i(x) = (aᵢ·x + bᵢ) mod p (universal family over the
+    Mersenne prime p = 2³¹−1; aᵢ·x < 2⁶² stays in long range)."""
+    return F.array(
+        *[
+            F.array_min(F.transform(hashes, _affine(a, b)))
+            for a, b in MINHASH_COEFFS
+        ]
+    )
+
+
+def band_key(sig: Column, band: int) -> Column:
+    """String bucket key for one LSH band: ROWS signature slots joined."""
+    lo = band * LSH_ROWS + 1  # slice() is 1-based
+    return F.array_join(
+        F.transform(F.slice(sig, lo, LSH_ROWS), lambda x: x.cast("string")), ":"
+    )
+
+
+def signature_agreement(sig_a: Column, sig_b: Column) -> Column:
+    """#equal slots — E[agreement/len] estimates the Jaccard similarity."""
+    return F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def jaccard(shingles_a: Column, shingles_b: Column) -> Column:
+    """Exact Jaccard over distinct shingle sets (the verify step)."""
+    da = F.array_distinct(shingles_a)
+    db = F.array_distinct(shingles_b)
+    inter = F.size(F.array_intersect(da, db)).cast("double")
+    return inter / (F.size(da) + F.size(db) - inter)
+
+
+def simhash(col: Column | str, n: int = SIMHASH_NGRAM) -> Column:
+    """31-bit SimHash: majority vote per bit over char-n-gram hashes."""
+    c = F.col(col) if isinstance(col, str) else col
+    hs = F.transform(char_ngrams(c, n), _fp)
+    total = F.size(hs)
+
+    def bit_test(mask: int):
+        def fn(h: Column) -> Column:
+            return h.bitwiseAND(F.lit(mask)) != 0
+
+        return fn
+
+    bits = [
+        F.when(
+            F.size(F.filter(hs, bit_test(1 << j))) * 2 >= total, F.lit(1 << j)
+        ).otherwise(F.lit(0))
+        for j in range(SIMHASH_BITS)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def simhash_band(sim: Column, band: int) -> Column:
+    """8-bit pigeonhole band (band 3 carries the top 7 bits)."""
+    return F.shiftright(sim, band * SIMHASH_BAND_BITS).bitwiseAND(
+        F.lit((1 << SIMHASH_BAND_BITS) - 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL generators (same constants, same arithmetic)
+# ---------------------------------------------------------------------------
+
+
+def sql_tokens(text_expr: str) -> str:
+    return f"regexp_extract_all(lower({text_expr}), '[a-z0-9]+')"
+
+
+def sql_shingles(toks_expr: str, n: int = SHINGLE_N) -> str:
+    """Word n-shingles, matching functions.text.word_shingles edge cases."""
+    return f"""
+        CASE WHEN len({toks_expr}) <= {n - 1}
+             THEN [array_to_string({toks_expr}, ' ')]
+             ELSE list_transform(range(1, len({toks_expr}) - {n - 2}),
+                                 i -> array_to_string(({toks_expr})[i:i+{n - 1}], ' '))
+        END
+    """
+
+
+def sql_char_ngrams(text_expr: str, n: int = SIMHASH_NGRAM) -> str:
+    """Char n-grams of the lowercased text (functions.text.char_ngrams)."""
+    return f"""
+        CASE WHEN length(lower({text_expr})) <= {n - 1}
+             THEN [lower({text_expr})]
+             ELSE list_transform(range(1, length(lower({text_expr})) - {n - 2}),
+                                 i -> lower({text_expr})[i:i+{n - 1}])
+        END
+    """
+
+
+def sql_fp(str_lambda_var: str = "s", base: int = 31) -> str:
+    """Rolling hash of a string lambda variable (default base 31)."""
+    return f"""list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+            list_transform(regexp_split_to_array({str_lambda_var}, ''),
+                           ch -> CAST(ascii(ch) AS BIGINT))),
+        (acc, x) -> (acc * {base} + x) % {FINGERPRINT_MOD})"""
+
+
+def sql_shingle_hashes(shingles_expr: str) -> str:
+    return f"list_transform({shingles_expr}, s -> {sql_fp('s')})"
+
+
+def sql_minhash_signature(hashes_expr: str) -> str:
+    mins = ", ".join(
+        f"list_min(list_transform({hashes_expr}, "
+        f"h -> (CAST({a} AS BIGINT) * h + {b}) % {MINHASH_PRIME}))"
+        for a, b in MINHASH_COEFFS
+    )
+    return f"[{mins}]"
+
+
+def sql_band_key(sig_expr: str, band: int) -> str:
+    lo = band * LSH_ROWS + 1
+    hi = lo + LSH_ROWS - 1
+    return (
+        f"array_to_string(list_transform(({sig_expr})[{lo}:{hi}], "
+        f"x -> CAST(x AS VARCHAR)), ':')"
+    )
+
+
+def sql_simhash(hashes_expr: str) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter({hashes_expr}, h -> (h & {1 << j}) != 0))"
+        f" >= len({hashes_expr}) THEN {1 << j} ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+__all__ = [
+    "LSH_BANDS",
+    "LSH_ROWS",
+    "SHINGLE_N",
+    "SIMHASH_BAND_BITS",
+    "SIMHASH_NGRAM",
+    "band_key",
+    "jaccard",
+    "minhash_signature",
+    "shingle_hashes",
+    "signature_agreement",
+    "simhash",
+    "simhash_band",
+    "sql_band_key",
+    "sql_char_ngrams",
+    "sql_fp",
+    "sql_minhash_signature",
+    "sql_shingle_hashes",
+    "sql_shingles",
+    "sql_simhash",
+    "sql_tokens",
+]

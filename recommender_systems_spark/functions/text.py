@@ -115,15 +115,18 @@ def quality_score(col: Column | str) -> Column:
     )
 
 
-def rolling_fingerprint(col: Column | str) -> Column:
-    """Deterministic base-31 rolling hash over the text's code points,
-    mod 2^31-1 (extension op: document fingerprinting). Reproducible in
-    any engine with reduce + ascii — used as the exact-dedup key."""
+def rolling_fingerprint(col: Column | str, base: int = FINGERPRINT_BASE) -> Column:
+    """Deterministic rolling hash over the text's code points, mod
+    2^31-1 (extension op: document fingerprinting). Reproducible in any
+    engine with reduce + ascii — used as the exact-dedup key. Two
+    independent bases (31 and 131) give a 62-bit joint key whose
+    collision probability is ~n²/2⁶³ — that pair, plus the length, is
+    the scale-safe dedup shuffle key (8+8+8 bytes, never the text)."""
     chars = F.split(_c(col), "")
     return F.aggregate(
         chars,
         F.lit(0).cast("long"),
         lambda acc, ch: F.pmod(
-            acc * F.lit(FINGERPRINT_BASE) + F.ascii(ch), F.lit(FINGERPRINT_MOD)
+            acc * F.lit(base) + F.ascii(ch), F.lit(FINGERPRINT_MOD)
         ),
     )

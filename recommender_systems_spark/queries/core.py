@@ -416,20 +416,44 @@ def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_exact",
-    """
+    f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(regexp_split_to_array(text, ''),
+                                      ch -> CAST(ascii(ch) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % {FINGERPRINT_MOD}) AS f1,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(regexp_split_to_array(text, ''),
+                                      ch -> CAST(ascii(ch) AS BIGINT))),
+                   (acc, x) -> (acc * 131 + x) % {FINGERPRINT_MOD}) AS f2,
+               length(text) AS n
+        FROM documents
+    )
     SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
-    FROM documents GROUP BY text
+    FROM keyed GROUP BY f1, f2, n
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Extension: exact deduplication — group by full text, keep the
-    smallest doc_id per group. At 100 TB the groupBy key would be a
-    fingerprint (t_fingerprint) rather than the raw text; grouping by
-    text here proves the semantics."""
+    """Extension: exact deduplication. The shuffle key is NOT the raw
+    text (which at 100 TB would move full document bytes through the
+    exchange) but a 62-bit dual rolling fingerprint (bases 31 and 131
+    over the same Mersenne modulus) plus the length — 24 bytes per row
+    regardless of document size. Joint collision probability for n docs
+    is ~n²/2⁶³ (≪1 even at 10¹² docs); semantics match group-by-text
+    up to that bound."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.groupBy("text").agg(
-        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
-    ).select("keep_id", "n_copies")
+    return (
+        docs.groupBy(
+            rolling_fingerprint(F.col("text")).alias("f1"),
+            rolling_fingerprint(F.col("text"), base=131).alias("f2"),
+            F.length("text").alias("n"),
+        )
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,226 @@
+"""Near-duplicate detection queries (training-data-pipeline extensions):
+MinHash-LSH, SimHash pigeonhole, and the exact-Jaccard verify step.
+
+These consume the deterministic constants in ``dedup.constants`` (LCG
+MinHash coefficients, band geometry) through the kernels in
+``dedup.minhash``; the DuckDB oracles are GENERATED from the same
+constants, so both engines execute the identical hash family.
+
+Scale shape (the reason LSH exists): no cross join anywhere. Candidate
+generation is an equi-join on (band, key) — the shuffle carries
+|docs|×BANDS small rows, and only bucket-colliding pairs reach the
+exact verify. At 100 TB the band join is the one shuffle; AQE handles
+hot buckets (identical boilerplate docs) via skew-join splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recommender_systems_spark.dedup.minhash import (
+    LSH_BANDS,
+    band_key,
+    jaccard,
+    minhash_signature,
+    shingle_hashes,
+    signature_agreement,
+    simhash,
+    simhash_band,
+    sql_band_key,
+    sql_char_ngrams,
+    sql_minhash_signature,
+    sql_shingle_hashes,
+    sql_shingles,
+    sql_simhash,
+    sql_tokens,
+)
+from recommender_systems_spark.functions.text import word_shingles
+from recommender_systems_spark.registry import _t, register
+
+SIG_LEN = 16  # LSH_BANDS * LSH_ROWS
+SIMHASH_MAX_HAMMING = 1
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup: shingle → sign → band → bucket join → verify
+# ---------------------------------------------------------------------------
+
+_MINHASH_BANDS_SQL = " UNION ALL ".join(
+    f"(SELECT doc_id, {b} AS band, {sql_band_key('sig', b)} AS key FROM sig)"
+    for b in range(LSH_BANDS)
+)
+
+_MINHASH_SQL = f"""
+    WITH sh AS (
+        SELECT doc_id, {sql_shingles(sql_tokens('text'))} AS shingles
+        FROM documents
+    ),
+    hs AS (SELECT doc_id, shingles,
+                  {sql_shingle_hashes('shingles')} AS hs
+           FROM sh),
+    sig AS (SELECT doc_id, shingles, {sql_minhash_signature('hs')} AS sig
+            FROM hs),
+    bands AS ({_MINHASH_BANDS_SQL}),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.key = b.key
+                    AND a.doc_id < b.doc_id
+    ),
+    ver AS (
+        SELECT p.doc_a, p.doc_b,
+               sa.sig AS siga, sb.sig AS sigb,
+               list_distinct(sa.shingles) AS da,
+               list_distinct(sb.shingles) AS db
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.doc_a
+        JOIN sig sb ON sb.doc_id = p.doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(len(list_filter(range(1, {SIG_LEN + 1}),
+                                i -> siga[i] = sigb[i])) AS BIGINT)
+               AS sig_matches,
+           len(list_filter(range(1, {SIG_LEN + 1}), i -> siga[i] = sigb[i]))
+               / {SIG_LEN}.0 AS est_jaccard,
+           round(CAST(len(list_distinct(list_intersect(da, db))) AS DOUBLE)
+                 / (len(da) + len(db)
+                    - len(list_distinct(list_intersect(da, db)))), 5)
+               AS jaccard
+    FROM ver
+"""
+
+
+@register("dedup_minhash", _MINHASH_SQL)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection via MinHash-LSH over word 3-shingles: 16-slot
+    signatures (affine family over p=2³¹−1, coefficients from the
+    shared LCG), 4 bands × 4 rows, bucket equi-join for candidates,
+    then two verify signals per pair — signature agreement (the Jaccard
+    estimator) and exact distinct-shingle Jaccard.
+
+    The plan: one projection computes shingles+signature per doc, a
+    posexplode emits 4 (band, key) rows per doc, a self equi-join on
+    (band, key) yields candidates, and the verify join touches only
+    candidate docs. No cross join; `.explain` shows two shuffles
+    (band join, pair dedup) of key-sized rows."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(word_shingles(F.col("text"))).alias("da"),
+        minhash_signature(shingle_hashes(F.col("text"))).alias("sig"),
+    )
+    bands = sh.select(
+        "doc_id",
+        F.posexplode(F.array(*[band_key(F.col("sig"), b) for b in range(LSH_BANDS)]))
+        .alias("band", "key"),
+    )
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ver = (
+        pairs.join(
+            sh.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("sig").alias("siga"),
+                F.col("da").alias("da"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("sig").alias("sigb"),
+                F.col("da").alias("db"),
+            ),
+            "doc_b",
+        )
+    )
+    matches = signature_agreement(F.col("siga"), F.col("sigb"))
+    return ver.select(
+        "doc_a",
+        "doc_b",
+        matches.cast("long").alias("sig_matches"),
+        (matches / F.lit(float(SIG_LEN))).alias("est_jaccard"),
+        F.round(jaccard(F.col("da"), F.col("db")), 5).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash pigeonhole near-dup
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BANDS_SQL = " UNION ALL ".join(
+    f"(SELECT doc_id, sim, {b} AS band, (sim >> {b * 8}) & 255 AS key FROM sh)"
+    for b in range(4)
+)
+
+_SIMHASH_SQL = f"""
+    WITH hs AS (
+        SELECT doc_id,
+               {sql_shingle_hashes(sql_char_ngrams('text'))} AS hs
+        FROM documents
+    ),
+    sh AS (SELECT doc_id, {sql_simhash('hs')} AS sim FROM hs),
+    bands AS ({_SIMHASH_BANDS_SQL}),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.sim AS sa, b.sim AS sb
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.key = b.key
+                    AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(sa, sb)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+@register("dedup_simhash", _SIMHASH_SQL)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection via 31-bit SimHash over char 5-grams with the
+    pigeonhole band trick: Hamming(a,b) ≤ 3 guarantees at least one of
+    the four 8-bit bands is equal, so candidates come from a band
+    equi-join (never a cross join) and only candidates pay the
+    bit_count verify. Emits pairs with Hamming ≤ {SIMHASH_MAX_HAMMING}."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = docs.select("doc_id", simhash(F.col("text")).alias("sim"))
+    bands = sh.select(
+        "doc_id",
+        "sim",
+        F.posexplode(
+            F.array(*[simhash_band(F.col("sim"), b) for b in range(4)])
+        ).alias("band", "key"),
+    )
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sim").alias("sa"),
+            F.col("b.sim").alias("sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )

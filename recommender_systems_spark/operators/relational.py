@@ -92,6 +92,59 @@ def cumulative_sum(
     return df.withColumn(out_col, F.sum(value).over(w))
 
 
+def two_phase_midrank(
+    per_value: DataFrame,
+    value_col: str,
+    count_col: str,
+    out_col: str = "midrank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed midranks over a pre-aggregated (value, count) table:
+    midrank(v) = #rows<v + (count(v)+1)/2 — the rank statistic behind
+    the Wilcoxon rank-sum test (E6) with scipy-style tie handling.
+
+    Scale shape (same two-phase trick as ``densify.dense_id_map``):
+    range-repartition the distinct values, cumulative counts WITHIN each
+    partition (parallel windows), then add per-partition exclusive
+    offsets computed from a #partitions-row driver scan. No
+    single-partition global window at any size: a billion distinct
+    values flow through ordinary range partitions."""
+    n = num_partitions or max(
+        per_value.sparkSession.sparkContext.defaultParallelism, 2
+    )
+    parts = (
+        per_value.repartitionByRange(n, F.col(value_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()  # pin boundaries across the two jobs
+    )
+    sizes = sorted(
+        (r["__pid"], r["t"])
+        for r in parts.groupBy("__pid").agg(F.sum(count_col).alias("t")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, total in sizes:
+        offsets.append((pid, acc))
+        acc += total
+    offset_df = F.broadcast(
+        parts.sparkSession.createDataFrame(offsets, "__pid int, __offset long")
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        parts.withColumn("__cum", F.coalesce(F.sum(count_col).over(w), F.lit(0)))
+        .join(offset_df, "__pid")
+        .withColumn(
+            out_col,
+            (F.col("__offset") + F.col("__cum")).cast("double")
+            + (F.col(count_col).cast("double") + 1) / 2,
+        )
+        .drop("__pid", "__cum", "__offset")
+    )
+
+
 def seeded_shuffle(df: DataFrame, seed: int) -> DataFrame:
     """W6: deterministic order randomisation (reference:
     np.random.shuffle(user_order) per epoch, prac_2.py:90-92)."""

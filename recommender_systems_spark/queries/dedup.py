@@ -103,7 +103,15 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band, key) yields candidates, and the verify join touches only
     candidate docs. No cross join; `.explain` shows two shuffles
     (band join, pair dedup) of key-sized rows."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # The local test file is a single parquet split; spread the (CPU-
+    # heavy, interpreted-HOF) signature computation across all cores.
+    # On a real cluster the scan arrives pre-partitioned and this
+    # round-robin exchange of (id, text) is a no-op to remove.
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     sh = docs.select(
         "doc_id",
         F.array_distinct(word_shingles(F.col("text"))).alias("da"),
@@ -193,7 +201,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the four 8-bit bands is equal, so candidates come from a band
     equi-join (never a cross join) and only candidates pay the
     bit_count verify. Emits pairs with Hamming ≤ {SIMHASH_MAX_HAMMING}."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     sh = docs.select("doc_id", simhash(F.col("text")).alias("sim"))
     bands = sh.select(
         "doc_id",

@@ -1,0 +1,91 @@
+"""Source/sink round-trip queries (SURVEY §2.1 S1-S6).
+
+The reference persists model tensors as .npy and experiment logs as
+CSV; the engine's sinks are Parquet factor frames (S5/S6) and header
+CSV (S4) read back with DECLARED schemas (S1/S3 — no inference). Each
+round-trip query writes to a repo-local cache dir, reads back through
+the matching source, and returns a deterministic projection whose
+oracle runs on the ORIGINAL table — so a value-hash match proves the
+sink+source pair is lossless.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from recommender_systems_spark.functions.vector import l2_norm
+from recommender_systems_spark.io import read_factors, write_csv, write_factors
+from recommender_systems_spark.registry import _t, register
+
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..", ".data_cache")
+
+
+def _out_dir(kind: str, sf_dir: str) -> str:
+    digest = hashlib.sha1(f"{kind}:{sf_dir}".encode()).hexdigest()[:12]
+    return os.path.join(os.path.abspath(_CACHE), f"roundtrip_{kind}_{digest}")
+
+
+@register(
+    "s_parquet_roundtrip",
+    """
+    SELECT vec_id,
+           round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))), 5) AS l2
+    FROM embeddings
+    """,
+)
+def s_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5+S6: factor tensor sink → source round trip (replaces
+    np.save/np.load, prac_1.py:163-204 / ab_test.py:72-85). Embeddings
+    are written as an (id, features) Parquet factor frame, read back,
+    and reduced to per-row L2 norms — compared against norms computed
+    on the ORIGINAL table, proving the Parquet round trip is exact."""
+    emb = _t(spark, sf_dir, "embeddings")
+    factors = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("features")
+    )
+    path = _out_dir("parquet", sf_dir)
+    write_factors(factors, path)
+    back = read_factors(spark, path)
+    return back.select(
+        F.col("id").alias("vec_id"),
+        F.round(l2_norm(F.col("features").cast("array<double>")), 5).alias("l2"),
+    )
+
+
+_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("n", T.LongType(), False),
+        T.StructField("sum_value", T.DoubleType(), False),
+    ]
+)
+
+
+@register(
+    "s_csv_roundtrip",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def s_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4+S1: CSV sink → declared-schema CSV source round trip
+    (reference to_csv/read_csv, ab_test.py:234 / functions.py:20). The
+    experiment-log-shaped aggregate is written as a single header CSV
+    (pandas-like), read back with the declared schema (inference off),
+    and must hash-match the aggregate computed directly."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    path = _out_dir("csv", sf_dir)
+    write_csv(agg, path, single_file=True)
+    return spark.read.schema(_CSV_SCHEMA).option("header", True).csv(path)

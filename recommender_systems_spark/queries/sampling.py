@@ -1,0 +1,116 @@
+"""Sampling / randomisation queries (SURVEY §2: W6 seeded shuffle, M8
+weighted sampling, M10 uniform sampling without replacement + user
+simulation, E2 group equalisation).
+
+Seeded randomness is engine-deterministic, not cross-engine: Spark's
+``rand(seed)`` stream cannot be reproduced in DuckDB (SURVEY §7
+"What's hard" #4), so per the driver contract the row-level outputs
+register WITHOUT an oracle (rows-only check), while every
+DETERMINISTIC projection of a seeded op (group sizes after
+equalisation, sample cardinalities) gets a full value-hash oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from recommender_systems_spark.operators.relational import (
+    equalize_groups,
+    seeded_shuffle,
+    weighted_sample,
+)
+from recommender_systems_spark.registry import _t, register
+
+def _grp():
+    return F.when(F.col("user_id") % 2 == 0, F.lit("A")).otherwise(F.lit("B"))
+
+
+@register("w_seeded_shuffle")  # rows-only: rand(seed) is engine-local
+def w_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6: deterministic order randomisation (reference:
+    np.random.shuffle per epoch, prac_2.py:90-92). Same seed + same
+    partitioning ⇒ same order on re-run; first 100 rows returned."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return seeded_shuffle(orders, seed=42).limit(100)
+
+
+@register("m_weighted_sample")  # rows-only: seeded exponential race keys
+def m_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8: weighted sampling without replacement via Efraimidis-Spirakis
+    race keys (replaces np.random.choice(p=probs),
+    implicit_feedback/functions.py:47-58). Weight = order price; one
+    TakeOrderedAndProject, no driver-side CDF."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return weighted_sample(orders, "o_totalprice", n=50, seed=7)
+
+
+@register(
+    "e_equalize_groups",
+    """
+    WITH g AS (
+        SELECT DISTINCT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS grp,
+               user_id
+        FROM events
+    ),
+    sizes AS (SELECT grp, count(*) AS n FROM g GROUP BY grp),
+    m AS (SELECT min(n) AS t FROM sizes)
+    SELECT grp, CAST(m.t AS BIGINT) AS n_units FROM sizes, m
+    """,
+)
+def e_equalize_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: downsample the larger experiment arm to the smaller arm's
+    size (reference ab_test.py:238-265 random-removal loop → here a
+    seeded per-group rank + keep-first-min). WHICH units are kept is
+    seeded (engine-local); HOW MANY is deterministic — both arms must
+    equal min(group sizes), which is exactly what the oracle checks."""
+    ev = _t(spark, sf_dir, "events").withColumn("grp", _grp())
+    eq = equalize_groups(ev, "grp", "user_id", seed=3)
+    return eq.groupBy("grp").agg(F.countDistinct("user_id").alias("n_units"))
+
+
+@register(
+    "m_uniform_sample_sizes",
+    """
+    WITH g AS (
+        SELECT string_split(p_name, ' ')[2] AS genre, p_partkey FROM part
+    ),
+    sizes AS (SELECT genre, count(*) AS n FROM g GROUP BY genre)
+    SELECT genre, CAST(least(n, 7) AS BIGINT) AS n_sampled FROM sizes
+    """,
+)
+def m_uniform_sample_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10: uniform sampling without replacement per group (reference
+    simulate_user samples 5-10 movies per preferred genre w/o
+    replacement, functions.py:491-519). Spark shape: per-genre window
+    over rand(seed) + row_number ≤ 7 — sampling without replacement by
+    construction. Oracle checks the deterministic projection: each
+    genre yields min(|genre|, 7) distinct parts."""
+    part = _t(spark, sf_dir, "part").select(
+        F.split(F.col("p_name"), " ").getItem(1).alias("genre"), "p_partkey"
+    )
+    w = Window.partitionBy("genre").orderBy(F.rand(11), "p_partkey")
+    sampled = part.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= 7
+    )
+    return sampled.groupBy("genre").agg(
+        F.countDistinct("p_partkey").alias("n_sampled")
+    )
+
+
+@register("m_simulate_users")  # rows-only: seeded user simulation
+def m_simulate_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10/A-B step 3: simulate experiment users — preferred genre,
+    history size U(5,10), A/B arm ~ Bernoulli(1/2) (reference
+    simulate_user + ab_test.py:87-97). Pure rand(seed) DataFrame
+    generation, 200 users; engine-local determinism ⇒ rows-only."""
+    n_genres = 16
+    return (
+        spark.range(200)
+        .select(
+            F.col("id").alias("user_id"),
+            (F.floor(F.rand(5) * n_genres)).cast("int").alias("preferred_genre"),
+            (F.floor(F.rand(6) * 6) + 5).cast("int").alias("n_history"),
+            F.when(F.rand(8) < 0.5, F.lit("A")).otherwise(F.lit("B")).alias("grp"),
+        )
+    )

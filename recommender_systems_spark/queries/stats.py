@@ -17,6 +17,7 @@ from recommender_systems_spark.functions.vector import cosine_similarity
 from recommender_systems_spark.operators.densify import dense_id_map
 from recommender_systems_spark.operators.relational import (
     anti_join_below_threshold,
+    two_phase_midrank,
 )
 from recommender_systems_spark.registry import _t, register
 
@@ -130,22 +131,18 @@ def e_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses the normal approximation without tie correction, but midranks
     for tied values).
 
-    Scale shape: rather than ranking every row (an unpartitioned window
-    = one-partition bottleneck), aggregate per distinct value first
-    (hash agg, fully parallel), then rank only the distinct-value table
-    — midrank(v) = #rows<v + (count(v)+1)/2 — and recombine. The window
-    runs over |distinct values| rows, not |rows|."""
+    Scale shape: aggregate per distinct value first (hash agg, fully
+    parallel), then midrank the distinct-value table with the TWO-PHASE
+    range-partition scan (operators.relational.two_phase_midrank) —
+    midrank(v) = #rows<v + (count(v)+1)/2. No single-partition window
+    anywhere: continuous value domains (billions of distinct values)
+    flow through ordinary range partitions."""
     g = _events_grouped(spark, sf_dir)
     per_value = g.groupBy("value").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.when(F.col("grp") == "A", 1).otherwise(0)).alias("na_v"),
     )
-    w_cum = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = per_value.withColumn(
-        "midrank",
-        F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).cast("double")
-        + (F.col("cnt").cast("double") + 1) / 2,
-    )
+    ranked = two_phase_midrank(per_value, "value", "cnt")
     s = ranked.agg(
         F.sum(F.col("na_v") * F.col("midrank")).alias("wa"),
         F.sum("na_v").alias("na"),

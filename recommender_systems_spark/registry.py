@@ -52,3 +52,6 @@ from recommender_systems_spark.queries import textops as _textops  # noqa: E402,
 from recommender_systems_spark.queries import ml as _ml  # noqa: E402,F401
 from recommender_systems_spark.queries import dedup as _dedup  # noqa: E402,F401
 from recommender_systems_spark.queries import similarity as _sim  # noqa: E402,F401
+from recommender_systems_spark.queries import genre as _genre  # noqa: E402,F401
+from recommender_systems_spark.queries import sampling as _sampling  # noqa: E402,F401
+from recommender_systems_spark.queries import io_roundtrip as _io_rt  # noqa: E402,F401

@@ -1,0 +1,283 @@
+"""Bayesian Personalised Ranking on implicit feedback (SURVEY §2.7
+M7-M9, §3 entry point 3).
+
+The reference (implicit_feedback/functions.py:6-210, prac_2.py:88-115)
+trains BPR with per-triplet SGD: for each user and each positive item,
+sample a popularity-weighted negative the user has NOT interacted with
+(optionally genre-disjoint from the positive), then update u, v_i, v_j
+with sigmoid-weighted gradients. Update-per-triplet is inherently
+sequential, so the execution contract changes while the learning
+objective stays (SURVEY §7 "What's hard" #1):
+
+- **Triplet sampling (M8/M9) is distributed set-semantics**: the
+  rejection loop becomes "draw A candidates per positive from a
+  broadcast popularity pool → reject watched (anti-join) and
+  genre-overlapping (arrays_overlap) → keep the first survivor".
+  The popularity pool is an inverse-CDF sample materialised once per
+  epoch from the item-popularity aggregate (items are dimension-sized
+  — MovieLens: 59k; for truly huge catalogs swap in a distributed
+  alias table, the plan shape is unchanged).
+- **SGD (M7) is partition-parallel with per-epoch sync**: triplets
+  shuffle-group by user; ``applyInPandas`` runs the reference's exact
+  gradient math (NumPy) over each user's triplet stream against a
+  broadcast copy of V; per-partition V-deltas are summed element-wise
+  and applied once per epoch (parallel SGD à la Zinkevich et al.),
+  matching the reference's per-epoch granularity.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from recommender_systems_spark.functions.vector import dot_product
+from recommender_systems_spark.ml.als import init_factors
+from recommender_systems_spark.operators.relational import group_top_k
+
+POOL_SIZE = 1024
+ATTEMPTS = 4
+
+
+def popularity_pool(positives: DataFrame, item_col: str, size: int, seed: int):
+    """M8: with-replacement popularity sample as a driver-side pool.
+    Collects the (dimension-sized) item-popularity aggregate and
+    inverse-CDF samples ``size`` ids with a NumPy generator — the
+    distributed twin of np.random.choice(p=probs)
+    (implicit_feedback/functions.py:47-58)."""
+    pop = (
+        positives.groupBy(item_col).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    items = np.array([r[item_col] for r in pop])
+    freq = np.array([r["cnt"] for r in pop], dtype=np.float64)
+    freq /= freq.sum()
+    rng = np.random.default_rng(seed)
+    return rng.choice(items, size=size, p=freq, replace=True).tolist()
+
+
+def sample_triplets(
+    positives: DataFrame,
+    user_col: str,
+    item_col: str,
+    seed: int,
+    genres: DataFrame | None = None,
+    attempts: int = ATTEMPTS,
+) -> DataFrame:
+    """M8/M9: one (user, pos, neg) triplet per positive, set-semantics.
+
+    Candidates come from the broadcast popularity pool; rejection
+    (watched / genre overlap) happens as joins over ALL candidates at
+    once — no per-row loop. ``genres`` is an optional (item, genre_ids
+    array) dimension for the genre-disjoint constraint
+    (functions.py:84-131)."""
+    pool = popularity_pool(positives, item_col, POOL_SIZE, seed)
+    pool_col = F.array(*[F.lit(int(x)) for x in pool])
+    cand = (
+        positives.select(
+            F.col(user_col).alias("u"), F.col(item_col).alias("i")
+        )
+        .withColumn("__att", F.explode(F.sequence(F.lit(1), F.lit(attempts))))
+        .withColumn(
+            "j",
+            F.element_at(
+                pool_col,
+                (F.floor(F.rand(seed) * POOL_SIZE) + 1).cast("int"),
+            ).cast("long"),
+        )
+    )
+    # Reject candidates the user already interacted with (F4 anti-join).
+    watched = positives.select(
+        F.col(user_col).alias("u"), F.col(item_col).alias("j")
+    )
+    cand = cand.join(watched, ["u", "j"], "left_anti")
+    if genres is not None:
+        gi = genres.select(
+            F.col("item").alias("i"), F.col("genre_ids").alias("__gi")
+        )
+        gj = genres.select(
+            F.col("item").alias("j"), F.col("genre_ids").alias("__gj")
+        )
+        cand = (
+            cand.join(F.broadcast(gi), "i")
+            .join(F.broadcast(gj), "j")
+            .filter(~F.arrays_overlap("__gi", "__gj"))
+            .drop("__gi", "__gj")
+        )
+    w = Window.partitionBy("u", "i").orderBy("__att")
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("u", "i", "j")
+    )
+
+
+def _sgd_partition(
+    pdf: pd.DataFrame, v_map: dict, k: int, lr: float, reg: float
+) -> pd.DataFrame:
+    """The reference's per-triplet gradient math
+    (compute_gradients/sgd_update, functions.py:169-210), run over one
+    user's triplets against the epoch-frozen V copy. Emits the new user
+    vector plus this user's accumulated V-deltas."""
+    u_id = int(pdf["u"].iloc[0])
+    u_vec = np.asarray(pdf["uf"].iloc[0], dtype=np.float64).copy()
+    deltas: dict[int, np.ndarray] = {}
+
+    def v_of(item: int) -> np.ndarray:
+        base = v_map.get(item)
+        if base is None:
+            return np.zeros(k)
+        return base + deltas.get(item, 0.0)
+
+    for i, j in zip(pdf["i"].to_numpy(), pdf["j"].to_numpy()):
+        i, j = int(i), int(j)
+        v_i, v_j = v_of(i), v_of(j)
+        x_uij = float(u_vec @ (v_i - v_j))
+        coef = np.exp(-x_uij) / (1.0 + np.exp(-x_uij))
+        u_grad = coef * (v_i - v_j)
+        i_grad = coef * u_vec
+        j_grad = -i_grad
+        u_vec += lr * (u_grad + reg * u_vec)
+        deltas[i] = deltas.get(i, np.zeros(k)) + lr * (i_grad + reg * v_i)
+        deltas[j] = deltas.get(j, np.zeros(k)) + lr * (j_grad + reg * v_j)
+
+    rows = [{"kind": "u", "id": u_id, "features": u_vec.tolist()}]
+    rows += [
+        {"kind": "dv", "id": item, "features": d.tolist()}
+        for item, d in deltas.items()
+    ]
+    return pd.DataFrame(rows)
+
+
+@dataclass
+class BprModel:
+    user_factors: DataFrame  # (id, features)
+    item_factors: DataFrame  # (id, features)
+    metrics_history: list[tuple[float, float]]  # (P@k, R@k) per epoch
+
+
+def train_bpr(
+    positives: DataFrame,
+    user_col: str,
+    item_col: str,
+    rank: int = 12,
+    lr: float = 0.02,
+    reg: float = 0.01,
+    epochs: int = 2,
+    seed: int = 42,
+    genres: DataFrame | None = None,
+    eval_k: int | None = None,
+) -> BprModel:
+    """The prac_2.py training loop re-contracted for Spark: per epoch,
+    distributed triplet sampling → user-partitioned parallel SGD →
+    element-wise V-delta reduction (posexplode + groupBy) → optional
+    ranking-metric eval (E1)."""
+    pos = positives.select(
+        F.col(user_col).cast("long").alias("u"),
+        F.col(item_col).cast("long").alias("i"),
+    ).localCheckpoint()
+    u_f = (
+        init_factors(pos.select("u").distinct(), "u", rank, seed, scale=0.1)
+        .drop("bias")
+        .localCheckpoint()
+    )
+    v_f = (
+        init_factors(pos.select("i").distinct(), "i", rank, seed + 1, scale=0.1)
+        .drop("bias")
+        .localCheckpoint()
+    )
+    spark = positives.sparkSession
+    metrics: list[tuple[float, float]] = []
+
+    for epoch in range(epochs):
+        triplets = sample_triplets(
+            pos, "u", "i", seed=seed + 100 + epoch, genres=genres
+        )
+        # Epoch-frozen V snapshot, broadcast into the Arrow workers.
+        v_map = {
+            int(r["id"]): np.asarray(r["features"], dtype=np.float64)
+            for r in v_f.collect()
+        }
+        bc = spark.sparkContext.broadcast(v_map)
+
+        def sgd(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _sgd_partition(pdf, bc.value, rank, lr, reg)
+
+        out = (
+            triplets.join(
+                u_f.select(F.col("id").alias("u"), F.col("features").alias("uf")),
+                "u",
+            )
+            .groupBy("u")
+            .applyInPandas(sgd, "kind string, id long, features array<double>")
+            .localCheckpoint()
+        )
+        u_f = out.filter(F.col("kind") == "u").select("id", "features")
+        # Per-epoch sync: sum V-deltas element-wise across partitions.
+        dv = (
+            out.filter(F.col("kind") == "dv")
+            .select("id", F.posexplode("features").alias("pos", "d"))
+            .groupBy("id", "pos")
+            .agg(F.sum("d").alias("d"))
+            .groupBy("id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("d")))
+                    ),
+                    lambda s: s["d"],
+                ).alias("delta")
+            )
+        )
+        v_f = (
+            v_f.join(dv, v_f["id"] == dv["id"], "left")
+            .select(
+                v_f["id"],
+                F.when(
+                    dv["delta"].isNotNull(),
+                    F.zip_with("features", "delta", lambda a, b: a + b),
+                )
+                .otherwise(F.col("features"))
+                .alias("features"),
+            )
+            .localCheckpoint()
+        )
+        u_f = u_f.localCheckpoint()
+        if eval_k:
+            metrics.append(precision_recall_at_k(pos, u_f, v_f, eval_k))
+    return BprModel(u_f, v_f, metrics)
+
+
+def precision_recall_at_k(
+    positives: DataFrame, user_factors: DataFrame, item_factors: DataFrame, k: int
+) -> tuple[float, float]:
+    """E1: mean P@k / R@k over users (functions.py:212-246): score the
+    full catalogue per user (broadcast item side), per-user top-k
+    window, hits = |top-k ∩ positives| via a semi-join."""
+    scored = user_factors.select(
+        F.col("id").alias("u"), F.col("features").alias("uf")
+    ).crossJoin(
+        F.broadcast(
+            item_factors.select(F.col("id").alias("i"), F.col("features").alias("vf"))
+        )
+    ).select("u", "i", dot_product("uf", "vf").alias("score"))
+    top = group_top_k(
+        scored, ["u"], F.struct(F.col("score"), (-F.col("i")).alias("ni")), k
+    )
+    hits = top.join(positives, ["u", "i"], "left_semi").groupBy("u").agg(
+        F.count(F.lit(1)).alias("tp")
+    )
+    per_user = (
+        positives.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("n_pos"))
+        .join(hits, "u", "left")
+        .fillna(0, subset=["tp"])
+        .select(
+            (F.col("tp") / F.lit(k)).alias("p"),
+            (F.col("tp") / F.col("n_pos")).alias("r"),
+        )
+    )
+    row = per_user.agg(F.avg("p").alias("p"), F.avg("r").alias("r")).collect()[0]
+    return float(row["p"]), float(row["r"])

@@ -1,0 +1,213 @@
+"""A/B-harness completion queries: Shapiro-Francia normality statistic
+(E4) distributed with a cross-engine probit, and the full test-selection
+report (reference ab_test.py's driver flow).
+
+The probit (inverse normal CDF) needed for the Blom order-statistic
+scores is not built into either engine, so both sides evaluate the SAME
+Acklam rational approximation — the Spark Column expression and the
+DuckDB SQL are generated from one coefficient table in identical Horner
+order, giving bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from recommender_systems_spark.registry import _t, register
+
+# Acklam's inverse-normal-CDF rational approximation coefficients
+# (widely published; relative error < 1.15e-9 over (0,1)).
+_A = [
+    -3.969683028665376e01, 2.209460984245205e02, -2.759285104469687e02,
+    1.383577518672690e02, -3.066479806614716e01, 2.506628277459239e00,
+]
+_B = [
+    -5.447609879822406e01, 1.615858368580409e02, -1.556989798598866e02,
+    6.680131188771972e01, -1.328068155288572e01,
+]
+_C = [
+    -7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e00,
+    -2.549732539343734e00, 4.374664141464968e00, 2.938163982698783e00,
+]
+_D = [
+    7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e00,
+    3.754408661907416e00,
+]
+P_LOW = 0.02425
+
+
+def _horner_col(coeffs: list[float], x: Column) -> Column:
+    out: Column = F.lit(coeffs[0])
+    for c in coeffs[1:]:
+        out = out * x + F.lit(c)
+    return out
+
+
+def _horner_sql(coeffs: list[float], x: str) -> str:
+    out = repr(coeffs[0])
+    for c in coeffs[1:]:
+        out = f"({out} * {x} + {c!r})"
+    return out
+
+
+def probit_col(p: Column) -> Column:
+    """Acklam inverse normal CDF as a Spark expression."""
+    q_low = F.sqrt(-2.0 * F.log(p))
+    x_low = _horner_col(_C, q_low) / (_horner_col(_D, q_low) * q_low + F.lit(1.0))
+    q_high = F.sqrt(-2.0 * F.log(1.0 - p))
+    x_high = -(
+        _horner_col(_C, q_high) / (_horner_col(_D, q_high) * q_high + F.lit(1.0))
+    )
+    q_mid = p - F.lit(0.5)
+    r = q_mid * q_mid
+    x_mid = (
+        _horner_col(_A, r)
+        * q_mid
+        / (_horner_col(_B, r) * r + F.lit(1.0))
+    )
+    return (
+        F.when(p < P_LOW, x_low)
+        .when(p > 1.0 - P_LOW, x_high)
+        .otherwise(x_mid)
+    )
+
+
+def probit_sql(p: str) -> str:
+    """The same approximation, same Horner order, as DuckDB SQL."""
+    q_low = f"sqrt(-2.0 * ln({p}))"
+    x_low = f"({_horner_sql(_C, q_low)} / ({_horner_sql(_D, q_low)} * {q_low} + 1.0))"
+    q_high = f"sqrt(-2.0 * ln(1.0 - ({p})))"
+    x_high = (
+        f"(-({_horner_sql(_C, q_high)} / "
+        f"({_horner_sql(_D, q_high)} * {q_high} + 1.0)))"
+    )
+    q_mid = f"(({p}) - 0.5)"
+    r = f"({q_mid} * {q_mid})"
+    x_mid = f"({_horner_sql(_A, r)} * {q_mid} / ({_horner_sql(_B, r)} * {r} + 1.0))"
+    return (
+        f"(CASE WHEN ({p}) < {P_LOW} THEN {x_low} "
+        f"WHEN ({p}) > {1.0 - P_LOW} THEN {x_high} "
+        f"ELSE {x_mid} END)"
+    )
+
+
+_BLOM_SQL = "((rnk - 0.375) / (n + 0.25))"
+
+_SF_SQL = f"""
+    WITH g AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS grp, value
+        FROM events
+    ),
+    r AS (
+        SELECT grp, value,
+               CAST(row_number() OVER (PARTITION BY grp ORDER BY value)
+                    AS DOUBLE) AS rnk,
+               CAST(count(*) OVER (PARTITION BY grp) AS DOUBLE) AS n
+        FROM g
+    ),
+    m AS (SELECT grp, value, n, {probit_sql(_BLOM_SQL)} AS m_i FROM r),
+    agg AS (
+        SELECT grp, max(n) AS n,
+               sum(m_i * value) AS smx, sum(m_i * m_i) AS smm,
+               sum(value) AS sx, sum(value * value) AS sxx,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM m GROUP BY grp
+    )
+    SELECT grp, cnt AS n,
+           round(pow(smx, 2) / (smm * (sxx - sx * sx / n)), 6) AS w_prime
+    FROM agg
+"""
+
+
+@register("e_shapiro_francia", _SF_SQL)
+def e_shapiro_francia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: Shapiro-Francia normality statistic per experiment arm — the
+    order-statistic cousin of the reference's scipy.stats.shapiro
+    (ab_test.py:287-302): W′ = corr(x₍ᵢ₎, m_i)² with Blom scores
+    m_i = Φ⁻¹((i−3/8)/(n+1/4)). Ranks come from a per-group window
+    (A/B arms are sample-bounded — the reference logs ≤20 rows/user;
+    for unbounded inputs swap in the two-phase midrank operator), the
+    probit is the shared Acklam expression, and W′ reduces to five
+    aggregates per group. p-value: ml.abtest.shapiro_francia_pvalue
+    (Royston's ln(1−W′) normal approximation) on the driver."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("A")).otherwise(F.lit("B")).alias(
+            "grp"
+        ),
+        "value",
+    )
+    w = Window.partitionBy("grp").orderBy("value")
+    wn = Window.partitionBy("grp")
+    r = ev.select(
+        "grp",
+        "value",
+        F.row_number().over(w).cast("double").alias("rnk"),
+        F.count(F.lit(1)).over(wn).cast("double").alias("n"),
+    )
+    blom = (F.col("rnk") - 0.375) / (F.col("n") + 0.25)
+    m = r.withColumn("m_i", probit_col(blom))
+    agg = m.groupBy("grp").agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("m_i") * F.col("value")).alias("smx"),
+        F.sum(F.col("m_i") * F.col("m_i")).alias("smm"),
+        F.sum("value").alias("sx"),
+        F.sum(F.col("value") * F.col("value")).alias("sxx"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return agg.select(
+        "grp",
+        F.col("cnt").alias("n"),
+        F.round(
+            F.pow(F.col("smx"), 2)
+            / (F.col("smm") * (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))),
+            6,
+        ).alias("w_prime"),
+    )
+
+
+@register("e_ab_report")  # rows-only: p-values need driver-side CDFs
+def e_ab_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full A/B decision flow (ab_test.py:236-391):
+    run Levene (E3) on the arms; if variances look equal use the pooled
+    t-test, else Welch (E5); also report the rank-sum fallback (E6) and
+    per-arm Shapiro-Francia normality (E4). All statistics computed
+    distributed (one collected row each); p-values via ml.abtest's
+    pure-Python CDFs. Rows-only check (CDFs are not SQL)."""
+    from recommender_systems_spark.ml.abtest import (
+        levene_pvalue,
+        rank_sum_pvalues,
+        shapiro_francia_pvalue,
+        t_test_pvalues,
+    )
+    from recommender_systems_spark.queries.stats import (
+        e_levene_bf,
+        e_rank_sum,
+        e_t_test_stats,
+    )
+
+    lev = e_levene_bf(spark, sf_dir).collect()[0]
+    t_row = e_t_test_stats(spark, sf_dir).collect()[0]
+    rs = e_rank_sum(spark, sf_dir).collect()[0]
+    sf_rows = e_shapiro_francia(spark, sf_dir).collect()
+
+    lev_p = levene_pvalue(lev["w_stat"], int(lev["k"]), int(lev["n"]))
+    df_w = float(t_row["df_welch"])
+    t_p = t_test_pvalues(float(t_row["t_welch"]), df_w)
+    rs_p = rank_sum_pvalues(float(rs["z"]))
+    rows = [
+        ("levene_bf", float(lev["w_stat"]), lev_p),
+        ("welch_t", float(t_row["t_welch"]), t_p["two_sided"]),
+        ("rank_sum_z", float(rs["z"]), rs_p["two_sided"]),
+    ] + [
+        (
+            f"shapiro_francia_{r['grp']}",
+            float(r["w_prime"]),
+            shapiro_francia_pvalue(float(r["w_prime"]), int(r["n"])),
+        )
+        for r in sorted(sf_rows, key=lambda r: r["grp"])
+    ]
+    return spark.createDataFrame(
+        [(name, round(stat, 6), round(p, 6)) for name, stat, p in rows],
+        "test string, statistic double, p_two_sided double",
+    )

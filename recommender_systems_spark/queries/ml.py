@@ -362,6 +362,43 @@ def m_als_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "iter int, rmse double")
 
 
+@register("m_bpr_train")  # no oracle: sampled triplets + parallel SGD
+def m_bpr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7-M9+E1: the full BPR pipeline (SURVEY §3 entry point 3) on
+    driver data — curate implicit positives (quantity ≥ 25 ≈ rating ≥ 4,
+    drop users with <10 positives: P4+P6+P7), genre dimension from
+    p_name words (M9 disjointness constraint), 2 epochs of distributed
+    triplet sampling + user-partitioned parallel SGD, mean P@20/R@20
+    per epoch (E1). Rows-only driver check; the golden test asserts the
+    metrics improve over training."""
+    from recommender_systems_spark.ml.bpr import train_bpr
+    from recommender_systems_spark.operators.relational import (
+        anti_join_below_threshold,
+    )
+    from recommender_systems_spark.queries.genre import _parts_with_genres
+
+    li = _t(spark, sf_dir, "lineitem")
+    pos = (
+        li.filter(F.col("l_quantity") >= 25)
+        .select(
+            F.col("l_suppkey").alias("u"), F.col("l_partkey").alias("i")
+        )
+        .distinct()
+    )
+    pos = anti_join_below_threshold(pos, "u", 10)
+    genres = _parts_with_genres(spark, sf_dir).select(
+        F.col("p_partkey").alias("item"), F.col("genre_values").alias("genre_ids")
+    )
+    model = train_bpr(
+        pos, "u", "i", rank=8, epochs=2, seed=42, genres=genres, eval_k=20
+    )
+    rows = [
+        (e + 1, round(p, 6), round(r, 6))
+        for e, (p, r) in enumerate(model.metrics_history)
+    ]
+    return spark.createDataFrame(rows, "epoch int, p_at_20 double, r_at_20 double")
+
+
 @register("m_fold_in_vector")  # no oracle: driver-side k×k Cholesky solve
 def m_fold_in_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M12: cold-start trait vector — distributed Σvvᵀ / Σresid·v

@@ -1,0 +1,56 @@
+"""BPR golden tests (SURVEY §5: operational correctness = ranking
+metrics improve over epochs; sampling invariants hold)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def _positives(spark):
+    return (
+        spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        .filter(F.col("l_quantity") >= 25)
+        .select(F.col("l_suppkey").alias("u"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+
+
+def test_triplet_sampling_invariants(spark):
+    """M8/M9: every sampled negative must be (a) unseen by the user,
+    (b) at most one triplet per positive."""
+    from recommender_systems_spark.ml.bpr import sample_triplets
+
+    pos = _positives(spark).localCheckpoint()
+    t = sample_triplets(pos, "u", "i", seed=1).localCheckpoint()
+    # (a) no (u, j) may appear in the positives
+    leaked = t.join(
+        pos.select("u", F.col("i").alias("j")), ["u", "j"], "left_semi"
+    ).count()
+    assert leaked == 0
+    # (b) at most one triplet per (u, i)
+    assert t.groupBy("u", "i").count().filter(F.col("count") > 1).count() == 0
+    # sampling produced a meaningful fraction of triplets
+    assert t.count() > 0.5 * pos.count()
+
+
+def test_bpr_metrics_improve(spark):
+    """prac_2.py's operational signal: P@k rises as epochs accumulate
+    (reference plots per-epoch precision/recall curves)."""
+    from recommender_systems_spark.ml.bpr import (
+        precision_recall_at_k,
+        train_bpr,
+    )
+
+    pos = _positives(spark).localCheckpoint()
+    from recommender_systems_spark.ml.als import init_factors
+
+    u0 = init_factors(pos.select("u").distinct(), "u", 8, 42, scale=0.1).drop("bias")
+    v0 = init_factors(pos.select("i").distinct(), "i", 8, 43, scale=0.1).drop("bias")
+    p0, r0 = precision_recall_at_k(pos, u0, v0, 20)
+
+    model = train_bpr(pos, "u", "i", rank=8, epochs=3, seed=42, eval_k=20)
+    p_last, r_last = model.metrics_history[-1]
+    assert p_last > p0, f"P@20 did not improve: {p0} -> {p_last}"
+    assert r_last > r0, f"R@20 did not improve: {r0} -> {r_last}"

@@ -13,12 +13,15 @@ Layout
                    text statistics, fingerprints).
 - ``ml``         : ALS (MLlib + bias-augmented custom solver), BPR SGD,
                    cold-start fold-in, ranking metrics, A/B statistics.
-- ``dedup``      : exact + MinHash-LSH + SimHash + n-gram Jaccard +
-                   embedding-cosine near-duplicate detection.
-- ``similarity`` : brute-force and LSH-bucketed approximate nearest neighbour.
+- ``dedup``      : exact (dual-fingerprint key) + MinHash-LSH (with exact
+                   shingle-Jaccard verify) + SimHash near-duplicate detection.
+- ``similarity`` : brute-force and LSH-bucketed approximate nearest neighbour
+                   (embedding-cosine near-dup search).
 - ``multimodal`` : binary-column (image/audio/video) plumbing with stubbed
                    decoders.
 - ``streaming``  : Structured Streaming variants of the aggregation operators.
+- ``queries``    : the driver-facing registry — every operator above exposed
+                   as a named (Spark plan, DuckDB oracle) pair.
 """
 
 __version__ = "0.1.0"

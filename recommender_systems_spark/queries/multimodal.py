@@ -1,0 +1,79 @@
+"""Multimodal + streaming queries.
+
+- ``mm_byte_features``: the binary-payload pipeline (documents packed
+  as UTF-8 payloads → Arrow-batched mapInPandas byte features). The
+  oracle reproduces the byte math from the text (the corpus is ASCII,
+  so byte i == code point i — asserted by the n_bytes comparison).
+- ``s_stream_window_agg``: the Structured Streaming window aggregate
+  drained with an availableNow trigger; its oracle is the SAME SQL as
+  the batch twin — a value-hash match proves stream/batch parity.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from recommender_systems_spark.io import _microsecond_copy
+from recommender_systems_spark.multimodal.binary import byte_features, with_payload
+from recommender_systems_spark.registry import _t, register
+
+FEATURE_BYTES = 8
+
+_MM_SQL = f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           list_transform(range(1, {FEATURE_BYTES + 1}),
+                          i -> ascii(text[i:i]) / 255.0) AS features
+    FROM documents
+"""
+
+
+@register("mm_byte_features", _MM_SQL)
+def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal extension: documents → (payload binary, meta struct)
+    → mapInPandas byte-feature extraction (length + first-8-bytes/255).
+    The extractor is the deterministic stand-in for a codec stage
+    (multimodal.binary.decode_image is the stubbed real thing); what
+    this query proves is the binary plumbing — encode, Arrow batch
+    transfer, fixed-schema narrow map — end to end against an oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return byte_features(with_payload(docs), k=FEATURE_BYTES)
+
+
+def _stream_dir(sf_dir: str) -> str:
+    """A directory containing the (timestamp-normalised) events parquet
+    — the file-stream source lists directories, and the driver's raw
+    file carries ns timestamps Spark's reader rejects."""
+    src = _microsecond_copy(f"{sf_dir}/events.parquet")
+    out_dir = src[:-8] + "_streamdir"  # strip .parquet
+    target = os.path.join(out_dir, "events.parquet")
+    if not os.path.exists(target):
+        os.makedirs(out_dir, exist_ok=True)
+        shutil.copy(src, target + ".tmp")
+        os.replace(target + ".tmp", target)
+    return out_dir
+
+
+@register(
+    "s_stream_window_agg",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def s_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming extension: the event-time tumbling-window aggregate
+    run as a REAL Structured Streaming job (file source → watermark →
+    windowed state → memory sink, availableNow trigger) and compared
+    against the batch SQL — the value-hash match is a stream/batch
+    parity proof (same F.window semantics, SURVEY §2.9)."""
+    from recommender_systems_spark.streaming.events import run_available_now
+
+    name = f"stream_events_{abs(hash(sf_dir)) % 10**8}"
+    return run_available_now(spark, _stream_dir(sf_dir), name)

@@ -1,0 +1,74 @@
+"""Structured Streaming twin of the batch event-time window aggregate
+(``queries.stats.s_window_agg``): same ``F.window`` call, same results;
+the stream adds a watermark for late data and runs incrementally.
+
+Execution contract: ``readStream`` over a parquet directory (the file
+source lists new files per micro-batch — at scale this is the standard
+lakehouse ingestion tail), event-time tumbling windows with a 1-hour
+watermark bounding state, aggregation state in the state store. The
+``availableNow`` trigger drains everything currently in the source and
+terminates — which is what makes the streaming path deterministic and
+oracle-comparable against the batch plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def stream_window_agg(
+    stream: DataFrame, watermark: str = "1 hour", window: str = "1 hour"
+) -> DataFrame:
+    """Tumbling event-time windows per event_type over a streaming
+    DataFrame: count + sum(value). Watermark bounds the state store —
+    windows older than max(event time) − watermark are finalised and
+    evicted."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+    )
+
+
+def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream over an events parquet directory with the
+    declared schema (inference is unavailable — and undesirable — for
+    streaming sources)."""
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
+
+
+def run_available_now(
+    spark: SparkSession, source_dir: str, query_name: str
+) -> DataFrame:
+    """Drain the source with an availableNow trigger into a memory sink
+    (test/CI sink; production would write parquet/Kafka with
+    checkpointing) and return the final result table."""
+    agg = stream_window_agg(read_events_stream(spark, source_dir))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

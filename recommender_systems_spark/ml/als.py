@@ -152,9 +152,12 @@ def predict(
     user_factors: DataFrame,
     item_factors: DataFrame,
     out_col: str = "prediction",
+    dim: int | None = None,  # kept for API stability; HOF wins (see vector.py)
 ) -> DataFrame:
-    """M1: û = u·v + b_m + b_n via a scoring join — zip_with/aggregate
-    dot product stays in whole-stage codegen (functions.py:273-277)."""
+    """M1: û = u·v + b_m + b_n via a scoring join — the HOF dot product
+    (functions.py:273-277). Measured faster than an unrolled element_at
+    chain at every rank tried; see the note in functions.vector."""
+    dot = dot_product
     return (
         ratings.join(
             user_factors.select(
@@ -174,7 +177,7 @@ def predict(
         )
         .withColumn(
             out_col,
-            dot_product(F.col("__uf"), F.col("__if")) + F.col("__ub") + F.col("__ib"),
+            dot(F.col("__uf"), F.col("__if")) + F.col("__ub") + F.col("__ib"),
         )
         .drop("__uid", "__uf", "__ub", "__iid", "__if", "__ib")
     )
@@ -187,10 +190,11 @@ def rmse(
     rating_col: str,
     user_factors: DataFrame,
     item_factors: DataFrame,
+    dim: int | None = None,
 ) -> float:
     """A9: √(Σ(û−r)²/n) as one aggregation (reference functions.py:250-280
     is a 25M-row Python loop; here it's a distributed scoring join)."""
-    scored = predict(ratings, user_col, item_col, user_factors, item_factors)
+    scored = predict(ratings, user_col, item_col, user_factors, item_factors, dim=dim)
     row = scored.agg(
         F.sqrt(F.avg(F.pow(F.col("prediction") - F.col(rating_col), 2))).alias("rmse")
     ).collect()[0]
@@ -302,7 +306,7 @@ def train_als_bias(
             else float("inf")
         )
         u_f, v_f = new_u, new_v
-        rmse_hist.append(rmse(ratings, "u", "i", "r", u_f, v_f))
+        rmse_hist.append(rmse(ratings, "u", "i", "r", u_f, v_f, dim=rank))
         if track_loglik:
             ll_hist.append(reg_loglik(ratings, "u", "i", "r", u_f, v_f, lmd, tau, alpha))
         if delta < tol:

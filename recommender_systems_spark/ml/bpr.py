@@ -169,6 +169,8 @@ def train_bpr(
     seed: int = 42,
     genres: DataFrame | None = None,
     eval_k: int | None = None,
+    eval_every_epoch: bool = True,
+    eval_user_mod: int | None = None,
 ) -> BprModel:
     """The prac_2.py training loop re-contracted for Spark: per epoch,
     distributed triplet sampling → user-partitioned parallel SGD →
@@ -245,13 +247,27 @@ def train_bpr(
             .localCheckpoint()
         )
         u_f = u_f.localCheckpoint()
-        if eval_k:
-            metrics.append(precision_recall_at_k(pos, u_f, v_f, eval_k))
+        if eval_k and (eval_every_epoch or epoch == epochs - 1):
+            # The E1 eval is a |U|×|I| scoring product; ``eval_user_mod``
+            # restricts it to a deterministic user sample (id % mod == 0)
+            # — standard practice when the full sweep is the cost driver.
+            eval_users = (
+                u_f.filter(F.col("id") % eval_user_mod == 0)
+                if eval_user_mod
+                else u_f
+            )
+            metrics.append(
+                precision_recall_at_k(pos, eval_users, v_f, eval_k, rank=rank)
+            )
     return BprModel(u_f, v_f, metrics)
 
 
 def precision_recall_at_k(
-    positives: DataFrame, user_factors: DataFrame, item_factors: DataFrame, k: int
+    positives: DataFrame,
+    user_factors: DataFrame,
+    item_factors: DataFrame,
+    k: int,
+    rank: int | None = None,
 ) -> tuple[float, float]:
     """E1: mean P@k / R@k over users (functions.py:212-246): score the
     full catalogue per user (broadcast item side), per-user top-k
@@ -270,7 +286,13 @@ def precision_recall_at_k(
         F.count(F.lit(1)).alias("tp")
     )
     per_user = (
-        positives.groupBy("u")
+        # Average over the SCORED users only (user_factors may be a
+        # sample); a bare positives-side mean would count unscored
+        # users as zero hits.
+        positives.join(
+            user_factors.select(F.col("id").alias("u")), "u", "left_semi"
+        )
+        .groupBy("u")
         .agg(F.count(F.lit(1)).alias("n_pos"))
         .join(hits, "u", "left")
         .fillna(0, subset=["tp"])

@@ -58,6 +58,7 @@ def fold_in_trait_vector(
     user_bias: float,
     lmd: float = DEFAULT_LMD,
     tau: float = DEFAULT_TAU,
+    dim: int | None = None,
 ) -> np.ndarray:
     """M12: assemble λΣv vᵀ and λΣ(r−b_n−b_u)v distributed (k² + k
     doubles shipped to the driver — independent of history size), then
@@ -73,30 +74,39 @@ def fold_in_trait_vector(
         F.col("__v").alias("v"),
         (F.col(rating_col) - F.col("__bn") - F.lit(user_bias)).alias("resid"),
     )
-    # Σ resid·v and Σ flatten(v vᵀ) as element-wise array sums:
-    # posexplode the per-row k²+k values, groupBy position (k²+k groups),
-    # collect k²+k scalars — driver traffic independent of history size.
-    k_row = joined.select(F.size("v").alias("k")).first()
-    if k_row is None:
-        raise ValueError("empty history")
-    k = k_row["k"]
-    flat = joined.select(
-        F.posexplode(
-            F.concat(
-                F.flatten(
-                    F.transform("v", lambda vi: F.transform("v", lambda vj: vi * vj))
-                ),
-                F.transform("v", lambda vi: vi * F.col("resid")),
-            )
-        ).alias("pos", "val")
-    )
-    sums = {
-        r["pos"]: r["s"]
-        for r in flat.groupBy("pos").agg(F.sum("val").alias("s")).collect()
-    }
-    a_mat = lmd * np.array([sums[i] for i in range(k * k)]).reshape(k, k)
-    a_mat += tau * np.eye(k)
-    rhs = lmd * np.array([sums[k * k + i] for i in range(k)])
+    # Σ resid·v and Σ v vᵀ via per-partition NumPy partial reduction
+    # (mapInPandas): each partition emits ONE k²+k row (a Gram-matrix
+    # partial), the driver sums #partitions tiny rows — traffic is
+    # independent of history size and the inner product is BLAS, not
+    # per-element expressions.
+    if dim is None:
+        k_row = joined.select(F.size("v").alias("k")).first()
+        if k_row is None:
+            raise ValueError("empty history")
+        dim = int(k_row["k"])
+    k = dim
+
+    def partials(batches):
+        import pandas as pd  # noqa: PLC0415 (worker-side import)
+
+        a_mat = np.zeros((k, k))
+        rvec = np.zeros(k)
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            seen = True
+            v = np.stack(pdf["v"].to_numpy())
+            resid = pdf["resid"].to_numpy(dtype=np.float64)
+            a_mat += v.T @ v
+            rvec += v.T @ resid
+        if seen:
+            yield pd.DataFrame({"p": [np.concatenate([a_mat.ravel(), rvec]).tolist()]})
+
+    parts = joined.mapInPandas(partials, schema="p array<double>").collect()
+    total = np.sum([np.asarray(r["p"]) for r in parts], axis=0)
+    a_mat = lmd * total[: k * k].reshape(k, k) + tau * np.eye(k)
+    rhs = lmd * total[k * k :]
     c = np.linalg.cholesky(a_mat)
     return np.linalg.solve(c.T, np.linalg.solve(c, rhs))
 

@@ -75,7 +75,12 @@ def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ratings with u·v attached: the M1 scoring join. Both factor
     lookups broadcast (embeddings is dimension-sized); the fact table
     never shuffles."""
-    r = _ratings(spark, sf_dir)
+    # The local parquet exposes only ~3 scan splits; the dot product is
+    # CPU-bound, so spread it across all cores. (On a cluster the scan
+    # arrives with hundreds of splits and this exchange is removable.)
+    r = _ratings(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     e = _factors(spark, sf_dir)
     return (
         r.withColumn("__uk", F.col("uid") % EMB_MOD)
@@ -390,13 +395,14 @@ def m_bpr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("item"), F.col("genre_values").alias("genre_ids")
     )
     model = train_bpr(
-        pos, "u", "i", rank=8, epochs=2, seed=42, genres=genres, eval_k=20
+        pos, "u", "i", rank=8, epochs=2, seed=42, genres=genres, eval_k=20,
+        eval_every_epoch=False,  # final eval only — per-epoch curves in tests
+        eval_user_mod=5,  # deterministic 20% user sample for the E1 sweep
     )
-    rows = [
-        (e + 1, round(p, 6), round(r, 6))
-        for e, (p, r) in enumerate(model.metrics_history)
-    ]
-    return spark.createDataFrame(rows, "epoch int, p_at_20 double, r_at_20 double")
+    p, r = model.metrics_history[-1]
+    return spark.createDataFrame(
+        [(2, round(p, 6), round(r, 6))], "epoch int, p_at_20 double, r_at_20 double"
+    )
 
 
 @register("m_fold_in_vector")  # no oracle: driver-side k×k Cholesky solve
@@ -425,7 +431,9 @@ def m_fold_in_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     ub = fold_in_bias(hist, "iid", "r", item_factors, lmd=LMD, alpha=ALPHA).collect()[
         0
     ]["user_bias"]
-    vec = fold_in_trait_vector(hist, "iid", "r", item_factors, ub, lmd=LMD, tau=TAU)
+    vec = fold_in_trait_vector(
+        hist, "iid", "r", item_factors, ub, lmd=LMD, tau=TAU, dim=64
+    )
     return spark.createDataFrame(
         [(i, round(float(v), 6)) for i, v in enumerate(vec)], "pos int, value double"
     )

@@ -364,6 +364,79 @@ def f_string_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "f_json_parse",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(props->>'k' AS INT)) AS INT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def f_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: typed parse of a serialised column (reference: pd.read_csv
+    converters={'genres_v2': pd.eval}, incl_genre.py:17-19 — a stringly
+    list parsed into a typed value). Here the events.props JSON column
+    parses via from_json with a DECLARED schema (inference off), then
+    aggregates the extracted field — parse + downstream compute in one
+    codegen'd plan."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
+    "f_flatten",
+    """
+    WITH per_user AS (
+        SELECT event_type, user_id,
+               list_sort(list(DISTINCT CAST(floor(value) AS BIGINT))) AS vals
+        FROM events WHERE user_id < 30
+        GROUP BY event_type, user_id
+    ),
+    nested AS (
+        SELECT event_type, list(vals ORDER BY user_id) AS lol
+        FROM per_user GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(len(flatten(lol)) AS INT) AS n_flat,
+           CAST(len(list_distinct(flatten(lol))) AS INT) AS n_distinct
+    FROM nested
+    """,
+)
+def f_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: flatten list-of-lists (reference: user history sublists →
+    flat list, functions.py:511). Per-user sorted value lists are
+    collected per event type, flattened, and measured — nested-array
+    construction and flattening both JVM-side."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.array_sort(F.collect_set(F.floor("value").cast("long"))).alias("vals")
+    )
+    nested = per_user.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("user_id", "vals"))),
+            lambda s: s["vals"],
+        ).alias("lol")
+    )
+    flat = F.flatten(F.col("lol"))
+    return nested.select(
+        "event_type",
+        F.size(flat).alias("n_flat"),
+        F.size(F.array_distinct(flat)).alias("n_distinct"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis extensions (token counting, fingerprinting)
 # ---------------------------------------------------------------------------

@@ -25,8 +25,8 @@ from recommender_systems_spark.dedup.minhash import (
     minhash_signature,
     shingle_hashes,
     signature_agreement,
-    simhash,
     simhash_band,
+    simhash_pandas,
     sql_band_key,
     sql_char_ngrams,
     sql_minhash_signature,
@@ -206,7 +206,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    sh = docs.select("doc_id", simhash(F.col("text")).alias("sim"))
+    sh = docs.select("doc_id", simhash_pandas(F.col("text")).alias("sim"))
     bands = sh.select(
         "doc_id",
         "sim",

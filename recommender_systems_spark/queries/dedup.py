@@ -112,11 +112,14 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism)
     )
+    # Three consumers (band explode, verify-a, verify-b) read the
+    # signature table; checkpoint so the shingle+signature computation
+    # runs once instead of three times.
     sh = docs.select(
         "doc_id",
         F.array_distinct(word_shingles(F.col("text"))).alias("da"),
         minhash_signature(shingle_hashes(F.col("text"))).alias("sig"),
-    )
+    ).localCheckpoint()
     bands = sh.select(
         "doc_id",
         F.posexplode(F.array(*[band_key(F.col("sig"), b) for b in range(LSH_BANDS)]))

@@ -74,28 +74,47 @@ def init_factors(
     )
 
 
-def _solve_side(pdf: pd.DataFrame, lmd: float, tau: float, alpha: float, k: int):
-    """Solve one entity's bias + ridge system (reference update_user,
-    functions.py:283-357): executed per group inside applyInPandas.
+SOLVE_BUCKETS = 256
 
-    bias  = λ Σ(r - u_old·v - b_other) / (α + λ|Ω|)
-    vec   = (λ Σ v vᵀ + τI)⁻¹ · λ Σ (r - b_other - bias) v   (Cholesky)
-    """
-    vid = pdf["id"].iloc[0]
-    v = np.stack(pdf["other_features"].to_numpy())  # (n, k)
-    r = pdf["rating"].to_numpy(dtype=np.float64)
-    b_other = pdf["other_bias"].to_numpy(dtype=np.float64)
-    u_old = np.asarray(pdf["self_features"].iloc[0], dtype=np.float64)
-    n = len(r)
-    bias = lmd * float(np.sum(r - v @ u_old - b_other)) / (alpha + lmd * n)
-    a_mat = lmd * (v.T @ v) + tau * np.eye(k)
-    rhs = lmd * (v.T @ (r - b_other - bias))
-    try:
-        c = np.linalg.cholesky(a_mat)
-        vec = np.linalg.solve(c.T, np.linalg.solve(c, rhs))
-    except np.linalg.LinAlgError:  # τI makes this near-impossible; belt+braces
-        vec = np.linalg.solve(a_mat, rhs)
-    return pd.DataFrame({"id": [vid], "features": [vec.tolist()], "bias": [bias]})
+
+def _solve_bucket(pdf: pd.DataFrame, lmd: float, tau: float, alpha: float, k: int):
+    """Solve EVERY entity in one hash bucket (reference update_user,
+    functions.py:283-357), executed per bucket inside applyInPandas.
+
+    Per entity:
+        bias = λ Σ(r - u_old·v - b_other) / (α + λ|Ω|)
+        vec  = (λ Σ v vᵀ + τI)⁻¹ · λ Σ (r - b_other - bias) v  (Cholesky)
+
+    Bucketing matters: applyInPandas pays per-GROUP Arrow/pandas
+    overhead, so grouping by id (10⁴-10⁵ groups of ~30 rows) spends
+    more time in plumbing than in BLAS. Hashing ids into
+    ``SOLVE_BUCKETS`` groups keeps full parallelism while the
+    per-entity loop runs inside one NumPy frame."""
+    tau_eye = tau * np.eye(k)
+    out_ids: list[int] = []
+    out_feat: list[list[float]] = []
+    out_bias: list[float] = []
+    v_all = np.stack(pdf["other_features"].to_numpy())
+    r_all = pdf["rating"].to_numpy(dtype=np.float64)
+    b_all = pdf["other_bias"].to_numpy(dtype=np.float64)
+    for vid, idx in pdf.groupby("id", sort=False).indices.items():
+        v = v_all[idx]
+        r = r_all[idx]
+        b_other = b_all[idx]
+        u_old = np.asarray(pdf["self_features"].iloc[idx[0]], dtype=np.float64)
+        n = len(r)
+        bias = lmd * float(np.sum(r - v @ u_old - b_other)) / (alpha + lmd * n)
+        a_mat = lmd * (v.T @ v) + tau_eye
+        rhs = lmd * (v.T @ (r - b_other - bias))
+        try:
+            c = np.linalg.cholesky(a_mat)
+            vec = np.linalg.solve(c.T, np.linalg.solve(c, rhs))
+        except np.linalg.LinAlgError:  # τI makes this near-impossible
+            vec = np.linalg.solve(a_mat, rhs)
+        out_ids.append(int(vid))
+        out_feat.append(vec.tolist())
+        out_bias.append(bias)
+    return pd.DataFrame({"id": out_ids, "features": out_feat, "bias": out_bias})
 
 
 def als_half_sweep(
@@ -114,7 +133,8 @@ def als_half_sweep(
     ``other_factors``. Returns a new (id, features, bias) DataFrame.
 
     Plan shape: ratings ⋈ other(id) [shuffle or AQE-broadcast]
-    ⋈ self(id) → shuffle groupBy(self id) → Arrow-batched solves.
+    ⋈ self(id) → shuffle groupBy(hash bucket of self id) →
+    Arrow-batched per-entity solves inside each bucket.
     """
     joined = (
         ratings.select(
@@ -140,9 +160,13 @@ def als_half_sweep(
     )
 
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _solve_side(pdf, lmd, tau, alpha, rank)
+        return _solve_bucket(pdf, lmd, tau, alpha, rank)
 
-    return joined.groupBy("id").applyInPandas(solve, schema=_FACTOR_SCHEMA)
+    return (
+        joined.withColumn("__b", F.pmod(F.col("id"), F.lit(SOLVE_BUCKETS)))
+        .groupBy("__b")
+        .applyInPandas(solve, schema=_FACTOR_SCHEMA)
+    )
 
 
 def predict(

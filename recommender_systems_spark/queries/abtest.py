@@ -186,6 +186,22 @@ def e_ab_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         e_t_test_stats,
     )
 
+    # P8 row-count guard (reference ab_test.py:240-246: the experiment
+    # must contain exactly two arms before any statistic is computed).
+    grp_counts = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+            .otherwise(F.lit("B"))
+            .alias("grp")
+        )
+        .groupBy("grp")
+        .count()
+        .collect()
+    )
+    if len(grp_counts) != 2:
+        raise ValueError(f"expected exactly 2 experiment arms, got {len(grp_counts)}")
+
     lev = e_levene_bf(spark, sf_dir).collect()[0]
     t_row = e_t_test_stats(spark, sf_dir).collect()[0]
     rs = e_rank_sum(spark, sf_dir).collect()[0]

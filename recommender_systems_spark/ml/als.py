@@ -77,13 +77,20 @@ def init_factors(
 SOLVE_BUCKETS = 256
 
 
-def _solve_bucket(pdf: pd.DataFrame, lmd: float, tau: float, alpha: float, k: int):
+def _solve_bucket(
+    pdf: pd.DataFrame,
+    lmd: float,
+    tau: float,
+    alpha: float,
+    k: int,
+    has_pull: bool = False,
+):
     """Solve EVERY entity in one hash bucket (reference update_user,
     functions.py:283-357), executed per bucket inside applyInPandas.
 
     Per entity:
         bias = λ Σ(r - u_old·v - b_other) / (α + λ|Ω|)
-        vec  = (λ Σ v vᵀ + τI)⁻¹ · λ Σ (r - b_other - bias) v  (Cholesky)
+        vec  = (λ Σ v vᵀ + τI)⁻¹ · (λ Σ (r - b_other - bias) v [+ pull])
 
     Bucketing matters: applyInPandas pays per-GROUP Arrow/pandas
     overhead, so grouping by id (10⁴-10⁵ groups of ~30 rows) spends
@@ -106,6 +113,10 @@ def _solve_bucket(pdf: pd.DataFrame, lmd: float, tau: float, alpha: float, k: in
         bias = lmd * float(np.sum(r - v @ u_old - b_other)) / (alpha + lmd * n)
         a_mat = lmd * (v.T @ v) + tau_eye
         rhs = lmd * (v.T @ (r - b_other - bias))
+        if has_pull:
+            pull = pdf["self_pull"].iloc[idx[0]]
+            if pull is not None:
+                rhs = rhs + np.asarray(pull, dtype=np.float64)
         try:
             c = np.linalg.cholesky(a_mat)
             vec = np.linalg.solve(c.T, np.linalg.solve(c, rhs))
@@ -128,9 +139,15 @@ def als_half_sweep(
     tau: float = DEFAULT_TAU,
     alpha: float = DEFAULT_ALPHA,
     rank: int = DEFAULT_RANK,
+    rhs_pull: DataFrame | None = None,
 ) -> DataFrame:
     """One half-sweep: re-solve every ``self_col`` entity against frozen
     ``other_factors``. Returns a new (id, features, bias) DataFrame.
+
+    ``rhs_pull``: optional (id, pull array) added to the normal-equation
+    RHS before the solve — the genre-feature coupling term
+    (τ/√|g_n|)·Σ f_g of the reference's genre model
+    (incl_genre.py:185-193). None ⇒ the plain bias-ALS update.
 
     Plan shape: ratings ⋈ other(id) [shuffle or AQE-broadcast]
     ⋈ self(id) → shuffle groupBy(hash bucket of self id) →
@@ -158,9 +175,15 @@ def als_half_sweep(
             "id",
         )
     )
+    if rhs_pull is not None:
+        joined = joined.join(
+            rhs_pull.select("id", F.col("pull").alias("self_pull")), "id", "left"
+        )
+
+    has_pull = rhs_pull is not None
 
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _solve_bucket(pdf, lmd, tau, alpha, rank)
+        return _solve_bucket(pdf, lmd, tau, alpha, rank, has_pull)
 
     return (
         joined.withColumn("__b", F.pmod(F.col("id"), F.lit(SOLVE_BUCKETS)))

@@ -405,6 +405,37 @@ def m_bpr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("m_als_genre_train")  # no oracle: coupled training loop
+def m_als_genre_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 + genre variants of M2/M3 (reference incl_genre.py): the
+    genre-coupled ALS loop — item solves pull toward Σ genre features,
+    the 16×64 feature matrix re-solves on the driver each sweep from a
+    single distributed stats pass (A/B/C aggregates). 2 iterations on
+    lineitem-as-ratings with p_name word genres; returns the RMSE
+    trajectory plus the feature-matrix norm per genre. Rows-only."""
+    import numpy as np
+
+    from recommender_systems_spark.ml.genre_als import train_als_genre
+    from recommender_systems_spark.queries.genre import GENRE_WORDS, _parts_with_genres
+
+    r = _ratings(spark, sf_dir)
+    genres = _parts_with_genres(spark, sf_dir).select(
+        F.col("p_partkey").alias("item"), "genre_values", "genre_count"
+    )
+    model, f_state = train_als_genre(
+        r, genres, "uid", "iid", "r",
+        n_genres=len(GENRE_WORDS), rank=8, max_iter=2, seed=42,
+    )
+    rows = [
+        ("rmse_iter_%d" % (i + 1), round(v, 6))
+        for i, v in enumerate(model.rmse_history)
+    ] + [
+        (f"f_norm_{g}", round(float(np.linalg.norm(f_state[g])), 6))
+        for g in range(len(GENRE_WORDS))
+    ]
+    return spark.createDataFrame(rows, "metric string, value double")
+
+
 @register("m_fold_in_vector")  # no oracle: driver-side k×k Cholesky solve
 def m_fold_in_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M12: cold-start trait vector — distributed Σvvᵀ / Σresid·v

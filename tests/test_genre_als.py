@@ -1,0 +1,89 @@
+"""Genre-coupled ALS golden tests: the driver F-update must match an
+independent NumPy transcription of the reference's sequential loop
+(incl_genre.py:199-219), and training must still descend."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+TAU, BETA = 0.01, 0.01
+
+
+def test_update_genre_features_matches_reference_loop():
+    """Feed hand-built A/B/C stats and check against a direct
+    transcription of the reference's in-place per-genre update."""
+    from recommender_systems_spark.ml.genre_als import update_genre_features
+
+    rng = np.random.default_rng(3)
+    g, k = 4, 3
+    f0 = rng.normal(size=(g, k))
+    a = rng.normal(size=(g, k))
+    b = rng.uniform(0.5, 2.0, size=g)
+    c = rng.uniform(0.0, 1.0, size=(g, g))
+    c = (c + c.T) / 2
+
+    out = update_genre_features(f0, a, b, c, TAU, BETA)
+
+    # Independent sequential reimplementation.
+    f_ref = f0.copy()
+    for key in range(g):
+        cross = sum(c[key, f] * f_ref[f] for f in range(g) if f != key)
+        f_ref[key] = TAU * (a[key] - cross) / (BETA + TAU * b[key])
+    np.testing.assert_allclose(out, f_ref, atol=1e-12)
+
+
+def test_genre_stats_pass(spark):
+    """A/B/C stats from the distributed pass must equal a pandas
+    recomputation on the same small fixture."""
+    from recommender_systems_spark.ml.genre_als import genre_feature_stats
+
+    factors = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [0.5, -1.0]), (3, [3.0, 0.0])],
+        "id long, features array<double>",
+    )
+    genres = spark.createDataFrame(
+        [(1, [0, 1], 2), (2, [1], 1), (3, [0, 2], 2)],
+        "item long, genre_values array<int>, genre_count int",
+    )
+    a, b, c = genre_feature_stats(factors, genres, 3, 2)
+    s2 = np.sqrt(2.0)
+    np.testing.assert_allclose(
+        a[0], np.array([1.0, 2.0]) / s2 + np.array([3.0, 0.0]) / s2, atol=1e-12
+    )
+    np.testing.assert_allclose(b, [0.5 + 0.5, 0.5 + 1.0, 0.5], atol=1e-12)
+    # C[0,2]: items in genre 0 that also carry genre 2 -> item 3, 1/c=0.5
+    assert c[0, 2] == 0.5 and c[2, 0] == 0.5
+    assert c[1, 1] == 1.5  # item1 (0.5) + item2 (1.0)
+
+
+def test_genre_als_descends(spark):
+    from recommender_systems_spark.ml.genre_als import train_als_genre
+
+    r = (
+        spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        .select(
+            F.col("l_suppkey").alias("u"),
+            F.col("l_partkey").alias("i"),
+            F.col("l_quantity").cast("double").alias("r"),
+        )
+    )
+    part = spark.read.parquet(f"{SF_SMALL}/part.parquet")
+    from recommender_systems_spark.queries.genre import GENRE_IDS
+
+    names = F.split(F.col("p_name"), " ")
+    mapping = F.create_map(
+        *[x for w, i in GENRE_IDS.items() for x in (F.lit(w), F.lit(i))]
+    )
+    genres = part.select(
+        F.col("p_partkey").alias("item"),
+        F.transform(names, lambda x: F.element_at(mapping, x)).alias("genre_values"),
+        F.size(names).alias("genre_count"),
+    )
+    model, f_state = train_als_genre(
+        r, genres, "u", "i", "r", n_genres=16, rank=4, max_iter=2, seed=11
+    )
+    assert model.rmse_history[0] > model.rmse_history[-1]
+    assert np.isfinite(f_state).all() and np.abs(f_state).sum() > 0

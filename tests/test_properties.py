@@ -1,0 +1,129 @@
+"""Property-based tests (hypothesis) for the scale-critical operators:
+each two-phase/distributed implementation must agree with its naive
+single-partition twin on arbitrary inputs, and sampling invariants must
+hold for any seed. Example counts are kept small — every example is a
+Spark job."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+_settings = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    ids=st.lists(
+        st.integers(min_value=-(10**9), max_value=10**9), min_size=1, max_size=80
+    )
+)
+@_settings
+def test_dense_id_map_matches_global_window(spark, ids):
+    """two_phase densification == rank-by-window on any id multiset."""
+    from recommender_systems_spark.operators.densify import dense_id_map
+
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    two = {
+        (r["id"], r["ord"])
+        for r in dense_id_map(df, "id", "ord", strategy="two_phase").collect()
+    }
+    win = {
+        (r["id"], r["ord"])
+        for r in dense_id_map(df, "id", "ord", strategy="window").collect()
+    }
+    assert two == win
+
+
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),  # value (ties likely)
+            st.integers(min_value=1, max_value=5),  # count
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@_settings
+def test_two_phase_midrank_matches_window(spark, vals):
+    """Distributed midranks == the naive unpartitioned-window form."""
+    from recommender_systems_spark.operators.relational import two_phase_midrank
+
+    # Collapse duplicate values (the operator contract: one row/value).
+    agg: dict[int, int] = {}
+    for v, c in vals:
+        agg[v] = agg.get(v, 0) + c
+    df = spark.createDataFrame(list(agg.items()), "value long, cnt long")
+    two = {
+        (r["value"], r["midrank"])
+        for r in two_phase_midrank(df, "value", "cnt").collect()
+    }
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    naive = {
+        (r["value"], r["midrank"])
+        for r in df.withColumn(
+            "midrank",
+            F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("double")
+            + (F.col("cnt").cast("double") + 1) / 2,
+        ).collect()
+    }
+    assert two == naive
+
+
+@given(
+    n=st.integers(min_value=1, max_value=30),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@_settings
+def test_weighted_sample_invariants(spark, n, seed):
+    """M8: sample size = min(n, |rows|), all rows distinct, weights>0."""
+    from recommender_systems_spark.operators.relational import weighted_sample
+
+    df = spark.range(20).select(
+        F.col("id"), (F.col("id") + 1).cast("double").alias("w")
+    )
+    out = weighted_sample(df, "w", n=n, seed=seed).collect()
+    ids = [r["id"] for r in out]
+    assert len(ids) == min(n, 20)
+    assert len(set(ids)) == len(ids)
+
+
+@given(s=st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=60))
+@_settings
+def test_rolling_fingerprint_range_and_determinism(spark, s):
+    """Fingerprint ∈ [0, 2³¹−1) and equal strings hash equally."""
+    from recommender_systems_spark.functions.text import (
+        FINGERPRINT_MOD,
+        rolling_fingerprint,
+    )
+
+    df = spark.createDataFrame([(s,), (s,)], "t string")
+    vals = [r["f"] for r in df.select(rolling_fingerprint("t").alias("f")).collect()]
+    assert vals[0] == vals[1]
+    assert 0 <= vals[0] < FINGERPRINT_MOD
+
+
+@given(
+    xs=st.lists(
+        st.integers(min_value=0, max_value=10**6), min_size=1, max_size=30
+    )
+)
+@_settings
+def test_minhash_signature_identity_and_range(spark, xs):
+    """Identical hash multisets ⇒ identical signatures; slots < p."""
+    from recommender_systems_spark.dedup.constants import MINHASH_PRIME
+    from recommender_systems_spark.dedup.minhash import minhash_signature
+
+    df = spark.createDataFrame([(xs,), (list(xs),)], "hs array<long>")
+    sigs = [
+        r["sig"] for r in df.select(minhash_signature(F.col("hs")).alias("sig")).collect()
+    ]
+    assert sigs[0] == sigs[1]
+    assert len(sigs[0]) == 16
+    assert all(0 <= v < MINHASH_PRIME for v in sigs[0])

@@ -286,7 +286,10 @@ def e_precision_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape at scale: the scored set is a broadcast (queries) × catalog
     join → per-query top-k window on the query id — the canonical
-    recommendForUserSubset plan."""
+    recommendForUserSubset plan. Right for tens of query vectors; for
+    many-query / all-pairs workloads the engine's scale path is the
+    LSH-bucketed ``queries.similarity.sim_ann_topk`` (same output
+    shape, candidates from the hyperplane bucket equi-join)."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"),

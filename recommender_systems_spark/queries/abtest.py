@@ -137,6 +137,13 @@ def e_shapiro_francia(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "value",
     )
+    return shapiro_francia_from(ev)
+
+
+def shapiro_francia_from(g: DataFrame) -> DataFrame:
+    """E4 over a pre-grouped (grp, value) frame — shared with
+    e_ab_report so the harness scans events once."""
+    ev = g.select("grp", "value")
     w = Window.partitionBy("grp").orderBy("value")
     wn = Window.partitionBy("grp")
     r = ev.select(
@@ -181,31 +188,33 @@ def e_ab_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         t_test_pvalues,
     )
     from recommender_systems_spark.queries.stats import (
-        e_levene_bf,
-        e_rank_sum,
-        e_t_test_stats,
+        levene_bf_from,
+        rank_sum_from,
+        t_test_stats_from,
     )
 
-    # P8 row-count guard (reference ab_test.py:240-246: the experiment
-    # must contain exactly two arms before any statistic is computed).
-    grp_counts = (
+    # ONE scan: the grouped (grp, value) frame is checkpointed and every
+    # statistic reads the materialised copy.
+    g = (
         _t(spark, sf_dir, "events")
         .select(
             F.when(F.col("user_id") % 2 == 0, F.lit("A"))
             .otherwise(F.lit("B"))
-            .alias("grp")
+            .alias("grp"),
+            "value",
         )
-        .groupBy("grp")
-        .count()
-        .collect()
+        .localCheckpoint()
     )
+    # P8 row-count guard (reference ab_test.py:240-246: the experiment
+    # must contain exactly two arms before any statistic is computed).
+    grp_counts = g.select("grp").distinct().collect()
     if len(grp_counts) != 2:
         raise ValueError(f"expected exactly 2 experiment arms, got {len(grp_counts)}")
 
-    lev = e_levene_bf(spark, sf_dir).collect()[0]
-    t_row = e_t_test_stats(spark, sf_dir).collect()[0]
-    rs = e_rank_sum(spark, sf_dir).collect()[0]
-    sf_rows = e_shapiro_francia(spark, sf_dir).collect()
+    lev = levene_bf_from(g).collect()[0]
+    t_row = t_test_stats_from(g).collect()[0]
+    rs = rank_sum_from(g).collect()[0]
+    sf_rows = shapiro_francia_from(g).collect()
 
     lev_p = levene_pvalue(lev["w_stat"], int(lev["k"]), int(lev["n"]))
     df_w = float(t_row["df_welch"])

@@ -69,7 +69,12 @@ def e_t_test_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5: Welch two-sample t statistic + degrees of freedom from group
     aggregates only (reference: scipy.stats.ttest_ind, ab_test.py:304-347).
     One distributed aggregation pass; no data leaves the cluster."""
-    g = _events_grouped(spark, sf_dir)
+    return t_test_stats_from(_events_grouped(spark, sf_dir))
+
+
+def t_test_stats_from(g: DataFrame) -> DataFrame:
+    """E5 over a pre-grouped (grp, value) frame — shared with
+    e_ab_report so the harness scans events once."""
     agg = g.groupBy("grp").agg(
         F.avg("value").alias("m"),
         F.var_samp("value").alias("v"),
@@ -126,6 +131,11 @@ def e_t_test_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def e_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 wrapper over the sf tables; see rank_sum_from."""
+    return rank_sum_from(_events_grouped(spark, sf_dir))
+
+
+def rank_sum_from(g: DataFrame) -> DataFrame:
     """E6: Wilcoxon rank-sum z statistic, fully distributed (reference:
     scipy.stats.ranksums, ab_test.py:348-391; like scipy's ranksums this
     uses the normal approximation without tie correction, but midranks
@@ -137,7 +147,6 @@ def e_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     midrank(v) = #rows<v + (count(v)+1)/2. No single-partition window
     anywhere: continuous value domains (billions of distinct values)
     flow through ordinary range partitions."""
-    g = _events_grouped(spark, sf_dir)
     per_value = g.groupBy("value").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.when(F.col("grp") == "A", 1).otherwise(0)).alias("na_v"),
@@ -193,11 +202,15 @@ def e_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def e_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 wrapper over the sf tables; see levene_bf_from."""
+    return levene_bf_from(_events_grouped(spark, sf_dir))
+
+
+def levene_bf_from(g: DataFrame) -> DataFrame:
     """E3: Levene variance-equality test, Brown-Forsythe form (median
     centering — scipy.stats.levene(center='median'); reference
     ab_test.py:271-285). Two aggregation passes over the groups; the
     W statistic is exact, the p-value (F distribution) is driver-side."""
-    g = _events_grouped(spark, sf_dir)
     med = g.groupBy("grp").agg(F.median("value").alias("med"))
     z = g.join(F.broadcast(med), "grp").select(
         "grp", F.abs(F.col("value") - F.col("med")).alias("zij")

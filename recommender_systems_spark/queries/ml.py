@@ -212,7 +212,7 @@ def _bias_sweeps(spark: SparkSession, sf_dir: str):
     "m_bias_only",
     f"""
     WITH {_BIAS_CTE}
-    SELECT iid AS item_id, round(bv, 6) AS bias FROM bv
+    SELECT iid AS item_id, round(bv, 5) AS bias FROM bv
     """,
 )
 def m_bias_only(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -222,7 +222,7 @@ def m_bias_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation; the user-bias side broadcasts back for the item sweep."""
     _, _, bv = _bias_sweeps(spark, sf_dir)
     return bv.select(
-        F.col("iid").alias("item_id"), F.round("bv", 6).alias("bias")
+        F.col("iid").alias("item_id"), F.round("bv", 5).alias("bias")
     )
 
 

@@ -74,19 +74,21 @@ def sample_triplets(
     array) dimension for the genre-disjoint constraint
     (functions.py:84-131)."""
     pool = popularity_pool(positives, item_col, POOL_SIZE, seed)
-    pool_col = F.array(*[F.lit(int(x)) for x in pool])
+    spark = positives.sparkSession
+    pool_df = F.broadcast(
+        spark.createDataFrame(
+            [(idx, int(item)) for idx, item in enumerate(pool)],
+            "__pi int, j long",
+        )
+    )
     cand = (
         positives.select(
             F.col(user_col).alias("u"), F.col(item_col).alias("i")
         )
         .withColumn("__att", F.explode(F.sequence(F.lit(1), F.lit(attempts))))
-        .withColumn(
-            "j",
-            F.element_at(
-                pool_col,
-                (F.floor(F.rand(seed) * POOL_SIZE) + 1).cast("int"),
-            ).cast("long"),
-        )
+        .withColumn("__pi", F.floor(F.rand(seed) * POOL_SIZE).cast("int"))
+        .join(pool_df, "__pi")
+        .drop("__pi")
     )
     # Reject candidates the user already interacted with (F4 anti-join).
     watched = positives.select(
@@ -120,32 +122,48 @@ def _sgd_partition(
     """The reference's per-triplet gradient math
     (compute_gradients/sgd_update, functions.py:169-210), run over one
     user's triplets against the epoch-frozen V copy. Emits the new user
-    vector plus this user's accumulated V-deltas."""
-    u_id = int(pdf["u"].iloc[0])
-    u_vec = np.asarray(pdf["uf"].iloc[0], dtype=np.float64).copy()
-    deltas: dict[int, np.ndarray] = {}
+    vector plus this user's accumulated V-deltas.
 
-    def v_of(item: int) -> np.ndarray:
+    Hot loop is pure-Python float lists: at rank ≤ 16 the per-call
+    overhead of NumPy ops on (k,) arrays (~12 tiny allocs per triplet)
+    costs more than the arithmetic — plain lists are ~4× faster here."""
+    import math
+
+    u_id = int(pdf["u"].iloc[0])
+    u_vec = [float(x) for x in pdf["uf"].iloc[0]]
+    zeros = [0.0] * k
+    deltas: dict[int, list[float]] = {}
+    rng = range(k)
+
+    def v_of(item: int) -> list[float]:
         base = v_map.get(item)
-        if base is None:
-            return np.zeros(k)
-        return base + deltas.get(item, 0.0)
+        b = [0.0] * k if base is None else [float(x) for x in base]
+        d = deltas.get(item)
+        if d is not None:
+            for t in rng:
+                b[t] += d[t]
+        return b
 
     for i, j in zip(pdf["i"].to_numpy(), pdf["j"].to_numpy()):
         i, j = int(i), int(j)
         v_i, v_j = v_of(i), v_of(j)
-        x_uij = float(u_vec @ (v_i - v_j))
-        coef = np.exp(-x_uij) / (1.0 + np.exp(-x_uij))
-        u_grad = coef * (v_i - v_j)
-        i_grad = coef * u_vec
-        j_grad = -i_grad
-        u_vec += lr * (u_grad + reg * u_vec)
-        deltas[i] = deltas.get(i, np.zeros(k)) + lr * (i_grad + reg * v_i)
-        deltas[j] = deltas.get(j, np.zeros(k)) + lr * (j_grad + reg * v_j)
+        x_uij = sum(u_vec[t] * (v_i[t] - v_j[t]) for t in rng)
+        e = math.exp(-x_uij)
+        coef = e / (1.0 + e)
+        di = deltas.setdefault(i, list(zeros))
+        dj = deltas.setdefault(j, list(zeros))
+        for t in rng:
+            u_t = u_vec[t]
+            di[t] += lr * (coef * u_t + reg * v_i[t])
+            dj[t] += lr * (-coef * u_t + reg * v_j[t])
+            u_vec[t] = u_t + lr * (coef * (v_i[t] - v_j[t]) + reg * u_t)
 
-    rows = [{"kind": "u", "id": u_id, "features": u_vec.tolist()}]
+    # Wide output (one double column per latent dim): the delta
+    # reduction downstream becomes a plain k-column grouped sum —
+    # no posexplode, no struct sort.
+    rows = [{"kind": "u", "id": u_id, **{f"d{t}": u_vec[t] for t in rng}}]
     rows += [
-        {"kind": "dv", "id": item, "features": d.tolist()}
+        {"kind": "dv", "id": item, **{f"d{t}": d[t] for t in rng}}
         for item, d in deltas.items()
     ]
     return pd.DataFrame(rows)
@@ -207,31 +225,27 @@ def train_bpr(
         def sgd(pdf: pd.DataFrame) -> pd.DataFrame:
             return _sgd_partition(pdf, bc.value, rank, lr, reg)
 
+        dims = [f"d{t}" for t in range(rank)]
+        schema = "kind string, id long, " + ", ".join(f"{d} double" for d in dims)
         out = (
             triplets.join(
                 u_f.select(F.col("id").alias("u"), F.col("features").alias("uf")),
                 "u",
             )
             .groupBy("u")
-            .applyInPandas(sgd, "kind string, id long, features array<double>")
+            .applyInPandas(sgd, schema)
             .localCheckpoint()
         )
-        u_f = out.filter(F.col("kind") == "u").select("id", "features")
-        # Per-epoch sync: sum V-deltas element-wise across partitions.
+        u_f = out.filter(F.col("kind") == "u").select(
+            "id", F.array(*dims).alias("features")
+        )
+        # Per-epoch sync: k-column grouped sum of the V-deltas, then
+        # repack into the array shape.
         dv = (
             out.filter(F.col("kind") == "dv")
-            .select("id", F.posexplode("features").alias("pos", "d"))
-            .groupBy("id", "pos")
-            .agg(F.sum("d").alias("d"))
             .groupBy("id")
-            .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("pos"), F.col("d")))
-                    ),
-                    lambda s: s["d"],
-                ).alias("delta")
-            )
+            .agg(*[F.sum(d).alias(d) for d in dims])
+            .select("id", F.array(*dims).alias("delta"))
         )
         v_f = (
             v_f.join(dv, v_f["id"] == dv["id"], "left")

@@ -1,0 +1,187 @@
+"""The remaining two near-dup flavours as first-class queries:
+char-n-gram Jaccard (exact verify over LSH candidates) and
+embedding-cosine near-dup (bucketed pair search).
+
+Together with ``dedup_exact`` (dual fingerprint), ``dedup_minhash``
+(word-shingle MinHash-LSH) and ``dedup_simhash`` (bit-sketch
+pigeonhole), this completes the dedup family: every flavour is its own
+``queries()`` entry with a full value-hash oracle, and none of them
+contains a cross join — candidates always come from an equi-join on a
+sketch key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recommender_systems_spark.dedup.minhash import (
+    LSH_BANDS,
+    band_key,
+    minhash_signature,
+    shingle_hashes,
+    sql_band_key,
+    sql_char_ngrams,
+    sql_minhash_signature,
+    sql_shingle_hashes,
+    sql_shingles,
+    sql_tokens,
+)
+from recommender_systems_spark.functions.text import char_ngrams
+from recommender_systems_spark.functions.vector import dot_product
+from recommender_systems_spark.registry import _t, register
+from recommender_systems_spark.similarity.ann import (
+    hyperplane_bucket,
+    sql_hyperplane_bucket,
+)
+
+NGRAM_N = 5
+COSINE_THRESHOLD = 0.35
+
+_BANDS_SQL = " UNION ALL ".join(
+    f"(SELECT doc_id, {b} AS band, {sql_band_key('sig', b)} AS key FROM sig)"
+    for b in range(LSH_BANDS)
+)
+
+_NGRAM_SQL = f"""
+    WITH sh AS (
+        SELECT doc_id, {sql_shingles(sql_tokens('text'))} AS shingles,
+               list_distinct({sql_char_ngrams('text', NGRAM_N)}) AS grams
+        FROM documents
+    ),
+    hs AS (SELECT doc_id, grams, {sql_shingle_hashes('shingles')} AS hs FROM sh),
+    sig AS (SELECT doc_id, grams, {sql_minhash_signature('hs')} AS sig FROM hs),
+    bands AS ({_BANDS_SQL}),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.key = b.key
+                    AND a.doc_id < b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           round(CAST(len(list_distinct(list_intersect(ga.grams, gb.grams)))
+                      AS DOUBLE)
+                 / (len(ga.grams) + len(gb.grams)
+                    - len(list_distinct(list_intersect(ga.grams, gb.grams)))),
+                 5) AS ngram_jaccard
+    FROM pairs p
+    JOIN sig ga ON ga.doc_id = p.doc_a
+    JOIN sig gb ON gb.doc_id = p.doc_b
+"""
+
+
+@register("dedup_ngram_jaccard", _NGRAM_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup flavour: exact char-{NGRAM_N}-gram Jaccard, verified on
+    MinHash-LSH candidates only — the standard two-stage funnel
+    (sketch candidates → exact measure). Character grams catch
+    near-dups that word shingles miss (whitespace/punctuation edits);
+    the candidate set is the band equi-join, so the exact O(|gramsets|)
+    comparison runs on ~25 pairs, not 125k."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(char_ngrams(F.col("text"), NGRAM_N)).alias("grams"),
+        minhash_signature(shingle_hashes(F.col("text"))).alias("sig"),
+    ).localCheckpoint()
+    bands = sh.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[band_key(F.col("sig"), b) for b in range(LSH_BANDS)])
+        ).alias("band", "key"),
+    )
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ver = pairs.join(
+        sh.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga")),
+        "doc_a",
+    ).join(
+        sh.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb")),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    return ver.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            inter / (F.size("ga") + F.size("gb") - inter), 5
+        ).alias("ngram_jaccard"),
+    )
+
+
+_EMB_COS_SQL = f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               {sql_hyperplane_bucket('CAST(embedding AS DOUBLE[])')} AS bucket
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 5) AS cos_sim
+    FROM e a
+    JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) >= {COSINE_THRESHOLD}
+"""
+
+
+@register("dedup_embedding_cosine", _EMB_COS_SQL)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup flavour: embedding-cosine — semantically-near pairs
+    (cos ≥ {COSINE_THRESHOLD}) found WITHOUT an all-pairs product:
+    candidates share a hyperplane sign bucket (similarity.ann), exact
+    cosine filters within the bucket. Cosine-close vectors agree on
+    hyperplane signs with high probability, so recall concentrates
+    exactly where near-dup detection needs it; multi-table union raises
+    it further at the same plan shape."""
+    from recommender_systems_spark.functions.vector import l2_norm
+
+    # Normalise ONCE per vector (N times) so the per-PAIR work is a
+    # single dot product instead of dot + two norms — the pair set is
+    # O(N²/buckets), three interpreted folds there dominate everything.
+    # Checkpoint also spreads the single-split local scan.
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v0"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "vec_id",
+            F.transform("v0", lambda x: x / l2_norm("v0")).alias("v"),
+            hyperplane_bucket("v0").alias("bucket"),
+        )
+        .localCheckpoint()
+    )
+    pairs = (
+        e.alias("a")
+        .join(
+            e.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            dot_product(F.col("a.v"), F.col("b.v")).alias("cos_raw"),
+        )
+    )
+    return (
+        pairs.filter(F.col("cos_raw") >= COSINE_THRESHOLD)
+        .select(
+            "vec_a", "vec_b", F.round("cos_raw", 5).alias("cos_sim")
+        )
+    )

@@ -58,3 +58,4 @@ from recommender_systems_spark.queries import io_roundtrip as _io_rt  # noqa: E4
 from recommender_systems_spark.queries import abtest as _abtest  # noqa: E402,F401
 from recommender_systems_spark.queries import multimodal as _mm  # noqa: E402,F401
 from recommender_systems_spark.queries import scale as _scale  # noqa: E402,F401
+from recommender_systems_spark.queries import neardup as _neardup  # noqa: E402,F401

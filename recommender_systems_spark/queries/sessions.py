@@ -1,0 +1,151 @@
+"""Event-time session operators: gap-based sessionization and the
+as-of join — the two timeseries primitives a training-data pipeline
+needs over an events stream (batch forms fully SQL-expressible →
+oracle-checked; the streaming sessionizer in ``streaming.sessions``
+shares the same semantics via ``applyInPandasWithState``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from recommender_systems_spark.registry import _t, register
+
+SESSION_GAP_MIN = 30
+
+_SESSION_SQL = f"""
+    WITH ordered AS (
+        SELECT user_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_ts
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN prev_ts IS NULL
+                         OR date_diff('microsecond', prev_ts, ts)
+                            > {SESSION_GAP_MIN} * 60000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ordered
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_no
+        FROM marked
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           min(ts) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM sess
+    GROUP BY user_id, session_no
+"""
+
+
+@register("s_sessionize", _SESSION_SQL)
+def s_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization ({SESSION_GAP_MIN}-minute inactivity
+    timeout): lag → new-session flag → running sum = session number →
+    per-session aggregate. Both windows partition by user, so the whole
+    plan is ONE shuffle on user_id and scales with the user count, not
+    the event count per partition. The streaming twin
+    (streaming.sessions.sessionize_stream) holds the same gap logic in
+    applyInPandasWithState with an event-time timeout."""
+    ev = _t(spark, sf_dir, "events")
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # Exact integer microsecond gap on both engines (double epoch
+    # seconds lose sub-µs precision at 2026-era epochs). The NTZ→TZ
+    # cast is safe for differences (session tz is UTC).
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("prev_ts").cast("timestamp")
+    )
+    marked = ev.withColumn("prev_ts", F.lag("ts").over(w_lag)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull() | (gap_us > SESSION_GAP_MIN * 60_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn("session_no", F.sum("new_session").over(w_run))
+    return sess.groupBy("user_id", F.col("session_no").cast("long").alias("session_no")).agg(
+        F.min("ts").alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+_ASOF_SQL = """
+    WITH purchases AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+        SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+    ),
+    matched AS (
+        SELECT p.event_id, p.user_id, p.value,
+               max(c.click_ts) AS last_click_ts
+        FROM purchases p LEFT JOIN clicks c
+          ON c.user_id = p.user_id AND c.click_ts <= p.ts
+        GROUP BY p.event_id, p.user_id, p.value, p.ts
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CASE WHEN last_click_ts IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_prior_click,
+           round(sum(value), 2) AS sum_value
+    FROM matched
+    GROUP BY user_id
+"""
+
+
+@register("j_asof_join", _ASOF_SQL)
+def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the latest click at-or-
+    before it by the same user. Spark has no ASOF keyword; the
+    scale-safe plan is the union-and-window form — interleave both
+    sides ordered by (user, ts), carry the last click time forward with
+    last_value(ignorenulls) — ONE shuffle on user_id, no range join,
+    no per-row subquery (the oracle uses the naive inequality-join
+    form; identical results, different physics)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value", F.lit(1).alias("is_p")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(None).cast("double").alias("value"),
+        F.lit(0).alias("is_p"),
+    )
+    both = purchases.unionByName(clicks)
+    # Order clicks before purchases at identical timestamps so an
+    # exactly-simultaneous click counts as "at-or-before" (ties: the
+    # oracle's c.click_ts <= p.ts includes equality).
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = both.withColumn(
+        "last_click_ts",
+        F.last(F.when(F.col("is_p") == 0, F.col("ts")), ignorenulls=True).over(w),
+    )
+    matched = carried.filter(F.col("is_p") == 1)
+    return matched.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.when(F.col("last_click_ts").isNotNull(), 1).otherwise(0)).alias(
+            "n_with_prior_click"
+        ),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

@@ -42,6 +42,12 @@ def register(name: str, sql: str | None = None):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Every query funnels through here: make sure executor workers can
+    # import this package even when the driver session was built
+    # elsewhere (the UDF stages reference module functions by path).
+    from recommender_systems_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)
     return load_table(spark, sf_dir, name)
 
 

@@ -46,6 +46,71 @@ _ANN_SQL = f"""
 """
 
 
+_RECALL_SQL = f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               {sql_hyperplane_bucket('CAST(embedding AS DOUBLE[])')} AS bucket
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv, bucket FROM e
+          WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.qid, e.vec_id, e.bucket = q.bucket AS same_bucket,
+               round(list_dot_product(e.v, q.qv)
+                     / (sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(q.qv, q.qv))), 5) AS cos_sim
+        FROM q JOIN e ON e.vec_id <> q.qid
+    ),
+    exact AS (
+        SELECT qid, vec_id, same_bucket,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos_sim DESC, vec_id) AS rnk
+        FROM scored
+    )
+    SELECT qid,
+           CAST(sum(CASE WHEN same_bucket THEN 1 ELSE 0 END) AS BIGINT)
+               AS ann_hits,
+           sum(CASE WHEN same_bucket THEN 1 ELSE 0 END) / {TOP_K}.0
+               AS recall_at_{TOP_K}
+    FROM exact WHERE rnk <= {TOP_K}
+    GROUP BY qid
+"""
+
+
+@register("sim_ann_recall", _RECALL_SQL)
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality metric: what fraction of each query's EXACT top-5
+    lives in the query's hyperplane bucket (i.e. the recall the
+    bucketed path achieves). Computed as one plan: exact brute-force
+    ranking with a same-bucket flag, then per-query hit counting —
+    the engine measures its own approximation instead of asserting it.
+    Raising recall = fewer planes or multi-table union; this query is
+    the feedback loop for that knob."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("bucket", hyperplane_bucket("v"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        "vec_id",
+        (F.col("bucket") == F.col("qbucket")).alias("same_bucket"),
+        F.round(cosine_similarity("v", "qv"), 5).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    exact = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= TOP_K
+    )
+    hits = F.sum(F.when(F.col("same_bucket"), 1).otherwise(0))
+    return exact.groupBy("qid").agg(
+        hits.cast("long").alias("ann_hits"),
+        (hits / float(TOP_K)).alias(f"recall_at_{TOP_K}"),
+    )
+
+
 @register("sim_ann_topk", _ANN_SQL)
 def sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN extension: hyperplane-LSH bucketed cosine top-k. One

@@ -1,0 +1,50 @@
+"""Coverage for API surfaces not exercised by the registry queries:
+the built-in expression form of SimHash (the pandas UDF is the fast
+path; both must agree bit-for-bit) and the MovieLens-shaped CSV
+sources (S1/S3) with declared schemas."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_simhash_expression_matches_pandas_udf(spark):
+    from recommender_systems_spark.dedup.minhash import simhash, simhash_pandas
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    both = docs.select(
+        "doc_id",
+        simhash(F.col("text")).alias("expr_form"),
+        simhash_pandas(F.col("text")).alias("udf_form"),
+    ).collect()
+    assert len(both) == 20
+    for r in both:
+        assert r["expr_form"] == r["udf_form"], r["doc_id"]
+
+
+def test_ratings_and_movies_csv_sources(spark, tmp_path):
+    """S1/S3: declared-schema CSV ingestion of the reference's table
+    shapes — quoting in titles, no type inference."""
+    from recommender_systems_spark.io import read_movies_csv, read_ratings_csv
+
+    ratings = tmp_path / "ratings.csv"
+    ratings.write_text(
+        "userId,movieId,rating,timestamp\n1,10,4.5,111\n2,20,3.0,222\n"
+    )
+    r = read_ratings_csv(spark, str(ratings))
+    assert [f.dataType.simpleString() for f in r.schema.fields] == [
+        "bigint", "bigint", "double", "bigint",
+    ]
+    assert r.count() == 2 and r.agg(F.sum("rating")).collect()[0][0] == 7.5
+
+    movies = tmp_path / "movies.csv"
+    movies.write_text(
+        'movieId,title,genres\n10,"Comma, The (2001)",Comedy|Drama\n'
+        "20,Plain Title,Action\n"
+    )
+    m = read_movies_csv(spark, str(movies))
+    rows = {row["movieId"]: row["title"] for row in m.collect()}
+    assert rows[10] == "Comma, The (2001)"  # quoted comma survives
+    assert os.path.exists(str(movies))

@@ -393,6 +393,61 @@ def a_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def a_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets extension, cube form (with a_rollup: the full
+    grouping-sets surface the reference lacks, free via Spark SQL —
+    SURVEY §2.4 note). One expand + one hash aggregation."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@register(
+    "w_lag_lead",
+    """
+    SELECT user_id, event_id,
+           CAST(date_diff('microsecond',
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                ts) AS BIGINT) AS us_since_prev,
+           round(value - lag(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id), 4) AS value_delta,
+           CAST(ntile(4) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS quartile
+    FROM events WHERE user_id < 40
+    """,
+)
+def w_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window extension (lag/delta/ntile — none exist in the
+    reference, SURVEY §2.5 note; standard event-stream feature
+    engineering). One shuffle on user_id; total ordering via
+    (ts, event_id) so both engines assign identical neighbours."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(prev_ts.cast("timestamp"))
+        ).alias("us_since_prev"),
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("value_delta"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
     "s_window_agg",
     """
     SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -203,7 +203,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pigeonhole band trick: Hamming(a,b) ≤ 3 guarantees at least one of
     the four 8-bit bands is equal, so candidates come from a band
     equi-join (never a cross join) and only candidates pay the
-    bit_count verify. Emits pairs with Hamming ≤ {SIMHASH_MAX_HAMMING}."""
+    bit_count verify. Emits pairs with Hamming ≤ 1."""
     docs = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")

@@ -72,7 +72,7 @@ _NGRAM_SQL = f"""
 
 @register("dedup_ngram_jaccard", _NGRAM_SQL)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup flavour: exact char-{NGRAM_N}-gram Jaccard, verified on
+    """Near-dup flavour: exact char-5-gram Jaccard, verified on
     MinHash-LSH candidates only — the standard two-stage funnel
     (sketch candidates → exact measure). Character grams catch
     near-dups that word shingles miss (whitespace/punctuation edits);
@@ -143,7 +143,7 @@ _EMB_COS_SQL = f"""
 @register("dedup_embedding_cosine", _EMB_COS_SQL)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup flavour: embedding-cosine — semantically-near pairs
-    (cos ≥ {COSINE_THRESHOLD}) found WITHOUT an all-pairs product:
+    (cos ≥ 0.35) found WITHOUT an all-pairs product:
     candidates share a hyperplane sign bucket (similarity.ann), exact
     cosine filters within the bucket. Cosine-close vectors agree on
     hyperplane signs with high probability, so recall concentrates

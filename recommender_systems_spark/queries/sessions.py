@@ -48,7 +48,7 @@ _SESSION_SQL = f"""
 
 @register("s_sessionize", _SESSION_SQL)
 def s_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization ({SESSION_GAP_MIN}-minute inactivity
+    """Gap-based sessionization (30-minute inactivity
     timeout): lag → new-session flag → running sum = session number →
     per-session aggregate. Both windows partition by user, so the whole
     plan is ONE shuffle on user_id and scales with the user count, not

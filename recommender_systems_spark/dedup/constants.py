@@ -34,11 +34,20 @@ def _minhash_coeffs(k: int) -> list[tuple[int, int]]:
 MINHASH_COEFFS: list[tuple[int, int]] = _minhash_coeffs(LSH_BANDS * LSH_ROWS)
 
 
-def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+def hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
     """Pseudo-random ±1 hyperplanes for cosine LSH (sign sketches).
     Rademacher entries are as effective as Gaussians for random
-    projection and stay exactly representable in every engine."""
-    g = lcg_stream(7)
+    projection and stay exactly representable in every engine.
+
+    Bit choice matters: a power-of-two-modulus LCG's LOW bit alternates
+    with period 2 (odd multiplier, odd increment), which would make every
+    plane the same alternating ±1 vector and collapse the sketch to two
+    buckets. Bit 16 has period 2^17 — effectively independent signs.
+
+    ``seed`` selects an independent plane set — multi-table LSH unions
+    several sets to trade candidate volume for recall."""
+    g = lcg_stream(seed)
     return [
-        [1.0 if next(g) & 1 else -1.0 for _ in range(dim)] for _ in range(n_planes)
+        [1.0 if (next(g) >> 16) & 1 else -1.0 for _ in range(dim)]
+        for _ in range(n_planes)
     ]

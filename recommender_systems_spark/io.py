@@ -76,12 +76,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     distributed scan path.
     """
     path = f"{sf_dir}/{name}.parquet"
-    try:
-        return spark.read.parquet(path)
-    except Exception as exc:  # AnalysisException: PARQUET_TYPE_ILLEGAL
-        if "PARQUET" not in str(exc).upper():
-            raise
-        return spark.read.parquet(_microsecond_copy(path))
+    if _needs_microsecond_copy(path):
+        path = _microsecond_copy(path)
+    return spark.read.parquet(path)
+
+
+def _needs_microsecond_copy(path: str) -> bool:
+    """Driver-side footer sniff: does this file carry a timestamp[ns]
+    column Spark's reader would reject? Costs one local footer read (no
+    Spark job) instead of letting ``spark.read`` launch a schema-inference
+    job that fails and falls back."""
+    if path in _NANOS_CACHE:
+        return _NANOS_CACHE[path]
+    needs = False
+    if os.path.isfile(path):
+        try:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            schema = pq.read_schema(path)
+            needs = any(
+                pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+                for f in schema
+            )
+        except Exception:
+            needs = False
+    _NANOS_CACHE[path] = needs
+    return needs
+
+
+_NANOS_CACHE: dict[str, bool] = {}
 
 
 def _microsecond_copy(path: str) -> str:

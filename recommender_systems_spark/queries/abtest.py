@@ -205,16 +205,25 @@ def e_ab_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    # P8 row-count guard (reference ab_test.py:240-246: the experiment
-    # must contain exactly two arms before any statistic is computed).
-    grp_counts = g.select("grp").distinct().collect()
-    if len(grp_counts) != 2:
-        raise ValueError(f"expected exactly 2 experiment arms, got {len(grp_counts)}")
+    # The four statistics are independent jobs over the same checkpointed
+    # frame — submit them concurrently (Spark's scheduler interleaves
+    # them across the executor pool; wall-clock = slowest job, not sum).
+    from concurrent.futures import ThreadPoolExecutor
 
-    lev = levene_bf_from(g).collect()[0]
-    t_row = t_test_stats_from(g).collect()[0]
-    rs = rank_sum_from(g).collect()[0]
-    sf_rows = shapiro_francia_from(g).collect()
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_lev = pool.submit(lambda: levene_bf_from(g).collect()[0])
+        f_t = pool.submit(lambda: t_test_stats_from(g).collect()[0])
+        f_rs = pool.submit(lambda: rank_sum_from(g).collect()[0])
+        f_sf = pool.submit(lambda: shapiro_francia_from(g).collect())
+        lev, t_row, rs, sf_rows = (
+            f_lev.result(), f_t.result(), f_rs.result(), f_sf.result()
+        )
+
+    # P8 row-count guard (reference ab_test.py:240-246: the experiment
+    # must contain exactly two arms before any statistic is reported).
+    # Levene's k IS the arm count — no dedicated distinct job needed.
+    if int(lev["k"]) != 2:
+        raise ValueError(f"expected exactly 2 experiment arms, got {int(lev['k'])}")
 
     lev_p = levene_pvalue(lev["w_stat"], int(lev["k"]), int(lev["n"]))
     df_w = float(t_row["df_welch"])

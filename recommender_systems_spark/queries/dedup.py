@@ -209,7 +209,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    sh = docs.select("doc_id", simhash_pandas(F.col("text")).alias("sim"))
+    # Both sides of the band self-join read `sh`; checkpoint so the
+    # Arrow simhash kernel runs once per doc, not once per join side.
+    sh = docs.select(
+        "doc_id", simhash_pandas(F.col("text")).alias("sim")
+    ).localCheckpoint()
     bands = sh.select(
         "doc_id",
         "sim",

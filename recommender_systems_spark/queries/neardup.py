@@ -31,8 +31,8 @@ from recommender_systems_spark.functions.text import char_ngrams
 from recommender_systems_spark.functions.vector import dot_product
 from recommender_systems_spark.registry import _t, register
 from recommender_systems_spark.similarity.ann import (
-    hyperplane_bucket,
-    sql_hyperplane_bucket,
+    bucket_keys,
+    sql_bucket_keys,
 )
 
 NGRAM_N = 5
@@ -125,15 +125,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EMB_COS_SQL = f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-               {sql_hyperplane_bucket('CAST(embedding AS DOUBLE[])')} AS bucket
+               {sql_bucket_keys('CAST(embedding AS DOUBLE[])')} AS keys
         FROM embeddings
+    ),
+    eb AS (SELECT vec_id, unnest(keys) AS key FROM e),
+    pairs AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM eb a JOIN eb b ON a.key = b.key AND a.vec_id < b.vec_id
     )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    SELECT p.vec_a, p.vec_b,
            round(list_dot_product(a.v, b.v)
                  / (sqrt(list_dot_product(a.v, a.v))
                     * sqrt(list_dot_product(b.v, b.v))), 5) AS cos_sim
-    FROM e a
-    JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    FROM pairs p
+    JOIN e a ON a.vec_id = p.vec_a
+    JOIN e b ON b.vec_id = p.vec_b
     WHERE list_dot_product(a.v, b.v)
           / (sqrt(list_dot_product(a.v, a.v))
              * sqrt(list_dot_product(b.v, b.v))) >= {COSINE_THRESHOLD}
@@ -143,45 +149,69 @@ _EMB_COS_SQL = f"""
 @register("dedup_embedding_cosine", _EMB_COS_SQL)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup flavour: embedding-cosine — semantically-near pairs
-    (cos ≥ 0.35) found WITHOUT an all-pairs product:
-    candidates share a hyperplane sign bucket (similarity.ann), exact
-    cosine filters within the bucket. Cosine-close vectors agree on
+    (cos ≥ 0.35) found WITHOUT an all-pairs product: candidates share
+    at least one multi-table hyperplane bucket (similarity.ann), exact
+    cosine filters the candidates. Cosine-close vectors agree on
     hyperplane signs with high probability, so recall concentrates
-    exactly where near-dup detection needs it; multi-table union raises
-    it further at the same plan shape."""
+    exactly where near-dup detection needs it; N_TABLES unions raise it
+    at the same plan shape.
+
+    Scale shape: the key explode carries (int, long) rows only; pairs
+    are deduped across tables BEFORE the vectors join back, so each
+    candidate pair pays exactly one dot product + one divide. Norms are
+    computed ONCE per vector (not per pair) — ‖a‖ is the same double
+    either way, so cos = dot/(‖a‖·‖b‖) stays bit-identical to the
+    oracle's per-pair sqrt form. The join-backs broadcast here (the
+    sketch table is dimension-sized at sf0.1); at 100 TB they become
+    ordinary shuffle joins on vec_id with the same plan shape."""
     from recommender_systems_spark.functions.vector import l2_norm
 
-    # Normalise ONCE per vector (N times) so the per-PAIR work is a
-    # single dot product instead of dot + two norms — the pair set is
-    # O(N²/buckets), three interpreted folds there dominate everything.
-    # Checkpoint also spreads the single-split local scan.
     e = (
         _t(spark, sf_dir, "embeddings")
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("v0"))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .repartition(spark.sparkContext.defaultParallelism)
-        .select(
-            "vec_id",
-            F.transform("v0", lambda x: x / l2_norm("v0")).alias("v"),
-            hyperplane_bucket("v0").alias("bucket"),
-        )
+        .select("vec_id", "v", l2_norm("v").alias("nrm"), bucket_keys("v").alias("keys"))
         .localCheckpoint()
     )
+    eb = e.select("vec_id", F.explode("keys").alias("key"))
     pairs = (
-        e.alias("a")
+        eb.alias("a")
         .join(
-            e.alias("b"),
-            (F.col("a.bucket") == F.col("b.bucket"))
+            eb.alias("b"),
+            (F.col("a.key") == F.col("b.key"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(
+                e.select(
+                    F.col("vec_id").alias("vec_a"),
+                    F.col("v").alias("va"),
+                    F.col("nrm").alias("na"),
+                )
+            ),
+            "vec_a",
+        )
+        .join(
+            F.broadcast(
+                e.select(
+                    F.col("vec_id").alias("vec_b"),
+                    F.col("v").alias("vb"),
+                    F.col("nrm").alias("nb"),
+                )
+            ),
+            "vec_b",
+        )
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            dot_product(F.col("a.v"), F.col("b.v")).alias("cos_raw"),
+            "vec_a",
+            "vec_b",
+            (dot_product("va", "vb") / (F.col("na") * F.col("nb"))).alias("cos_raw"),
         )
     )
     return (
-        pairs.filter(F.col("cos_raw") >= COSINE_THRESHOLD)
-        .select(
-            "vec_a", "vec_b", F.round("cos_raw", 5).alias("cos_sim")
-        )
+        scored.filter(F.col("cos_raw") >= COSINE_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cos_raw", 5).alias("cos_sim"))
     )

@@ -1,8 +1,13 @@
-"""Similarity-search queries: bucketed ANN over the embeddings table.
+"""Similarity-search queries: multi-table LSH-bucketed ANN over the
+embeddings table.
 
 ``v_cosine_topk`` (queries.core) is the exact brute-force baseline;
-``sim_ann_topk`` here is the LSH-bucketed scale path — same output
-shape, candidates restricted to the query's hyperplane bucket.
+``sim_ann_topk`` here is the bucketed scale path — same output shape,
+candidates restricted to vectors sharing at least one hyperplane-table
+bucket with the query. ``sim_ann_recall`` measures the approximation
+against the exact ranking in one plan, so the recall/cost knob
+(``similarity.ann.N_PLANES`` / ``N_TABLES``) has a built-in feedback
+loop.
 """
 
 from __future__ import annotations
@@ -13,8 +18,8 @@ from pyspark.sql import functions as F
 from recommender_systems_spark.functions.vector import cosine_similarity
 from recommender_systems_spark.registry import _t, register
 from recommender_systems_spark.similarity.ann import (
-    hyperplane_bucket,
-    sql_hyperplane_bucket,
+    bucket_keys,
+    sql_bucket_keys,
 )
 
 N_QUERIES = 10
@@ -23,24 +28,31 @@ TOP_K = 5
 _ANN_SQL = f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-               {sql_hyperplane_bucket('CAST(embedding AS DOUBLE[])')} AS bucket
+               {sql_bucket_keys('CAST(embedding AS DOUBLE[])')} AS keys
         FROM embeddings
     ),
-    q AS (SELECT vec_id AS qid, v AS qv, bucket FROM e
+    q AS (SELECT vec_id AS qid, v AS qv, keys AS qkeys FROM e
           WHERE vec_id < {N_QUERIES}),
+    eb AS (SELECT vec_id, unnest(keys) AS key FROM e),
+    qb AS (SELECT qid, unnest(qkeys) AS key FROM q),
     cand AS (
-        SELECT q.qid, e.vec_id,
+        SELECT DISTINCT qb.qid, eb.vec_id
+        FROM eb JOIN qb ON eb.key = qb.key AND eb.vec_id <> qb.qid
+    ),
+    scored AS (
+        SELECT c.qid, c.vec_id,
                round(list_dot_product(e.v, q.qv)
                      / (sqrt(list_dot_product(e.v, e.v))
                         * sqrt(list_dot_product(q.qv, q.qv))), 5) AS cos_sim
-        FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.qid
+        FROM cand c JOIN e ON e.vec_id = c.vec_id
+                    JOIN q ON q.qid = c.qid
     ),
     ranked AS (
         SELECT qid, vec_id, cos_sim,
                CAST(row_number() OVER (
                    PARTITION BY qid ORDER BY cos_sim DESC, vec_id
                ) AS INT) AS rank
-        FROM cand
+        FROM scored
     )
     SELECT qid, vec_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}
 """
@@ -49,13 +61,14 @@ _ANN_SQL = f"""
 _RECALL_SQL = f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-               {sql_hyperplane_bucket('CAST(embedding AS DOUBLE[])')} AS bucket
+               {sql_bucket_keys('CAST(embedding AS DOUBLE[])')} AS keys
         FROM embeddings
     ),
-    q AS (SELECT vec_id AS qid, v AS qv, bucket FROM e
+    q AS (SELECT vec_id AS qid, v AS qv, keys AS qkeys FROM e
           WHERE vec_id < {N_QUERIES}),
     scored AS (
-        SELECT q.qid, e.vec_id, e.bucket = q.bucket AS same_bucket,
+        SELECT q.qid, e.vec_id,
+               len(list_intersect(e.keys, q.qkeys)) > 0 AS same_bucket,
                round(list_dot_product(e.v, q.qv)
                      / (sqrt(list_dot_product(e.v, e.v))
                         * sqrt(list_dot_product(q.qv, q.qv))), 5) AS cos_sim
@@ -80,24 +93,27 @@ _RECALL_SQL = f"""
 @register("sim_ann_recall", _RECALL_SQL)
 def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality metric: what fraction of each query's EXACT top-5
-    lives in the query's hyperplane bucket (i.e. the recall the
+    collides with the query in at least one LSH table (= the recall the
     bucketed path achieves). Computed as one plan: exact brute-force
-    ranking with a same-bucket flag, then per-query hit counting —
-    the engine measures its own approximation instead of asserting it.
-    Raising recall = fewer planes or multi-table union; this query is
-    the feedback loop for that knob."""
+    ranking with an arrays_overlap collision flag, then per-query hit
+    counting — the engine measures its own approximation instead of
+    asserting it. Raising recall = fewer planes per table or more
+    tables; this query is the feedback loop for that knob. (On this
+    driver's near-random synthetic embeddings the exact top-5 sits at
+    cos ≈ 0.4 — the adversarial case for sign LSH; clustered real
+    corpora collide far more often at the same configuration.)"""
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("bucket", hyperplane_bucket("v"))
+    ).withColumn("keys", bucket_keys("v"))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("v").alias("qv"),
-        F.col("bucket").alias("qbucket"),
+        F.col("keys").alias("qkeys"),
     )
     scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
         "qid",
         "vec_id",
-        (F.col("bucket") == F.col("qbucket")).alias("same_bucket"),
+        F.arrays_overlap("keys", "qkeys").alias("same_bucket"),
         F.round(cosine_similarity("v", "qv"), 5).alias("cos_sim"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
@@ -113,37 +129,51 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("sim_ann_topk", _ANN_SQL)
 def sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN extension: hyperplane-LSH bucketed cosine top-k. One
-    projection computes the 6-bit sign bucket per vector (all JVM-side
-    HOFs over the Rademacher planes), the query side (vec_id < 10) is
-    broadcast, candidates come from the bucket equi-join — O(N/64)
-    exact re-ranks per query instead of O(N) — and a per-query window
-    takes the top-5. Cosine is rounded BEFORE ranking so tie-breaks are
-    engine-independent.
+    """ANN extension: multi-table hyperplane-LSH cosine top-k. One
+    projection computes the packed (table, bucket) key array per vector
+    (all JVM-side HOFs over the Rademacher planes); both sides explode
+    to key rows; candidates come from the key equi-join (query side
+    broadcast) and are deduped BEFORE the exact re-rank, so each
+    (query, candidate) pays exactly one cosine regardless of how many
+    tables it collided in. A per-query window takes the top-5. Cosine
+    is rounded BEFORE ranking so tie-breaks are engine-independent.
 
-    At 100 TB: same plan, bucket join shuffles (int, vector) pairs;
-    skew (dense bucket) handled by AQE; recall tuned by plane count or
-    multi-table union (similarity.ann docstring)."""
-    e = _t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("v"),
-    ).withColumn("bucket", hyperplane_bucket("v"))
+    At 100 TB: same plan — the explode carries (int key, long id) rows
+    only (vectors join back AFTER dedup), the key join shuffles
+    T×|catalog| small rows; skew (dense bucket) handled by AQE; recall
+    tuned by N_PLANES/N_TABLES without changing the plan shape."""
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("keys", bucket_keys("v"))
+        .localCheckpoint()  # three consumers: q, key explode, join-back
+    )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("v").alias("qv"),
-        F.col("bucket").alias("qbucket"),
+        F.col("keys").alias("qkeys"),
     )
-    cand = e.join(
-        F.broadcast(q),
-        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("qid")),
-    ).select(
-        "qid",
-        "vec_id",
-        F.round(cosine_similarity("v", "qv"), 5).alias("cos_sim"),
+    eb = e.select("vec_id", F.explode("keys").alias("key"))
+    qb = q.select("qid", F.explode("qkeys").alias("key"))
+    cand = (
+        eb.join(F.broadcast(qb), "key")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(F.broadcast(e.select("vec_id", "v")), "vec_id")
+        .join(F.broadcast(q.select("qid", "qv")), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine_similarity("v", "qv"), 5).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
-        cand.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("qid", "vec_id", "cos_sim", "rank")
     )

@@ -7,6 +7,9 @@
 
 from recommender_systems_spark.similarity.ann import (  # noqa: F401
     N_PLANES,
+    N_TABLES,
+    bucket_keys,
     hyperplane_bucket,
+    sql_bucket_keys,
     sql_hyperplane_bucket,
 )

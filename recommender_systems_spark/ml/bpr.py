@@ -31,12 +31,10 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from recommender_systems_spark.functions.vector import dot_product
 from recommender_systems_spark.ml.als import init_factors
-from recommender_systems_spark.operators.relational import group_top_k
 
 POOL_SIZE = 1024
 ATTEMPTS = 4
@@ -108,64 +106,77 @@ def sample_triplets(
             .filter(~F.arrays_overlap("__gi", "__gj"))
             .drop("__gi", "__gj")
         )
-    w = Window.partitionBy("u", "i").orderBy("__att")
-    return (
-        cand.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("u", "i", "j")
-    )
+    # "First surviving attempt" = min_by over the attempt index — one
+    # partial+final hash aggregation instead of a sort window over
+    # |positives| single-digit-row partitions.
+    return cand.groupBy("u", "i").agg(F.min_by("j", "__att").alias("j"))
 
 
-def _sgd_partition(
+SGD_BUCKETS = 64
+
+
+def _sgd_bucket(
     pdf: pd.DataFrame, v_map: dict, k: int, lr: float, reg: float
 ) -> pd.DataFrame:
     """The reference's per-triplet gradient math
-    (compute_gradients/sgd_update, functions.py:169-210), run over one
-    user's triplets against the epoch-frozen V copy. Emits the new user
-    vector plus this user's accumulated V-deltas.
+    (compute_gradients/sgd_update, functions.py:169-210), run over EVERY
+    user in one hash bucket against the epoch-frozen V copy. Emits each
+    user's new vector plus that user's accumulated V-deltas.
+
+    Bucketing (same rationale as als.SOLVE_BUCKETS): applyInPandas pays
+    per-GROUP Arrow/pandas overhead, so one group per user (~10³-10⁵
+    tiny groups) spends more time in plumbing than in the gradient loop.
+    Users within a bucket stay fully independent — each gets a fresh
+    delta dict, so the emitted rows are identical to per-user grouping.
 
     Hot loop is pure-Python float lists: at rank ≤ 16 the per-call
     overhead of NumPy ops on (k,) arrays (~12 tiny allocs per triplet)
     costs more than the arithmetic — plain lists are ~4× faster here."""
     import math
 
-    u_id = int(pdf["u"].iloc[0])
-    u_vec = [float(x) for x in pdf["uf"].iloc[0]]
     zeros = [0.0] * k
-    deltas: dict[int, list[float]] = {}
     rng = range(k)
+    i_all = pdf["i"].to_numpy()
+    j_all = pdf["j"].to_numpy()
+    rows: list[dict] = []
 
-    def v_of(item: int) -> list[float]:
-        base = v_map.get(item)
-        b = [0.0] * k if base is None else [float(x) for x in base]
-        d = deltas.get(item)
-        if d is not None:
+    for u_id, idx in pdf.groupby("u", sort=False).indices.items():
+        u_vec = [float(x) for x in pdf["uf"].iloc[idx[0]]]
+        deltas: dict[int, list[float]] = {}
+
+        def v_of(item: int) -> list[float]:
+            base = v_map.get(item)
+            b = [0.0] * k if base is None else [float(x) for x in base]
+            d = deltas.get(item)
+            if d is not None:
+                for t in rng:
+                    b[t] += d[t]
+            return b
+
+        for pos in idx:
+            i, j = int(i_all[pos]), int(j_all[pos])
+            v_i, v_j = v_of(i), v_of(j)
+            x_uij = sum(u_vec[t] * (v_i[t] - v_j[t]) for t in rng)
+            e = math.exp(-x_uij)
+            coef = e / (1.0 + e)
+            di = deltas.setdefault(i, list(zeros))
+            dj = deltas.setdefault(j, list(zeros))
             for t in rng:
-                b[t] += d[t]
-        return b
+                u_t = u_vec[t]
+                di[t] += lr * (coef * u_t + reg * v_i[t])
+                dj[t] += lr * (-coef * u_t + reg * v_j[t])
+                u_vec[t] = u_t + lr * (coef * (v_i[t] - v_j[t]) + reg * u_t)
 
-    for i, j in zip(pdf["i"].to_numpy(), pdf["j"].to_numpy()):
-        i, j = int(i), int(j)
-        v_i, v_j = v_of(i), v_of(j)
-        x_uij = sum(u_vec[t] * (v_i[t] - v_j[t]) for t in rng)
-        e = math.exp(-x_uij)
-        coef = e / (1.0 + e)
-        di = deltas.setdefault(i, list(zeros))
-        dj = deltas.setdefault(j, list(zeros))
-        for t in rng:
-            u_t = u_vec[t]
-            di[t] += lr * (coef * u_t + reg * v_i[t])
-            dj[t] += lr * (-coef * u_t + reg * v_j[t])
-            u_vec[t] = u_t + lr * (coef * (v_i[t] - v_j[t]) + reg * u_t)
-
-    # Wide output (one double column per latent dim): the delta
-    # reduction downstream becomes a plain k-column grouped sum —
-    # no posexplode, no struct sort.
-    rows = [{"kind": "u", "id": u_id, **{f"d{t}": u_vec[t] for t in rng}}]
-    rows += [
-        {"kind": "dv", "id": item, **{f"d{t}": d[t] for t in rng}}
-        for item, d in deltas.items()
-    ]
+        # Wide output (one double column per latent dim): the delta
+        # reduction downstream becomes a plain k-column grouped sum —
+        # no posexplode, no struct sort.
+        rows.append(
+            {"kind": "u", "id": int(u_id), **{f"d{t}": u_vec[t] for t in rng}}
+        )
+        rows += [
+            {"kind": "dv", "id": item, **{f"d{t}": d[t] for t in rng}}
+            for item, d in deltas.items()
+        ]
     return pd.DataFrame(rows)
 
 
@@ -223,7 +234,7 @@ def train_bpr(
         bc = spark.sparkContext.broadcast(v_map)
 
         def sgd(pdf: pd.DataFrame) -> pd.DataFrame:
-            return _sgd_partition(pdf, bc.value, rank, lr, reg)
+            return _sgd_bucket(pdf, bc.value, rank, lr, reg)
 
         dims = [f"d{t}" for t in range(rank)]
         schema = "kind string, id long, " + ", ".join(f"{d} double" for d in dims)
@@ -232,7 +243,8 @@ def train_bpr(
                 u_f.select(F.col("id").alias("u"), F.col("features").alias("uf")),
                 "u",
             )
-            .groupBy("u")
+            .withColumn("__b", F.pmod(F.col("u"), F.lit(SGD_BUCKETS)))
+            .groupBy("__b")
             .applyInPandas(sgd, schema)
             .localCheckpoint()
         )
@@ -284,17 +296,45 @@ def precision_recall_at_k(
     rank: int | None = None,
 ) -> tuple[float, float]:
     """E1: mean P@k / R@k over users (functions.py:212-246): score the
-    full catalogue per user (broadcast item side), per-user top-k
-    window, hits = |top-k ∩ positives| via a semi-join."""
-    scored = user_factors.select(
-        F.col("id").alias("u"), F.col("features").alias("uf")
-    ).crossJoin(
-        F.broadcast(
-            item_factors.select(F.col("id").alias("i"), F.col("features").alias("vf"))
+    full catalogue per user, per-user top-k, hits = |top-k ∩ positives|
+    via a semi-join.
+
+    Scale shape: full-catalog scoring is a dense (users × items) GEMM,
+    not a relational join — user blocks × a broadcast item matrix inside
+    ``applyInPandas``, with the top-k computed in the same NumPy frame.
+    Only |users|×k (id, id) rows ever materialise as Spark rows. At
+    100 TB the item matrix partitions too (score against item blocks,
+    merge per-user top-k) — same plan shape, one more groupBy."""
+    import numpy as np
+
+    spark = positives.sparkSession
+    item_rows = item_factors.collect()
+    item_ids = np.array([r["id"] for r in item_rows], dtype=np.int64)
+    item_mat = np.stack([np.asarray(r["features"], dtype=np.float64) for r in item_rows])
+    bc = spark.sparkContext.broadcast((item_ids, item_mat))
+    kk = k
+
+    def topk_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids, mat = bc.value
+        u_ids = pdf["id"].to_numpy()
+        u_mat = np.stack(
+            [np.asarray(f, dtype=np.float64) for f in pdf["features"]]
         )
-    ).select("u", "i", dot_product("uf", "vf").alias("score"))
-    top = group_top_k(
-        scored, ["u"], F.struct(F.col("score"), (-F.col("i")).alias("ni")), k
+        scores = u_mat @ mat.T  # (block_users, n_items)
+        out_u: list[int] = []
+        out_i: list[int] = []
+        for r in range(scores.shape[0]):
+            # score desc, item id asc — the same tie order as a
+            # struct(score, -i) max-heap.
+            order = np.lexsort((ids, -scores[r]))[:kk]
+            out_u.extend([int(u_ids[r])] * len(order))
+            out_i.extend(int(ids[o]) for o in order)
+        return pd.DataFrame({"u": out_u, "i": out_i})
+
+    top = (
+        user_factors.withColumn("__b", F.pmod(F.col("id"), F.lit(SGD_BUCKETS)))
+        .groupBy("__b")
+        .applyInPandas(topk_block, "u long, i long")
     )
     hits = top.join(positives, ["u", "i"], "left_semi").groupBy("u").agg(
         F.count(F.lit(1)).alias("tp")

@@ -69,6 +69,71 @@ def byte_features(
     )
 
 
+FRAME_BYTES = 16
+FRAME_STRIDE = 4
+MAX_FRAMES = 8
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_bytes: int = FRAME_BYTES,
+    stride: int = FRAME_STRIDE,
+    max_frames: int = MAX_FRAMES,
+) -> DataFrame:
+    """Frame sampling over a binary payload — the video/audio pattern
+    (decode → sample every ``stride``-th frame → per-frame feature)
+    with a deterministic fake decoder: a "frame" is ``frame_bytes``
+    consecutive payload bytes, its feature the mean byte value scaled
+    to [0,1]. The plumbing is the production shape: Arrow-batched
+    ``mapInPandas``, fixed schema, narrow (no shuffle), worker memory
+    bounded by batch size × payload — swap the feature lambda for a
+    real codec and nothing else changes."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col]
+            n_frames: list[int] = []
+            sampled: list[list[int]] = []
+            feats: list[list[float]] = []
+            for b in pdf[payload_col]:
+                raw = bytes(b)
+                n = len(raw) // frame_bytes
+                idxs = list(range(0, n, stride))[:max_frames]
+                n_frames.append(n)
+                sampled.append(idxs)
+                feats.append(
+                    [
+                        # int sum → exact in float64; /frame_bytes/255
+                        # in the same order as the oracle SQL.
+                        round(
+                            sum(raw[fi * frame_bytes : (fi + 1) * frame_bytes])
+                            / float(frame_bytes)
+                            / 255.0,
+                            5,
+                        )
+                        for fi in idxs
+                    ]
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_frames": pd.Series(n_frames, dtype="int64"),
+                    "sampled_frames": sampled,
+                    "frame_features": feats,
+                }
+            )
+
+    return df.mapInPandas(
+        extract,
+        schema=(
+            f"{id_col} long, n_frames long, sampled_frames array<int>, "
+            "frame_features array<double>"
+        ),
+    )
+
+
 def decode_image(
     df: DataFrame, payload_col: str = "payload", size: tuple[int, int] = (224, 224)
 ) -> DataFrame:

@@ -17,7 +17,14 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 from recommender_systems_spark.io import _microsecond_copy
-from recommender_systems_spark.multimodal.binary import byte_features, with_payload
+from recommender_systems_spark.multimodal.binary import (
+    FRAME_BYTES,
+    FRAME_STRIDE,
+    MAX_FRAMES,
+    byte_features,
+    sample_frames,
+    with_payload,
+)
 from recommender_systems_spark.registry import _t, register
 
 FEATURE_BYTES = 8
@@ -41,6 +48,48 @@ def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     transfer, fixed-schema narrow map — end to end against an oracle."""
     docs = _t(spark, sf_dir, "documents")
     return byte_features(with_payload(docs), k=FEATURE_BYTES)
+
+
+# The oracle replays the deterministic fake decoder byte-for-byte: the
+# corpus is ASCII (asserted by mm_byte_features' n_bytes == length(text)
+# agreement), so byte j of the payload == ascii(text[j+1:j+1]).  The
+# division order (sum / frame_bytes / 255) matches the Python extractor
+# so both sides round the same float64.
+_FRAMES_SQL = f"""
+    SELECT doc_id,
+           CAST(length(text) // {FRAME_BYTES} AS BIGINT) AS n_frames,
+           list_transform(
+               list_slice(
+                   range(0, CAST(length(text) // {FRAME_BYTES} AS BIGINT),
+                         {FRAME_STRIDE}),
+                   1, {MAX_FRAMES}),
+               fi -> CAST(fi AS INTEGER)) AS sampled_frames,
+           list_transform(
+               list_slice(
+                   range(0, CAST(length(text) // {FRAME_BYTES} AS BIGINT),
+                         {FRAME_STRIDE}),
+                   1, {MAX_FRAMES}),
+               fi -> round(
+                   list_sum(list_transform(
+                       range(fi * {FRAME_BYTES} + 1,
+                             fi * {FRAME_BYTES} + {FRAME_BYTES} + 1),
+                       j -> ascii(text[j:j])))
+                   / {FRAME_BYTES}.0 / 255.0, 5)) AS frame_features
+    FROM documents
+"""
+
+
+@register("mm_frame_sample", _FRAMES_SQL)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal extension: frame sampling over binary payloads — the
+    video/audio shape (decode → every-``stride``-th frame → per-frame
+    feature) with the deterministic fake decoder from
+    ``multimodal.binary.sample_frames``. Narrow Arrow-batched
+    mapInPandas: at 100 TB this is shuffle-free and embarrassingly
+    parallel; swapping the fake decoder for ffmpeg changes nothing in
+    the plan."""
+    docs = _t(spark, sf_dir, "documents")
+    return sample_frames(with_payload(docs))
 
 
 def _stream_dir(sf_dir: str) -> str:

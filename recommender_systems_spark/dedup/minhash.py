@@ -17,8 +17,8 @@ Pipeline (the standard LSH funnel):
     → band keys (4 bands × 4 rows) → bucket equi-join → candidate pairs
     → verify: signature agreement + exact shingle Jaccard.
 
-SimHash variant: char-5-gram hashes → 31-bit majority sketch → 8-bit
-band pigeonhole join (Hamming ≤ 3 ⟹ ≥1 of 4 bands equal) → bit_count
+SimHash variant: char-5-gram hashes → 31-bit majority sketch → 16-bit
+band pigeonhole join (Hamming ≤ 1 ⟹ ≥1 of 2 bands equal) → bit_count
 verify.
 """
 
@@ -43,7 +43,14 @@ from recommender_systems_spark.functions.text import (
 
 SHINGLE_N = 3  # word-shingle width for MinHash
 SIMHASH_NGRAM = 5  # char-n-gram width for SimHash
-SIMHASH_BAND_BITS = 8  # pigeonhole band width (4 bands cover 31 bits)
+# Pigeonhole band width: the emitted threshold is Hamming ≤ 1, so TWO
+# bands covering 31 bits suffice (a single differing bit lives in one
+# band; the other band matches exactly). Wider bands ⇒ exponentially
+# smaller buckets: at sf0.1 the old 4×8-bit geometry produced ~9.8M
+# candidate pairs (max bucket 3,345), 2×16 bits produces ~1.0M (max
+# 800) for the identical final pair set.
+SIMHASH_BAND_BITS = 16
+SIMHASH_BANDS = 2
 
 
 # ---------------------------------------------------------------------------
@@ -215,7 +222,7 @@ def simhash_pandas(col: Column) -> Column:
 
 
 def simhash_band(sim: Column, band: int) -> Column:
-    """8-bit pigeonhole band (band 3 carries the top 7 bits)."""
+    """16-bit pigeonhole band (band 1 carries the top 15 bits)."""
     return F.shiftright(sim, band * SIMHASH_BAND_BITS).bitwiseAND(
         F.lit((1 << SIMHASH_BAND_BITS) - 1)
     )
@@ -297,6 +304,7 @@ __all__ = [
     "LSH_ROWS",
     "SHINGLE_N",
     "SIMHASH_BAND_BITS",
+    "SIMHASH_BANDS",
     "SIMHASH_NGRAM",
     "band_key",
     "jaccard",

@@ -24,6 +24,13 @@ from recommender_systems_spark.similarity.ann import (
 
 N_QUERIES = 10
 TOP_K = 5
+# IVF geometry: centroids are the vectors with vec_id % CENTROID_MOD
+# == 0 (deterministic "training-free" codebook — in production swap in
+# k-means centroids; every plan below is unchanged). The cell count
+# scales with the corpus (10 cells at sf0.01, 40 at sf0.1) the way a
+# real IVF index grows its codebook with N.
+CENTROID_MOD = 50
+NPROBE = 3
 
 _ANN_SQL = f"""
     WITH e AS (
@@ -124,6 +131,121 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.groupBy("qid").agg(
         hits.cast("long").alias("ann_hits"),
         (hits / float(TOP_K)).alias(f"recall_at_{TOP_K}"),
+    )
+
+
+_COS = (
+    "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+    "* sqrt(list_dot_product({b}, {b}))), 5)"
+)
+
+_IVF_SQL = f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e
+          WHERE vec_id % {CENTROID_MOD} = 0),
+    asg AS (
+        SELECT vec_id, cid, row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY {_COS.format(a='v', b='cv')} DESC, cid
+               ) AS rnk
+        FROM e CROSS JOIN c
+    ),
+    cells AS (SELECT vec_id, cid AS cell FROM asg WHERE rnk = 1),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    probes AS (
+        SELECT qid, cid AS cell FROM (
+            SELECT qid, cid, row_number() OVER (
+                       PARTITION BY qid
+                       ORDER BY {_COS.format(a='qv', b='cv')} DESC, cid
+                   ) AS rnk
+            FROM q CROSS JOIN c
+        ) WHERE rnk <= {NPROBE}
+    ),
+    cand AS (
+        SELECT p.qid, a.vec_id
+        FROM probes p JOIN cells a ON a.cell = p.cell AND a.vec_id <> p.qid
+    ),
+    scored AS (
+        SELECT cand.qid, cand.vec_id,
+               {_COS.format(a='e.v', b='q.qv')} AS cos_sim
+        FROM cand JOIN e ON e.vec_id = cand.vec_id
+                  JOIN q ON q.qid = cand.qid
+    )
+    SELECT qid, vec_id, cos_sim, rank FROM (
+        SELECT qid, vec_id, cos_sim,
+               CAST(row_number() OVER (
+                   PARTITION BY qid ORDER BY cos_sim DESC, vec_id
+               ) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+"""
+
+
+@register("sim_ivf_topk", _IVF_SQL)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN extension, IVF flavour: partition the corpus into Voronoi
+    cells around a deterministic codebook (vec_id % CENTROID_MOD —
+    k-means in production, identical plans), assign each vector to its
+    nearest-cosine centroid, probe the NPROBE nearest cells per query,
+    exact cosine re-rank inside the probed cells only.
+
+    Scale shape vs the LSH path: assignment is a narrow broadcast map
+    (corpus × tiny codebook, no shuffle of the vectors); each vector
+    lives in exactly ONE cell so candidate generation needs NO dedup
+    (LSH pays a distinct across tables); the probe join ships only
+    (cell, id) pairs and the re-rank touches ~NPROBE/C of the corpus.
+    At 100 TB the cell assignment is materialised once (a column on the
+    embedding table, recomputed only when the codebook retrains) and
+    every query pays just the probe join — the plan below keeps that
+    split visible: assignment subplan, probe subplan, re-rank."""
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .localCheckpoint()  # consumers: codebook, assignment, queries, re-rank
+    )
+    cents = e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    w_asg = Window.partitionBy("vec_id").orderBy(
+        F.round(cosine_similarity("v", "cv"), 5).desc(), F.col("cid")
+    )
+    cells = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("rnk", F.row_number().over(w_asg))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", F.col("cid").alias("cell"))
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    w_probe = Window.partitionBy("qid").orderBy(
+        F.round(cosine_similarity("qv", "cv"), 5).desc(), F.col("cid")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("rnk", F.row_number().over(w_probe))
+        .filter(F.col("rnk") <= NPROBE)
+        .select("qid", F.col("cid").alias("cell"))
+    )
+    cand = cells.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    scored = (
+        cand.join(e, "vec_id")
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine_similarity("v", "qv"), 5).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "vec_id", "cos_sim", "rank")
     )
 
 

@@ -126,3 +126,29 @@ def s_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = f"stream_events_{abs(hash(sf_dir)) % 10**8}"
     return run_available_now(spark, _stream_dir(sf_dir), name)
+
+
+@register(
+    "s_stream_enrich",
+    """
+    SELECT date_trunc('hour', e.ts) AS window_start,
+           c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(e.value), 2) AS sum_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    """,
+)
+def s_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming extension: stream-static enrichment — the events
+    stream joins the STATIC customer dimension (broadcast per
+    micro-batch, zero streaming state for the join) and rolls up into
+    per-segment event-time windows. The oracle is the equivalent batch
+    join+aggregate, so the value-hash match proves stream/batch parity
+    for the second core streaming pattern after pure windowed
+    aggregation (SURVEY §2.9)."""
+    from recommender_systems_spark.streaming.events import run_enrich_available_now
+
+    dim = _t(spark, sf_dir, "customer")
+    name = f"stream_enrich_{abs(hash(sf_dir)) % 10**8}"
+    return run_enrich_available_now(spark, _stream_dir(sf_dir), dim, name)

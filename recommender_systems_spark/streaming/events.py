@@ -56,6 +56,56 @@ def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     return spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
 
 
+def stream_enrich_agg(
+    stream: DataFrame,
+    dim: DataFrame,
+    watermark: str = "1 hour",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Stream-static join + windowed aggregate — the standard streaming
+    enrichment shape: each micro-batch of the fact stream hash-joins
+    the STATIC dimension (planned as a broadcast; the dimension is read
+    once, not per batch in the state store), then rolls up into
+    event-time tumbling windows per enrichment attribute. The join adds
+    NO streaming state — only the window aggregation is stateful, and
+    the watermark bounds it exactly as in ``stream_window_agg``."""
+    enriched = stream.join(
+        F.broadcast(dim.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")),
+        "user_id",
+    )
+    return (
+        enriched.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("c_mktsegment").alias("segment"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def run_enrich_available_now(
+    spark: SparkSession, source_dir: str, dim: DataFrame, query_name: str
+) -> DataFrame:
+    """Drain the enrichment pipeline with an availableNow trigger into a
+    memory sink (same contract as ``run_available_now``)."""
+    agg = stream_enrich_agg(read_events_stream(spark, source_dir), dim)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
 def run_available_now(
     spark: SparkSession, source_dir: str, query_name: str
 ) -> DataFrame:

@@ -58,6 +58,30 @@ def s_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "s_partitioned_scan",
+    """
+    SELECT source, doc_id, n_chars
+    FROM documents
+    WHERE source IN ('src3', 'src7')
+    """,
+)
+def s_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned sink → partition-pruned source (the lakehouse
+    layout pattern a 100 TB corpus lives in): documents are written
+    ONCE partitioned by ``source`` (one directory per value), and the
+    filtered read-back touches only the matching directories —
+    `.explain` shows the predicate as a partition filter with the
+    other sources never scanned. The oracle is the same filter on the
+    original table, proving pruning loses no rows."""
+    path = _out_dir("part", sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars", "source")
+        docs.write.mode("overwrite").partitionBy("source").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("source").isin("src3", "src7"))
+    return back.select("source", "doc_id", "n_chars")
+
+
 _CSV_SCHEMA = T.StructType(
     [
         T.StructField("event_type", T.StringType(), False),

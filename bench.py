@@ -10,6 +10,7 @@ a production job would consume the result.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -33,12 +34,22 @@ def main() -> None:
     errors: dict[str, str] = {}
     for name in sorted(registry.QUERIES):
         t0 = time.perf_counter()
+        df = None
         try:
             df = registry.QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # one bad query must not zero the bench
             errors[name] = str(exc).split("\n")[0][:200]
+        # Release the query's session residue OUTSIDE its timing window:
+        # localCheckpoint blocks are only unpersisted when their Python
+        # DataFrame is garbage-collected, so without this the block
+        # manager accumulates every training query's checkpoints and
+        # later queries pay the GC pressure (measured: per-query times
+        # swing 5-10× run-to-run at sf0.1 without the cleanup).
+        df = None
+        gc.collect()
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -249,6 +249,110 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_RECALL_SQL = f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e
+          WHERE vec_id % {CENTROID_MOD} = 0),
+    cells AS (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT vec_id, cid, row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY {_COS.format(a='v', b='cv')} DESC, cid
+                   ) AS rnk
+            FROM e CROSS JOIN c
+        ) WHERE rnk = 1
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    probes AS (
+        SELECT qid, cid AS cell FROM (
+            SELECT qid, cid, row_number() OVER (
+                       PARTITION BY qid
+                       ORDER BY {_COS.format(a='qv', b='cv')} DESC, cid
+                   ) AS rnk
+            FROM q CROSS JOIN c
+        ) WHERE rnk <= {NPROBE}
+    ),
+    exact AS (
+        SELECT qid, vec_id, probed FROM (
+            SELECT q.qid, e.vec_id,
+                   EXISTS (SELECT 1 FROM probes p JOIN cells a
+                           ON a.vec_id = e.vec_id AND p.qid = q.qid
+                              AND p.cell = a.cell) AS probed,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY {_COS.format(a='e.v', b='q.qv')} DESC, e.vec_id
+                   ) AS rnk
+            FROM q JOIN e ON e.vec_id <> q.qid
+        ) WHERE rnk <= {TOP_K}
+    )
+    SELECT qid,
+           CAST(sum(CASE WHEN probed THEN 1 ELSE 0 END) AS BIGINT) AS ivf_hits,
+           sum(CASE WHEN probed THEN 1 ELSE 0 END) / {TOP_K}.0
+               AS recall_at_{TOP_K}
+    FROM exact GROUP BY qid
+"""
+
+
+@register("sim_ivf_recall", _IVF_RECALL_SQL)
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF quality metric (the twin of ``sim_ann_recall``): what
+    fraction of each query's EXACT top-5 lives in one of the query's
+    NPROBE probed cells — i.e. the recall ``sim_ivf_topk`` achieves.
+    One plan: exact brute-force ranking, a probed-cell membership flag
+    via a semi-join on (qid, cell), per-query hit counts. The nprobe/
+    codebook-size trade-off is measured by the engine itself instead
+    of asserted."""
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .localCheckpoint()
+    )
+    cents = e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    w_asg = Window.partitionBy("vec_id").orderBy(
+        F.round(cosine_similarity("v", "cv"), 5).desc(), F.col("cid")
+    )
+    cells = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("rnk", F.row_number().over(w_asg))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", F.col("cid").alias("cell"))
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    w_probe = Window.partitionBy("qid").orderBy(
+        F.round(cosine_similarity("qv", "cv"), 5).desc(), F.col("cid")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("rnk", F.row_number().over(w_probe))
+        .filter(F.col("rnk") <= NPROBE)
+        .select("qid", F.col("cid").alias("cell"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    exact = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id", F.round(cosine_similarity("v", "qv"), 5).alias("cos_sim")
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+    probed_pairs = cells.join(F.broadcast(probes), "cell").select("qid", "vec_id")
+    flagged = exact.join(
+        probed_pairs.withColumn("__p", F.lit(1)), ["qid", "vec_id"], "left"
+    )
+    hits = F.sum(F.when(F.col("__p").isNotNull(), 1).otherwise(0))
+    return flagged.groupBy("qid").agg(
+        hits.cast("long").alias("ivf_hits"),
+        (hits / float(TOP_K)).alias(f"recall_at_{TOP_K}"),
+    )
+
+
 @register("sim_ann_topk", _ANN_SQL)
 def sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN extension: multi-table hyperplane-LSH cosine top-k. One

@@ -1,0 +1,125 @@
+"""Targeted tests for the round-3 operators beyond the oracle gate:
+frame-sampling edge cases, IVF invariants, partition-pruning plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from recommender_systems_spark.multimodal.binary import (
+    FRAME_BYTES,
+    FRAME_STRIDE,
+    MAX_FRAMES,
+    sample_frames,
+)
+from tests.conftest import SF_MED
+
+
+def _frames_reference(payload: bytes):
+    """Pure-Python reference for the deterministic fake decoder."""
+    n = len(payload) // FRAME_BYTES
+    idxs = list(range(0, n, FRAME_STRIDE))[:MAX_FRAMES]
+    feats = [
+        round(
+            sum(payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES])
+            / float(FRAME_BYTES)
+            / 255.0,
+            5,
+        )
+        for i in idxs
+    ]
+    return n, idxs, feats
+
+
+def test_sample_frames_edge_payloads(spark):
+    """Short payloads (< one frame), exactly one frame, a cap-hitting
+    long payload — shapes and values must match the Python reference."""
+    payloads = [
+        (0, b""),  # empty
+        (1, b"abc"),  # shorter than a frame
+        (2, bytes(range(FRAME_BYTES))),  # exactly one frame
+        (3, bytes(range(256)) * 4),  # long enough to hit MAX_FRAMES
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in payloads], "doc_id long, payload binary"
+    )
+    rows = {r["doc_id"]: r for r in sample_frames(df).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    for i, p in payloads:
+        n, idxs, feats = _frames_reference(p)
+        assert rows[i]["n_frames"] == n, i
+        assert rows[i]["sampled_frames"] == idxs, i
+        assert [round(x, 5) for x in rows[i]["frame_features"]] == feats, i
+    assert len(rows[3]["sampled_frames"]) == MAX_FRAMES  # cap engaged
+
+
+def test_ivf_topk_invariants(spark):
+    """Every IVF hit shares a probed cell with its query; ranks are
+    dense 1..k per query; recall rows stay within [0, 1]."""
+    from recommender_systems_spark.queries.similarity import (
+        TOP_K,
+        sim_ivf_recall,
+        sim_ivf_topk,
+    )
+
+    top = sim_ivf_topk(spark, SF_MED).collect()
+    by_q: dict[int, list] = {}
+    for r in top:
+        by_q.setdefault(r["qid"], []).append(r)
+    for qid, rows in by_q.items():
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1)), qid
+        assert len(rows) <= TOP_K
+        sims = [r["cos_sim"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True), qid
+
+    rec = sim_ivf_recall(spark, SF_MED).collect()
+    assert rec, "recall query returned no rows"
+    for r in rec:
+        assert 0.0 <= r[f"recall_at_{TOP_K}"] <= 1.0
+
+
+def test_partitioned_scan_prunes(spark):
+    """The filtered read-back must plan the source predicate as a
+    PARTITION filter (directory pruning), not a data filter."""
+    from recommender_systems_spark.queries.io_roundtrip import s_partitioned_scan
+
+    df = s_partitioned_scan(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [source" in plan.replace("#", " #").replace(
+        "source #", "source#"
+    ) or "PartitionFilters: [source" in plan
+    # and the partition predicate must not degrade into a data filter
+    assert "DataFilters: []" in plan
+
+
+def test_stream_enrich_matches_batch(spark):
+    """Stream-static enrichment equals the batch join+rollup (the same
+    parity contract the oracle enforces, checked engine-internally)."""
+    from recommender_systems_spark.queries.multimodal import s_stream_enrich
+    from recommender_systems_spark.registry import _t
+
+    streamed = {
+        (r["window_start"], r["segment"]): (r["n"], r["sum_value"])
+        for r in s_stream_enrich(spark, SF_MED).collect()
+    }
+    ev = _t(spark, SF_MED, "events")
+    cust = _t(spark, SF_MED, "customer")
+    batch = (
+        ev.join(
+            cust.select(F.col("c_custkey").alias("user_id"), "c_mktsegment"),
+            "user_id",
+        )
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .collect()
+    )
+    assert streamed == {
+        (r["window_start"], r["segment"]): (r["n"], r["sum_value"]) for r in batch
+    }

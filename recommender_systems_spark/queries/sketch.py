@@ -1,0 +1,110 @@
+"""Count-Min sketch (training-data-pipeline extension: approximate
+heavy-hitter counting with a bounded-size summary).
+
+The sketch is the standard D×W counter grid: row d counts key k in
+cell h_d(k) = ((a_d·k + b_d) mod p) mod W, and the point estimate for
+a key is the MINIMUM of its D cells (an upper bound on the true count
+— collisions only inflate). The affine hash family reuses the shared
+LCG coefficients (``dedup.constants.MINHASH_COEFFS``), so the DuckDB
+oracle executes the IDENTICAL hash arithmetic and both engines build
+the same sketch bit-for-bit.
+
+Scale shape: building the sketch is ONE map-side-combinable grouped
+count over D×|rows| exploded (d, cell) pairs — the shuffle carries at
+most D×W cells per mapper regardless of input size (the whole point
+of a sketch: 100 TB of keys reduce to a 4×64 grid of longs). The
+estimate join broadcasts the finished grid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recommender_systems_spark.dedup.constants import MINHASH_COEFFS, MINHASH_PRIME
+from recommender_systems_spark.registry import _t, register
+
+CM_DEPTH = 4
+CM_WIDTH = 64
+CM_COEFFS = MINHASH_COEFFS[:CM_DEPTH]
+TOP_N = 5
+
+
+def _cell_col(key: F.Column, d: int) -> F.Column:
+    a, b = CM_COEFFS[d]
+    return F.pmod(
+        F.pmod(F.lit(a) * key + F.lit(b), F.lit(MINHASH_PRIME)), F.lit(CM_WIDTH)
+    ).cast("int")
+
+
+def _cell_sql(key: str, d: int) -> str:
+    a, b = CM_COEFFS[d]
+    return f"((({a} * {key} + {b}) % {MINHASH_PRIME}) % {CM_WIDTH})"
+
+
+def countmin_sketch(df: DataFrame, key: str) -> DataFrame:
+    """(d, cell, n): the D×W counter grid for ``key``. Partial (map-side)
+    aggregation caps the shuffle at D×W cells per task."""
+    k = F.col(key).cast("long")
+    cells = df.select(
+        F.posexplode(
+            F.array(*[_cell_col(k, d) for d in range(CM_DEPTH)])
+        ).alias("d", "cell")
+    )
+    return cells.groupBy("d", "cell").agg(F.count(F.lit(1)).alias("n"))
+
+
+_CM_SQL = f"""
+    WITH cells AS (
+        {" UNION ALL ".join(
+            f"(SELECT {d} AS d, {_cell_sql('l_partkey', d)} AS cell FROM lineitem)"
+            for d in range(CM_DEPTH)
+        )}
+    ),
+    sketch AS (
+        SELECT d, cell, CAST(count(*) AS BIGINT) AS n
+        FROM cells GROUP BY d, cell
+    ),
+    topk AS (
+        SELECT l_partkey AS pkey, CAST(count(*) AS BIGINT) AS exact_n
+        FROM lineitem GROUP BY l_partkey
+        ORDER BY exact_n DESC, pkey LIMIT {TOP_N}
+    )
+    SELECT t.pkey, t.exact_n,
+           (SELECT min(s.n) FROM sketch s
+            WHERE {" OR ".join(
+                f"(s.d = {d} AND s.cell = {_cell_sql('t.pkey', d)})"
+                for d in range(CM_DEPTH)
+            )}) AS cm_estimate
+    FROM topk t
+"""
+
+
+@register("a_countmin", _CM_SQL)
+def a_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch extension: Count-Min over lineitem part keys — build the
+    4×64 grid in one map-combinable grouped count, then report the
+    exact count vs the CM point estimate (min over the key's 4 cells)
+    for the 5 most frequent keys. cm_estimate ≥ exact_n always (CM
+    never undercounts); the oracle builds the identical grid from the
+    shared hash coefficients."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    sketch = countmin_sketch(li, "l_partkey")
+    topk = (
+        li.groupBy(F.col("l_partkey").alias("pkey"))
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("pkey"))
+        .limit(TOP_N)
+    )
+    probes = topk.select(
+        "pkey",
+        "exact_n",
+        F.posexplode(
+            F.array(*[_cell_col(F.col("pkey"), d) for d in range(CM_DEPTH)])
+        ).alias("d", "cell"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["d", "cell"])
+        .groupBy("pkey", "exact_n")
+        .agg(F.min("n").alias("cm_estimate"))
+    )

@@ -149,3 +149,43 @@ def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+# Non-uniform value bands (exponential-ish edges): a real interval
+# join — not expressible as floor(value/width) bucketing, which is the
+# point of the operator.
+BAND_EDGES = [0.0, 1.0, 5.0, 10.0, 25.0, 50.0, 100.0, 200.0, 350.0, 500.0]
+_BANDS = list(zip(BAND_EDGES[:-1], BAND_EDGES[1:]))
+
+_RANGE_SQL = f"""
+    WITH bands(lo, hi) AS (VALUES {", ".join(f"({lo}, {hi})" for lo, hi in _BANDS)})
+    SELECT b.lo AS band_lo, b.hi AS band_hi,
+           CAST(count(e.value) AS BIGINT) AS n,
+           round(coalesce(sum(e.value), 0.0), 2) AS sum_value
+    FROM bands b LEFT JOIN events e ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.lo, b.hi
+"""
+
+
+@register("j_range_join", _RANGE_SQL)
+def j_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: every event lands in the non-uniform
+    value band containing it. The tiny band table broadcasts, so the
+    plan is a broadcast nested-loop join — the correct physics for
+    fact × small-interval-set (each fact row tests ≤|bands| intervals
+    map-side, no shuffle of the fact). For interval×interval at scale
+    the same query runs over bucketized prefixes (equi-join on
+    floor(value/step) plus the residual predicate) — the bands here
+    stay a LEFT join so empty bands surface with n = 0, which the
+    oracle checks."""
+    ev = _t(spark, sf_dir, "events").select("value")
+    bands = spark.createDataFrame(_BANDS, "lo double, hi double")
+    joined = F.broadcast(bands).join(
+        ev, (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")), "left"
+    )
+    return joined.groupBy(
+        F.col("lo").alias("band_lo"), F.col("hi").alias("band_hi")
+    ).agg(
+        F.count("value").alias("n"),
+        F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias("sum_value"),
+    )

@@ -414,6 +414,44 @@ def a_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s_time_rollup",
+    """
+    SELECT event_type,
+           date_trunc('day', ts) AS day,
+           date_trunc('hour', ts) AS hour,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY event_type, ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
+    """,
+)
+def s_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time rollup (the TimescaleDB continuous-
+    aggregate shape): every event_type keeps hour-grain, day-grain, and
+    all-time rows from ONE pass — GROUP BY event_type, ROLLUP(day,
+    hour). Spark plans this as a single Expand (3 grouping sets) + one
+    hash aggregation: at 100 TB one scan feeds every granularity of
+    the time hierarchy instead of three separate rollup jobs, and the
+    shuffle carries only (type, day, hour) keys."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        "value",
+    )
+    ev.createOrReplaceTempView("__events_time_rollup")
+    return spark.sql(
+        """
+        SELECT event_type, day, hour,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM __events_time_rollup
+        GROUP BY event_type, ROLLUP (day, hour)
+        """
+    )
+
+
+@register(
     "w_lag_lead",
     """
     SELECT user_id, event_id,

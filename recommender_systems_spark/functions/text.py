@@ -74,7 +74,7 @@ def _stopword_hits(toks: Column, words: list[str]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(vocab, t)))
 
 
-def language_id(col: Column | str) -> Column:
+def language_id(col: Column | str, toks: Column | None = None) -> Column:
     """Heuristic language ID: argmax of per-language stopword hit counts,
     'und' (undetermined) when nothing matches. Ties resolve to the
     earlier language.
@@ -84,7 +84,11 @@ def language_id(col: Column | str) -> Column:
     the ``finish`` lambda computes the argmax from the bound
     accumulator variable. (A naive expression tree re-instantiates the
     ``regexp_extract_all`` tokeniser per score — Catalyst does not CSE
-    across sibling expressions, which made this op ~9× slower.)"""
+    across sibling expressions, which made this op ~9× slower.)
+
+    ``toks``: optional pre-materialised token-array column — pass it
+    when the surrounding projection already computed ``tokens(col)``
+    (composite pipelines), so the tokeniser runs once per row total."""
     langs = list(STOPWORDS)
     vocabs = [F.array(*[F.lit(w) for w in STOPWORDS[lang]]) for lang in langs]
 
@@ -107,16 +111,20 @@ def language_id(col: Column | str) -> Column:
         return out
 
     return F.aggregate(
-        tokens(col), F.array(*[F.lit(0) for _ in langs]), step, finish
+        tokens(col) if toks is None else toks,
+        F.array(*[F.lit(0) for _ in langs]),
+        step,
+        finish,
     )
 
 
-def quality_score(col: Column | str) -> Column:
+def quality_score(col: Column | str, toks: Column | None = None) -> Column:
     """Composite document-quality score in [0, 1]: length band, alpha
     ratio, stopword ratio, mean token length band (extension op: quality
-    scoring for training-data curation)."""
+    scoring for training-data curation). ``toks``: optional
+    pre-materialised token array (see ``language_id``)."""
     s = _c(col)
-    toks = tokens(s)
+    toks = tokens(s) if toks is None else toks
     n_tok = F.size(toks)
     n_chars = F.length(s)
     alpha_ratio = F.length(F.regexp_replace(F.lower(s), r"[^a-z]", "")) / F.greatest(

@@ -7,13 +7,17 @@ never drift apart.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from recommender_systems_spark.functions.text import (
+    FINGERPRINT_BASE,
+    FINGERPRINT_MOD,
     STOPWORDS,
     language_id,
     quality_score,
+    rolling_fingerprint,
+    tokens,
 )
 from recommender_systems_spark.registry import _t, register
 
@@ -103,4 +107,108 @@ def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+QUALITY_CUTOFF = 0.5
+
+_PIPE_FP = f"""list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+        list_transform(regexp_split_to_array(text, ''),
+                       ch -> CAST(ascii(ch) AS BIGINT))),
+    (acc, x) -> (acc * {FINGERPRINT_BASE} + x) % {FINGERPRINT_MOD})"""
+
+_CURATION_SQL = f"""
+    WITH t AS (
+        SELECT doc_id, source, text,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents
+    ),
+    s AS (
+        SELECT *, {", ".join(f"{_hits_sql(lang)} AS s_{lang}" for lang in STOPWORDS)}
+        FROM t
+    ),
+    b AS (
+        SELECT *, greatest({", ".join(f"s_{lang}" for lang in STOPWORDS)}) AS best
+        FROM s
+    ),
+    scored AS (
+        SELECT doc_id, source, text,
+               CAST(len(toks) AS BIGINT) AS n_tok,
+               CASE {_LANG_CASE} ELSE 'und' END AS lang_guess,
+               round(0.25 * (CASE WHEN len(toks) >= 10 AND len(toks) <= 100000
+                                  THEN 1.0 ELSE 0.0 END)
+                     + 0.25 * least(CAST(length(regexp_replace(lower(text),
+                                         '[^a-z]', '', 'g')) AS DOUBLE)
+                                    / greatest(length(text), 1) * 1.25, 1.0)
+                     + 0.25 * least(CAST(s_en AS DOUBLE)
+                                    / greatest(len(toks), 1) * 4.0, 1.0)
+                     + 0.25 * (CASE WHEN CAST(list_sum(list_transform(toks,
+                                              x -> length(x))) AS DOUBLE)
+                                         / greatest(len(toks), 1)
+                                         BETWEEN 2.0 AND 12.0
+                                    THEN 1.0 ELSE 0.0 END), 6) AS quality
+        FROM b
+    ),
+    kept AS (
+        SELECT doc_id, source, n_tok, quality,
+               {_PIPE_FP} AS fp, length(text) AS n_chars
+        FROM scored
+        WHERE quality >= {QUALITY_CUTOFF} AND lang_guess = 'en'
+    ),
+    dedup AS (
+        SELECT *, row_number() OVER (PARTITION BY fp, n_chars
+                                     ORDER BY doc_id) AS rn
+        FROM kept
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           round(avg(quality), 4) AS avg_quality
+    FROM dedup WHERE rn = 1
+    GROUP BY source
+"""
+
+
+@register("t_curation_pipeline", _CURATION_SQL)
+def t_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation pipeline in ONE plan:
+    quality gate (composite score ≥ cutoff) → language gate (stopword
+    argmax = 'en') → exact dedup (keep the lowest doc_id per
+    (fingerprint, length) group) → per-source corpus stats (docs,
+    tokens, mean quality).
+
+    The tokeniser runs ONCE per row: ``__toks`` is materialised in its
+    own projection and both scores consume the bound column (the
+    repeated-``regexp_extract_all`` trap from the language-ID op,
+    avoided structurally). Dedup groups on the (8-byte fingerprint,
+    length) pair — never on document text — so the one shuffle before
+    the per-source rollup carries scalar keys only. This is the query
+    a 100 TB pre-training corpus runs nightly; every stage is a
+    column-level composition of already-oracle-checked kernels."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "__toks", tokens(F.col("text"))
+    )
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size("__toks").cast("long").alias("n_tok"),
+        language_id(F.col("text"), toks=F.col("__toks")).alias("lang_guess"),
+        F.round(
+            quality_score(F.col("text"), toks=F.col("__toks")), 6
+        ).alias("quality"),
+        rolling_fingerprint(F.col("text")).alias("fp"),
+        F.length("text").alias("n_chars"),
+    )
+    kept = scored.filter(
+        (F.col("quality") >= QUALITY_CUTOFF) & (F.col("lang_guess") == "en")
+    )
+    w = Window.partitionBy("fp", "n_chars").orderBy("doc_id")
+    surviving = kept.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return surviving.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
     )

@@ -209,6 +209,10 @@ def train_bpr(
         F.col(user_col).cast("long").alias("u"),
         F.col(item_col).cast("long").alias("i"),
     ).localCheckpoint()
+    if genres is not None:
+        # Two broadcast consumers per epoch re-parse the dimension
+        # otherwise — materialise it once for the whole run.
+        genres = genres.localCheckpoint()
     u_f = (
         init_factors(pos.select("u").distinct(), "u", rank, seed, scale=0.1)
         .drop("bias")

@@ -163,6 +163,9 @@ def train_als_genre(
         F.col(item_col).cast("long").alias("i"),
         F.col(rating_col).cast("double").alias("r"),
     ).localCheckpoint()
+    # Three consumers per iteration (pull, A/B stats, C stats) re-derive
+    # the genre parse otherwise — materialise the small dimension once.
+    genres = genres.localCheckpoint()
     u_f = init_factors(r.select("u").distinct(), "u", rank, seed).localCheckpoint()
     v_f = init_factors(
         r.select("i").distinct(), "i", rank, seed + 1

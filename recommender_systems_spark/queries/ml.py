@@ -367,6 +367,33 @@ def m_als_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "iter int, rmse double")
 
 
+@register("m_mllib_als")  # no oracle: MLlib blocked-ALS training
+def m_mllib_als(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2/M3 big-data fast path: Spark MLlib's built-in blocked ALS
+    (ml.als.mllib_als — the same per-entity normal-equation Cholesky
+    as the reference, with MLlib's in/out-block partitioning instead
+    of joblib fan-out; no bias terms, use m_als_train for exact
+    reference semantics). 2 iterations, rank 8; returns the factor-
+    frame shape summary. Rows-only driver check (blocked training is
+    not SQL-expressible)."""
+    from recommender_systems_spark.ml.als import mllib_als
+
+    r = _ratings(spark, sf_dir).select(
+        F.col("uid").cast("int").alias("u"),
+        F.col("iid").cast("int").alias("i"),
+        F.col("r").cast("float").alias("r"),
+    )
+    uf, vf = mllib_als(r, "u", "i", "r", rank=8, max_iter=2, seed=42)
+    return spark.createDataFrame(
+        [
+            ("n_users", uf.count()),
+            ("n_items", vf.count()),
+            ("rank", len(uf.select("features").first()["features"])),
+        ],
+        "metric string, value long",
+    )
+
+
 @register("m_bpr_train")  # no oracle: sampled triplets + parallel SGD
 def m_bpr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M7-M9+E1: the full BPR pipeline (SURVEY §3 entry point 3) on

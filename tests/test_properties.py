@@ -127,3 +127,62 @@ def test_minhash_signature_identity_and_range(spark, xs):
     assert sigs[0] == sigs[1]
     assert len(sigs[0]) == 16
     assert all(0 <= v < MINHASH_PRIME for v in sigs[0])
+
+
+@given(
+    keys=st.lists(
+        st.integers(min_value=0, max_value=10**6), min_size=1, max_size=120
+    )
+)
+@_settings
+def test_countmin_never_undercounts(spark, keys):
+    """CM property: the min-cell estimate upper-bounds the true count
+    for EVERY key (collisions only inflate), and the grid total per
+    depth row equals the input size."""
+    from recommender_systems_spark.queries.sketch import (
+        CM_DEPTH,
+        _cell_col,
+        countmin_sketch,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    sketch = {
+        (r["d"], r["cell"]): r["n"]
+        for r in countmin_sketch(df, "k").collect()
+    }
+    for d in range(CM_DEPTH):
+        assert sum(n for (dd, _), n in sketch.items() if dd == d) == len(keys)
+    cells = df.select(
+        "k", *[_cell_col(F.col("k"), d).alias(f"c{d}") for d in range(CM_DEPTH)]
+    ).collect()
+    from collections import Counter
+
+    true = Counter(keys)
+    for row in cells:
+        est = min(sketch[(d, row[f"c{d}"])] for d in range(CM_DEPTH))
+        assert est >= true[row["k"]]
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.0, max_value=499.5, allow_nan=False),
+        min_size=0, max_size=60,
+    )
+)
+@_settings
+def test_range_join_partitions_exactly(spark, vals):
+    """Band containment is a partition: every value lands in exactly
+    one band, so per-band counts sum to the input size."""
+    from recommender_systems_spark.queries.sessions import BAND_EDGES, _BANDS
+
+    ev = spark.createDataFrame([(float(v),) for v in vals], "value double")
+    bands = spark.createDataFrame(_BANDS, "lo double, hi double")
+    joined = (
+        F.broadcast(bands)
+        .join(ev, (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")), "left")
+        .groupBy("lo", "hi")
+        .agg(F.count("value").alias("n"))
+        .collect()
+    )
+    assert len(joined) == len(BAND_EDGES) - 1  # empty bands survive
+    assert sum(r["n"] for r in joined) == len(vals)

@@ -50,6 +50,13 @@ def main() -> None:
         df = None
         gc.collect()
         spark.catalog.clearCache()
+        # Python gc only drops the py4j refs; the JVM frees the
+        # checkpoint/broadcast blocks (via ContextCleaner) on ITS next
+        # collection, which may land mid-way through a later query's
+        # timing window. Forcing it here keeps each query's number free
+        # of its predecessors' cleanup (measured: the post-training tail
+        # ran 2-4x slower without this at sf0.1).
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -191,8 +191,15 @@ _BIAS_CTE = f"""
 
 
 def _bias_sweeps(spark: SparkSession, sf_dir: str):
-    """Spark twin of _BIAS_CTE: returns (j, bu, bv) DataFrames."""
-    j = _scored(spark, sf_dir)
+    """Spark twin of _BIAS_CTE: returns (j, bu, bv) DataFrames.
+
+    ``j`` is localCheckpointed: every consumer scans it 2-3 times (bu,
+    bv⋈bu, delta/history passes) and the checkpoint output is 4 scalar
+    columns (~32 bytes/rating — the factor arrays are consumed by the
+    dot product inside the join), so materialising once replaces
+    repeated broadcast-join + 64-dim dot recomputation. Same pattern at
+    100 TB: persist the scored residuals, not the factor join."""
+    j = _scored(spark, sf_dir).localCheckpoint()
     bu = j.groupBy("uid").agg(
         (F.lit(LMD) * F.sum(F.col("r") - F.col("uv"))
          / (F.lit(ALPHA) + F.lit(LMD) * F.count(F.lit(1)))).alias("bu")
@@ -477,6 +484,9 @@ def m_fold_in_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem").agg(F.min("l_suppkey").alias("m")).collect()[0]["m"]
     )
     hist = j.filter(F.col("uid") == min_uid).select("iid", "r")
+    # Checkpointed: consumed by three separate driver jobs (fold-in
+    # bias collect, trait-vector partials, final solve) — item-count
+    # sized, so materialising beats recomputing the bias sweeps per job.
     item_factors = (
         bv.withColumn("__k", F.col("iid") % EMB_MOD)
         .join(F.broadcast(e.select(F.col("vec_id").alias("__k"), "f")), "__k")
@@ -485,6 +495,7 @@ def m_fold_in_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("f").alias("features"),
             F.col("bv").alias("bias"),
         )
+        .localCheckpoint()
     )
     ub = fold_in_bias(hist, "iid", "r", item_factors, lmd=LMD, alpha=ALPHA).collect()[
         0

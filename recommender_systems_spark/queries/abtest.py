@@ -245,3 +245,97 @@ def e_ab_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(name, round(stat, 6), round(p, 6)) for name, stat, p in rows],
         "test string, statistic double, p_two_sided double",
     )
+
+
+_BOXPLOT_SQL = """
+    WITH g AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS grp, value
+        FROM events
+    ),
+    s AS (
+        SELECT grp, CAST(count(*) AS BIGINT) AS n, min(value) AS mn,
+               quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.5) AS med,
+               quantile_cont(value, 0.75) AS q3, max(value) AS mx
+        FROM g GROUP BY grp
+    ),
+    f AS (
+        SELECT *, q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+        FROM s
+    )
+    SELECT f.grp, f.n, round(f.mn, 6) AS mn, round(f.q1, 6) AS q1,
+           round(f.med, 6) AS med, round(f.q3, 6) AS q3, round(f.mx, 6) AS mx,
+           round(f.lo, 6) AS lo_fence, round(f.hi, 6) AS hi_fence,
+           CAST(sum(CASE WHEN g.value < f.lo OR g.value > f.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM g JOIN f USING (grp)
+    GROUP BY f.grp, f.n, f.mn, f.q1, f.med, f.q3, f.mx, f.lo, f.hi
+    ORDER BY f.grp
+"""
+
+
+@register("e_boxplot_summary", _BOXPLOT_SQL)
+def e_boxplot_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7's data side: the per-arm five-number summary, Tukey fences
+    (q1/q3 ± 1.5·IQR), and outlier count that drive the reference's
+    plt.boxplot of both experiment arms (ab_test.py:393-416). Rendering
+    stays out-of-engine per SURVEY; everything the figure encodes is
+    computed here.
+
+    Exact ``percentile`` (linear interpolation — bit-identical to
+    DuckDB's quantile_cont, verified) rather than percentile_approx: the
+    summary is 2 rows, correctness is the point. Scale shape: one
+    partial+final agg builds the 2-row summary, which broadcasts back
+    onto the fact table for the outlier count — no per-arm window, so
+    neither pass funnels an arm through a single partition (the naive
+    ``percentile OVER (PARTITION BY grp)`` would)."""
+    g = _t(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("grp"),
+        "value",
+    )
+    iqr = F.col("q3") - F.col("q1")
+    # 2-row summary; checkpointed because both the fence join and the
+    # final projection consume it (re-running the percentile agg twice
+    # would double-scan events).
+    s = (
+        g.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("mn"),
+            F.percentile("value", F.lit(0.25)).alias("q1"),
+            F.percentile("value", F.lit(0.5)).alias("med"),
+            F.percentile("value", F.lit(0.75)).alias("q3"),
+            F.max("value").alias("mx"),
+        )
+        .withColumn("lo", F.col("q1") - 1.5 * iqr)
+        .withColumn("hi", F.col("q3") + 1.5 * iqr)
+        .localCheckpoint()
+    )
+    outliers = (
+        g.join(F.broadcast(s.select("grp", "lo", "hi")), "grp")
+        .groupBy("grp")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1
+                ).otherwise(0)
+            ).alias("n_outliers")
+        )
+    )
+    return (
+        s.join(outliers, "grp")
+        .select(
+            "grp",
+            "n",
+            F.round("mn", 6).alias("mn"),
+            F.round("q1", 6).alias("q1"),
+            F.round("med", 6).alias("med"),
+            F.round("q3", 6).alias("q3"),
+            F.round("mx", 6).alias("mx"),
+            F.round("lo", 6).alias("lo_fence"),
+            F.round("hi", 6).alias("hi_fence"),
+            "n_outliers",
+        )
+        .orderBy("grp")
+    )

@@ -152,3 +152,23 @@ def s_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = _t(spark, sf_dir, "customer")
     name = f"stream_enrich_{abs(hash(sf_dir)) % 10**8}"
     return run_enrich_available_now(spark, _stream_dir(sf_dir), dim, name)
+
+
+@register(
+    "s_stream_dedup",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming extension: stateful exact dedup — the third core
+    streaming pattern (after windowed aggregation and stream-static
+    enrichment). ``dropDuplicates`` over the (user_id, event_type) key
+    projection in append mode: each key emits exactly once, on first
+    arrival; the oracle's SELECT DISTINCT proves the drained stream
+    equals batch dedup. See streaming.events.stream_dedup_keys for the
+    determinism argument and the WithinWatermark scale variant."""
+    from recommender_systems_spark.streaming.events import run_dedup_available_now
+
+    name = f"stream_dedup_{abs(hash(sf_dir)) % 10**8}"
+    return run_dedup_available_now(spark, _stream_dir(sf_dir), name)

@@ -106,6 +106,41 @@ def run_enrich_available_now(
     return spark.table(query_name)
 
 
+def stream_dedup_keys(stream: DataFrame, keys: list[str]) -> DataFrame:
+    """Stateful streaming exact-dedup on a key projection: the first
+    arrival of each key passes, every later duplicate is dropped against
+    the state store. Projecting to the keys FIRST makes the emitted set
+    deterministic (arrival order decides which full row would survive,
+    but not which key set does) — that is what lets a streaming dedup
+    carry a value-hash oracle at all.
+
+    State is one entry per distinct key — inherent to EXACT dedup. At
+    100 TB with a bounded re-delivery horizon, switch to
+    ``dropDuplicatesWithinWatermark`` (state evicted past the horizon);
+    it is not used here because duplicates farther apart than the
+    watermark would re-emit and the result would stop being DISTINCT."""
+    return stream.select(*keys).dropDuplicates(keys)
+
+
+def run_dedup_available_now(
+    spark: SparkSession, source_dir: str, query_name: str
+) -> DataFrame:
+    """Drain the dedup stream (append mode — each key emits exactly once,
+    when first seen) into a memory sink and return the result table."""
+    dd = stream_dedup_keys(
+        read_events_stream(spark, source_dir), ["user_id", "event_type"]
+    )
+    q = (
+        dd.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
 def run_available_now(
     spark: SparkSession, source_dir: str, query_name: str
 ) -> DataFrame:

@@ -123,3 +123,22 @@ def test_stream_enrich_matches_batch(spark):
     assert streamed == {
         (r["window_start"], r["segment"]): (r["n"], r["sum_value"]) for r in batch
     }
+
+
+def test_ivf_partitioned_prunes_and_matches(spark):
+    """The IVF serving read must carry the probed cells as a PARTITION
+    filter on the index scan, and its result must equal the compute-path
+    sim_ivf_topk row for row."""
+    from recommender_systems_spark.queries.similarity import (
+        sim_ivf_partitioned,
+        sim_ivf_topk,
+    )
+
+    df = sim_ivf_partitioned(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan
+    served = {(r["qid"], r["rank"]): r["vec_id"] for r in df.collect()}
+    computed = {
+        (r["qid"], r["rank"]): r["vec_id"] for r in sim_ivf_topk(spark, SF_MED).collect()
+    }
+    assert served == computed

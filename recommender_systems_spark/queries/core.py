@@ -529,6 +529,94 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fp_sql(base: int) -> str:
+    return f"""list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(regexp_split_to_array(text, ''),
+                                  ch -> CAST(ascii(ch) AS BIGINT))),
+               (acc, x) -> (acc * {base} + x) % {FINGERPRINT_MOD})"""
+
+
+_INGEST_SQL = f"""
+    WITH keyed AS (
+        SELECT doc_id, {_fp_sql(31)} AS f1, {_fp_sql(131)} AS f2,
+               length(text) AS n
+        FROM documents
+    ),
+    old AS (SELECT DISTINCT f1, f2, n FROM keyed WHERE doc_id % 2 = 0),
+    batch AS (
+        SELECT f1, f2, n, min(doc_id) AS doc_id
+        FROM keyed WHERE doc_id % 2 = 1 GROUP BY f1, f2, n
+    )
+    SELECT b.doc_id, b.f1 AS fingerprint
+    FROM batch b
+    WHERE NOT EXISTS (
+        SELECT 1 FROM old o
+        WHERE o.f1 = b.f1 AND o.f2 = b.f2 AND o.n = b.n
+    )
+"""
+
+
+def _fp_store_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    cache = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "..", ".data_cache"
+    )
+    suffix = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    return os.path.join(os.path.abspath(cache), f"fp_store_{suffix}")
+
+
+def _keyed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        rolling_fingerprint(F.col("text")).alias("f1"),
+        rolling_fingerprint(F.col("text"), base=131).alias("f2"),
+        F.length("text").alias("n"),
+    )
+
+
+@register("t_incremental_ingest", _INGEST_SQL)
+def t_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: incremental corpus ingestion — the steady-state shape
+    of a 100 TB dedup pipeline. The historical corpus is represented by
+    a PERSISTED fingerprint store (24 bytes per historical doc — dual
+    rolling fingerprint + length, same key as dedup_exact — written
+    once, reused across sessions via the _SUCCESS marker); each new
+    batch deduplicates within itself (min doc_id per key), then
+    anti-joins the store, and only the survivors would be appended to
+    the corpus + store. Neither side of the anti-join ever carries
+    document text, and the store grows 24 bytes per UNIQUE document —
+    the historical text is never re-read on later batches, which is the
+    whole point: ingest cost stays O(batch), not O(corpus).
+
+    Here "historical" = even doc_ids, "new batch" = odd doc_ids, so the
+    oracle can reconstruct the store from the same table."""
+    import os
+
+    store_path = _fp_store_path(sf_dir)
+    if not os.path.exists(os.path.join(store_path, "_SUCCESS")):
+        (
+            _keyed_docs(spark, sf_dir)
+            .filter(F.col("doc_id") % 2 == 0)
+            .select("f1", "f2", "n")
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(store_path)
+        )
+    store = spark.read.parquet(store_path)
+    batch = (
+        _keyed_docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 2 == 1)
+        .groupBy("f1", "f2", "n")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return batch.join(store, ["f1", "f2", "n"], "left_anti").select(
+        "doc_id", F.col("f1").alias("fingerprint")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Vector scoring (M1/M13) + similarity-search extension
 # ---------------------------------------------------------------------------

@@ -142,3 +142,44 @@ def test_ivf_partitioned_prunes_and_matches(spark):
         (r["qid"], r["rank"]): r["vec_id"] for r in sim_ivf_topk(spark, SF_MED).collect()
     }
     assert served == computed
+
+
+def test_boxplot_summary_invariants(spark):
+    """Order statistics must be ordered, fences must bracket the IQR,
+    and outliers are a subset of each arm."""
+    from recommender_systems_spark.queries.abtest import e_boxplot_summary
+
+    rows = e_boxplot_summary(spark, SF_MED).collect()
+    assert {r["grp"] for r in rows} == {"A", "B"}
+    for r in rows:
+        assert r["mn"] <= r["q1"] <= r["med"] <= r["q3"] <= r["mx"]
+        assert r["lo_fence"] <= r["q1"] and r["q3"] <= r["hi_fence"]
+        assert 0 <= r["n_outliers"] <= r["n"]
+
+
+def test_incremental_ingest_invariants(spark):
+    """Survivors are odd-id batch docs whose dedup key is absent from
+    the historical side, one survivor per key."""
+    from recommender_systems_spark.queries.core import (
+        _keyed_docs,
+        t_incremental_ingest,
+    )
+
+    out = t_incremental_ingest(spark, SF_MED)
+    rows = out.collect()
+    assert all(r["doc_id"] % 2 == 1 for r in rows)
+    # no survivor's full key may exist among even (historical) docs
+    keyed = _keyed_docs(spark, SF_MED)
+    old_keys = {
+        (r["f1"], r["f2"], r["n"])
+        for r in keyed.filter(F.col("doc_id") % 2 == 0).collect()
+    }
+    new_keys = {
+        (r["f1"], r["f2"], r["n"]): r["doc_id"]
+        for r in keyed.filter(F.col("doc_id") % 2 == 1)
+        .groupBy("f1", "f2", "n")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .collect()
+    }
+    expect = {v for k, v in new_keys.items() if k not in old_keys}
+    assert {r["doc_id"] for r in rows} == expect

@@ -212,3 +212,81 @@ def t_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").alias("total_tokens"),
         F.round(F.avg("quality"), 4).alias("avg_quality"),
     )
+
+
+# Chunking geometry: 64-token windows advancing 48 tokens (16-token
+# overlap) — the shape an embedding stage consumes.
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+_CHUNK_SQL = f"""
+    WITH t AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents
+    ),
+    n AS (
+        SELECT doc_id, toks,
+               CASE WHEN len(toks) <= {CHUNK_TOKENS} THEN 1
+                    ELSE CAST(ceil((len(toks) - {CHUNK_TOKENS}) / {CHUNK_STRIDE}.0)
+                              AS BIGINT) + 1 END AS n_chunks
+        FROM t
+    ),
+    x AS (SELECT doc_id, toks, unnest(range(n_chunks)) AS i FROM n)
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           COALESCE(array_to_string(
+               list_slice(toks, i * {CHUNK_STRIDE} + 1,
+                          i * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' '), '') AS chunk_text,
+           CAST(len(list_slice(toks, i * {CHUNK_STRIDE} + 1,
+                               i * {CHUNK_STRIDE} + {CHUNK_TOKENS})) AS BIGINT)
+               AS n_tokens
+    FROM x
+"""
+
+
+@register("t_chunk_documents", _CHUNK_SQL)
+def t_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: document chunking — overlapping fixed-size token
+    windows, the unit an embedding/training stage consumes. Tokenise
+    ONCE (the language-ID lesson), derive the chunk count arithmetically,
+    posexplode the window index, slice per window — all built-ins, fully
+    parallel, no shuffle at all (chunking is embarrassingly row-local;
+    the only exchange in the plan is whatever the sink needs).
+
+    Window geometry: ceil((n − C)/S) + 1 windows of C=64 tokens at
+    stride S=48, so every token belongs to ≥1 chunk and consecutive
+    chunks share C−S=16 tokens; short docs yield exactly one (possibly
+    short) chunk."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size("__toks")
+    n_chunks = (
+        F.when(n <= CHUNK_TOKENS, F.lit(1).cast("long"))
+        .otherwise(
+            F.ceil((n - F.lit(CHUNK_TOKENS)) / F.lit(float(CHUNK_STRIDE))) + F.lit(1)
+        )
+    )
+    chunk = F.slice(
+        F.col("__toks"),
+        F.col("chunk_idx") * CHUNK_STRIDE + 1,
+        CHUNK_TOKENS,
+    )
+    return (
+        docs.select("doc_id", toks.alias("__toks"))
+        .select(
+            "doc_id",
+            "__toks",
+            F.posexplode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)),
+        )
+        .select(
+            "doc_id",
+            F.col("pos").alias("chunk_idx"),
+            F.col("__toks"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.size(chunk).cast("long").alias("n_tokens"),
+        )
+    )

@@ -290,3 +290,65 @@ def t_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(chunk).cast("long").alias("n_tokens"),
         )
     )
+
+
+TFIDF_TOP = 3
+
+_TFIDF_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 6) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, CAST(rnk AS INT) AS rnk FROM (
+        SELECT doc_id, term, tfidf,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, term
+               ) AS rnk
+        FROM scored
+    ) WHERE rnk <= {TFIDF_TOP}
+"""
+
+
+@register("t_tfidf_top_terms", _TFIDF_SQL)
+def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: per-document TF-IDF top terms — the classic relevance
+    feature. One explode→(doc, term) count shuffle builds TF; document
+    frequency aggregates off the ALREADY-AGGREGATED tf table (term
+    cardinality, not token cardinality — never a second pass over raw
+    text); the smoothed IDF table is vocabulary-sized and broadcasts
+    back; per-doc top-k by window. Ranking orders by the ROUNDED score
+    in both engines so cross-engine double noise below 1e-6 cannot flip
+    tie order.
+
+    Scale: 3 exchanges (tf keyed on (doc,term), df on term, top-k
+    window on doc); the raw-text scan happens exactly once."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP)
+        .select("doc_id", "term", "tfidf", "rnk")
+    )

@@ -65,6 +65,35 @@ BIAS_SCHEMA = T.StructType(
 )
 
 
+def cache_key(sf_dir: str, *source_tables: str) -> str:
+    """12-hex digest identifying ``sf_dir`` AND the identity (size,
+    mtime) of the named source parquet files. Derived caches keyed on
+    this digest invalidate automatically when the driver regenerates
+    the test data — a path-only key would silently serve a stale cache
+    while the DuckDB oracle recomputes from the live files."""
+    import hashlib
+
+    key = sf_dir
+    for t in source_tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            st = os.stat(p)
+            key += f"|{t}:{st.st_size}:{st.st_mtime_ns}"
+        except OSError:
+            key += f"|{t}:missing"
+    return hashlib.sha1(key.encode()).hexdigest()[:12]
+
+
+def cache_path(prefix: str, sf_dir: str, *source_tables: str) -> str:
+    """Directory under the repo's ``.data_cache`` for a derived artifact
+    (fingerprint store, IVF index, bucketed tables), keyed by source
+    data identity via ``cache_key``."""
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".data_cache")
+    return os.path.join(
+        os.path.abspath(root), f"{prefix}_{cache_key(sf_dir, *source_tables)}"
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """S1/S6: read one driver parquet table. Column pruning and predicate
     pushdown reach the scan because callers express plans declaratively.

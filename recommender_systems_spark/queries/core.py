@@ -529,17 +529,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fp_sql(base: int) -> str:
-    return f"""list_reduce(
-               list_prepend(CAST(0 AS BIGINT),
-                   list_transform(regexp_split_to_array(text, ''),
-                                  ch -> CAST(ascii(ch) AS BIGINT))),
-               (acc, x) -> (acc * {base} + x) % {FINGERPRINT_MOD})"""
-
+from recommender_systems_spark.dedup.minhash import sql_fp  # noqa: E402
 
 _INGEST_SQL = f"""
     WITH keyed AS (
-        SELECT doc_id, {_fp_sql(31)} AS f1, {_fp_sql(131)} AS f2,
+        SELECT doc_id, {sql_fp("text", 31)} AS f1, {sql_fp("text", 131)} AS f2,
                length(text) AS n
         FROM documents
     ),
@@ -558,14 +552,9 @@ _INGEST_SQL = f"""
 
 
 def _fp_store_path(sf_dir: str) -> str:
-    import hashlib
-    import os
+    from recommender_systems_spark.io import cache_path
 
-    cache = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "..", "..", ".data_cache"
-    )
-    suffix = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
-    return os.path.join(os.path.abspath(cache), f"fp_store_{suffix}")
+    return cache_path("fp_store", sf_dir, "documents")
 
 
 def _keyed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

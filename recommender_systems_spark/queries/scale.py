@@ -73,7 +73,12 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> str:
     """Bucket orders+lineitem on the join key (write once per sf, ever:
     the parquet buckets persist under .data_cache and later sessions
     re-register them — 'pay the shuffle once at write time')."""
-    suffix = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    # Keyed on source-data identity, not just the path: regenerated
+    # testdata must invalidate the buckets (a stale cache would fail
+    # the oracle in a way that looks like an engine bug).
+    from recommender_systems_spark.io import cache_key
+
+    suffix = cache_key(sf_dir, "orders", "lineitem")
     warehouse = os.path.join(os.path.abspath(_CACHE), "warehouse")
     _ensure_bucketed(
         spark,

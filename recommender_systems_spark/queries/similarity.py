@@ -406,14 +406,9 @@ def sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_index_path(sf_dir: str) -> str:
-    import hashlib
-    import os
+    from recommender_systems_spark.io import cache_path
 
-    cache = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "..", "..", ".data_cache"
-    )
-    suffix = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
-    return os.path.join(os.path.abspath(cache), f"ivf_index_{suffix}")
+    return cache_path("ivf_index", sf_dir, "embeddings")
 
 
 def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
@@ -429,8 +424,10 @@ def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     path = _ivf_index_path(sf_dir)
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
-    e = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .localCheckpoint()  # two consumers: codebook filter + assignment
     )
     cents = e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")

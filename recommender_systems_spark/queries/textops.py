@@ -266,9 +266,12 @@ def t_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ceil((n - F.lit(CHUNK_TOKENS)) / F.lit(float(CHUNK_STRIDE))) + F.lit(1)
         )
     )
+    # long arithmetic: pos is INT, and chunk_idx*48 overflows int32 for
+    # ~45M-token documents — ANSI mode would throw where the BIGINT
+    # oracle succeeds.
     chunk = F.slice(
         F.col("__toks"),
-        F.col("chunk_idx") * CHUNK_STRIDE + 1,
+        F.col("chunk_idx").cast("long") * CHUNK_STRIDE + 1,
         CHUNK_TOKENS,
     )
     return (
@@ -330,21 +333,28 @@ def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie order.
 
     Scale: 3 exchanges (tf keyed on (doc,term), df on term, top-k
-    window on doc); the raw-text scan happens exactly once."""
+    window on doc); the raw-TEXT scan happens exactly once — the corpus
+    size N comes from a 1-row count aggregate cross-joined into the
+    plan (a metadata-only parquet count, and the query stays lazy — no
+    eager driver job at construction)."""
     docs = _t(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("__n"))
     tf = (
         docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(df), "term").select(
-        "doc_id",
-        "term",
-        F.round(
-            F.col("tf") * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)), 6
-        ).alias("tfidf"),
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
     return (

@@ -95,15 +95,22 @@ def run_enrich_available_now(
     """Drain the enrichment pipeline with an availableNow trigger into a
     memory sink (same contract as ``run_available_now``)."""
     agg = stream_enrich_agg(read_events_stream(spark, source_dir), dim)
+    return _drain_to_memory(agg, query_name, "complete")
+
+
+def _drain_to_memory(df: DataFrame, query_name: str, output_mode: str) -> DataFrame:
+    """Shared availableNow drain: run ``df`` to completion into a memory
+    sink (test/CI sink; production writes parquet/Kafka with
+    checkpointing) and return the result table."""
     q = (
-        agg.writeStream.format("memory")
+        df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(query_name)
+    return df.sparkSession.table(query_name)
 
 
 def stream_dedup_keys(stream: DataFrame, keys: list[str]) -> DataFrame:
@@ -130,15 +137,7 @@ def run_dedup_available_now(
     dd = stream_dedup_keys(
         read_events_stream(spark, source_dir), ["user_id", "event_type"]
     )
-    q = (
-        dd.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(query_name)
+    return _drain_to_memory(dd, query_name, "append")
 
 
 def run_available_now(
@@ -148,12 +147,4 @@ def run_available_now(
     (test/CI sink; production would write parquet/Kafka with
     checkpointing) and return the final result table."""
     agg = stream_window_agg(read_events_stream(spark, source_dir))
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(query_name)
+    return _drain_to_memory(agg, query_name, "complete")

@@ -134,6 +134,45 @@ def sample_frames(
     )
 
 
+GRID = 16
+POOL = 2
+OUT = GRID // POOL
+
+
+def resize_grid(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize stage with a deterministic fake decoder: the first
+    GRID×GRID payload bytes are a grayscale "image" (zero-padded when
+    the payload is short), average-pooled POOL×POOL to OUT×OUT and
+    scaled to [0,1] — the image-resize pattern (decode → pool → float
+    grid) with the codec stubbed (decode_image is the real thing's
+    slot). Same production plumbing as every stage here: Arrow-batched
+    mapInPandas, fixed schema, narrow, no shuffle."""
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[list[float]] = []
+            for b in pdf[payload_col]:
+                raw = bytes(b)[: GRID * GRID]
+                arr = np.zeros(GRID * GRID, dtype=np.int64)
+                arr[: len(raw)] = np.frombuffer(raw, dtype=np.uint8)
+                pooled = (
+                    arr.reshape(GRID, GRID)
+                    .reshape(OUT, POOL, OUT, POOL)
+                    .sum(axis=(1, 3))
+                )
+                # int sum → /POOL² → /255, same op order as the oracle.
+                vals = np.round(pooled / float(POOL * POOL) / 255.0, 5)
+                out.append([float(v) for v in vals.ravel()])
+            yield pd.DataFrame({id_col: pdf[id_col], "resized": out})
+
+    return df.mapInPandas(extract, schema=f"{id_col} long, resized array<double>")
+
+
 def decode_image(
     df: DataFrame, payload_col: str = "payload", size: tuple[int, int] = (224, 224)
 ) -> DataFrame:

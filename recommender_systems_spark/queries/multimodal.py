@@ -172,3 +172,41 @@ def s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = f"stream_dedup_{abs(hash(sf_dir)) % 10**8}"
     return run_dedup_available_now(spark, _stream_dir(sf_dir), name)
+
+
+def _byte_sql(i: str) -> str:
+    """Zero-padded byte read: ascii code of 1-based char i, 0 past the
+    end (the corpus is ASCII — byte i == code point i, asserted by
+    mm_byte_features' n_bytes comparison)."""
+    return f"(CASE WHEN {i} <= length(text) THEN ascii(text[{i}:{i}]) ELSE 0 END)"
+
+
+_GRID, _POOL, _OUT = 16, 2, 8
+
+_RESIZE_SQL = f"""
+    SELECT doc_id,
+           list_transform(range({_OUT * _OUT}), k ->
+               round((CAST(
+                   {_byte_sql(f"((k // {_OUT}) * {_POOL}) * {_GRID} + (k % {_OUT}) * {_POOL} + 1")}
+                 + {_byte_sql(f"((k // {_OUT}) * {_POOL}) * {_GRID} + (k % {_OUT}) * {_POOL} + 2")}
+                 + {_byte_sql(f"((k // {_OUT}) * {_POOL} + 1) * {_GRID} + (k % {_OUT}) * {_POOL} + 1")}
+                 + {_byte_sql(f"((k // {_OUT}) * {_POOL} + 1) * {_GRID} + (k % {_OUT}) * {_POOL} + 2")}
+               AS DOUBLE) / {_POOL * _POOL}.0) / 255.0, 5)
+           ) AS resized
+    FROM documents
+"""
+
+
+@register("mm_resize", _RESIZE_SQL)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal extension: the resize stage — first 16×16 payload
+    bytes as a zero-padded grayscale grid, 2×2 average-pooled to 8×8 in
+    [0,1] via Arrow-batched mapInPandas (multimodal.binary.resize_grid;
+    decode_image is the stubbed real codec slot). Completes the
+    advertised decode / feature-extract / resize / frame-sample
+    quartet; the oracle reproduces the pooling arithmetic byte-by-byte
+    from the text."""
+    from recommender_systems_spark.multimodal.binary import resize_grid, with_payload
+
+    docs = _t(spark, sf_dir, "documents")
+    return resize_grid(with_payload(docs))

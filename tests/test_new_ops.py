@@ -183,3 +183,20 @@ def test_incremental_ingest_invariants(spark):
     }
     expect = {v for k, v in new_keys.items() if k not in old_keys}
     assert {r["doc_id"] for r in rows} == expect
+
+
+def test_resize_grid_pads_short_payloads(spark):
+    """Payloads shorter than the 16x16 grid are zero-padded: a 2-byte
+    doc contributes only to the first pooled cell, everything else 0."""
+    from recommender_systems_spark.multimodal.binary import GRID, OUT, POOL, resize_grid
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"AB")), (2, bytearray(b""))], "doc_id long, payload binary"
+    )
+    rows = {r["doc_id"]: r["resized"] for r in resize_grid(df).collect()}
+    assert len(rows[1]) == OUT * OUT
+    # 'A'=65, 'B'=66 land in pooled cell (0,0): (65+66+0+0)/4/255
+    assert rows[1][0] == round((65 + 66) / float(POOL * POOL) / 255.0, 5)
+    assert all(v == 0.0 for v in rows[1][1:])
+    assert all(v == 0.0 for v in rows[2])
+    assert GRID == OUT * POOL

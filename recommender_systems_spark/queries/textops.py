@@ -362,3 +362,60 @@ def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TFIDF_TOP)
         .select("doc_id", "term", "tfidf", "rnk")
     )
+
+
+# Redaction patterns — identical syntax/semantics in Java regex (Spark)
+# and DuckDB's RE2: no lookarounds, no backrefs. DENY_PAT (a long-token
+# deny-list stand-in) is the pattern that actually fires on the synthetic
+# corpus; EMAIL/NUM carry the real PII semantics for text with digits.
+EMAIL_PAT = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+NUM_PAT = "[0-9]{4,}"
+DENY_PAT = "[a-z]{8,}"
+
+_REDACT_SQL = f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '{EMAIL_PAT}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text, '{NUM_PAT}')) AS BIGINT)
+               AS n_long_numbers,
+           CAST(len(regexp_extract_all(lower(text), '{DENY_PAT}')) AS BIGINT)
+               AS n_denied,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(lower(text), '{EMAIL_PAT}', '<EMAIL>', 'g'),
+                   '{NUM_PAT}', '<NUM>', 'g'),
+               '{DENY_PAT}', '<DENY>', 'g') AS redacted
+    FROM documents
+"""
+
+
+@register("t_redact_pii", _REDACT_SQL)
+def t_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: PII-style redaction — the scrub stage of a curation
+    pipeline (emails, 4+-digit runs, then deny-listed long tokens,
+    each replaced with a typed sentinel) plus per-doc match counts for
+    audit. Entirely JVM-side regexp built-ins over one scan, no
+    shuffle; the patterns avoid lookarounds/backrefs so Java regex and
+    DuckDB RE2 agree match for match, and the uppercase sentinels
+    can't cascade into later lowercase patterns."""
+    docs = _t(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(low, F.lit(EMAIL_PAT), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(NUM_PAT), 0))
+        .cast("long")
+        .alias("n_long_numbers"),
+        F.size(F.regexp_extract_all(low, F.lit(DENY_PAT), 0))
+        .cast("long")
+        .alias("n_denied"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(low, EMAIL_PAT, "<EMAIL>"), NUM_PAT, "<NUM>"
+            ),
+            DENY_PAT,
+            "<DENY>",
+        ).alias("redacted"),
+    )

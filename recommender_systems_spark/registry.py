@@ -67,3 +67,4 @@ from recommender_systems_spark.queries import scale as _scale  # noqa: E402,F401
 from recommender_systems_spark.queries import neardup as _neardup  # noqa: E402,F401
 from recommender_systems_spark.queries import sessions as _sessions  # noqa: E402,F401
 from recommender_systems_spark.queries import sketch as _sketch  # noqa: E402,F401
+from recommender_systems_spark.queries import splits as _splits  # noqa: E402,F401

@@ -200,3 +200,40 @@ def test_resize_grid_pads_short_payloads(spark):
     assert all(v == 0.0 for v in rows[1][1:])
     assert all(v == 0.0 for v in rows[2])
     assert GRID == OUT * POOL
+
+
+def test_split_partitions_every_doc_once(spark):
+    """Split is a total function: every doc appears exactly once, the
+    train fraction lands near 205/256, and re-running yields the
+    identical assignment (hash-determinism, not rand())."""
+    from recommender_systems_spark.queries.splits import t_split_train_test
+
+    a = {r["doc_id"]: r["split"] for r in t_split_train_test(spark, SF_MED).collect()}
+    b = {r["doc_id"]: r["split"] for r in t_split_train_test(spark, SF_MED).collect()}
+    assert a == b
+    n = len(a)
+    assert n == spark.read.parquet(f"{SF_MED}/documents.parquet").count()
+    frac = sum(1 for s in a.values() if s == "train") / n
+    assert 0.70 < frac < 0.90
+    assert set(a.values()) <= {"train", "val", "test"}
+
+
+def test_contamination_covers_test_split_and_bounds(spark):
+    """One contamination row per test-split doc; ratios live in [0,1];
+    a doc's n-gram count is positive."""
+    from recommender_systems_spark.queries.splits import (
+        t_contamination,
+        t_split_train_test,
+    )
+
+    split = {
+        r["doc_id"]: r["split"] for r in t_split_train_test(spark, SF_MED).collect()
+    }
+    rows = t_contamination(spark, SF_MED).collect()
+    assert {r["doc_id"] for r in rows} == {
+        d for d, s in split.items() if s == "test"
+    }
+    for r in rows:
+        assert r["n_ngrams"] >= 1
+        assert 0 <= r["n_contaminated"] <= r["n_ngrams"]
+        assert 0.0 <= r["contamination"] <= 1.0

@@ -176,8 +176,10 @@ _SIMHASH_BANDS_SQL = " UNION ALL ".join(
     for b in range(2)
 )
 
-_SIMHASH_SQL = f"""
-    WITH hs AS (
+# hs → sh → bands → pairs → near: shared between dedup_simhash (emits
+# the near-dup pairs) and dedup_clusters (builds components over them).
+_SIMHASH_CTES = f"""
+    hs AS (
         SELECT doc_id,
                {sql_shingle_hashes(sql_char_ngrams('text'))} AS hs
         FROM documents
@@ -190,11 +192,18 @@ _SIMHASH_SQL = f"""
         FROM bands a
         JOIN bands b ON a.band = b.band AND a.key = b.key
                     AND a.doc_id < b.doc_id
+    ),
+    near AS (
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+        FROM pairs
+        WHERE bit_count(xor(sa, sb)) <= {SIMHASH_MAX_HAMMING}
     )
-    SELECT doc_a, doc_b,
-           CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
-    FROM pairs
-    WHERE bit_count(xor(sa, sb)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+_SIMHASH_SQL = f"""
+    WITH {_SIMHASH_CTES}
+    SELECT doc_a, doc_b, hamming FROM near
 """
 
 
@@ -247,4 +256,95 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .select("doc_a", "doc_b", "hamming")
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over the SimHash pairs
+# ---------------------------------------------------------------------------
+
+_CLUSTERS_SQL = f"""
+    WITH RECURSIVE {_SIMHASH_CTES},
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM near
+              UNION SELECT doc_b, doc_a FROM near),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach AS (
+        SELECT id, id AS r FROM nodes
+        UNION
+        SELECT e.src AS id, reach.r FROM reach JOIN edges e ON e.dst = reach.id
+    ),
+    lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+    sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+           FROM lab GROUP BY cluster_id)
+    SELECT lab.doc_id, lab.cluster_id, sz.cluster_size
+    FROM lab JOIN sz USING (cluster_id)
+"""
+
+CLUSTER_MAX_ITER = 20
+
+
+@register("dedup_clusters", _CLUSTERS_SQL)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the
+    SimHash near-dup pairs, labelling every involved doc with the
+    MINIMUM doc id of its component — the canonical survivor a dedup
+    pipeline keeps (pairwise near-dup output alone can't answer "which
+    doc do I keep?" when A~B and B~C but A!~C).
+
+    Spark shape: min-label propagation (the HashMin connected-components
+    algorithm) — labels start as each node's own id; each round joins
+    labels across the symmetric edge list, takes the per-node min of
+    neighbour labels, and stops when no label changed. Rounds needed =
+    component diameter, which for near-dup clusters is tiny (near-dup
+    similarity is almost transitive); each round is ONE shuffle join +
+    hash agg on (id, label) pairs — never text — and localCheckpoint
+    truncates the iterative lineage. The oracle walks the same graph
+    with a recursive CTE.
+
+    Reference tie-in: this is A7's dedup generalised from exact-equality
+    keys to a similarity graph (SURVEY §2.4)."""
+    near = dedup_simhash(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    edges = (
+        near.union(near.select("doc_b", "doc_a"))
+        .toDF("src", "dst")
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(CLUSTER_MAX_ITER):
+        neigh = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nl"))
+            .withColumnRenamed("src", "id")
+        )
+        new_labels = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "old"), "id"
+            )
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(F.broadcast(sizes), "label").select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
     )

@@ -237,3 +237,31 @@ def test_contamination_covers_test_split_and_bounds(spark):
         assert r["n_ngrams"] >= 1
         assert 0 <= r["n_contaminated"] <= r["n_ngrams"]
         assert 0.0 <= r["contamination"] <= 1.0
+
+
+def test_dedup_clusters_partition_pairs(spark):
+    """Cluster labels form a valid partition of the near-dup graph:
+    both ends of every pair share a label, the label is the component
+    minimum, and sizes agree with the label multiset."""
+    from collections import Counter
+
+    from recommender_systems_spark.queries.dedup import (
+        dedup_clusters,
+        dedup_simhash,
+    )
+
+    pairs = [
+        (r["doc_a"], r["doc_b"]) for r in dedup_simhash(spark, SF_MED).collect()
+    ]
+    rows = dedup_clusters(spark, SF_MED).collect()
+    label = {r["doc_id"]: r["cluster_id"] for r in rows}
+    assert set(label) == {d for p in pairs for d in p}
+    for a, b in pairs:
+        assert label[a] == label[b]
+    # label is the min id of its member set
+    members = Counter(label.values())
+    for doc, lab in label.items():
+        assert lab <= doc
+    for r in rows:
+        assert r["cluster_size"] == members[r["cluster_id"]]
+        assert r["cluster_size"] >= 2  # every node came from a pair

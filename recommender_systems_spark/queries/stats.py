@@ -10,6 +10,8 @@ Statistic VALUES are computed distributed and oracle-checked; p-values
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -606,4 +608,122 @@ def f_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(words, lambda w: ~F.array_contains(vocab, w))).alias(
             "n_only_self"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E1 companion: NDCG@k ranking quality
+# ---------------------------------------------------------------------------
+
+# Integer-scaled discount table (millionths of 1/log2(i+1)) so BOTH
+# engines sum exact integers — DCG becomes Σ int, IDCG a prefix-sum
+# lookup, and the only float op is one final division. This sidesteps
+# cross-engine log2/summation-order ulp drift entirely.
+_NDCG_K = 10
+_NDCG_DISC = [round(1_000_000 / math.log2(i + 1)) for i in range(1, _NDCG_K + 1)]
+_NDCG_IDCG = [sum(_NDCG_DISC[: i + 1]) for i in range(_NDCG_K)]
+
+_NDCG_SQL = f"""
+    WITH q AS (
+        SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
+        FROM embeddings WHERE vec_id < 20
+    ),
+    scored AS (
+        SELECT q.qid, q.qlabel, e.vec_id, e.label,
+               round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                     / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(q.qv, q.qv))), 5) AS cs
+        FROM embeddings e JOIN q ON e.vec_id <> q.qid
+    ),
+    ranked AS (
+        SELECT qid, qlabel, label,
+               row_number() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id)
+                   AS rnk
+        FROM scored
+    ),
+    rel AS (
+        SELECT q.qid, count(*) AS n_relevant
+        FROM q JOIN embeddings e
+          ON e.label = q.qlabel AND e.vec_id <> q.qid
+        GROUP BY q.qid
+    ),
+    dcg AS (
+        SELECT qid,
+               sum(CASE WHEN label = qlabel
+                        THEN {list(_NDCG_DISC)}[rnk] ELSE 0 END) AS dcg_s
+        FROM ranked WHERE rnk <= {_NDCG_K}
+        GROUP BY qid
+    )
+    SELECT dcg.qid AS vec_id,
+           CAST(dcg.dcg_s AS BIGINT) AS dcg_millionths,
+           round(dcg.dcg_s /
+                 CAST({list(_NDCG_IDCG)}[least(rel.n_relevant, {_NDCG_K})]
+                      AS DOUBLE), 5) AS ndcg_at_10
+    FROM dcg JOIN rel ON dcg.qid = rel.qid
+"""
+
+
+@register("e_ndcg_at_k", _NDCG_SQL)
+def e_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 companion: NDCG@10 per query over the same scoring setup as
+    ``e_precision_recall_at_k`` (embeddings as queries+catalog,
+    relevance = same label) — position-aware ranking quality, the
+    metric that actually discriminates between two systems with equal
+    P@k. DCG sums the integer discount of each relevant hit's rank;
+    IDCG is the prefix-sum at min(n_relevant, k); both engines do pure
+    integer sums + one division (see the table note above).
+
+    Plan shape: identical to P@k — broadcast queries × catalog, one
+    per-query top-k window, broadcast n_relevant join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        emb.select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("ev")
+        )
+        .join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "vec_id",
+            "label",
+            F.round(cosine_similarity(F.col("ev"), F.col("qv")), 5).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cs").desc(), F.col("vec_id"))
+    ranked = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= _NDCG_K
+    )
+    rel = (
+        q.join(
+            emb.select("vec_id", "label"),
+            (F.col("label") == F.col("qlabel")) & (F.col("vec_id") != F.col("qid")),
+        )
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_relevant"))
+    )
+    disc = F.element_at(
+        F.array(*[F.lit(d) for d in _NDCG_DISC]), F.col("rnk")
+    )
+    dcg = ranked.groupBy("qid").agg(
+        F.sum(
+            F.when(F.col("label") == F.col("qlabel"), disc).otherwise(F.lit(0))
+        ).alias("dcg_s")
+    )
+    idcg = F.element_at(
+        F.array(*[F.lit(c) for c in _NDCG_IDCG]),
+        F.least(F.col("n_relevant"), F.lit(_NDCG_K)).cast("int"),
+    )
+    return (
+        dcg.join(F.broadcast(rel), "qid")
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("dcg_s").cast("long").alias("dcg_millionths"),
+            F.round(F.col("dcg_s") / idcg.cast("double"), 5).alias("ndcg_at_10"),
+        )
     )

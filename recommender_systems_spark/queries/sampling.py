@@ -114,3 +114,58 @@ def m_simulate_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.rand(8) < 0.5, F.lit("A")).otherwise(F.lit("B")).alias("grp"),
         )
     )
+
+
+# Per-stratum sampling fractions, hex-encoded as 4-digit md5-prefix
+# thresholds (65536 buckets): keep a row iff its hash prefix sorts
+# below the stratum's threshold. Computed once here so the Spark CASE
+# and the oracle CASE embed the identical literals.
+STRATA_FRACTIONS = {
+    "click": 0.20,
+    "view": 0.05,
+    "purchase": 0.50,
+    "signup": 0.10,
+    "error": 0.02,
+}
+_STRATA_HEX = {
+    k: format(int(v * 65536), "04x") for k, v in STRATA_FRACTIONS.items()
+}
+
+_STRAT_CASE_SQL = " ".join(
+    f"WHEN '{k}' THEN '{h}'" for k, h in _STRATA_HEX.items()
+)
+
+_STRATIFIED_SQL = f"""
+    SELECT event_id, event_type
+    FROM events
+    WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 4)
+          < CASE event_type {_STRAT_CASE_SQL} ELSE '0000' END
+"""
+
+
+@register("m_stratified_sample", _STRATIFIED_SQL)
+def m_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10 at pipeline scale: stratified sampling with per-stratum
+    fractions (the `sampleBy` shape — downsample over-represented
+    event types when assembling a training mix) implemented as a
+    deterministic hash-Bernoulli filter: keep a row iff the first 4
+    md5(event_id) hex chars sort below the stratum's threshold.
+
+    Why hash instead of rand(seed): the decision depends only on the
+    row's stable key, so it is reproducible across engines (full
+    row-level oracle — `sampleBy` would be rows-only), stable under
+    repartitioning/backfill, and consistent between runs that sample
+    different tables on the same key. Zero shuffle: the filter is a
+    projection-time predicate, map-side at any scale."""
+    expr = None
+    for k, h in _STRATA_HEX.items():
+        expr = (
+            F.when(F.col("event_type") == k, F.lit(h))
+            if expr is None
+            else expr.when(F.col("event_type") == k, F.lit(h))
+        )
+    thr = expr.otherwise(F.lit("0000"))
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 4) < thr
+    ).select("event_id", "event_type")

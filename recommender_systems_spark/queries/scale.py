@@ -167,3 +167,85 @@ def j_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("s_acctbal"), 2).alias("weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout key — multi-dimensional data skipping
+# ---------------------------------------------------------------------------
+
+ZBITS = 8  # 8 bits per dimension → 16-bit interleaved key
+
+
+def _morton_col(x: F.Column, y: F.Column) -> F.Column:
+    """Interleave the low ZBITS of x (even positions) and y (odd)."""
+    out = F.lit(0)
+    for i in range(ZBITS):
+        out = out + F.shiftleft(
+            F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i
+        ) + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return out.cast("long")
+
+
+def _morton_sql(x: str, y: str) -> str:
+    terms = " + ".join(
+        f"((({x} >> {i}) & 1) << {2 * i}) + ((({y} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(ZBITS)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+_ZX_SQL = "(user_id % 256)"
+_ZY_SQL = "CAST(greatest(least(floor(value * 2.56), 255), 0) AS BIGINT)"
+
+_ZORDER_SQL = f"""
+    WITH z AS (
+        SELECT event_id, {_ZX_SQL} AS zx, {_ZY_SQL} AS zy,
+               {_morton_sql(_ZX_SQL, _ZY_SQL)} AS zkey
+        FROM events
+    )
+    SELECT CAST(zkey // 4096 AS BIGINT) AS zblock,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(zx) AS BIGINT) AS min_x, CAST(max(zx) AS BIGINT) AS max_x,
+           CAST(min(zy) AS BIGINT) AS min_y, CAST(max(zy) AS BIGINT) AS max_y
+    FROM z
+    GROUP BY zblock
+"""
+
+
+@register("w_zorder", _ZORDER_SQL)
+def w_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key over two dimensions — user bucket ×
+    value bucket — plus the per-block min/max column statistics that a
+    z-sorted file layout exposes to data skipping.
+
+    Why this is a scale operator rather than arithmetic: sorting 100 TB
+    by ``zkey`` before writing clusters BOTH dimensions into every file,
+    so the parquet footer min/max on user_id AND value are tight per
+    file, and a scan filtered on either dimension prunes most files —
+    a single-column sort gives skipping on one dimension only. The
+    emitted (zblock → min/max per dim) table IS that skipping index:
+    each 4096-key block covers a 64×64 tile of the key space, so both
+    per-dimension ranges stay narrow (the oracle check verifies the
+    tile bounds numerically). Bit-interleave runs in whole-stage
+    codegen (shift/and/add only)."""
+    ev = _t(spark, sf_dir, "events")
+    zx = F.pmod(F.col("user_id"), F.lit(256))
+    zy = F.greatest(
+        F.least(F.floor(F.col("value") * 2.56), F.lit(255)), F.lit(0)
+    ).cast("long")
+    z = ev.select(
+        "event_id",
+        zx.alias("zx"),
+        zy.alias("zy"),
+        _morton_col(zx, zy).alias("zkey"),
+    )
+    return (
+        z.groupBy((F.col("zkey") / 4096).cast("long").alias("zblock"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("zx").alias("min_x"),
+            F.max("zx").alias("max_x"),
+            F.min("zy").alias("min_y"),
+            F.max("zy").alias("max_y"),
+        )
+    )

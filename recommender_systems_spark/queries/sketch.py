@@ -108,3 +108,49 @@ def a_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pkey", "exact_n")
         .agg(F.min("n").alias("cm_estimate"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog approximate distinct — bounded-error contract
+# ---------------------------------------------------------------------------
+
+HLL_RSD = 0.05  # requested relative standard deviation
+HLL_BOUND = 0.15  # 3σ acceptance band checked against the exact count
+
+_HLL_SQL = f"""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           TRUE AS within_bound
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@register("a_hll_distinct", _HLL_SQL)
+def a_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate count-distinct per group — the
+    sketch that replaces exact `count(DISTINCT)` at 100 TB, where the
+    exact form shuffles every distinct (group, key) pair while the HLL
+    dense register array is a fixed few KB per group and merges
+    map-side (partial aggregation), making the shuffle independent of
+    cardinality.
+
+    The oracle contract is the sketch's accuracy guarantee, not its
+    internals: the query computes BOTH the exact count and the HLL
+    estimate in one aggregation pass and emits (exact, estimate within
+    3σ of requested rsd) — the oracle independently computes the exact
+    count and asserts the bound held (TRUE). Estimator drift beyond
+    the band would hash-mismatch. SURVEY A5 note: exact count stays
+    the right call when the number SIZES an allocation; the sketch is
+    for monitoring/cardinality-estimation paths."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=HLL_RSD)
+                - F.countDistinct("user_id")
+            )
+            <= F.countDistinct("user_id") * F.lit(HLL_BOUND)
+        ).alias("within_bound"),
+    )

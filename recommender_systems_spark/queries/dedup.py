@@ -22,8 +22,7 @@ from recommender_systems_spark.dedup.minhash import (
     LSH_BANDS,
     band_key,
     jaccard,
-    minhash_signature,
-    shingle_hashes,
+    minhash_struct_pandas,
     signature_agreement,
     SIMHASH_BANDS,
     simhash_band,
@@ -36,7 +35,6 @@ from recommender_systems_spark.dedup.minhash import (
     sql_simhash,
     sql_tokens,
 )
-from recommender_systems_spark.functions.text import word_shingles
 from recommender_systems_spark.registry import _t, register
 
 SIG_LEN = 16  # LSH_BANDS * LSH_ROWS
@@ -115,12 +113,15 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Three consumers (band explode, verify-a, verify-b) read the
     # signature table; checkpoint so the shingle+signature computation
-    # runs once instead of three times.
-    sh = docs.select(
-        "doc_id",
-        F.array_distinct(word_shingles(F.col("text"))).alias("da"),
-        minhash_signature(shingle_hashes(F.col("text"))).alias("sig"),
-    ).localCheckpoint()
+    # runs once instead of three times. The Arrow kernel is
+    # value-identical to the HOF pair
+    # array_distinct(word_shingles(text)) / minhash_signature(
+    # shingle_hashes(text)) — see dedup.minhash.minhash_struct_pandas.
+    sh = (
+        docs.select("doc_id", minhash_struct_pandas(F.col("text")).alias("s"))
+        .select("doc_id", F.col("s.da").alias("da"), F.col("s.sig").alias("sig"))
+        .localCheckpoint()
+    )
     bands = sh.select(
         "doc_id",
         F.posexplode(F.array(*[band_key(F.col("sig"), b) for b in range(LSH_BANDS)]))

@@ -18,8 +18,7 @@ from pyspark.sql import functions as F
 from recommender_systems_spark.dedup.minhash import (
     LSH_BANDS,
     band_key,
-    minhash_signature,
-    shingle_hashes,
+    minhash_struct_pandas,
     sql_band_key,
     sql_char_ngrams,
     sql_minhash_signature,
@@ -27,7 +26,6 @@ from recommender_systems_spark.dedup.minhash import (
     sql_shingles,
     sql_tokens,
 )
-from recommender_systems_spark.functions.text import char_ngrams
 from recommender_systems_spark.functions.vector import dot_product
 from recommender_systems_spark.registry import _t, register
 from recommender_systems_spark.similarity.ann import (
@@ -83,11 +81,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    sh = docs.select(
-        "doc_id",
-        F.array_distinct(char_ngrams(F.col("text"), NGRAM_N)).alias("grams"),
-        minhash_signature(shingle_hashes(F.col("text"))).alias("sig"),
-    ).localCheckpoint()
+    # Arrow kernel: value-identical to array_distinct(char_ngrams(text))
+    # + minhash_signature(shingle_hashes(text)) — see
+    # dedup.minhash.minhash_struct_pandas.
+    sh = (
+        docs.select(
+            "doc_id",
+            minhash_struct_pandas(F.col("text"), char_gram_n=NGRAM_N).alias("s"),
+        )
+        .select("doc_id", F.col("s.da").alias("grams"), F.col("s.sig").alias("sig"))
+        .localCheckpoint()
+    )
     bands = sh.select(
         "doc_id",
         F.posexplode(

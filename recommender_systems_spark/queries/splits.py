@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from recommender_systems_spark.dedup.minhash import (
-    shingle_hashes,
+    shingle_hashes_pandas,
     sql_shingle_hashes,
     sql_shingles,
     sql_tokens,
@@ -113,9 +113,7 @@ def t_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("h2", _h2_col())
-        .withColumn(
-            "hs", F.array_distinct(shingle_hashes(F.col("text"), CONTAM_NGRAM))
-        )
+        .withColumn("hs", shingle_hashes_pandas(F.col("text"), CONTAM_NGRAM))
         .drop("text")
     )
     train_grams = (

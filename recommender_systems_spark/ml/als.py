@@ -83,7 +83,6 @@ def _solve_bucket(
     tau: float,
     alpha: float,
     k: int,
-    has_pull: bool = False,
 ):
     """Solve EVERY entity in one hash bucket (reference update_user,
     functions.py:283-357), executed per bucket inside applyInPandas.
@@ -96,27 +95,47 @@ def _solve_bucket(
     overhead, so grouping by id (10⁴-10⁵ groups of ~30 rows) spends
     more time in plumbing than in BLAS. Hashing ids into
     ``SOLVE_BUCKETS`` groups keeps full parallelism while the
-    per-entity loop runs inside one NumPy frame."""
+    per-entity loop runs inside one NumPy frame.
+
+    Row kinds (``__k``, see ``als_half_sweep``): 0 = rating row
+    (other-side features/bias in ``of``/``ob``), 1 = the entity's own
+    current vector, 2 = the optional genre RHS pull — the frozen self
+    state arrives as ONE row per entity instead of being replicated
+    onto every rating row."""
     tau_eye = tau * np.eye(k)
     out_ids: list[int] = []
     out_feat: list[list[float]] = []
     out_bias: list[float] = []
-    v_all = np.stack(pdf["other_features"].to_numpy())
-    r_all = pdf["rating"].to_numpy(dtype=np.float64)
-    b_all = pdf["other_bias"].to_numpy(dtype=np.float64)
-    for vid, idx in pdf.groupby("id", sort=False).indices.items():
+    kind = pdf["__k"].to_numpy()
+    data = pdf[kind == 0]
+    self_rows = pdf[kind == 1]
+    self_map = dict(zip(self_rows["id"].to_numpy(), self_rows["of"].to_numpy()))
+    pull_rows = pdf[kind == 2]
+    pull_map = dict(zip(pull_rows["id"].to_numpy(), pull_rows["of"].to_numpy()))
+    if len(data) == 0:
+        return pd.DataFrame({"id": [], "features": [], "bias": []}).astype(
+            {"id": "int64", "bias": "float64"}
+        )
+    v_all = np.stack(data["of"].to_numpy())
+    r_all = data["rating"].to_numpy(dtype=np.float64)
+    b_all = data["ob"].to_numpy(dtype=np.float64)
+    for vid, idx in data.groupby("id", sort=False).indices.items():
+        u_prev = self_map.get(vid)
+        if u_prev is None:
+            # No current self state — the pre-union inner join dropped
+            # such ratings; keep that contract.
+            continue
         v = v_all[idx]
         r = r_all[idx]
         b_other = b_all[idx]
-        u_old = np.asarray(pdf["self_features"].iloc[idx[0]], dtype=np.float64)
+        u_old = np.asarray(u_prev, dtype=np.float64)
         n = len(r)
         bias = lmd * float(np.sum(r - v @ u_old - b_other)) / (alpha + lmd * n)
         a_mat = lmd * (v.T @ v) + tau_eye
         rhs = lmd * (v.T @ (r - b_other - bias))
-        if has_pull:
-            pull = pdf["self_pull"].iloc[idx[0]]
-            if pull is not None:
-                rhs = rhs + np.asarray(pull, dtype=np.float64)
+        pull = pull_map.get(vid)
+        if pull is not None:
+            rhs = rhs + np.asarray(pull, dtype=np.float64)
         try:
             c = np.linalg.cholesky(a_mat)
             vec = np.linalg.solve(c.T, np.linalg.solve(c, rhs))
@@ -149,11 +168,16 @@ def als_half_sweep(
     (τ/√|g_n|)·Σ f_g of the reference's genre model
     (incl_genre.py:185-193). None ⇒ the plain bias-ALS update.
 
-    Plan shape: ratings ⋈ other(id) [shuffle or AQE-broadcast]
-    ⋈ self(id) → shuffle groupBy(hash bucket of self id) →
-    Arrow-batched per-entity solves inside each bucket.
+    Plan shape: ratings ⋈ other(id) [shuffle or AQE-broadcast]; the
+    frozen SELF state enters the grouping shuffle as UNIONED marker
+    rows — one (id, features) row per entity (``__k=1``; pull rows
+    ``__k=2``) instead of replicating the k-dim self vector onto every
+    rating row and paying a second join. The grouped solve reads its
+    entity's row out of the same Arrow frame. Cuts the grouping
+    shuffle + Arrow payload by ~k doubles × |ratings| and removes a
+    whole join stage per sweep.
     """
-    joined = (
+    data = (
         ratings.select(
             F.col(self_col).cast("long").alias("id"),
             F.col(other_col).cast("long").alias("other_id"),
@@ -162,31 +186,38 @@ def als_half_sweep(
         .join(
             other_factors.select(
                 F.col("id").alias("other_id"),
-                F.col("features").alias("other_features"),
-                F.col("bias").alias("other_bias"),
+                F.col("features").alias("of"),
+                F.col("bias").alias("ob"),
             ),
             "other_id",
         )
-        .join(
-            self_factors.select(
-                "id",
-                F.col("features").alias("self_features"),
-            ),
+        .select("id", "rating", "of", "ob", F.lit(0).alias("__k"))
+    )
+    un = data.unionByName(
+        self_factors.select(
             "id",
+            F.lit(None).cast("double").alias("rating"),
+            F.col("features").alias("of"),
+            F.lit(None).cast("double").alias("ob"),
+            F.lit(1).alias("__k"),
         )
     )
     if rhs_pull is not None:
-        joined = joined.join(
-            rhs_pull.select("id", F.col("pull").alias("self_pull")), "id", "left"
+        un = un.unionByName(
+            rhs_pull.select(
+                "id",
+                F.lit(None).cast("double").alias("rating"),
+                F.col("pull").alias("of"),
+                F.lit(None).cast("double").alias("ob"),
+                F.lit(2).alias("__k"),
+            )
         )
 
-    has_pull = rhs_pull is not None
-
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _solve_bucket(pdf, lmd, tau, alpha, rank, has_pull)
+        return _solve_bucket(pdf, lmd, tau, alpha, rank)
 
     return (
-        joined.withColumn("__b", F.pmod(F.col("id"), F.lit(SOLVE_BUCKETS)))
+        un.withColumn("__b", F.pmod(F.col("id"), F.lit(SOLVE_BUCKETS)))
         .groupBy("__b")
         .applyInPandas(solve, schema=_FACTOR_SCHEMA)
     )

@@ -17,12 +17,15 @@ objective stays (SURVEY §7 "What's hard" #1):
   epoch from the item-popularity aggregate (items are dimension-sized
   — MovieLens: 59k; for truly huge catalogs swap in a distributed
   alias table, the plan shape is unchanged).
-- **SGD (M7) is partition-parallel with per-epoch sync**: triplets
+- **SGD (M7) is partition-parallel with per-epoch sync**: positives
   shuffle-group by user; ``applyInPandas`` runs the reference's exact
-  gradient math (NumPy) over each user's triplet stream against a
-  broadcast copy of V; per-partition V-deltas are summed element-wise
-  and applied once per epoch (parallel SGD à la Zinkevich et al.),
-  matching the reference's per-epoch granularity.
+  gradient math over each user's positives against a broadcast copy of
+  V, sampling the negative INSIDE the worker (``_sgd_sample_bucket`` —
+  the user's positive set is exactly the group's rows, so rejection is
+  a local set probe instead of a distributed anti-join); per-partition
+  V-deltas are summed element-wise and applied once per epoch (parallel
+  SGD à la Zinkevich et al.), matching the reference's per-epoch
+  granularity. The training loop costs three Spark jobs per epoch.
 """
 
 from __future__ import annotations
@@ -40,18 +43,26 @@ POOL_SIZE = 1024
 ATTEMPTS = 4
 
 
-def popularity_pool(positives: DataFrame, item_col: str, size: int, seed: int):
-    """M8: with-replacement popularity sample as a driver-side pool.
-    Collects the (dimension-sized) item-popularity aggregate and
-    inverse-CDF samples ``size`` ids with a NumPy generator — the
-    distributed twin of np.random.choice(p=probs)
-    (implicit_feedback/functions.py:47-58)."""
+def popularity_dist(positives: DataFrame, item_col: str):
+    """Collect the (dimension-sized) item-popularity aggregate once:
+    (ids array, probability array) — the empirical distribution A2 that
+    drives negative sampling (prac_2.py:16-25). One Spark job per
+    TRAINING RUN; per-epoch pools redraw from it driver-side."""
     pop = (
         positives.groupBy(item_col).agg(F.count(F.lit(1)).alias("cnt")).collect()
     )
     items = np.array([r[item_col] for r in pop])
     freq = np.array([r["cnt"] for r in pop], dtype=np.float64)
     freq /= freq.sum()
+    return items, freq
+
+
+def popularity_pool(positives: DataFrame, item_col: str, size: int, seed: int):
+    """M8: with-replacement popularity sample as a driver-side pool.
+    Inverse-CDF samples ``size`` ids with a NumPy generator — the
+    distributed twin of np.random.choice(p=probs)
+    (implicit_feedback/functions.py:47-58)."""
+    items, freq = popularity_dist(positives, item_col)
     rng = np.random.default_rng(seed)
     return rng.choice(items, size=size, p=freq, replace=True).tolist()
 
@@ -115,66 +126,87 @@ def sample_triplets(
 SGD_BUCKETS = 64
 
 
-def _sgd_bucket(
-    pdf: pd.DataFrame, v_map: dict, k: int, lr: float, reg: float
+def _sgd_sample_bucket(
+    pdf: pd.DataFrame,
+    v_map: dict,
+    pool: np.ndarray,
+    genre_map: dict | None,
+    k: int,
+    lr: float,
+    reg: float,
+    attempts: int,
+    seed: int,
 ) -> pd.DataFrame:
-    """The reference's per-triplet gradient math
-    (compute_gradients/sgd_update, functions.py:169-210), run over EVERY
-    user in one hash bucket against the epoch-frozen V copy. Emits each
-    user's new vector plus that user's accumulated V-deltas.
+    """Fused M8/M9 + M7: negative sampling AND the gradient loop in one
+    Arrow pass. The standalone ``sample_triplets`` expresses sampling as
+    set-semantics DataFrame ops (the M8/M9 operator surface); inside the
+    training loop the same semantics — draw from the broadcast
+    popularity pool, reject watched / genre-overlapping, give up after
+    ``attempts`` — run against the user's own group rows, which ARE the
+    user's positive set. That deletes three shuffles per epoch (the
+    candidate explode, the watched anti-join, the first-survivor agg);
+    the shuffled bytes drop from ~4×|positives| candidate rows to
+    |positives| (u, i, uf) rows.
 
-    Bucketing (same rationale as als.SOLVE_BUCKETS): applyInPandas pays
-    per-GROUP Arrow/pandas overhead, so one group per user (~10³-10⁵
-    tiny groups) spends more time in plumbing than in the gradient loop.
-    Users within a bucket stay fully independent — each gets a fresh
-    delta dict, so the emitted rows are identical to per-user grouping.
-
-    Hot loop is pure-Python float lists: at rank ≤ 16 the per-call
-    overhead of NumPy ops on (k,) arrays (~12 tiny allocs per triplet)
-    costs more than the arithmetic — plain lists are ~4× faster here."""
+    Determinism: per-user generators seeded with (seed, u), positives
+    visited in item order — bucket composition and scheduling cannot
+    change the result."""
     import math
 
+    rng_k = range(k)
     zeros = [0.0] * k
-    rng = range(k)
-    i_all = pdf["i"].to_numpy()
-    j_all = pdf["j"].to_numpy()
+    pool_n = len(pool)
     rows: list[dict] = []
+    i_all = pdf["i"].to_numpy()
 
     for u_id, idx in pdf.groupby("u", sort=False).indices.items():
         u_vec = [float(x) for x in pdf["uf"].iloc[idx[0]]]
+        watched = {int(i_all[p]) for p in idx}
         deltas: dict[int, list[float]] = {}
+        rng = np.random.default_rng([int(seed), int(u_id)])
+        draws = rng.integers(0, pool_n, size=attempts * len(idx))
 
         def v_of(item: int) -> list[float]:
             base = v_map.get(item)
             b = [0.0] * k if base is None else [float(x) for x in base]
             d = deltas.get(item)
             if d is not None:
-                for t in rng:
+                for t in rng_k:
                     b[t] += d[t]
             return b
 
-        for pos in idx:
-            i, j = int(i_all[pos]), int(j_all[pos])
+        for pos_no, i in enumerate(sorted(int(i_all[p]) for p in idx)):
+            j = None
+            g_pos = genre_map.get(i) if genre_map is not None else None
+            for a in range(attempts):
+                cand = int(pool[draws[pos_no * attempts + a]])
+                if cand in watched:
+                    continue
+                if g_pos is not None:
+                    g_neg = genre_map.get(cand)
+                    if g_neg is not None and not g_pos.isdisjoint(g_neg):
+                        continue
+                j = cand
+                break
+            if j is None:
+                continue
             v_i, v_j = v_of(i), v_of(j)
-            x_uij = sum(u_vec[t] * (v_i[t] - v_j[t]) for t in rng)
+            x_uij = sum(u_vec[t] * (v_i[t] - v_j[t]) for t in rng_k)
             e = math.exp(-x_uij)
             coef = e / (1.0 + e)
             di = deltas.setdefault(i, list(zeros))
             dj = deltas.setdefault(j, list(zeros))
-            for t in rng:
+            for t in rng_k:
                 u_t = u_vec[t]
                 di[t] += lr * (coef * u_t + reg * v_i[t])
                 dj[t] += lr * (-coef * u_t + reg * v_j[t])
                 u_vec[t] = u_t + lr * (coef * (v_i[t] - v_j[t]) + reg * u_t)
 
-        # Wide output (one double column per latent dim): the delta
-        # reduction downstream becomes a plain k-column grouped sum —
-        # no posexplode, no struct sort.
         rows.append(
-            {"kind": "u", "id": int(u_id), **{f"d{t}": u_vec[t] for t in rng}}
+            {"kind": "u", "id": int(u_id), **{f"d{t}": u_vec[t] for t in rng_k}}
         )
         rows += [
-            {"kind": "dv", "id": item, **{f"d{t}": d[t] for t in rng}}
+            {"kind": "dv", "id": item, **{f"d{t}": d[t] for t in rng_k}}
             for item, d in deltas.items()
         ]
     return pd.DataFrame(rows)
@@ -202,17 +234,14 @@ def train_bpr(
     eval_user_mod: int | None = None,
 ) -> BprModel:
     """The prac_2.py training loop re-contracted for Spark: per epoch,
-    distributed triplet sampling → user-partitioned parallel SGD →
-    element-wise V-delta reduction (posexplode + groupBy) → optional
-    ranking-metric eval (E1)."""
+    user-partitioned fused sampling + SGD (``_sgd_sample_bucket``) →
+    element-wise V-delta reduction (k-column grouped sum) → optional
+    ranking-metric eval (E1). Three Spark jobs per epoch: the V
+    snapshot collect, the SGD pass, the V sync."""
     pos = positives.select(
         F.col(user_col).cast("long").alias("u"),
         F.col(item_col).cast("long").alias("i"),
     ).localCheckpoint()
-    if genres is not None:
-        # Two broadcast consumers per epoch re-parse the dimension
-        # otherwise — materialise it once for the whole run.
-        genres = genres.localCheckpoint()
     u_f = (
         init_factors(pos.select("u").distinct(), "u", rank, seed, scale=0.1)
         .drop("bias")
@@ -226,32 +255,52 @@ def train_bpr(
     spark = positives.sparkSession
     metrics: list[tuple[float, float]] = []
 
+    # Popularity distribution: ONE collect for the whole run; per-epoch
+    # pools redraw driver-side. Genre dimension: collected once and
+    # broadcast as item→genre-id-set (dimension-sized, like the
+    # reference's genre dict; at catalogue scales past broadcast reach,
+    # pre-partition the pool by genre bucket — same worker loop).
+    pop_items, pop_freq = popularity_dist(pos, "i")
+    g_map = None
+    if genres is not None:
+        g_map = {
+            int(r["item"]): frozenset(int(g) for g in r["genre_ids"])
+            for r in genres.collect()
+        }
+    bc_g = spark.sparkContext.broadcast(g_map)
+    dims = [f"d{t}" for t in range(rank)]
+    schema = "kind string, id long, " + ", ".join(f"{d} double" for d in dims)
+    pos_uf = pos.join(
+        u_f.select(F.col("id").alias("u"), F.col("features").alias("uf")), "u"
+    ).withColumn("__b", F.pmod(F.col("u"), F.lit(SGD_BUCKETS)))
+
     for epoch in range(epochs):
-        triplets = sample_triplets(
-            pos, "u", "i", seed=seed + 100 + epoch, genres=genres
-        )
+        pool_rng = np.random.default_rng(seed + 100 + epoch)
+        pool = pool_rng.choice(pop_items, size=POOL_SIZE, p=pop_freq, replace=True)
         # Epoch-frozen V snapshot, broadcast into the Arrow workers.
         v_map = {
             int(r["id"]): np.asarray(r["features"], dtype=np.float64)
             for r in v_f.collect()
         }
         bc = spark.sparkContext.broadcast(v_map)
+        ep_seed = seed + 100 + epoch
 
         def sgd(pdf: pd.DataFrame) -> pd.DataFrame:
-            return _sgd_bucket(pdf, bc.value, rank, lr, reg)
+            return _sgd_sample_bucket(
+                pdf, bc.value, pool, bc_g.value, rank, lr, reg, ATTEMPTS, ep_seed
+            )
 
-        dims = [f"d{t}" for t in range(rank)]
-        schema = "kind string, id long, " + ", ".join(f"{d} double" for d in dims)
-        out = (
-            triplets.join(
+        src = (
+            pos_uf
+            if epoch == 0
+            else pos.join(
                 u_f.select(F.col("id").alias("u"), F.col("features").alias("uf")),
                 "u",
-            )
-            .withColumn("__b", F.pmod(F.col("u"), F.lit(SGD_BUCKETS)))
-            .groupBy("__b")
-            .applyInPandas(sgd, schema)
-            .localCheckpoint()
+            ).withColumn("__b", F.pmod(F.col("u"), F.lit(SGD_BUCKETS)))
         )
+        out = src.groupBy("__b").applyInPandas(sgd, schema).localCheckpoint()
+        # u_f / dv both derive lazily from the checkpointed SGD output —
+        # no separate materialisation jobs.
         u_f = out.filter(F.col("kind") == "u").select(
             "id", F.array(*dims).alias("features")
         )
@@ -276,7 +325,6 @@ def train_bpr(
             )
             .localCheckpoint()
         )
-        u_f = u_f.localCheckpoint()
         if eval_k and (eval_every_epoch or epoch == epochs - 1):
             # The E1 eval is a |U|×|I| scoring product; ``eval_user_mod``
             # restricts it to a deterministic user sample (id % mod == 0)

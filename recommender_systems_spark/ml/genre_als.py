@@ -85,35 +85,41 @@ def genre_feature_stats(
         "genre_values",
         F.col("genre_count").cast("double").alias("c"),
     ).join(item_factors.select("id", "features"), "id")
+    # One distributed pass: double-explode to (g, f) granularity, fold
+    # ALL THREE aggregates into a single groupBy(g, f) — the A terms sum
+    # only over the f==g diagonal rows (each item appears exactly once
+    # per containing genre there), B is the diagonal of the C weights.
+    # G² result rows regardless of item count; halves the per-sweep
+    # driver round-trips vs separate A/B and C collections.
     pairs = base.select(
         F.explode("genre_values").alias("g"),
         "genre_values",
         "c",
         "features",
-    )
-    # A and B: per genre.
-    ab = pairs.groupBy("g").agg(
-        F.sum(1.0 / F.col("c")).alias("b"),
-        *[
-            F.sum(F.element_at("features", i + 1) / F.sqrt("c")).alias(f"a_{i}")
-            for i in range(rank)
-        ],
-    ).collect()
-    # C: per (genre, co-genre) — explode the genre list again.
-    c_rows = (
-        pairs.select("g", F.explode("genre_values").alias("f"), "c")
-        .groupBy("g", "f")
-        .agg(F.sum(1.0 / F.col("c")).alias("w"))
+    ).select("g", F.explode("genre_values").alias("f"), "c", "features")
+    diag = F.col("f") == F.col("g")
+    rows = (
+        pairs.groupBy("g", "f")
+        .agg(
+            F.sum(1.0 / F.col("c")).alias("w"),
+            *[
+                F.sum(
+                    F.when(diag, F.element_at("features", i + 1) / F.sqrt("c"))
+                ).alias(f"a_{i}")
+                for i in range(rank)
+            ],
+        )
         .collect()
     )
     a_mat = np.zeros((n_genres, rank))
     b_vec = np.zeros(n_genres)
     c_mat = np.zeros((n_genres, n_genres))
-    for r in ab:
-        a_mat[int(r["g"])] = [r[f"a_{i}"] for i in range(rank)]
-        b_vec[int(r["g"])] = r["b"]
-    for r in c_rows:
-        c_mat[int(r["g"]), int(r["f"])] = r["w"]
+    for r in rows:
+        g, f = int(r["g"]), int(r["f"])
+        c_mat[g, f] = r["w"]
+        if g == f:
+            b_vec[g] = r["w"]
+            a_mat[g] = [r[f"a_{i}"] for i in range(rank)]
     return a_mat, b_vec, c_mat
 
 

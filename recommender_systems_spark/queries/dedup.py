@@ -323,24 +323,40 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("label").alias("nl"))
             .withColumnRenamed("src", "id")
         )
-        new_labels = (
-            labels.join(neigh, "id", "left")
+        relaxed = labels.join(neigh, "id", "left").select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
+            ).alias("label"),
+            F.col("label").alias("__old"),
+        )
+        # Path shortcut (pointer doubling): replace each label by ITS
+        # OWN current label — labels are node ids, so the relaxed frame
+        # doubles as the lookup table. Chains halve every round, making
+        # rounds O(log diameter) instead of O(diameter); near-dup chain
+        # graphs (A~B~C~… one Hamming step apart) otherwise need a
+        # round per link. Convergence flag rides in the checkpointed
+        # frame: the fixpoint test is a local scan, not a second join.
+        stepped = (
+            relaxed.alias("n")
+            .join(
+                relaxed.select(
+                    F.col("id").alias("label"), F.col("label").alias("ll")
+                ).alias("t"),
+                "label",
+                "left",
+            )
             .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
-                ).alias("label"),
+                F.col("n.id").alias("id"),
+                F.coalesce("t.ll", "n.label").alias("label"),
+                (F.coalesce("t.ll", "n.label") != F.col("n.__old")).alias(
+                    "__moved"
+                ),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("label", "old"), "id"
-            )
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("__moved")).count()
+        labels = stepped.drop("__moved")
         if changed == 0:
             break
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))

@@ -143,7 +143,12 @@ GATE_ORDER: list[str] = [
 ]
 
 
-def _apply_gate_order() -> None:
+def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """QUERIES re-keyed so GATE_ORDER comes first, the rest in
+    registration order.  Called lazily (from ``__spark_entry__``) rather
+    than at import time: a direct ``import …queries.<mod>`` enters this
+    module mid-way through that submodule's own registration, so an
+    import-time reorder would see a partially-populated QUERIES dict."""
     missing = [n for n in GATE_ORDER if n not in QUERIES]
     if missing:
         raise RuntimeError(f"GATE_ORDER names unknown queries: {missing}")
@@ -152,8 +157,4 @@ def _apply_gate_order() -> None:
         raise RuntimeError(f"GATE_ORDER entries lack oracles: {unoracled}")
     ordered = {n: QUERIES[n] for n in GATE_ORDER}
     ordered.update((n, fn) for n, fn in QUERIES.items() if n not in ordered)
-    QUERIES.clear()
-    QUERIES.update(ordered)
-
-
-_apply_gate_order()
+    return ordered

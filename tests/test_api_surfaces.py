@@ -57,8 +57,9 @@ def test_gate_order_window():
     family represented."""
     from recommender_systems_spark import registry
 
-    names = list(registry.QUERIES)
+    names = list(registry.ordered_queries())
     assert names[:50] == registry.GATE_ORDER
+    assert set(names) == set(registry.QUERIES)
     assert len(registry.GATE_ORDER) == 50
     assert all(n in registry.ORACLE for n in registry.GATE_ORDER)
     window = set(registry.GATE_ORDER)

@@ -30,6 +30,17 @@ def main() -> None:
     # Warm the JVM/codegen paths once so per-query numbers measure the
     # plan, not classloading.
     registry.QUERIES["flagship_top_customers"](spark, sf_dir).collect()
+    # Touch every base table once: footer reads, schema resolution, and
+    # the ns→µs cache fallback should land in warm-up, not inside the
+    # first query that happens to read that table.
+    from recommender_systems_spark.io import load_table
+
+    for tbl in ("region", "nation", "customer", "supplier", "part", "orders",
+                "lineitem", "events", "documents", "embeddings"):
+        try:
+            load_table(spark, sf_dir, tbl).limit(1).collect()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

@@ -291,10 +291,11 @@ def m_fold_in_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     from recommender_systems_spark.ml.foldin import fold_in_bias
 
     j, _, bv = _bias_sweeps(spark, sf_dir)
-    min_uid = (
-        _t(spark, sf_dir, "lineitem").agg(F.min("l_suppkey").alias("m")).collect()[0]["m"]
-    )
-    hist = j.filter(F.col("uid") == min_uid).select("iid", "r")
+    # The 'new user' (smallest supplier key) stays IN the plan: a
+    # broadcast 1-row min-aggregate join instead of a driver collect —
+    # one Spark job for the whole query, no extra scan round-trip.
+    min_u = _t(spark, sf_dir, "lineitem").agg(F.min("l_suppkey").alias("__mu"))
+    hist = j.join(F.broadcast(min_u), F.col("uid") == F.col("__mu")).select("iid", "r")
     item_factors = bv.select(
         F.col("iid").alias("id"),
         F.array().cast("array<double>").alias("features"),
@@ -406,10 +407,12 @@ def m_bpr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M7-M9+E1: the full BPR pipeline (SURVEY §3 entry point 3) on
     driver data — curate implicit positives (quantity ≥ 25 ≈ rating ≥ 4,
     drop users with <10 positives: P4+P6+P7), genre dimension from
-    p_name words (M9 disjointness constraint), 2 epochs of distributed
-    triplet sampling + user-partitioned parallel SGD, mean P@20/R@20
-    per epoch (E1). Rows-only driver check; the golden test asserts the
-    metrics improve over training."""
+    p_name words (M9 disjointness constraint), 2 epochs of
+    user-partitioned fused sampling+SGD (negatives drawn in-worker from
+    the broadcast popularity pool, rejected against the group's own
+    positive set — ml.bpr._sgd_sample_bucket), final mean P@20/R@20
+    (E1). Rows-only driver check; the golden test asserts the metrics
+    improve over training."""
     from recommender_systems_spark.ml.bpr import train_bpr
     from recommender_systems_spark.operators.relational import (
         anti_join_below_threshold,
@@ -480,10 +483,11 @@ def m_fold_in_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     j, _, bv = _bias_sweeps(spark, sf_dir)
     e = _factors(spark, sf_dir)
-    min_uid = (
-        _t(spark, sf_dir, "lineitem").agg(F.min("l_suppkey").alias("m")).collect()[0]["m"]
-    )
-    hist = j.filter(F.col("uid") == min_uid).select("iid", "r")
+    # The 'new user' (smallest supplier key) stays IN the plan: a
+    # broadcast 1-row min-aggregate join instead of a driver collect —
+    # one Spark job for the whole query, no extra scan round-trip.
+    min_u = _t(spark, sf_dir, "lineitem").agg(F.min("l_suppkey").alias("__mu"))
+    hist = j.join(F.broadcast(min_u), F.col("uid") == F.col("__mu")).select("iid", "r")
     # Checkpointed: consumed by three separate driver jobs (fold-in
     # bias collect, trait-vector partials, final solve) — item-count
     # sized, so materialising beats recomputing the bias sweeps per job.

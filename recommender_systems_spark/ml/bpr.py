@@ -344,27 +344,35 @@ def precision_recall_at_k(
     positives: DataFrame,
     user_factors: DataFrame,
     item_factors: DataFrame,
-    k: int,
+    k: int | list[int],
     rank: int | None = None,
-) -> tuple[float, float]:
+) -> tuple[float, float] | dict[int, tuple[float, float]]:
     """E1: mean P@k / R@k over users (functions.py:212-246): score the
     full catalogue per user, per-user top-k, hits = |top-k ∩ positives|
     via a semi-join.
 
+    ``k`` may be a list (reference prac_2.py:124-138 sweeps
+    k ∈ {40,50,60} in one pass): ONE top-max(k) GEMM is computed and
+    each smaller k is a rank-prefix slice of it — the per-k metrics
+    come from a single aggregation, so the sweep costs the same as the
+    largest single k. Returns (p, r) for a scalar k, {k: (p, r)} for a
+    list.
+
     Scale shape: full-catalog scoring is a dense (users × items) GEMM,
     not a relational join — user blocks × a broadcast item matrix inside
     ``applyInPandas``, with the top-k computed in the same NumPy frame.
-    Only |users|×k (id, id) rows ever materialise as Spark rows. At
-    100 TB the item matrix partitions too (score against item blocks,
-    merge per-user top-k) — same plan shape, one more groupBy."""
+    Only |users|×max(k) (id, id, rank) rows ever materialise as Spark
+    rows. At 100 TB the item matrix partitions too (score against item
+    blocks, merge per-user top-k) — same plan shape, one more groupBy."""
     import numpy as np
 
+    ks = sorted({k} if isinstance(k, int) else set(k))
+    kmax = ks[-1]
     spark = positives.sparkSession
     item_rows = item_factors.collect()
     item_ids = np.array([r["id"] for r in item_rows], dtype=np.int64)
     item_mat = np.stack([np.asarray(r["features"], dtype=np.float64) for r in item_rows])
     bc = spark.sparkContext.broadcast((item_ids, item_mat))
-    kk = k
 
     def topk_block(pdf: pd.DataFrame) -> pd.DataFrame:
         ids, mat = bc.value
@@ -375,21 +383,30 @@ def precision_recall_at_k(
         scores = u_mat @ mat.T  # (block_users, n_items)
         out_u: list[int] = []
         out_i: list[int] = []
+        out_r: list[int] = []
         for r in range(scores.shape[0]):
             # score desc, item id asc — the same tie order as a
             # struct(score, -i) max-heap.
-            order = np.lexsort((ids, -scores[r]))[:kk]
+            order = np.lexsort((ids, -scores[r]))[:kmax]
             out_u.extend([int(u_ids[r])] * len(order))
             out_i.extend(int(ids[o]) for o in order)
-        return pd.DataFrame({"u": out_u, "i": out_i})
+            out_r.extend(range(1, len(order) + 1))
+        return pd.DataFrame({"u": out_u, "i": out_i, "rnk": out_r})
 
     top = (
         user_factors.withColumn("__b", F.pmod(F.col("id"), F.lit(SGD_BUCKETS)))
         .groupBy("__b")
-        .applyInPandas(topk_block, "u long, i long")
+        .applyInPandas(topk_block, "u long, i long, rnk int")
     )
-    hits = top.join(positives, ["u", "i"], "left_semi").groupBy("u").agg(
-        F.count(F.lit(1)).alias("tp")
+    hits = (
+        top.join(positives, ["u", "i"], "left_semi")
+        .groupBy("u")
+        .agg(
+            *[
+                F.sum(F.when(F.col("rnk") <= kk, 1).otherwise(0)).alias(f"tp_{kk}")
+                for kk in ks
+            ]
+        )
     )
     per_user = (
         # Average over the SCORED users only (user_factors may be a
@@ -401,11 +418,11 @@ def precision_recall_at_k(
         .groupBy("u")
         .agg(F.count(F.lit(1)).alias("n_pos"))
         .join(hits, "u", "left")
-        .fillna(0, subset=["tp"])
-        .select(
-            (F.col("tp") / F.lit(k)).alias("p"),
-            (F.col("tp") / F.col("n_pos")).alias("r"),
-        )
+        .fillna(0, subset=[f"tp_{kk}" for kk in ks])
     )
-    row = per_user.agg(F.avg("p").alias("p"), F.avg("r").alias("r")).collect()[0]
-    return float(row["p"]), float(row["r"])
+    row = per_user.agg(
+        *[F.avg(F.col(f"tp_{kk}") / F.lit(kk)).alias(f"p_{kk}") for kk in ks],
+        *[F.avg(F.col(f"tp_{kk}") / F.col("n_pos")).alias(f"r_{kk}") for kk in ks],
+    ).collect()[0]
+    out = {kk: (float(row[f"p_{kk}"]), float(row[f"r_{kk}"])) for kk in ks}
+    return out[k] if isinstance(k, int) else out

@@ -162,11 +162,20 @@ def train_als_genre(
     beta: float = DEFAULT_BETA,
     max_iter: int = 10,
     seed: int = 42,
+    rmse_every_iter: bool = True,
 ) -> tuple[AlsBiasModel, np.ndarray]:
     """The incl_genre.py training loop: user half-sweep (plain), item
     half-sweep with the genre pull in the RHS, then the driver F solve
     from one distributed stats pass. ``genres`` is
-    (item, genre_values array<int>, genre_count int)."""
+    (item, genre_values array<int>, genre_count int).
+
+    Monitoring cost: per-iteration RMSE jobs run on a background
+    thread over the iteration's CHECKPOINTED (immutable) factor
+    snapshots, so they overlap the next iteration's sweeps instead of
+    sitting on the critical path; only the final iteration's RMSE is
+    awaited serially. ``rmse_every_iter=False`` drops the intermediate
+    monitors entirely (history = [final]) for callers that only need
+    the converged error."""
     spark = ratings.sparkSession
     r = ratings.select(
         F.col(user_col).cast("long").alias("u"),
@@ -181,18 +190,28 @@ def train_als_genre(
         r.select("i").distinct(), "i", rank, seed + 1
     ).localCheckpoint()
     f_state = np.zeros((n_genres, rank))
-    rmse_hist: list[float] = []
 
-    for _ in range(max_iter):
-        new_u = als_half_sweep(
-            r, "u", "i", "r", u_f, v_f, lmd, tau, alpha, rank
-        ).localCheckpoint()
-        pull = genre_pull(genres, f_state, spark, tau)
-        new_v = als_half_sweep(
-            r, "i", "u", "r", v_f, new_u, lmd, tau, alpha, rank, rhs_pull=pull
-        ).localCheckpoint()
-        u_f, v_f = new_u, new_v
-        a_mat, b_vec, c_mat = genre_feature_stats(v_f, genres, n_genres, rank)
-        f_state = update_genre_features(f_state, a_mat, b_vec, c_mat, tau, beta)
-        rmse_hist.append(rmse(r, "u", "i", "r", u_f, v_f, dim=rank))
+    from concurrent.futures import ThreadPoolExecutor
+
+    monitor = ThreadPoolExecutor(max_workers=1)
+    rmse_futures = []
+    try:
+        for it in range(max_iter):
+            new_u = als_half_sweep(
+                r, "u", "i", "r", u_f, v_f, lmd, tau, alpha, rank
+            ).localCheckpoint()
+            pull = genre_pull(genres, f_state, spark, tau)
+            new_v = als_half_sweep(
+                r, "i", "u", "r", v_f, new_u, lmd, tau, alpha, rank, rhs_pull=pull
+            ).localCheckpoint()
+            u_f, v_f = new_u, new_v
+            a_mat, b_vec, c_mat = genre_feature_stats(v_f, genres, n_genres, rank)
+            f_state = update_genre_features(f_state, a_mat, b_vec, c_mat, tau, beta)
+            if rmse_every_iter or it == max_iter - 1:
+                rmse_futures.append(
+                    monitor.submit(rmse, r, "u", "i", "r", u_f, v_f, dim=rank)
+                )
+        rmse_hist = [fut.result() for fut in rmse_futures]
+    finally:
+        monitor.shutdown(wait=True)
     return AlsBiasModel(u_f, v_f, rmse_hist, [], False), f_state

@@ -14,7 +14,8 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from recommender_systems_spark.io import _microsecond_copy
 from recommender_systems_spark.multimodal.binary import (
@@ -29,11 +30,38 @@ from recommender_systems_spark.registry import _t, register
 
 FEATURE_BYTES = 8
 
+# House hashing rule (queries/core.py f_string_array_ops, VERDICT r4 #1):
+# the driver's canonicalizer pandas-sorts raw cell values, and a list
+# cell raises `TypeError: unhashable type: 'list'` — so NO query may
+# emit a top-level array column.  Every array here is serialised to a
+# CSV string; doubles go through round(x * 1e5) → BIGINT first, because
+# equal doubles always render as equal integers, while float→string
+# formatting can differ between engines.  (Spark's HALF_UP and DuckDB's
+# half-away-from-zero agree on the non-negative values used here, and
+# the scaled values never land on an exact .5 tie — byte/255 is a
+# non-terminating binary fraction except at 0 and 255.)
+
+
+def _csv_ints(col: str | Column) -> Column:
+    """array<int> → 'a,b,c' (engine-portable hashing)."""
+    return F.array_join(F.transform(col, lambda v: v.cast("string")), ",")
+
+
+def _csv_scaled(col: str | Column, scale: int = 100_000) -> Column:
+    """array<double> → scaled-integer CSV, e.g. [0.00392,…] → '392,…'."""
+    return F.array_join(
+        F.transform(col, lambda v: F.round(v * scale).cast("long").cast("string")),
+        ",",
+    )
+
+
 _MM_SQL = f"""
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_bytes,
-           list_transform(range(1, {FEATURE_BYTES + 1}),
-                          i -> ascii(text[i:i]) / 255.0) AS features
+           array_to_string(
+               list_transform(range(1, {FEATURE_BYTES + 1}),
+                   i -> CAST(round(ascii(text[i:i]) / 255.0 * 100000) AS BIGINT)),
+               ',') AS features
     FROM documents
 """
 
@@ -43,11 +71,13 @@ def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal extension: documents → (payload binary, meta struct)
     → mapInPandas byte-feature extraction (length + first-8-bytes/255).
     The extractor is the deterministic stand-in for a codec stage
-    (multimodal.binary.decode_image is the stubbed real thing); what
+    (multimodal.binary.decode_image is the real-codec slot); what
     this query proves is the binary plumbing — encode, Arrow batch
-    transfer, fixed-schema narrow map — end to end against an oracle."""
+    transfer, fixed-schema narrow map — end to end against an oracle.
+    The feature vector is serialised per the house hashing rule."""
     docs = _t(spark, sf_dir, "documents")
-    return byte_features(with_payload(docs), k=FEATURE_BYTES)
+    feats = byte_features(with_payload(docs), k=FEATURE_BYTES)
+    return feats.select("doc_id", "n_bytes", _csv_scaled("features").alias("features"))
 
 
 # The oracle replays the deterministic fake decoder byte-for-byte: the
@@ -58,23 +88,27 @@ def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FRAMES_SQL = f"""
     SELECT doc_id,
            CAST(length(text) // {FRAME_BYTES} AS BIGINT) AS n_frames,
-           list_transform(
-               list_slice(
-                   range(0, CAST(length(text) // {FRAME_BYTES} AS BIGINT),
-                         {FRAME_STRIDE}),
-                   1, {MAX_FRAMES}),
-               fi -> CAST(fi AS INTEGER)) AS sampled_frames,
-           list_transform(
-               list_slice(
-                   range(0, CAST(length(text) // {FRAME_BYTES} AS BIGINT),
-                         {FRAME_STRIDE}),
-                   1, {MAX_FRAMES}),
-               fi -> round(
-                   list_sum(list_transform(
-                       range(fi * {FRAME_BYTES} + 1,
-                             fi * {FRAME_BYTES} + {FRAME_BYTES} + 1),
-                       j -> ascii(text[j:j])))
-                   / {FRAME_BYTES}.0 / 255.0, 5)) AS frame_features
+           array_to_string(
+               list_transform(
+                   list_slice(
+                       range(0, CAST(length(text) // {FRAME_BYTES} AS BIGINT),
+                             {FRAME_STRIDE}),
+                       1, {MAX_FRAMES}),
+                   fi -> CAST(fi AS INTEGER)),
+               ',') AS sampled_frames,
+           array_to_string(
+               list_transform(
+                   list_slice(
+                       range(0, CAST(length(text) // {FRAME_BYTES} AS BIGINT),
+                             {FRAME_STRIDE}),
+                       1, {MAX_FRAMES}),
+                   fi -> CAST(round(round(
+                       list_sum(list_transform(
+                           range(fi * {FRAME_BYTES} + 1,
+                                 fi * {FRAME_BYTES} + {FRAME_BYTES} + 1),
+                           j -> ascii(text[j:j])))
+                       / {FRAME_BYTES}.0 / 255.0, 5) * 100000) AS BIGINT)),
+               ',') AS frame_features
     FROM documents
 """
 
@@ -87,9 +121,16 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``multimodal.binary.sample_frames``. Narrow Arrow-batched
     mapInPandas: at 100 TB this is shuffle-free and embarrassingly
     parallel; swapping the fake decoder for ffmpeg changes nothing in
-    the plan."""
+    the plan. Both array outputs are serialised per the house hashing
+    rule (module docstring above _csv_ints)."""
     docs = _t(spark, sf_dir, "documents")
-    return sample_frames(with_payload(docs))
+    frames = sample_frames(with_payload(docs))
+    return frames.select(
+        "doc_id",
+        "n_frames",
+        _csv_ints("sampled_frames").alias("sampled_frames"),
+        _csv_scaled("frame_features").alias("frame_features"),
+    )
 
 
 def _stream_dir(sf_dir: str) -> str:
@@ -185,14 +226,15 @@ _GRID, _POOL, _OUT = 16, 2, 8
 
 _RESIZE_SQL = f"""
     SELECT doc_id,
-           list_transform(range({_OUT * _OUT}), k ->
-               round((CAST(
-                   {_byte_sql(f"((k // {_OUT}) * {_POOL}) * {_GRID} + (k % {_OUT}) * {_POOL} + 1")}
-                 + {_byte_sql(f"((k // {_OUT}) * {_POOL}) * {_GRID} + (k % {_OUT}) * {_POOL} + 2")}
-                 + {_byte_sql(f"((k // {_OUT}) * {_POOL} + 1) * {_GRID} + (k % {_OUT}) * {_POOL} + 1")}
-                 + {_byte_sql(f"((k // {_OUT}) * {_POOL} + 1) * {_GRID} + (k % {_OUT}) * {_POOL} + 2")}
-               AS DOUBLE) / {_POOL * _POOL}.0) / 255.0, 5)
-           ) AS resized
+           array_to_string(
+               list_transform(range({_OUT * _OUT}), k ->
+                   CAST(round(round((CAST(
+                       {_byte_sql(f"((k // {_OUT}) * {_POOL}) * {_GRID} + (k % {_OUT}) * {_POOL} + 1")}
+                     + {_byte_sql(f"((k // {_OUT}) * {_POOL}) * {_GRID} + (k % {_OUT}) * {_POOL} + 2")}
+                     + {_byte_sql(f"((k // {_OUT}) * {_POOL} + 1) * {_GRID} + (k % {_OUT}) * {_POOL} + 1")}
+                     + {_byte_sql(f"((k // {_OUT}) * {_POOL} + 1) * {_GRID} + (k % {_OUT}) * {_POOL} + 2")}
+                   AS DOUBLE) / {_POOL * _POOL}.0) / 255.0, 5) * 100000) AS BIGINT)),
+               ',') AS resized
     FROM documents
 """
 
@@ -205,8 +247,10 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode_image is the stubbed real codec slot). Completes the
     advertised decode / feature-extract / resize / frame-sample
     quartet; the oracle reproduces the pooling arithmetic byte-by-byte
-    from the text."""
+    from the text. The pooled grid is serialised per the house hashing
+    rule (module docstring above _csv_ints)."""
     from recommender_systems_spark.multimodal.binary import resize_grid, with_payload
 
     docs = _t(spark, sf_dir, "documents")
-    return resize_grid(with_payload(docs))
+    grid = resize_grid(with_payload(docs))
+    return grid.select("doc_id", _csv_scaled("resized").alias("resized"))

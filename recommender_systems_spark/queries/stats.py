@@ -282,22 +282,29 @@ def levene_bf_from(g: DataFrame) -> DataFrame:
         GROUP BY q.qid
     )
     SELECT r.qid AS vec_id,
+           ks.k AS k,
            CAST(sum(CASE WHEN r.label = r.qlabel THEN 1 ELSE 0 END) AS BIGINT)
                AS hits,
-           round(sum(CASE WHEN r.label = r.qlabel THEN 1 ELSE 0 END) / 10.0, 4)
-               AS p_at_10,
            round(sum(CASE WHEN r.label = r.qlabel THEN 1 ELSE 0 END)
-                 / CAST(max(rel.n_relevant) AS DOUBLE), 4) AS r_at_10
-    FROM ranked r JOIN rel ON r.qid = rel.qid
-    WHERE r.rnk <= 10
-    GROUP BY r.qid
+                 / CAST(ks.k AS DOUBLE), 4) AS p_at_k,
+           round(sum(CASE WHEN r.label = r.qlabel THEN 1 ELSE 0 END)
+                 / CAST(max(rel.n_relevant) AS DOUBLE), 4) AS r_at_k
+    FROM ranked r
+    JOIN rel ON r.qid = rel.qid
+    CROSS JOIN (VALUES (5), (10), (20)) AS ks(k)
+    WHERE r.rnk <= ks.k
+    GROUP BY r.qid, ks.k
     """,
 )
 def e_precision_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1: precision@k / recall@k per query (reference:
     implicit_feedback/functions.py:212-246 — score all items, top-k,
-    hits = |top-k ∩ relevant|). Here: embeddings are both queries
-    (vec_id < 20) and catalog; 'relevant' = same label.
+    hits = |top-k ∩ relevant|), swept over k ∈ {5,10,20} in ONE pass —
+    the reference evaluates k ∈ {40,50,60} from one scoring run
+    (prac_2.py:124-138); here each k is a rank-prefix slice of a single
+    top-max(k) ranking, so the sweep costs one window, not three. Here:
+    embeddings are both queries (vec_id < 20) and catalog;
+    'relevant' = same label.
 
     Shape at scale: the scored set is a broadcast (queries) × catalog
     join → per-query top-k window on the query id — the canonical
@@ -326,7 +333,7 @@ def e_precision_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("qid").orderBy(F.col("cs").desc(), F.col("vec_id"))
     ranked = scored.withColumn("rnk", F.row_number().over(w)).filter(
-        F.col("rnk") <= 10
+        F.col("rnk") <= 20
     )
     rel = (
         q.join(
@@ -337,13 +344,15 @@ def e_precision_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_relevant"))
     )
     hits = F.sum(F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0))
+    ks = spark.createDataFrame([(5,), (10,), (20,)], "k int")
     return (
-        ranked.join(F.broadcast(rel), "qid")
-        .groupBy("qid")
+        ranked.join(F.broadcast(ks), F.col("rnk") <= F.col("k"))
+        .join(F.broadcast(rel), "qid")
+        .groupBy("qid", "k")
         .agg(
             hits.alias("hits"),
-            F.round(hits / 10.0, 4).alias("p_at_10"),
-            F.round(hits / F.max("n_relevant").cast("double"), 4).alias("r_at_10"),
+            F.round(hits / F.col("k").cast("double"), 4).alias("p_at_k"),
+            F.round(hits / F.max("n_relevant").cast("double"), 4).alias("r_at_k"),
         )
         .withColumnRenamed("qid", "vec_id")
     )

@@ -38,8 +38,18 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
             if math.isnan(v):
                 return "NULL"
             return repr(v)
-        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-            return "[" + ",".join(norm(x) for x in v) + "]"
+        if isinstance(v, (list, tuple, dict)) or type(v).__name__ == "ndarray":
+            # The DRIVER's canonicalizer pandas-sorts raw cell values and
+            # dies on container cells (`TypeError: unhashable type:
+            # 'list'`) — round 4 shipped exactly that bug because this
+            # replica used to stringify lists first.  Mirror the driver:
+            # refuse, loudly.  Queries must serialise arrays to strings
+            # (see queries/multimodal.py house hashing rule).
+            raise TypeError(
+                "unhashable container cell (driver canonicalizer would "
+                f"raise): {type(v).__name__} {str(v)[:60]!r} — serialise "
+                "array columns to strings in the query"
+            )
         return repr(v)
 
     for c in df.columns:
@@ -47,9 +57,27 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
+def flat_schema_violations(sdf) -> list[str]:
+    """Top-level complex-typed columns — the driver's canonicalizer
+    cannot sort/hash these (round-4 mm_* failure).  Empty list = safe."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+
+
 def compare_query(spark, name: str, q_fn, sql: str | None, sf_dir: str):
     """Return (ok, message). Rows-only check when sql is None."""
     sdf = q_fn(spark, sf_dir)
+    complex_cols = flat_schema_violations(sdf)
+    if complex_cols:
+        return False, (
+            f"complex top-level columns (driver canonicalizer would "
+            f"TypeError): {complex_cols} — serialise to strings"
+        )
     spark_pd = sdf.toPandas()
     if sql is None:
         return True, f"rows-only: {len(spark_pd)} rows"

@@ -42,33 +42,52 @@ def main() -> None:
         except Exception:
             pass
 
-    timings: dict[str, float] = {}
+    # SPARK_GRAFT_REPEAT>1: run the whole fixed-order loop N times and
+    # report per-query MEDIANS — the run-to-run noise floor at sf0.1 is
+    # large enough (JIT, GC, OS cache) that single-run deltas under ~2×
+    # are not evidence of a plan change.  The driver's per-round run
+    # stays 1× (default).
+    repeat = max(1, int(os.environ.get("SPARK_GRAFT_REPEAT", "1")))
+    runs: list[dict[str, float]] = []
     errors: dict[str, str] = {}
-    for name in sorted(registry.QUERIES):
-        t0 = time.perf_counter()
-        df = None
-        try:
-            df = registry.QUERIES[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # one bad query must not zero the bench
-            errors[name] = str(exc).split("\n")[0][:200]
-        # Release the query's session residue OUTSIDE its timing window:
-        # localCheckpoint blocks are only unpersisted when their Python
-        # DataFrame is garbage-collected, so without this the block
-        # manager accumulates every training query's checkpoints and
-        # later queries pay the GC pressure (measured: per-query times
-        # swing 5-10× run-to-run at sf0.1 without the cleanup).
-        df = None
-        gc.collect()
-        spark.catalog.clearCache()
-        # Python gc only drops the py4j refs; the JVM frees the
-        # checkpoint/broadcast blocks (via ContextCleaner) on ITS next
-        # collection, which may land mid-way through a later query's
-        # timing window. Forcing it here keeps each query's number free
-        # of its predecessors' cleanup (measured: the post-training tail
-        # ran 2-4x slower without this at sf0.1).
-        spark.sparkContext._jvm.System.gc()
+    for _ in range(repeat):
+        timings: dict[str, float] = {}
+        for name in sorted(registry.QUERIES):
+            t0 = time.perf_counter()
+            df = None
+            try:
+                df = registry.QUERIES[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                timings[name] = round(time.perf_counter() - t0, 3)
+            except Exception as exc:  # one bad query must not zero the bench
+                errors[name] = str(exc).split("\n")[0][:200]
+            # Release the query's session residue OUTSIDE its timing window:
+            # localCheckpoint blocks are only unpersisted when their Python
+            # DataFrame is garbage-collected, so without this the block
+            # manager accumulates every training query's checkpoints and
+            # later queries pay the GC pressure (measured: per-query times
+            # swing 5-10× run-to-run at sf0.1 without the cleanup).
+            df = None
+            gc.collect()
+            spark.catalog.clearCache()
+            # Python gc only drops the py4j refs; the JVM frees the
+            # checkpoint/broadcast blocks (via ContextCleaner) on ITS next
+            # collection, which may land mid-way through a later query's
+            # timing window. Forcing it here keeps each query's number free
+            # of its predecessors' cleanup (measured: the post-training tail
+            # ran 2-4x slower without this at sf0.1).
+            spark.sparkContext._jvm.System.gc()
+        runs.append(timings)
+
+    if repeat > 1:
+        import statistics
+
+        names = set().union(*(r.keys() for r in runs))
+        timings = {
+            n: round(statistics.median(r[n] for r in runs if n in r), 3)
+            for n in names
+            if any(n in r for r in runs)
+        }
 
     total = round(sum(timings.values()), 3)
 
@@ -85,6 +104,9 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if repeat > 1:
+        detail["repeat"] = repeat
+        detail["run_totals"] = [round(sum(r.values()), 3) for r in runs]
     if errors:
         detail["errors"] = errors
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

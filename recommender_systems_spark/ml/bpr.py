@@ -57,6 +57,33 @@ def popularity_dist(positives: DataFrame, item_col: str):
     return items, freq
 
 
+def popularity_pool_distributed(
+    positives: DataFrame, item_col: str, size: int, seed: int
+) -> np.ndarray:
+    """M8 at catalog scale: the with-replacement popularity sample
+    WITHOUT the catalog-sized driver collect. Sampling items ∝
+    popularity with replacement ≡ sampling uniform EVENTS from the
+    interaction table (each event is one occurrence of its item), so:
+    hash every event into one of ``size`` slots, keep one uniformly
+    random event per slot (min_by over a second random key — one
+    partial+final aggregation), and collect only the ``size`` winners.
+    Slots left empty by the hash (P ≈ e^(−N/size), negligible when
+    |events| ≫ size) simply shrink the pool. Driver traffic is O(size)
+    regardless of catalog or event count."""
+    slot = F.floor(F.rand(seed) * size).cast("int")
+    rows = (
+        positives.select(
+            F.col(item_col).alias("__i"),
+            slot.alias("__s"),
+            F.rand(seed + 1).alias("__r"),
+        )
+        .groupBy("__s")
+        .agg(F.min_by("__i", "__r").alias("__i"))
+        .collect()
+    )
+    return np.array(sorted(int(r["__i"]) for r in rows), dtype=np.int64)
+
+
 def popularity_pool(positives: DataFrame, item_col: str, size: int, seed: int):
     """M8: with-replacement popularity sample as a driver-side pool.
     Inverse-CDF samples ``size`` ids with a NumPy generator — the
@@ -128,7 +155,7 @@ SGD_BUCKETS = 64
 
 def _sgd_sample_bucket(
     pdf: pd.DataFrame,
-    v_map: dict,
+    v_map: dict | None,
     pool: np.ndarray,
     genre_map: dict | None,
     k: int,
@@ -136,6 +163,8 @@ def _sgd_sample_bucket(
     reg: float,
     attempts: int,
     seed: int,
+    pool_vecs: dict | None = None,
+    pool_genres: dict | None = None,
 ) -> pd.DataFrame:
     """Fused M8/M9 + M7: negative sampling AND the gradient loop in one
     Arrow pass. The standalone ``sample_triplets`` expresses sampling as
@@ -150,7 +179,20 @@ def _sgd_sample_bucket(
 
     Determinism: per-user generators seeded with (seed, u), positives
     visited in item order — bucket composition and scheduling cannot
-    change the result."""
+    change the result.
+
+    Two catalog modes, same math bit-for-bit:
+
+    - broadcast (``v_map`` set): the epoch-frozen V snapshot arrives as
+      one catalog-sized broadcast dict. Right up to ~10⁶ items.
+    - partitioned (``v_map=None``): the snapshot vector for each
+      POSITIVE rides its own row (``vf`` column, joined in-plan — the
+      per-rating replication ships through the shuffle, never the
+      driver) and NEGATIVE candidates' vectors/genres come from the
+      POOL_SIZE-bounded ``pool_vecs``/``pool_genres`` dicts (the only
+      broadcasts, O(pool), catalog-size-independent). Genre sets for
+      positives likewise ride the rows (``gi`` column). This is the
+      100×-scale path: nothing driver-side grows with the catalog."""
     import math
 
     rng_k = range(k)
@@ -158,6 +200,8 @@ def _sgd_sample_bucket(
     pool_n = len(pool)
     rows: list[dict] = []
     i_all = pdf["i"].to_numpy()
+    row_mode = v_map is None
+    genres_on = (genre_map is not None) or (pool_genres is not None)
 
     for u_id, idx in pdf.groupby("u", sort=False).indices.items():
         u_vec = [float(x) for x in pdf["uf"].iloc[idx[0]]]
@@ -165,9 +209,17 @@ def _sgd_sample_bucket(
         deltas: dict[int, list[float]] = {}
         rng = np.random.default_rng([int(seed), int(u_id)])
         draws = rng.integers(0, pool_n, size=attempts * len(idx))
+        if row_mode:
+            i_row = {int(i_all[p]): p for p in idx}
 
         def v_of(item: int) -> list[float]:
-            base = v_map.get(item)
+            if row_mode:
+                p = i_row.get(item)
+                base = (
+                    pdf["vf"].iloc[p] if p is not None else pool_vecs.get(item)
+                )
+            else:
+                base = v_map.get(item)
             b = [0.0] * k if base is None else [float(x) for x in base]
             d = deltas.get(item)
             if d is not None:
@@ -175,15 +227,26 @@ def _sgd_sample_bucket(
                     b[t] += d[t]
             return b
 
+        def genres_of_pos(item: int):
+            if not genres_on:
+                return None
+            if row_mode:
+                g = pdf["gi"].iloc[i_row[item]]
+                return frozenset(int(x) for x in g) if g is not None else None
+            return genre_map.get(item)
+
+        def genres_of_neg(item: int):
+            return (pool_genres if row_mode else genre_map).get(item)
+
         for pos_no, i in enumerate(sorted(int(i_all[p]) for p in idx)):
             j = None
-            g_pos = genre_map.get(i) if genre_map is not None else None
+            g_pos = genres_of_pos(i)
             for a in range(attempts):
                 cand = int(pool[draws[pos_no * attempts + a]])
                 if cand in watched:
                     continue
                 if g_pos is not None:
-                    g_neg = genre_map.get(cand)
+                    g_neg = genres_of_neg(cand)
                     if g_neg is not None and not g_pos.isdisjoint(g_neg):
                         continue
                 j = cand
@@ -232,12 +295,25 @@ def train_bpr(
     eval_k: int | None = None,
     eval_every_epoch: bool = True,
     eval_user_mod: int | None = None,
+    catalog_broadcast_threshold: int = 1_000_000,
+    eval_block_size: int = 200_000,
 ) -> BprModel:
     """The prac_2.py training loop re-contracted for Spark: per epoch,
     user-partitioned fused sampling + SGD (``_sgd_sample_bucket``) →
     element-wise V-delta reduction (k-column grouped sum) → optional
-    ranking-metric eval (E1). Three Spark jobs per epoch: the V
-    snapshot collect, the SGD pass, the V sync."""
+    ranking-metric eval (E1).
+
+    Catalog scaling: when the item count exceeds
+    ``catalog_broadcast_threshold``, the loop switches to the
+    PARTITIONED catalog path — the epoch V snapshot is joined onto the
+    positives in-plan instead of collected+broadcast, genre sets ride
+    the rows, and the E1 eval scores against item blocks of
+    ``eval_block_size`` with a per-user top-k merge
+    (see ``_sgd_sample_bucket`` / ``precision_recall_at_k``). Both
+    paths draw the per-epoch negative pool DISTRIBUTED
+    (``popularity_pool_distributed`` — O(POOL_SIZE) driver traffic),
+    and produce bit-identical factors given the same inputs: the modes
+    differ only in how the same snapshot floats reach the workers."""
     pos = positives.select(
         F.col(user_col).cast("long").alias("u"),
         F.col(item_col).cast("long").alias("i"),
@@ -254,15 +330,18 @@ def train_bpr(
     )
     spark = positives.sparkSession
     metrics: list[tuple[float, float]] = []
+    n_items = v_f.count()
+    blocked = n_items > catalog_broadcast_threshold
+    eval_blocks = (
+        -(-n_items // eval_block_size) if blocked else None  # ceil div
+    )
 
-    # Popularity distribution: ONE collect for the whole run; per-epoch
-    # pools redraw driver-side. Genre dimension: collected once and
-    # broadcast as item→genre-id-set (dimension-sized, like the
-    # reference's genre dict; at catalogue scales past broadcast reach,
-    # pre-partition the pool by genre bucket — same worker loop).
-    pop_items, pop_freq = popularity_dist(pos, "i")
+    # Genre dimension, broadcast mode only: collected once as an
+    # item→genre-id-set dict (dimension-sized, like the reference's
+    # genre dict). In blocked mode genre sets ride the positive rows
+    # and the pool dict instead — no catalog-sized driver structure.
     g_map = None
-    if genres is not None:
+    if genres is not None and not blocked:
         g_map = {
             int(r["item"]): frozenset(int(g) for g in r["genre_ids"])
             for r in genres.collect()
@@ -270,35 +349,84 @@ def train_bpr(
     bc_g = spark.sparkContext.broadcast(g_map)
     dims = [f"d{t}" for t in range(rank)]
     schema = "kind string, id long, " + ", ".join(f"{d} double" for d in dims)
-    pos_uf = pos.join(
-        u_f.select(F.col("id").alias("u"), F.col("features").alias("uf")), "u"
-    ).withColumn("__b", F.pmod(F.col("u"), F.lit(SGD_BUCKETS)))
+
+    def epoch_src() -> DataFrame:
+        src = pos.join(
+            u_f.select(F.col("id").alias("u"), F.col("features").alias("uf")), "u"
+        )
+        if blocked:
+            # The epoch-frozen V snapshot rides each positive row; the
+            # per-rating replication ships through the shuffle (scale-
+            # safe), never the driver.
+            src = src.join(
+                v_f.select(F.col("id").alias("i"), F.col("features").alias("vf")),
+                "i",
+            )
+            if genres is not None:
+                src = src.join(
+                    F.broadcast(
+                        genres.select(
+                            F.col("item").alias("i"),
+                            F.col("genre_ids").alias("gi"),
+                        )
+                    ),
+                    "i",
+                    "left",
+                )
+        return src.withColumn("__b", F.pmod(F.col("u"), F.lit(SGD_BUCKETS)))
 
     for epoch in range(epochs):
-        pool_rng = np.random.default_rng(seed + 100 + epoch)
-        pool = pool_rng.choice(pop_items, size=POOL_SIZE, p=pop_freq, replace=True)
-        # Epoch-frozen V snapshot, broadcast into the Arrow workers.
-        v_map = {
-            int(r["id"]): np.asarray(r["features"], dtype=np.float64)
-            for r in v_f.collect()
-        }
-        bc = spark.sparkContext.broadcast(v_map)
         ep_seed = seed + 100 + epoch
+        pool = popularity_pool_distributed(pos, "i", POOL_SIZE, ep_seed)
+        if blocked:
+            # Negative-side lookups are bounded by the pool, not the
+            # catalog: join V (and genres) against the distinct pool
+            # ids and broadcast only those.
+            pool_df = F.broadcast(
+                spark.createDataFrame(
+                    [(int(x),) for x in sorted(set(int(i) for i in pool))],
+                    "id long",
+                )
+            )
+            bc_vm = None
+            pool_vecs = {
+                int(r["id"]): np.asarray(r["features"], dtype=np.float64)
+                for r in v_f.join(pool_df, "id").collect()
+            }
+            pool_genres = None
+            if genres is not None:
+                pool_genres = {
+                    int(r["item"]): frozenset(int(g) for g in r["genre_ids"])
+                    for r in genres.join(
+                        pool_df.withColumnRenamed("id", "item"), "item"
+                    ).collect()
+                }
+        else:
+            # Epoch-frozen V snapshot, broadcast into the Arrow workers.
+            bc_vm = spark.sparkContext.broadcast(
+                {
+                    int(r["id"]): np.asarray(r["features"], dtype=np.float64)
+                    for r in v_f.collect()
+                }
+            )
+            pool_vecs = pool_genres = None
 
         def sgd(pdf: pd.DataFrame) -> pd.DataFrame:
             return _sgd_sample_bucket(
-                pdf, bc.value, pool, bc_g.value, rank, lr, reg, ATTEMPTS, ep_seed
+                pdf,
+                bc_vm.value if bc_vm is not None else None,
+                pool,
+                bc_g.value,
+                rank,
+                lr,
+                reg,
+                ATTEMPTS,
+                ep_seed,
+                pool_vecs=pool_vecs,
+                pool_genres=pool_genres,
             )
 
-        src = (
-            pos_uf
-            if epoch == 0
-            else pos.join(
-                u_f.select(F.col("id").alias("u"), F.col("features").alias("uf")),
-                "u",
-            ).withColumn("__b", F.pmod(F.col("u"), F.lit(SGD_BUCKETS)))
-        )
-        out = src.groupBy("__b").applyInPandas(sgd, schema).localCheckpoint()
+        out = epoch_src().groupBy("__b").applyInPandas(sgd, schema).localCheckpoint()
         # u_f / dv both derive lazily from the checkpointed SGD output —
         # no separate materialisation jobs.
         u_f = out.filter(F.col("kind") == "u").select(
@@ -335,9 +463,77 @@ def train_bpr(
                 else u_f
             )
             metrics.append(
-                precision_recall_at_k(pos, eval_users, v_f, eval_k, rank=rank)
+                precision_recall_at_k(
+                    pos, eval_users, v_f, eval_k, rank=rank, n_blocks=eval_blocks
+                )
             )
     return BprModel(u_f, v_f, metrics)
+
+
+def _topk_blocked(
+    user_factors: DataFrame, item_factors: DataFrame, kmax: int, n_blocks: int
+) -> DataFrame:
+    """Per-user top-``kmax`` when the catalog is too big to broadcast:
+    the classic blocked GEMM. Items hash into ``n_blocks`` blocks and
+    users into SGD_BUCKETS buckets; each (bucket, block) tile is a
+    cogroup whose kernel runs the same dense scoring product and keeps
+    the tile-local top-kmax (a superset of each user's global top-kmax,
+    since the global top-kmax within any block ⊆ that block's top-kmax).
+    A row_number window then merges |U|·n_blocks·kmax candidate rows to
+    the global ranking. Nothing driver-side or broadcast-side grows
+    with the catalog; tile memory is (|U|/buckets + |I|/blocks)·k
+    floats. Same tie order as the broadcast path (score desc, item id
+    asc) and the same float64 dot products, so results are
+    bit-identical."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    items_b = item_factors.withColumn(
+        "__blk", F.pmod(F.col("id"), F.lit(n_blocks)).cast("int")
+    )
+    users_rep = user_factors.withColumn(
+        "__b", F.pmod(F.col("id"), F.lit(SGD_BUCKETS)).cast("int")
+    ).withColumn(
+        "__blk", F.explode(F.array(*[F.lit(b) for b in range(n_blocks)]))
+    )
+    items_rep = items_b.withColumn(
+        "__b", F.explode(F.array(*[F.lit(b) for b in range(SGD_BUCKETS)]))
+    )
+
+    def tile(updf: pd.DataFrame, itdf: pd.DataFrame) -> pd.DataFrame:
+        if updf.empty or itdf.empty:
+            return pd.DataFrame(
+                {
+                    "u": pd.Series(dtype="int64"),
+                    "i": pd.Series(dtype="int64"),
+                    "score": pd.Series(dtype="float64"),
+                }
+            )
+        ids = itdf["id"].to_numpy()
+        mat = np.stack([np.asarray(f, dtype=np.float64) for f in itdf["features"]])
+        u_ids = updf["id"].to_numpy()
+        u_mat = np.stack([np.asarray(f, dtype=np.float64) for f in updf["features"]])
+        scores = u_mat @ mat.T
+        out_u, out_i, out_s = [], [], []
+        for r in range(scores.shape[0]):
+            order = np.lexsort((ids, -scores[r]))[:kmax]
+            out_u.extend([int(u_ids[r])] * len(order))
+            out_i.extend(int(ids[o]) for o in order)
+            out_s.extend(float(scores[r, o]) for o in order)
+        return pd.DataFrame({"u": out_u, "i": out_i, "score": out_s})
+
+    tiles = (
+        users_rep.groupBy("__b", "__blk")
+        .cogroup(items_rep.groupBy("__b", "__blk"))
+        .applyInPandas(tile, "u long, i long, score double")
+    )
+    w = Window.partitionBy("u").orderBy(F.col("score").desc(), F.col("i"))
+    return (
+        tiles.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= kmax)
+        .select("u", "i", "rnk")
+    )
 
 
 def precision_recall_at_k(
@@ -346,6 +542,7 @@ def precision_recall_at_k(
     item_factors: DataFrame,
     k: int | list[int],
     rank: int | None = None,
+    n_blocks: int | None = None,
 ) -> tuple[float, float] | dict[int, tuple[float, float]]:
     """E1: mean P@k / R@k over users (functions.py:212-246): score the
     full catalogue per user, per-user top-k, hits = |top-k ∩ positives|
@@ -362,42 +559,49 @@ def precision_recall_at_k(
     not a relational join — user blocks × a broadcast item matrix inside
     ``applyInPandas``, with the top-k computed in the same NumPy frame.
     Only |users|×max(k) (id, id, rank) rows ever materialise as Spark
-    rows. At 100 TB the item matrix partitions too (score against item
-    blocks, merge per-user top-k) — same plan shape, one more groupBy."""
+    rows. When ``n_blocks`` is set (catalog past broadcast reach) the
+    scoring runs as a blocked GEMM with a per-user top-k merge instead
+    (``_topk_blocked``) — bit-identical results, nothing catalog-sized
+    on the driver."""
     import numpy as np
 
     ks = sorted({k} if isinstance(k, int) else set(k))
     kmax = ks[-1]
     spark = positives.sparkSession
-    item_rows = item_factors.collect()
-    item_ids = np.array([r["id"] for r in item_rows], dtype=np.int64)
-    item_mat = np.stack([np.asarray(r["features"], dtype=np.float64) for r in item_rows])
-    bc = spark.sparkContext.broadcast((item_ids, item_mat))
-
-    def topk_block(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids, mat = bc.value
-        u_ids = pdf["id"].to_numpy()
-        u_mat = np.stack(
-            [np.asarray(f, dtype=np.float64) for f in pdf["features"]]
+    if n_blocks is not None and n_blocks > 1:
+        top = _topk_blocked(user_factors, item_factors, kmax, n_blocks)
+    else:
+        item_rows = item_factors.collect()
+        item_ids = np.array([r["id"] for r in item_rows], dtype=np.int64)
+        item_mat = np.stack(
+            [np.asarray(r["features"], dtype=np.float64) for r in item_rows]
         )
-        scores = u_mat @ mat.T  # (block_users, n_items)
-        out_u: list[int] = []
-        out_i: list[int] = []
-        out_r: list[int] = []
-        for r in range(scores.shape[0]):
-            # score desc, item id asc — the same tie order as a
-            # struct(score, -i) max-heap.
-            order = np.lexsort((ids, -scores[r]))[:kmax]
-            out_u.extend([int(u_ids[r])] * len(order))
-            out_i.extend(int(ids[o]) for o in order)
-            out_r.extend(range(1, len(order) + 1))
-        return pd.DataFrame({"u": out_u, "i": out_i, "rnk": out_r})
+        bc = spark.sparkContext.broadcast((item_ids, item_mat))
 
-    top = (
-        user_factors.withColumn("__b", F.pmod(F.col("id"), F.lit(SGD_BUCKETS)))
-        .groupBy("__b")
-        .applyInPandas(topk_block, "u long, i long, rnk int")
-    )
+        def topk_block(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids, mat = bc.value
+            u_ids = pdf["id"].to_numpy()
+            u_mat = np.stack(
+                [np.asarray(f, dtype=np.float64) for f in pdf["features"]]
+            )
+            scores = u_mat @ mat.T  # (block_users, n_items)
+            out_u: list[int] = []
+            out_i: list[int] = []
+            out_r: list[int] = []
+            for r in range(scores.shape[0]):
+                # score desc, item id asc — the same tie order as a
+                # struct(score, -i) max-heap.
+                order = np.lexsort((ids, -scores[r]))[:kmax]
+                out_u.extend([int(u_ids[r])] * len(order))
+                out_i.extend(int(ids[o]) for o in order)
+                out_r.extend(range(1, len(order) + 1))
+            return pd.DataFrame({"u": out_u, "i": out_i, "rnk": out_r})
+
+        top = (
+            user_factors.withColumn("__b", F.pmod(F.col("id"), F.lit(SGD_BUCKETS)))
+            .groupBy("__b")
+            .applyInPandas(topk_block, "u long, i long, rnk int")
+        )
     hits = (
         top.join(positives, ["u", "i"], "left_semi")
         .groupBy("u")

@@ -339,3 +339,211 @@ def e_boxplot_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+@register("e_ab_simulation")  # rows-only: seeded simulation + per-user ridge solves
+def e_ab_simulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's END-TO-END A/B serving run (ab_test.py:72-234):
+    simulate users (preferred genre pair, 5-10-item history, A/B arm) →
+    fold each user into their arm's model (M11 bias aggregate + M12
+    ridge solve) → per-arm top-20 with the 0.05·b_n bias blend and the
+    rarely-rated-item exclusion (M13+P6/P7) → the recommendation log in
+    the reference's AB_test_with_bias.csv schema (user, genre names,
+    item, title, score, group; ab_test.py:222-232), 20 rows per user.
+
+    Spark-first re-expression: the reference's per-user Python loop
+    becomes four set-level stages — ONE genre-keyed join builds all
+    histories, ONE aggregation folds in every user's bias, ONE
+    applyInPandas group solves every user's k×k ridge system, ONE
+    bucketed GEMM scores all users against the (dimension-sized,
+    broadcast) dual-model catalog. Nothing iterates per user on the
+    driver; for catalogs past broadcast reach the scoring stage swaps
+    to ml.bpr._topk_blocked's tile shape. The two 'loaded models'
+    (ab_test.py:73-86 .npy files) are deterministic constructions over
+    the embeddings table — arm A and arm B differ in factor lookup and
+    bias formula, like the reference's 25-iter vs 30-iter+genre
+    checkpoints. Rows-only: seeded simulation + Cholesky solves are not
+    SQL-expressible."""
+    import numpy as np
+    import pandas as pd
+
+    from recommender_systems_spark.queries.genre import GENRE_WORDS, _parts_with_genres
+    from recommender_systems_spark.queries.ml import ALPHA, EMB_MOD, LMD, TAU
+
+    K, N_USERS, N_REC, MIN_RATERS, BIAS_W = 8, 200, 20, 2, 0.05
+    G = len(GENRE_WORDS)
+
+    # --- simulate users (ab_test.py:87-97: genre pair, history size,
+    # Bernoulli arm) ---------------------------------------------------
+    users = (
+        spark.range(N_USERS)
+        .select(
+            F.col("id").alias("user_id"),
+            F.floor(F.rand(21) * G).cast("int").alias("g1"),
+            F.floor(F.rand(22) * (G - 1)).cast("int").alias("__o"),
+            (F.floor(F.rand(24) * 6) + 5).cast("int").alias("n_history"),
+            F.when(F.rand(23) < 0.5, F.lit("A")).otherwise(F.lit("B")).alias("grp"),
+        )
+        .withColumn(  # distinct second genre
+            "g2", F.pmod(F.col("g1") + 1 + F.col("__o"), F.lit(G)).cast("int")
+        )
+        .drop("__o")
+        .localCheckpoint()
+    )
+    # P8 two-arm guard (ab_test.py:240-246) before any serving work.
+    arms = sorted(r["grp"] for r in users.select("grp").distinct().collect())
+    if arms != ["A", "B"]:
+        raise ValueError(f"expected exactly arms A and B, got {arms}")
+
+    # --- the two 'loaded models' + eligibility filter ------------------
+    parts_g = _parts_with_genres(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.slice(F.col("embedding").cast("array<double>"), 1, K).alias("f")
+    )
+    raters = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("item"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    catalog = (
+        parts_g.select(F.col("p_partkey").alias("item"))
+        .join(raters, "item")
+        .filter(F.col("__n") >= MIN_RATERS)  # P6/P7 rarely-rated cut
+        .withColumn("__ka", F.pmod(F.col("item"), F.lit(EMB_MOD)))
+        .join(
+            F.broadcast(emb.select(F.col("vec_id").alias("__ka"), F.col("f").alias("va"))),
+            "__ka",
+        )
+        .withColumn("__kb", F.pmod(F.col("item") * 7 + 3, F.lit(EMB_MOD)))
+        .join(
+            F.broadcast(emb.select(F.col("vec_id").alias("__kb"), F.col("f").alias("vb"))),
+            "__kb",
+        )
+        .select(
+            "item",
+            "va",
+            "vb",
+            (F.pmod(F.col("item") * 29, F.lit(11)) * 0.04 - 0.2).alias("ba"),
+            (F.pmod(F.col("item") * 31, F.lit(13)) * 0.03 - 0.18).alias("bb"),
+        )
+        .localCheckpoint()  # consumed by the history join AND the top-N collect
+    )
+
+    # --- all histories from ONE genre-keyed join (simulate_user's
+    # genre-constrained draw, made deterministic via md5 order) ---------
+    ug = users.select(
+        "user_id", "n_history", F.explode(F.array("g1", "g2")).alias("g")
+    )
+    pg = parts_g.select(
+        F.col("p_partkey").alias("item"), F.explode("genre_values").alias("g")
+    )
+    h_col = F.conv(
+        F.substring(F.md5(F.concat_ws("_", "user_id", "item")), 1, 8), 16, 10
+    ).cast("long")
+    hist = (
+        ug.join(pg, "g")
+        .select("user_id", "n_history", "item")
+        .distinct()
+        .withColumn("__h", h_col)
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy("__h", "item")
+            ),
+        )
+        .filter(F.col("__rk") <= F.col("n_history"))
+        .withColumn("r", F.pmod(F.col("__h"), F.lit(9)) * 0.5 + 1.0)
+        .select("user_id", "item", "r")
+    )
+
+    # --- fold-in: M11 bias for every user in one aggregation, M12 ridge
+    # solve for every user in one applyInPandas pass --------------------
+    hm = (
+        hist.join(F.broadcast(users.select("user_id", "grp")), "user_id")
+        .join(F.broadcast(catalog), "item")
+        .select(
+            "user_id",
+            "r",
+            F.when(F.col("grp") == "A", F.col("va")).otherwise(F.col("vb")).alias("v"),
+            F.when(F.col("grp") == "A", F.col("ba")).otherwise(F.col("bb")).alias("bn"),
+        )
+        .localCheckpoint()  # two consumers: bias agg + ridge solve
+    )
+    ub = hm.groupBy("user_id").agg(
+        (
+            F.lit(LMD)
+            * F.sum(F.col("r") - F.col("bn"))
+            / (F.lit(ALPHA) + F.lit(LMD) * F.count(F.lit(1)))
+        ).alias("ub")
+    )
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        resid = (pdf["r"] - pdf["bn"] - pdf["ub"]).to_numpy(dtype=np.float64)
+        a = LMD * (v.T @ v) + TAU * np.eye(K)
+        rhs = LMD * (v.T @ resid)
+        c = np.linalg.cholesky(a)
+        u = np.linalg.solve(c.T, np.linalg.solve(c, rhs))
+        return pd.DataFrame(
+            {"user_id": [int(pdf["user_id"].iloc[0])], "uvec": [u.tolist()]}
+        )
+
+    uvecs = (
+        hm.join(ub, "user_id")
+        .groupBy("user_id")
+        .applyInPandas(solve, "user_id long, uvec array<double>")
+    )
+
+    # --- top-20 per user against the dual-model catalog (M13): bucketed
+    # GEMM, broadcast catalog (dimension-sized; _topk_blocked is the
+    # past-broadcast-reach variant of this stage) -----------------------
+    cat_rows = catalog.collect()
+    ids = np.array([r["item"] for r in cat_rows], dtype=np.int64)
+    mva = np.stack([np.asarray(r["va"], dtype=np.float64) for r in cat_rows])
+    mvb = np.stack([np.asarray(r["vb"], dtype=np.float64) for r in cat_rows])
+    vba = np.array([r["ba"] for r in cat_rows], dtype=np.float64)
+    vbb = np.array([r["bb"] for r in cat_rows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((ids, mva, vba, mvb, vbb))
+
+    def topn(pdf: pd.DataFrame) -> pd.DataFrame:
+        c_ids, c_va, c_ba, c_vb, c_bb = bc.value
+        out_u, out_i, out_s, out_r = [], [], [], []
+        for _, row in pdf.iterrows():
+            u = np.asarray(row["uvec"], dtype=np.float64)
+            mat, bias = (c_va, c_ba) if row["grp"] == "A" else (c_vb, c_bb)
+            scores = mat @ u + BIAS_W * bias
+            order = np.lexsort((c_ids, -scores))[:N_REC]
+            out_u += [int(row["user_id"])] * len(order)
+            out_i += [int(c_ids[o]) for o in order]
+            out_s += [float(scores[o]) for o in order]
+            out_r += list(range(1, len(order) + 1))
+        return pd.DataFrame(
+            {"user_id": out_u, "item": out_i, "score": out_s, "rank": out_r}
+        )
+
+    recs = (
+        uvecs.join(F.broadcast(users.select("user_id", "grp")), "user_id")
+        .withColumn("__b", F.pmod(F.col("user_id"), F.lit(16)))
+        .groupBy("__b")
+        .applyInPandas(topn, "user_id long, item long, score double, rank int")
+    )
+
+    # --- the AB_test_with_bias.csv log (ab_test.py:222-232) ------------
+    gname = F.array(*[F.lit(w) for w in GENRE_WORDS])
+    titles = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("item"), F.col("p_name").alias("item_title")
+    )
+    return (
+        recs.join(F.broadcast(users), "user_id")
+        .join(F.broadcast(titles), "item")
+        .select(
+            "user_id",
+            F.element_at(gname, F.col("g1") + 1).alias("genre_1_name"),
+            F.element_at(gname, F.col("g2") + 1).alias("genre_2_name"),
+            F.col("item").alias("item_id"),
+            "item_title",
+            F.round("score", 4).alias("score"),
+            "grp",
+            "rank",
+        )
+    )

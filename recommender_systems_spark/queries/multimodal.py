@@ -254,3 +254,150 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     grid = resize_grid(with_payload(docs))
     return grid.select("doc_id", _csv_scaled("resized").alias("resized"))
+
+
+# ---------------------------------------------------------------------------
+# Real decoders over synthesized payloads.  The fixture side (payload
+# synthesis from `documents.text`) runs in Spark; the ORACLE never sees
+# the payload — it replays the decode arithmetic from the text directly
+# (corpus is ASCII, so byte j == ascii(text[j:j]), asserted by
+# mm_byte_features' n_bytes comparison), which makes these true
+# independent checks of the decode path.
+# ---------------------------------------------------------------------------
+
+_DEC_W = 8  # synthesized PPM is 8×8 RGB
+_DEC_POOL = 2
+_DEC_OUT = _DEC_W // _DEC_POOL
+
+# Byte position (1-based, within text) of lambda vars k (pooled cell,
+# row-major over a 4×4 grid) and j (0..11: 4 pixels × RGB): pixel row
+# r = (k//4)*2 + (j//3)//2, col c = (k%4)*2 + (j//3)%2, channel j%3.
+_DEC_POS = (
+    f"(3*(((k // {_DEC_OUT}) * {_DEC_POOL} + (j // 3) // {_DEC_POOL}) * {_DEC_W}"
+    f" + (k % {_DEC_OUT}) * {_DEC_POOL} + (j // 3) % {_DEC_POOL}) + (j % 3) + 1)"
+)
+
+_DECODE_SQL = f"""
+    SELECT doc_id,
+           CAST({_DEC_W} AS INTEGER) AS width,
+           CAST({_DEC_W} AS INTEGER) AS height,
+           'ppm' AS fmt,
+           array_to_string(
+               list_transform(range({_DEC_OUT * _DEC_OUT}), k ->
+                   CAST(round(round(
+                       list_sum(list_transform(range({3 * _DEC_POOL * _DEC_POOL}),
+                           j -> {_byte_sql(_DEC_POS)}))
+                       / {3 * _DEC_POOL * _DEC_POOL}.0 / 255.0, 5)
+                   * 100000) AS BIGINT)),
+               ',') AS gray
+    FROM documents
+"""
+
+
+@register("mm_decode", _DECODE_SQL)
+def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: the REAL image-decode slot — each document's first
+    192 bytes are packed into a binary PPM (P6 header + RGB rows,
+    zero-padded; built in-plan from string expressions since the corpus
+    is ASCII), then ``multimodal.binary.decode_image`` header-parses,
+    reshapes, and 2×2-average-pools to a 4×4 grayscale grid. The oracle
+    replays the pooled-grayscale arithmetic from the raw text,
+    independent of the decoder. Narrow Arrow-batched mapInPandas; a
+    JPEG/PNG codec would change only the parse branch."""
+    from recommender_systems_spark.multimodal.binary import decode_image
+
+    docs = _t(spark, sf_dir, "documents")
+    body_len = _DEC_W * _DEC_W * 3
+    payload = F.encode(
+        F.concat(
+            F.lit(f"P6\n{_DEC_W} {_DEC_W}\n255\n"),
+            F.rpad(F.substring("text", 1, body_len), body_len, "\x00"),
+        ),
+        "UTF-8",
+    )
+    dec = decode_image(
+        docs.select("doc_id", payload.alias("payload")), pool=_DEC_POOL
+    )
+    return dec.select(
+        "doc_id", "width", "height", "fmt", _csv_scaled("gray").alias("gray")
+    )
+
+
+_AUD_FRAME = 16  # samples per frame
+_AUD_STRIDE = 2
+_AUD_MAX = 4
+_AUD_RATE = 8000
+
+# Sample t (0-based) is the little-endian int16 at text bytes
+# (2t+1, 2t+2); ASCII ⇒ high byte ≤ 127 ⇒ value in [0, 32639], so
+# |amplitude| == value and no sign handling is needed in SQL.
+_AUD_SAMPLE = "(ascii(text[(2*t+1):(2*t+1)]) + 256 * ascii(text[(2*t+2):(2*t+2)]))"
+_AUD_N = f"((length(text) // 2) // {_AUD_FRAME})"
+
+_AUDIO_SQL = f"""
+    SELECT doc_id,
+           CAST({_AUD_RATE} AS INTEGER) AS sample_rate,
+           CAST({_AUD_N} AS BIGINT) AS n_frames,
+           array_to_string(
+               list_transform(
+                   list_slice(range(0, {_AUD_N}, {_AUD_STRIDE}), 1, {_AUD_MAX}),
+                   fi -> CAST(fi AS INTEGER)),
+               ',') AS sampled_frames,
+           array_to_string(
+               list_transform(
+                   list_slice(range(0, {_AUD_N}, {_AUD_STRIDE}), 1, {_AUD_MAX}),
+                   fi -> CAST(round(round(
+                       list_sum(list_transform(
+                           range(fi * {_AUD_FRAME}, fi * {_AUD_FRAME} + {_AUD_FRAME}),
+                           t -> {_AUD_SAMPLE}))
+                       / {_AUD_FRAME}.0 / 32768.0, 5) * 100000) AS BIGINT)),
+               ',') AS frame_features
+    FROM documents
+"""
+
+
+@register("mm_audio", _AUDIO_SQL)
+def mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: the REAL audio-decode slot — each document's bytes
+    become the PCM16 data chunk of a synthesized RIFF/WAV (fixture
+    kernel), then ``multimodal.binary.sample_audio_frames`` walks the
+    chunk headers, views the samples as int16, and samples every 2nd
+    16-sample frame (mean |amplitude| feature). The oracle recomputes
+    the little-endian sample values from the raw text, independent of
+    the decoder."""
+    import pandas as pd
+
+    from recommender_systems_spark.multimodal.binary import sample_audio_frames
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def synth_wav(batches):
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                data = t.encode("utf-8")
+                hdr = (
+                    b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+                    + b"fmt " + (16).to_bytes(4, "little")
+                    + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+                    + _AUD_RATE.to_bytes(4, "little")
+                    + (_AUD_RATE * 2).to_bytes(4, "little")
+                    + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+                    + b"data" + len(data).to_bytes(4, "little")
+                )
+                payloads.append(hdr + data)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    wav = docs.select("doc_id", "text").mapInPandas(
+        synth_wav, "doc_id long, payload binary"
+    )
+    framed = sample_audio_frames(
+        wav, frame_samples=_AUD_FRAME, stride=_AUD_STRIDE, max_frames=_AUD_MAX
+    )
+    return framed.select(
+        "doc_id",
+        "sample_rate",
+        "n_frames",
+        _csv_ints("sampled_frames").alias("sampled_frames"),
+        _csv_scaled("frame_features").alias("frame_features"),
+    )

@@ -88,7 +88,6 @@ GATE_ORDER: list[str] = [
     "flagship_top_customers",   # J1-J3 + A1 + W3 flagship plan
     "p_filter_project",         # P1-P4
     "p_anti_join_threshold",    # P6 + P7
-    "j_star_join",              # J1-J3 broadcast star
     "a_group_agg",              # A1 + A3 + A4 + A5
     "a_relative_frequency",     # A2
     "a_dedup_distinct",         # A6 + A7
@@ -131,10 +130,15 @@ GATE_ORDER: list[str] = [
     "sim_ann_topk",
     "sim_ivf_topk",
     "sim_ivf_partitioned",
-    # Pipeline extensions: multimodal binary columns.
+    # Pipeline extensions: multimodal binary columns.  (mm_decode — the
+    # real PPM/BMP decoder — took j_star_join's slot in round 5:
+    # J1-J3 broadcast-star coverage stays driver-checked via
+    # flagship_top_customers, and j_star_join remains hash-checked by
+    # tests/test_oracle_parity.py and benchmarked every round.)
     "mm_byte_features",
     "mm_frame_sample",
     "mm_resize",
+    "mm_decode",
     # Pipeline extensions: text analysis (brief-named four).
     "t_token_stats",
     "t_language_id",

@@ -86,3 +86,33 @@ def test_probit_matches_normal_sf():
     for p in (0.001, 0.01, 0.025, 0.2, 0.5, 0.8, 0.975, 0.99, 0.999):
         z = probit(p)
         assert 1.0 - normal_sf(z) == pytest.approx(p, abs=1e-8)
+
+
+def test_ab_simulation_log_shape(spark):
+    """e_ab_simulation reproduces the AB_test_with_bias.csv artifact:
+    the reference log schema, exactly top-20 rows per simulated user,
+    both arms present and arm-consistent per user, scores non-increasing
+    in rank within a user."""
+    from recommender_systems_spark.queries.abtest import e_ab_simulation
+
+    log = e_ab_simulation(spark, "/root/testdata/sf0.001").collect()
+    assert {r["grp"] for r in log} == {"A", "B"}
+    assert [f for f in log[0].asDict()] == [
+        "user_id", "genre_1_name", "genre_2_name", "item_id",
+        "item_title", "score", "grp", "rank",
+    ]
+    by_user: dict[int, list] = {}
+    for r in log:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(log) == 20 * len(by_user)
+    from recommender_systems_spark.queries.genre import GENRE_WORDS
+
+    for u, rows in by_user.items():
+        assert len(rows) == 20, u
+        assert len({r["grp"] for r in rows}) == 1, u
+        assert len({r["item_id"] for r in rows}) == 20, u
+        rows.sort(key=lambda r: r["rank"])
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True), u
+        assert rows[0]["genre_1_name"] in GENRE_WORDS
+        assert rows[0]["genre_1_name"] != rows[0]["genre_2_name"], u

@@ -54,3 +54,61 @@ def test_bpr_metrics_improve(spark):
     p_last, r_last = model.metrics_history[-1]
     assert p_last > p0, f"P@20 did not improve: {p0} -> {p_last}"
     assert r_last > r0, f"R@20 did not improve: {r0} -> {r_last}"
+
+
+def test_blocked_catalog_path_matches_broadcast(spark):
+    """The partitioned-catalog path (threshold forced to 0: V snapshot
+    joined per-row, pool-bounded negative dicts, blocked-GEMM eval)
+    must produce BIT-IDENTICAL factors and metrics to the broadcast
+    path — the modes differ only in how the same snapshot floats reach
+    the workers."""
+    from recommender_systems_spark.ml.bpr import train_bpr
+
+    pos = _positives(spark).localCheckpoint()
+    kwargs = dict(rank=8, epochs=2, seed=42, eval_k=10)
+    wide = train_bpr(pos, "u", "i", **kwargs)
+    blocked = train_bpr(
+        pos, "u", "i", catalog_broadcast_threshold=0, eval_block_size=50,
+        **kwargs,
+    )
+    assert blocked.metrics_history == wide.metrics_history
+    a = {r["id"]: list(r["features"]) for r in wide.item_factors.collect()}
+    b = {r["id"]: list(r["features"]) for r in blocked.item_factors.collect()}
+    assert a == b
+
+
+def test_blocked_catalog_path_with_genres(spark):
+    """Genre-constrained sampling parity: row-riding genre sets +
+    pool-bounded negative genre dict (blocked) vs the catalog dict
+    (broadcast)."""
+    from recommender_systems_spark.ml.bpr import train_bpr
+
+    pos = _positives(spark).localCheckpoint()
+    genres = (
+        spark.read.parquet(f"{SF_SMALL}/part.parquet")
+        .select(
+            F.col("p_partkey").alias("item"),
+            F.array(F.pmod(F.col("p_partkey"), F.lit(7))).alias("genre_ids"),
+        )
+        .localCheckpoint()
+    )
+    kwargs = dict(rank=8, epochs=2, seed=7, genres=genres)
+    wide = train_bpr(pos, "u", "i", **kwargs)
+    blocked = train_bpr(pos, "u", "i", catalog_broadcast_threshold=0, **kwargs)
+    a = {r["id"]: list(r["features"]) for r in wide.user_factors.collect()}
+    b = {r["id"]: list(r["features"]) for r in blocked.user_factors.collect()}
+    assert a == b
+
+
+def test_precision_recall_blocked_matches(spark):
+    """_topk_blocked: blocked-GEMM scoring + window merge must equal
+    the broadcast GEMM for every k in a multi-k sweep."""
+    from recommender_systems_spark.ml.als import init_factors
+    from recommender_systems_spark.ml.bpr import precision_recall_at_k
+
+    pos = _positives(spark).localCheckpoint()
+    u0 = init_factors(pos.select("u").distinct(), "u", 8, 5, scale=0.1).drop("bias")
+    v0 = init_factors(pos.select("i").distinct(), "i", 8, 6, scale=0.1).drop("bias")
+    wide = precision_recall_at_k(pos, u0, v0, [5, 10, 20])
+    blocked = precision_recall_at_k(pos, u0, v0, [5, 10, 20], n_blocks=4)
+    assert wide == blocked

@@ -265,3 +265,71 @@ def test_dedup_clusters_partition_pairs(spark):
     for r in rows:
         assert r["cluster_size"] == members[r["cluster_id"]]
         assert r["cluster_size"] >= 2  # every node came from a pair
+
+
+def test_decode_image_ppm_and_edge_payloads(spark):
+    """The real PPM branch: header with comments and multi-digit dims
+    decodes to the right grid; wrong magic and truncated/compressed
+    payloads yield NULL rows instead of failing the batch."""
+    import numpy as np
+
+    from recommender_systems_spark.multimodal.binary import decode_image
+
+    rng = np.random.default_rng(11)
+    w, h = 10, 6
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    good = f"P6\n# a comment\n{w} {h}\n255\n".encode() + px.tobytes()
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"GIF89a notanimage"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in decode_image(df, pool=2).collect()}
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["fmt"]) == (w, h, "ppm")
+    exp = np.round(
+        px.astype(np.int64).reshape(3, 2, 5, 2, 3).sum(axis=(1, 3, 4))
+        / 12.0 / 255.0,
+        5,
+    )
+    assert np.allclose(np.array(rows[1]["gray"]).reshape(3, 5), exp)
+    assert rows[2]["width"] is None and rows[2]["fmt"] is None
+
+
+def test_sample_audio_frames_wav(spark):
+    """The real WAV branch: RIFF chunk walk (including a skipped LIST
+    chunk), int16 view, stride/cap sampling, mean-|amplitude| feature;
+    non-PCM payloads yield NULL rows."""
+    import numpy as np
+
+    from recommender_systems_spark.multimodal.binary import sample_audio_frames
+
+    rng = np.random.default_rng(13)
+    samples = rng.integers(-32768, 32768, size=40, dtype=np.int16)
+    data = samples.tobytes()
+    hdr = (
+        b"RIFF" + (48 + len(data)).to_bytes(4, "little") + b"WAVE"
+        + b"LIST" + (4).to_bytes(4, "little") + b"INFO"  # skipped chunk
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + len(data).to_bytes(4, "little")
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(hdr + data)), (2, bytearray(b"OggS compressed"))],
+        "doc_id long, payload binary",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in sample_audio_frames(
+            df, frame_samples=8, stride=2, max_frames=3
+        ).collect()
+    }
+    assert rows[1]["sample_rate"] == 8000
+    assert rows[1]["n_frames"] == 5
+    assert rows[1]["sampled_frames"] == [0, 2, 4]
+    exp = [
+        round(int(np.abs(samples[f * 8 : (f + 1) * 8]).sum()) / 8.0 / 32768.0, 5)
+        for f in (0, 2, 4)
+    ]
+    assert [round(x, 5) for x in rows[1]["frame_features"]] == exp
+    assert rows[2]["sample_rate"] is None and rows[2]["n_frames"] is None

@@ -169,3 +169,79 @@ def m_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.filter(
         F.substring(F.md5(F.col("event_id").cast("string")), 1, 4) < thr
     ).select("event_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Hash-deterministic twins of the seeded ops: rand(seed) is engine-local
+# (rows-only by contract), but a uniform derived from md5 is identical
+# in both engines, which upgrades W6/M8 to FULL value-hash oracles.
+# u = (md5 13-hex-digit prefix + 1) / (16^13 + 1) ∈ (0, 1] — 52 bits of
+# hash, exactly representable; +1 keeps log() off u=0.
+# ---------------------------------------------------------------------------
+
+_HEX13 = 16 ** 13
+
+
+def _u01(col: F.Column, salt: str) -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(F.concat_ws("_", col, F.lit(salt))), 1, 13), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / float(_HEX13 + 1)
+
+
+def _u01_sql(expr: str, salt: str) -> str:
+    return (
+        f"(CAST('0x' || substring(md5(CAST({expr} AS VARCHAR) || '_{salt}'), 1, 13)"
+        f" AS BIGINT) + 1.0) / {float(_HEX13 + 1)!r}"
+    )
+
+
+@register(
+    "w_hash_shuffle",
+    f"""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY {_u01_sql("o_orderkey", "w6")}, o_orderkey
+    LIMIT 100
+    """,
+)
+def w_hash_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6, oracle-backed: order randomisation keyed on an md5-derived
+    uniform instead of rand(seed) — the same 'shuffled' order in ANY
+    engine, stable under re-partitioning and retries (the property
+    prac_2.py:90-92's np.random.shuffle needs from its fixed seed).
+    One TakeOrderedAndProject, no exchange beyond the top-k."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return orders.orderBy(
+        _u01(F.col("o_orderkey"), "w6"), F.col("o_orderkey")
+    ).limit(100)
+
+
+@register(
+    "m_weighted_sample_hash",
+    f"""
+    SELECT o_orderkey, o_totalprice,
+           round(-ln({_u01_sql("o_orderkey", "m8")}) / o_totalprice, 6)
+               AS race_key
+    FROM orders
+    ORDER BY -ln({_u01_sql("o_orderkey", "m8")}) / o_totalprice, o_orderkey
+    LIMIT 50
+    """,
+)
+def m_weighted_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8, oracle-backed: Efraimidis-Spirakis weighted sampling without
+    replacement (key = −ln(u)/w, keep the n smallest — the distributed
+    replacement for np.random.choice(p=probs),
+    implicit_feedback/functions.py:47-58) with the uniform drawn from
+    md5 instead of rand(seed), so BOTH engines select the identical
+    sample and the driver value-hashes the actual sampled rows — the
+    seeded variant (``m_weighted_sample``) can only be rows-only.
+    Weight = order price; one TakeOrderedAndProject."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    key = -F.log(_u01(F.col("o_orderkey"), "m8")) / F.col("o_totalprice")
+    return (
+        orders.withColumn("race_key", F.round(key, 6))
+        .orderBy(key, "o_orderkey")
+        .limit(50)
+    )

@@ -15,7 +15,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from recommender_systems_spark.functions.vector import cosine_similarity
+from recommender_systems_spark.functions.vector import (
+    cosine_similarity,
+    dot_product,
+)
 from recommender_systems_spark.registry import _t, register
 from recommender_systems_spark.similarity.ann import (
     bucket_keys,
@@ -493,4 +496,233 @@ def sim_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("qid", "vec_id", "cos_sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-means codebook training (the "swap in k-means centroids" slot the
+# IVF geometry note above reserves).
+# ---------------------------------------------------------------------------
+
+KM_K = 8
+KM_DIMS = 64
+KM_ITERS = 2
+
+_KMEANS_SQL = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e
+           WHERE vec_id < {KM_K}),
+    d1 AS (SELECT e.vec_id, e.v, c.cid,
+                  list_dot_product(c.cv, c.cv)
+                  - 2 * list_dot_product(e.v, c.cv) AS s
+           FROM e, c0 c),
+    a1 AS (SELECT vec_id, v, cid FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY s, cid) AS rnk
+             FROM d1) WHERE rnk = 1),
+    m1 AS (SELECT cid, u.t, avg(v[u.t + 1]) AS x
+           FROM a1, unnest(range({KM_DIMS})) AS u(t)
+           GROUP BY cid, u.t),
+    c1 AS (SELECT cid, list(x ORDER BY t) AS cv FROM m1 GROUP BY cid),
+    d2 AS (SELECT e.vec_id, e.v, c.cid,
+                  list_dot_product(c.cv, c.cv)
+                  - 2 * list_dot_product(e.v, c.cv) AS s
+           FROM e, c1 c),
+    a2 AS (SELECT vec_id, v, cid FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY s, cid) AS rnk
+             FROM d2) WHERE rnk = 1)
+    SELECT a2.cid AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           round(avg(list_dot_product(a2.v, c1.cv)), 5) AS mean_dot,
+           round(max(list_dot_product(c1.cv, c1.cv)), 5) AS centroid_sq_norm
+    FROM a2 JOIN c1 ON c1.cid = a2.cid
+    GROUP BY a2.cid
+"""
+
+
+@register("m_kmeans", _KMEANS_SQL)
+def m_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus — the codebook trainer
+    for the IVF index above (its CENTROID_MOD codebook documents
+    "swap in k-means centroids"; this is that training step, also the
+    backbone of semantic/cluster-balanced dedup sampling). Deterministic
+    init (vec_id < K) + {KM_ITERS} fixed iterations, so the whole loop
+    unrolls into the DuckDB oracle — an oracle-backed ITERATIVE ML op.
+
+    Spark shape per iteration: ONE scan scoring every vector against
+    the K broadcast-literal centroids (argmin via array_min over
+    (score, cid) structs — distance rank uses |c|² − 2·v·c, dropping
+    the constant |v|² term), then ONE (cid, dim) aggregation of K×D
+    rows to re-solve centroids; driver state is the K×D codebook, like
+    every production Lloyd implementation. At 100 TB: same two stages,
+    the argmin scan is embarrassingly parallel and the update shuffles
+    only K×D partial sums per partition."""
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .localCheckpoint()  # three consumers: two assignment scans + final agg
+    )
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["v"]])
+        for r in sorted(
+            emb.filter(F.col("vec_id") < KM_K).collect(),
+            key=lambda r: r["vec_id"],
+        )
+    ]
+
+    def assign(centroids) -> DataFrame:
+        structs = []
+        for cid, cv in centroids:
+            sq = 0.0
+            for x in cv:  # sequential fold — matches list_dot_product
+                sq += x * x
+            c_lit = F.array(*[F.lit(x) for x in cv])
+            structs.append(
+                F.struct(
+                    (F.lit(sq) - 2.0 * dot_product(F.col("v"), c_lit)).alias("s"),
+                    F.lit(cid).alias("cid"),
+                )
+            )
+        return emb.withColumn(
+            "cid", F.array_min(F.array(*structs)).getField("cid")
+        )
+
+    for it in range(KM_ITERS):
+        a = assign(cents)
+        if it == KM_ITERS - 1:
+            break
+        rows = (
+            a.select("cid", F.posexplode("v"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("col").alias("x"))
+            .collect()
+        )
+        byc: dict[int, dict[int, float]] = {}
+        for r in rows:
+            byc.setdefault(int(r["cid"]), {})[int(r["pos"])] = float(r["x"])
+        cents = [
+            (cid, [byc[cid][t] for t in range(KM_DIMS)]) for cid in sorted(byc)
+        ]
+
+    dot_own = None
+    sq_own = None
+    for cid, cv in cents:
+        sq = 0.0
+        for x in cv:
+            sq += x * x
+        d = dot_product(F.col("v"), F.array(*[F.lit(x) for x in cv]))
+        cond = F.col("cid") == cid
+        dot_own = d if dot_own is None else F.when(cond, d).otherwise(dot_own)
+        sq_own = (
+            F.lit(sq)
+            if sq_own is None
+            else F.when(cond, F.lit(sq)).otherwise(sq_own)
+        )
+
+    return (
+        a.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg(dot_own), 5).alias("mean_dot"),
+            F.round(F.max(sq_own), 5).alias("centroid_sq_norm"),
+        )
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_members",
+            "mean_dot",
+            "centroid_sq_norm",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization — the storage/bandwidth scale lever
+# (4 bytes → 1 byte per dim) with a measured-accuracy contract.
+# ---------------------------------------------------------------------------
+
+_QC_QUERIES = 10
+_QC_K = 5
+
+_QUANT_SQL = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127
+                     AS sc
+          FROM e),
+    q AS (SELECT vec_id, v,
+                 CAST(list_transform(v, x -> CAST(round(x / sc) AS INTEGER))
+                      AS DOUBLE[]) AS qv
+          FROM s),
+    pairs AS (
+        SELECT a.vec_id AS qid, b.vec_id,
+               list_dot_product(a.qv, b.qv)
+               / (sqrt(list_dot_product(a.qv, a.qv))
+                  * sqrt(list_dot_product(b.qv, b.qv))) AS cos_q,
+               list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))) AS cos_x
+        FROM q a JOIN q b ON a.vec_id < {_QC_QUERIES} AND b.vec_id <> a.vec_id
+    )
+    SELECT qid, vec_id, CAST(rnk AS INT) AS rnk,
+           round(cos_q, 5) AS cos_quantized,
+           round(cos_x, 5) AS cos_exact,
+           (abs(cos_q - cos_x) <= 0.05) AS within_bound
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY cos_q DESC, vec_id) AS rnk
+          FROM pairs)
+    WHERE rnk <= {_QC_K}
+"""
+
+
+@register("v_quantized_cosine", _QUANT_SQL)
+def v_quantized_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 embedding quantization + top-k by QUANTIZED cosine, with
+    the exact cosine alongside and a measured-accuracy flag — the
+    compression move that makes a 100 TB embedding store 4× smaller
+    and its scans 4× cheaper. Per-vector symmetric scale
+    (max|x|/127 → q = round(x/s)); cosine over the int grid needs NO
+    dequantization (the scales cancel), and the integer dot products
+    (≤ 127²·64 ≈ 10⁶) are exact in float64, so both engines rank the
+    same candidates bit-for-bit. The oracle checks ranking parity AND
+    the |cos_q − cos| ≤ 0.05 accuracy contract, HLL-style."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sc = (
+        F.greatest(
+            F.array_max(F.transform("v", lambda x: F.abs(x))), F.lit(1e-30)
+        )
+        / 127
+    )
+    q = emb.withColumn("sc", sc).select(
+        "vec_id",
+        "v",
+        F.transform("v", lambda x: F.round(x / F.col("sc")).cast("int"))
+        .cast("array<double>")
+        .alias("qv"),
+    )
+    a = q.filter(F.col("vec_id") < _QC_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("av"),
+        F.col("qv").alias("aq"),
+    )
+    pairs = q.join(F.broadcast(a), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        "vec_id",
+        cosine_similarity(F.col("aq"), F.col("qv")).alias("cos_q"),
+        cosine_similarity(F.col("av"), F.col("v")).alias("cos_x"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_q").desc(), F.col("vec_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _QC_K)
+        .select(
+            "qid",
+            "vec_id",
+            "rnk",
+            F.round("cos_q", 5).alias("cos_quantized"),
+            F.round("cos_x", 5).alias("cos_exact"),
+            (F.abs(F.col("cos_q") - F.col("cos_x")) <= 0.05).alias("within_bound"),
+        )
     )

@@ -154,3 +154,44 @@ def a_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.countDistinct("user_id") * F.lit(HLL_BOUND)
         ).alias("within_bound"),
     )
+
+
+_AQ_SQL = """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS exact_p50,
+           round(quantile_cont(value, 0.9), 6) AS exact_p90,
+           TRUE AS p50_within_bound,
+           TRUE AS p90_within_bound
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@register("a_approx_quantiles", _AQ_SQL)
+def a_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (Greenwald-Khanna via percentile_approx) —
+    the sketch that replaces exact percentiles at 100 TB: the GK
+    summary is bounded-size per group and merges map-side, where the
+    exact form ships every value through the group's partition.
+
+    Same oracle contract as a_hll_distinct: the query computes the
+    EXACT p50/p90 (Spark `percentile`, already proven bit-equal to
+    DuckDB's quantile_cont by e_boxplot_summary) AND asserts the
+    sketch's rank-error guarantee in-plan — with accuracy=100 the
+    approx p50 must land between the exact p45 and p55 values (±5
+    rank-percentiles is 5× the 1/accuracy guarantee, so the flag is
+    robustly TRUE unless the estimator breaks). The oracle recomputes
+    the exact values and the literal TRUE flags."""
+    ev = _t(spark, sf_dir, "events")
+    ap = F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.9)), 100)
+    ex = F.percentile("value", F.array(*[F.lit(x) for x in (0.45, 0.5, 0.55, 0.85, 0.9, 0.95)]))
+    return ev.groupBy("event_type").agg(
+        F.round(ex.getItem(1), 6).alias("exact_p50"),
+        F.round(ex.getItem(4), 6).alias("exact_p90"),
+        ap.getItem(0).between(ex.getItem(0), ex.getItem(2)).alias(
+            "p50_within_bound"
+        ),
+        ap.getItem(1).between(ex.getItem(3), ex.getItem(5)).alias(
+            "p90_within_bound"
+        ),
+    )

@@ -419,3 +419,178 @@ def t_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
             "<DENY>",
         ).alias("redacted"),
     )
+
+
+_BPE_TOP = 20
+
+_BPE_SQL = f"""
+    WITH toks AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents
+    ),
+    pairs AS (
+        SELECT substring(tok, j, 2) AS pair
+        FROM toks, unnest(range(1, length(tok))) AS u(j)
+        WHERE length(tok) >= 2
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT {_BPE_TOP}
+"""
+
+
+@register("t_bpe_pairs", _BPE_SQL)
+def t_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE vocabulary-training inner loop at corpus scale: count
+    every adjacent symbol pair across the tokenised corpus and surface
+    the merge candidates (highest-count pairs) — one merge round of
+    byte-pair encoding, the step a tokenizer trainer repeats. Uses the
+    engine's shared TOKEN_PATTERN tokenisation (functions/text.py).
+
+    Scale shape: tokenise → explode pairs (narrow, in-scan) → ONE
+    partial+final hash aggregation on 2-char keys (map-side combine
+    collapses the pair stream to ≤ |alphabet|² partials per partition)
+    → global top-N via TakeOrderedAndProject. Raw text never rides the
+    shuffle; only (pair, count) partials do — at 100 TB the shuffle is
+    KB-sized per partition regardless of corpus size."""
+    from recommender_systems_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("tok")).filter(
+        F.length("tok") >= 2
+    )
+    pair = tok.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda j: F.col("tok").substr(j, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pair.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(_BPE_TOP)
+    )
+
+
+# Gopher-style repetition thresholds (Rae et al. 2021 table A1 spirit:
+# high duplicate-token or top-fragment mass ⇒ boilerplate/spam).
+_REP_DUP_MAX = 0.30
+_REP_TOP_TOKEN_MAX = 0.20
+_REP_TOP_BIGRAM_MAX = 0.18
+
+_REP_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        FROM documents
+    ),
+    flat AS (
+        SELECT doc_id, unnest(ts) AS tok FROM toks
+    ),
+    tok_counts AS (
+        SELECT doc_id, tok, count(*) AS c FROM flat GROUP BY doc_id, tok
+    ),
+    tok_stats AS (
+        SELECT doc_id, sum(c) AS n, count(*) AS n_distinct, max(c) AS top_c
+        FROM tok_counts GROUP BY doc_id
+    ),
+    bi AS (
+        SELECT doc_id, ts[j] || ' ' || ts[j + 1] AS bg
+        FROM toks, unnest(range(1, len(ts))) AS u(j)
+        WHERE len(ts) >= 2
+    ),
+    bi_counts AS (
+        SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY doc_id, bg
+    ),
+    bi_stats AS (
+        SELECT doc_id, sum(c) AS bn, max(c) AS top_bc
+        FROM bi_counts GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.n AS BIGINT) AS n_tokens,
+           round(1.0 - t.n_distinct / CAST(t.n AS DOUBLE), 5) AS dup_token_frac,
+           round(t.top_c / CAST(t.n AS DOUBLE), 5) AS top_token_frac,
+           round(COALESCE(b.top_bc / CAST(b.bn AS DOUBLE), 0.0), 5)
+               AS top_bigram_frac,
+           (1.0 - t.n_distinct / CAST(t.n AS DOUBLE) <= {_REP_DUP_MAX}
+            AND t.top_c / CAST(t.n AS DOUBLE) <= {_REP_TOP_TOKEN_MAX}
+            AND COALESCE(b.top_bc / CAST(b.bn AS DOUBLE), 0.0)
+                <= {_REP_TOP_BIGRAM_MAX}) AS keep
+    FROM tok_stats t LEFT JOIN bi_stats b ON b.doc_id = t.doc_id
+    WHERE t.n > 0
+"""
+
+
+@register("t_repetition_filter", _REP_SQL)
+def t_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filtering (the Gopher/C4 rule family):
+    per document, the duplicate-token fraction (1 − distinct/total),
+    the most-frequent-token mass, and the most-frequent-bigram mass,
+    plus the keep/drop verdict at the standard-ish thresholds —
+    repetitive boilerplate and keyword-stuffed spam light these up long
+    before a model-based scorer runs. Complements t_quality_score
+    (surface ratios) with fragment-repetition signals.
+
+    Scale shape: tokenise once, two per-(doc, fragment) partial+final
+    aggregations (token and bigram), then a doc-level rollup — all keys
+    carry doc_id so the shuffles are hash-spread; raw text never rides
+    a shuffle, and no window funnels a whole doc's stream through one
+    row. All ratios are exact int/int divisions → bit-identical
+    cross-engine."""
+    from recommender_systems_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("ts")
+    )
+    flat = docs.select("doc_id", F.explode("ts").alias("tok"))
+    tok_stats = (
+        flat.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_c"),
+        )
+    )
+    bi = docs.filter(F.size("ts") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ts") - 1),
+                lambda j: F.concat_ws(
+                    " ", F.element_at("ts", j), F.element_at("ts", j + 1)
+                ),
+            )
+        ).alias("bg"),
+    )
+    bi_stats = (
+        bi.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("bn"), F.max("c").alias("top_bc"))
+    )
+    n_d = F.col("n").cast("double")
+    dup = 1.0 - F.col("n_distinct") / n_d
+    topt = F.col("top_c") / n_d
+    topb = F.coalesce(F.col("top_bc") / F.col("bn").cast("double"), F.lit(0.0))
+    return (
+        tok_stats.join(bi_stats, "doc_id", "left")
+        .filter(F.col("n") > 0)
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            F.round(dup, 5).alias("dup_token_frac"),
+            F.round(topt, 5).alias("top_token_frac"),
+            F.round(topb, 5).alias("top_bigram_frac"),
+            (
+                (dup <= _REP_DUP_MAX)
+                & (topt <= _REP_TOP_TOKEN_MAX)
+                & (topb <= _REP_TOP_BIGRAM_MAX)
+            ).alias("keep"),
+        )
+    )

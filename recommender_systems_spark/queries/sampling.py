@@ -98,21 +98,44 @@ def m_uniform_sample_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("m_simulate_users")  # rows-only: seeded user simulation
+_SIM_N = 200
+_SIM_SQL_TEMPLATE = """
+    SELECT user_id,
+           CAST(floor({u_genre} * 16) AS INT) AS preferred_genre,
+           CAST(5 + floor({u_hist} * 6) AS INT) AS n_history,
+           CASE WHEN {u_arm} < 0.5 THEN 'A' ELSE 'B' END AS grp
+    FROM (SELECT unnest(range({n})) AS user_id)
+"""
+
+
+def _sim_sql() -> str:
+    return _SIM_SQL_TEMPLATE.format(
+        n=_SIM_N,
+        u_genre=_u01_sql("user_id", "simg"),
+        u_hist=_u01_sql("user_id", "simh"),
+        u_arm=_u01_sql("user_id", "sima"),
+    )
+
+
+@register("m_simulate_users", None)  # SQL attached below once _u01_sql exists
 def m_simulate_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M10/A-B step 3: simulate experiment users — preferred genre,
     history size U(5,10), A/B arm ~ Bernoulli(1/2) (reference
-    simulate_user + ab_test.py:87-97). Pure rand(seed) DataFrame
-    generation, 200 users; engine-local determinism ⇒ rows-only."""
-    n_genres = 16
-    return (
-        spark.range(200)
-        .select(
-            F.col("id").alias("user_id"),
-            (F.floor(F.rand(5) * n_genres)).cast("int").alias("preferred_genre"),
-            (F.floor(F.rand(6) * 6) + 5).cast("int").alias("n_history"),
-            F.when(F.rand(8) < 0.5, F.lit("A")).otherwise(F.lit("B")).alias("grp"),
-        )
+    simulate_user + ab_test.py:87-97). Round 5 upgraded the uniforms
+    from rand(seed) (engine-local ⇒ rows-only) to md5-derived (`_u01`
+    below) — the identical simulation in both engines, so the driver
+    value-hashes the actual simulated rows."""
+    return spark.range(_SIM_N).select(
+        F.col("id").alias("user_id"),
+        F.floor(_u01(F.col("id"), "simg") * 16).cast("int").alias(
+            "preferred_genre"
+        ),
+        (5 + F.floor(_u01(F.col("id"), "simh") * 6)).cast("int").alias(
+            "n_history"
+        ),
+        F.when(_u01(F.col("id"), "sima") < 0.5, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("grp"),
     )
 
 
@@ -245,3 +268,10 @@ def m_weighted_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(key, "o_orderkey")
         .limit(50)
     )
+
+
+# m_simulate_users' oracle references _u01_sql, which is defined after
+# the query's registration point — attach it now that it exists.
+from recommender_systems_spark.registry import ORACLE  # noqa: E402
+
+ORACLE["m_simulate_users"] = _sim_sql()

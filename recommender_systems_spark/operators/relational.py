@@ -186,3 +186,50 @@ def equalize_groups(
         .select(group_col, unit_col)
     )
     return df.join(keep, on=[group_col, unit_col], how="left_semi")
+
+
+def global_running_total(
+    df: DataFrame,
+    order_by: str,
+    value: str,
+    out_col: str = "running_total",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running total over a GLOBAL ordering without a single-partition
+    window (the naive ``Window.orderBy(...)`` collapses all data onto
+    one task — a 100-TB deadlock).
+
+    Same two-phase shape as ``two_phase_midrank``/``densify``:
+    range-repartition on the order key (Spark's sampled range
+    partitioner keeps partitions balanced), cumulative-sum WITHIN each
+    partition in parallel, then add per-partition exclusive offsets from
+    a #partitions-row driver scan. The inclusive running total is exact
+    and identical to ``SUM(value) OVER (ORDER BY order_by)``."""
+    n = num_partitions or max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    parts = (
+        df.repartitionByRange(n, F.col(order_by))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()  # pin partition boundaries across the two jobs
+    )
+    sizes = sorted(
+        (r["__pid"], r["t"])
+        for r in parts.groupBy("__pid").agg(F.sum(value).alias("t")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, total in sizes:
+        offsets.append((pid, int(acc)))
+        acc += int(total or 0)
+    offset_df = F.broadcast(
+        df.sparkSession.createDataFrame(offsets, "__pid int, __offset long")
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        parts.withColumn("__cum", F.sum(value).over(w))
+        .join(offset_df, "__pid")
+        .withColumn(out_col, F.col("__offset") + F.col("__cum"))
+        .drop("__pid", "__cum", "__offset")
+    )

@@ -19,6 +19,7 @@ from recommender_systems_spark.dedup.minhash import (
     LSH_BANDS,
     band_key,
     minhash_struct_pandas,
+    shingle_hashes_pandas,
     sql_band_key,
     sql_char_ngrams,
     sql_minhash_signature,
@@ -218,4 +219,202 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.filter(F.col("cos_raw") >= COSINE_THRESHOLD)
         .select("vec_a", "vec_b", F.round("cos_raw", 5).alias("cos_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup): cluster-bounded cosine pruning
+# ---------------------------------------------------------------------------
+
+SEM_K = 8
+SEM_TAU = 0.35
+
+_SEMDEDUP_SQL = f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {SEM_K}),
+    s AS (
+        SELECT e.vec_id, c.cid,
+               list_dot_product(c.cv, c.cv)
+               - 2 * list_dot_product(e.v, c.cv) AS s
+        FROM e CROSS JOIN c
+    ),
+    a AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY s, cid) AS rn
+            FROM s)
+        WHERE rn = 1
+    ),
+    dups AS (
+        SELECT DISTINCT pb.vec_id
+        FROM a pa
+        JOIN a pb ON pa.cid = pb.cid AND pa.vec_id < pb.vec_id
+        JOIN e ea ON ea.vec_id = pa.vec_id
+        JOIN e eb ON eb.vec_id = pb.vec_id
+        WHERE list_dot_product(ea.v, eb.v)
+              / (sqrt(list_dot_product(ea.v, ea.v))
+                 * sqrt(list_dot_product(eb.v, eb.v))) >= {SEM_TAU}
+    )
+    SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM a LEFT JOIN dups d ON a.vec_id = d.vec_id
+"""
+
+
+@register("dedup_semantic", _SEMDEDUP_SQL)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup à la SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+    assign every embedding to its nearest codebook centroid, then prune
+    cosine-near pairs WITHIN each cluster only — the cluster assignment
+    bounds the quadratic comparison, replacing the corpus-wide all-pairs
+    product with K independent within-cluster joins. Keeps the
+    lowest-id member of every near-pair (deterministic stand-in for the
+    paper's keep-farthest-from-centroid rule).
+
+    Codebook = the m_kmeans init (vec_id < K) kept as a TABLE, not
+    driver state: assignment is a {SEM_K}-row broadcast nested-loop
+    scoring + a min-struct aggregate on vec_id (distance rank via
+    |c|^2 - 2*v.c, constant |v|^2 dropped). At 100 TB: K grows with the
+    corpus (SemDeDup uses ~sqrt(N) clusters) so per-cluster membership
+    stays bounded; the within-cluster self-join is an equi-join on cid
+    that AQE skew-splits if a cluster runs hot, and norms are computed
+    once per vector, never per pair."""
+    from recommender_systems_spark.functions.vector import l2_norm
+
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("nrm", l2_norm("v"))
+        .localCheckpoint()  # consumed by centroid scan + assignment + pair join
+    )
+    cents = e.filter(F.col("vec_id") < SEM_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            F.struct(
+                (
+                    dot_product("cv", "cv") - F.lit(2.0) * dot_product("v", "cv")
+                ).alias("s"),
+                F.col("cid").alias("cid"),
+            ).alias("sc"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("sc").getField("cid").alias("cid"))
+    )
+    members = assigned.join(e, "vec_id")  # (vec_id, cid, v, nrm)
+    pairs = (
+        members.alias("a")
+        .join(
+            members.alias("b"),
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(
+            dot_product("a.v", "b.v") / (F.col("a.nrm") * F.col("b.nrm"))
+            >= F.lit(SEM_TAU)
+        )
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(pairs.withColumn("__dup", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cid").cast("long").alias("cluster"),
+            F.when(F.col("__dup").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span detection (exact-substring dedup at n-gram granularity)
+# ---------------------------------------------------------------------------
+
+SPAN_N = 4
+
+_SPAN_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, {sql_tokens('text')} AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct({sql_shingle_hashes(sql_shingles('t', SPAN_N))})
+                   AS hs
+        FROM toks
+    ),
+    spans AS (SELECT doc_id, unnest(hs) AS fp FROM sh),
+    freq AS (SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM spans GROUP BY fp),
+    per_doc AS (
+        SELECT s.doc_id,
+               COUNT(*) AS n_spans,
+               SUM(CASE WHEN q.nd >= 2 THEN 1 ELSE 0 END) AS n_dup_spans
+        FROM spans s JOIN freq q USING (fp)
+        GROUP BY s.doc_id
+    )
+    SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(n_dup_spans AS BIGINT) AS n_dup_spans,
+           round(CAST(n_dup_spans AS DOUBLE) / n_spans, 5) AS dup_span_ratio
+    FROM per_doc
+"""
+
+
+@register("dedup_spans", _SPAN_SQL)
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span detection — the n-gram-granular approximation of
+    exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better", arXiv:2107.06499): every
+    distinct word {SPAN_N}-gram of a document is fingerprinted,
+    fingerprints are counted corpus-wide, and each document reports how
+    many of its distinct spans also occur in at least one OTHER
+    document — the signal the paper's suffix-array pass extracts, at
+    shuffle-join cost instead of a global suffix array. (Distinct
+    semantics: shared-with-others is a per-gram set property, so
+    within-doc multiplicity adds noise, not signal.)
+
+    Scale shape: shingle hashing runs in the Arrow-vectorised kernel
+    shared with the contamination check (``shingle_hashes_pandas`` —
+    the interpreted-HOF fold measured ~5x slower per scan: nested
+    higher-order functions never enter whole-stage codegen); after the
+    in-scan hashing, only (doc_id, fp) pairs ride the
+    shuffles — an 8-byte rolling hash per span, NEVER the text.
+    Corpus-wide frequency is one hash aggregate with map-side partial
+    counting; the flag-back is an equi-join on fp. Boilerplate spans
+    (the skew risk — a license header shared by millions of docs) cap
+    out harmlessly: freq is pre-aggregated per fp before the join, so
+    the hot key carries one row on the build side and AQE skew-splits
+    the probe side."""
+    spans = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(shingle_hashes_pandas(F.col("text"), SPAN_N)).alias("fp"),
+        )
+        .localCheckpoint()  # consumed by the freq agg and the flag join
+    )
+    freq = spans.groupBy("fp").agg(F.count_distinct("doc_id").alias("nd"))
+    return (
+        spans.join(freq, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.col("n_dup_spans").cast("long").alias("n_dup_spans"),
+            F.round(
+                F.col("n_dup_spans").cast("double") / F.col("n_spans"), 5
+            ).alias("dup_span_ratio"),
+        )
     )

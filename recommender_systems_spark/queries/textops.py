@@ -594,3 +594,71 @@ def t_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-sequence packing (concatenate-and-chunk)
+# ---------------------------------------------------------------------------
+
+_SEQ_LEN = 512
+
+_PACK_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum
+        FROM toks
+    )
+    SELECT doc_id, n_tokens,
+           CAST((cum - n_tokens) // {_SEQ_LEN} AS BIGINT) AS start_seq,
+           CAST(greatest(cum - 1, cum - n_tokens) // {_SEQ_LEN} AS BIGINT)
+               AS end_seq,
+           CAST(greatest(cum - 1, cum - n_tokens) // {_SEQ_LEN}
+                - (cum - n_tokens) // {_SEQ_LEN} + 1 AS BIGINT) AS n_seqs
+    FROM c
+"""
+
+
+@register("t_pack_sequences", _PACK_SQL)
+def t_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chunk sequence packing — the step that turns a
+    tokenised corpus into fixed-length training sequences (GPT-style
+    pretraining: documents are concatenated in a deterministic order
+    and the token stream is sliced every {_SEQ_LEN} tokens). Emits, per
+    document, the running token offset mapped to the first/last
+    training-sequence index it lands in and how many sequences it
+    spans — exactly the index a sharded data loader needs to seek any
+    sequence without re-tokenising.
+
+    The global running total is the two-phase
+    ``operators.relational.global_running_total`` (range-repartition +
+    parallel in-partition windows + #partitions-row offset table) — NO
+    single-partition global window, so the same plan packs a 100-TB
+    corpus: the only data-sized shuffle is the range exchange on
+    doc_id, and token counting is one whole-stage-codegen scan."""
+    from recommender_systems_spark.functions.text import token_count
+    from recommender_systems_spark.operators.relational import global_running_total
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", token_count("text").cast("long").alias("n_tokens"))
+    )
+    c = global_running_total(toks, "doc_id", "n_tokens", out_col="cum")
+    prev = F.col("cum") - F.col("n_tokens")
+    last = F.greatest(F.col("cum") - 1, prev)
+    start_seq = F.floor(prev / F.lit(_SEQ_LEN)).cast("long")
+    end_seq = F.floor(last / F.lit(_SEQ_LEN)).cast("long")
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        start_seq.alias("start_seq"),
+        end_seq.alias("end_seq"),
+        (end_seq - start_seq + F.lit(1)).cast("long").alias("n_seqs"),
+    )

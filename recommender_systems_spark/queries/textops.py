@@ -662,3 +662,96 @@ def t_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         end_seq.alias("end_seq"),
         (end_seq - start_seq + F.lit(1)).cast("long").alias("n_seqs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM surprisal scoring (perplexity-style quality filter)
+# ---------------------------------------------------------------------------
+
+# Per-token surprisal -log2(cnt/total) is integer-scaled to millionths
+# at the VOCAB level (one log2 per distinct token), so the per-document
+# aggregation is an exact integer sum in both engines — the e_ndcg
+# discount-table trick generalised to a data-dependent table.  The only
+# cross-engine float risk is each vocab word's single log2 rounding
+# differently at the 5e-7 boundary (~1e-9 per word).
+_SURPRISAL_SCALE = 1_000_000
+
+_SURPRISAL_SQL = f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+    tot AS (SELECT sum(cnt) AS total FROM freq),
+    bits AS (
+        SELECT tok,
+               CAST(round(log2(CAST(total AS DOUBLE) / cnt)
+                          * {_SURPRISAL_SCALE}) AS BIGINT) AS bits_ppm
+        FROM freq, tot
+    ),
+    per AS (
+        SELECT doc_id, count(*) AS n_tok, sum(bits_ppm) AS sum_bits
+        FROM tok JOIN bits USING (tok)
+        GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           round(sum_bits / n_tok / {_SURPRISAL_SCALE}.0, 4) AS avg_bits,
+           round(pow(2.0, round(sum_bits / n_tok / {_SURPRISAL_SCALE}.0, 4)),
+                 2) AS ppl
+    FROM per
+"""
+
+
+@register("t_surprisal", _SURPRISAL_SQL)
+def t_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal scoring — the perplexity quality filter
+    (CCNet / LLaMA-style corpus curation: score every document by its
+    cross-entropy under a language model and gate on the score; here
+    the LM is the corpus's own unigram distribution, the smallest model
+    that exercises the full two-pass shape).
+
+    Plan shape: pass 1 tokenises once and builds the vocab-sized
+    (token, count) table; pass 2 re-joins surprisal-per-token onto the
+    exploded tokens and sums per document.  The frequency table is
+    vocab-sized — millions of rows at 100 TB, still broadcastable — so
+    the scoring join is a broadcast hash join against the exploded
+    stream and the ONLY data-sized shuffle is the per-doc_id aggregate
+    carrying (doc_id, int) pairs.  For a vocab past the broadcast
+    threshold: broadcast the Zipf head (covers ~99% of token mass) and
+    shuffle-join only the tail — same results, bounded build side.
+
+    Cross-engine determinism: per-token bits are integer millionths
+    (see _SURPRISAL_SCALE note); the document score is an exact
+    rational of two integers in both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("total"))
+    bits = freq.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.round(
+            F.log2(F.col("total").cast("double") / F.col("cnt"))
+            * _SURPRISAL_SCALE
+        )
+        .cast("long")
+        .alias("bits_ppm"),
+    )
+    per = (
+        tok.join(F.broadcast(bits), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.sum("bits_ppm").alias("sum_bits"),
+        )
+    )
+    avg_bits = F.round(
+        F.col("sum_bits") / F.col("n_tok") / F.lit(float(_SURPRISAL_SCALE)), 4
+    )
+    return per.select(
+        "doc_id",
+        "n_tok",
+        avg_bits.alias("avg_bits"),
+        F.round(F.pow(F.lit(2.0), avg_bits), 2).alias("ppl"),
+    )

@@ -637,3 +637,104 @@ def m_item_item_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("jac", 5).alias("sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Serving-quality evaluation beyond accuracy: catalog coverage + Gini
+# ---------------------------------------------------------------------------
+
+_COV_K = 3
+
+_COV_SQL = f"""
+    WITH hist AS (
+        SELECT l_suppkey AS uid, l_partkey AS iid,
+               SUM(CAST(l_quantity AS DOUBLE)) AS w
+        FROM lineitem GROUP BY 1, 2
+    ),
+    top3 AS (
+        SELECT uid, iid FROM (
+            SELECT uid, iid,
+                   row_number() OVER (PARTITION BY uid
+                                      ORDER BY w DESC, iid) AS rn
+            FROM hist)
+        WHERE rn <= {_COV_K}
+    ),
+    reccnt AS (SELECT iid, count(*) AS x FROM top3 GROUP BY iid),
+    ranked AS (
+        SELECT x, row_number() OVER (ORDER BY x, iid) AS rnk FROM reccnt
+    ),
+    agg AS (
+        SELECT count(*) AS k, sum(x) AS t, sum(rnk * x) AS s0 FROM ranked
+    ),
+    users AS (SELECT count(DISTINCT uid) AS n_users FROM top3),
+    cat AS (SELECT count(*) AS n FROM part)
+    SELECT CAST(n_users AS BIGINT) AS n_users,
+           CAST(n AS BIGINT) AS n_catalog,
+           CAST(k AS BIGINT) AS n_rec_items,
+           round(CAST(k AS DOUBLE) / n, 6) AS coverage,
+           round(2.0 * ((n - k) * t + s0) / (n * t) - (n + 1.0) / n, 6) AS gini
+    FROM agg, users, cat
+"""
+
+
+@register("e_rec_coverage", _COV_SQL)
+def e_rec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-diversity evaluation of a top-k recommender: catalog
+    coverage@k (what fraction of the catalog is ever served) and the
+    Gini coefficient of the per-item recommendation distribution
+    (popularity-bias concentration) — the two standard
+    beyond-accuracy serving metrics alongside the reference's P@k/R@k
+    (prac_2.py:124-138); a recommender can hit high P@k while serving
+    only blockbusters, which is exactly what these detect.
+
+    Recommendations are the deterministic per-user top-{_COV_K} items
+    by implicit weight (the m_item_item_cooc framing). Gini uses the
+    rank identity over the FULL catalog including never-served items:
+    with x sorted ascending over all n items, zeros occupy ranks
+    1..n−K, so Σ rank·x = (n−K)·T + Σ (local rank)·x over the served
+    set — integer arithmetic end-to-end, one final division.
+
+    Scale: top-k is one user-partitioned window; rec counts are an
+    item-sized agg; the rank window is a single-partition sort of the
+    ITEM-sized count table (dimension-scale — for a 10⁹-item catalog
+    swap in operators.relational.global_running_total's two-phase
+    rank). No row-sized data crosses a single-partition boundary."""
+    hist = (
+        _ratings(spark, sf_dir)
+        .groupBy("uid", "iid")
+        .agg(F.sum("r").alias("w"))
+    )
+    wtop = Window.partitionBy("uid").orderBy(F.col("w").desc(), F.col("iid"))
+    top3 = (
+        hist.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= _COV_K)
+        .select("uid", "iid")
+        .localCheckpoint()  # consumed twice: rec counts + distinct users
+    )
+    reccnt = top3.groupBy("iid").agg(F.count(F.lit(1)).alias("x"))
+    ranked = reccnt.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.col("x"), F.col("iid")))
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("t"),
+        F.sum(F.col("rnk") * F.col("x")).alias("s0"),
+    )
+    users = top3.agg(F.countDistinct("uid").alias("n_users"))
+    cat = _t(spark, sf_dir, "part").agg(F.count(F.lit(1)).alias("n"))
+    n, k, t, s0 = F.col("n"), F.col("k"), F.col("t"), F.col("s0")
+    return (
+        agg.crossJoin(F.broadcast(users))
+        .crossJoin(F.broadcast(cat))
+        .select(
+            F.col("n_users").cast("long").alias("n_users"),
+            n.cast("long").alias("n_catalog"),
+            k.cast("long").alias("n_rec_items"),
+            F.round(k.cast("double") / n, 6).alias("coverage"),
+            F.round(
+                F.lit(2.0) * ((n - k) * t + s0) / (n * t)
+                - (n + F.lit(1.0)) / n,
+                6,
+            ).alias("gini"),
+        )
+    )

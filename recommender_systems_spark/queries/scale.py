@@ -249,3 +249,126 @@ def w_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("zy").alias("max_y"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning (semi-join reduction without shuffling the
+# probe side)
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 1 << 14  # m = 16384 bits, k = 2 salted hashes
+
+
+def _bloom_pos(col, salt: str):
+    """Deterministic bloom bit position: 52 bits of md5, mod m — the
+    same arithmetic in both engines (see queries/sampling._u01)."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat_ws("_", col, F.lit(salt))), 1, 13), 16, 10
+        ).cast("long"),
+        F.lit(_BLOOM_BITS),
+    )
+
+
+def _bloom_pos_sql(expr: str, salt: str) -> str:
+    return (
+        f"(CAST('0x' || substring(md5(CAST({expr} AS VARCHAR) || '_{salt}'), 1, 13)"
+        f" AS BIGINT) % {_BLOOM_BITS})"
+    )
+
+
+_BLOOM_SQL = f"""
+    WITH build AS (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    pos AS (
+        SELECT DISTINCT h FROM (
+            SELECT unnest([{_bloom_pos_sql("c_custkey", "b1")},
+                           {_bloom_pos_sql("c_custkey", "b2")}]) AS h
+            FROM build
+        )
+    ),
+    cand AS (
+        SELECT o_custkey, o_totalprice FROM orders
+        WHERE {_bloom_pos_sql("o_custkey", "b1")} IN (SELECT h FROM pos)
+          AND {_bloom_pos_sql("o_custkey", "b2")} IN (SELECT h FROM pos)
+    ),
+    j AS (
+        SELECT cand.o_totalprice, b.c_custkey AS mk
+        FROM cand LEFT JOIN build b ON cand.o_custkey = b.c_custkey
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM build) AS n_build_keys,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(count(mk) AS BIGINT) AS n_matched,
+           CAST(count(*) - count(mk) AS BIGINT) AS n_false_pos,
+           round(sum(CASE WHEN mk IS NOT NULL THEN o_totalprice END), 2)
+               AS matched_revenue
+    FROM j
+"""
+
+
+@register("j_bloom_join", _BLOOM_SQL)
+def j_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning: before joining orders against a
+    filtered customer subset, reduce the probe side with a bloom filter
+    built from the build side's keys — the semi-join-reduction pattern
+    that, at 100 TB, avoids shuffling probe rows that cannot match
+    (Spark's own runtime row-level filtering —
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled`` — injects
+    exactly this shape adaptively; building it explicitly makes the
+    filter deterministic and therefore oracle-checkable, and covers the
+    cases the optimizer's cost gate skips).
+
+    The filter is m={_BLOOM_BITS} bits with k=2 salted md5 hashes (load
+    n/m low enough for a sub-percent false-positive rate at test scale;
+    production sizes m from the observed build cardinality).  The
+    distinct bit-position set rides ONE broadcast; probing is two
+    array_contains checks inside the scan — zero shuffle of the probe
+    side before the residual exact join, which here is itself broadcast
+    so the whole query is exchange-free up to the final scalar agg.
+    The output exposes the filter telemetry a production job records:
+    candidate count, exact-match count, false positives crossing the
+    bloom, and the matched-revenue aggregate proving the residual join
+    removed them."""
+    cust = _t(spark, sf_dir, "customer")
+    build = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    pos = (
+        build.select(
+            F.explode(
+                F.array(
+                    _bloom_pos(F.col("c_custkey"), "b1"),
+                    _bloom_pos(F.col("c_custkey"), "b2"),
+                )
+            ).alias("h")
+        )
+        .agg(F.sort_array(F.collect_set("h")).alias("bloom"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cand = orders.crossJoin(F.broadcast(pos)).filter(
+        F.array_contains(F.col("bloom"), _bloom_pos(F.col("o_custkey"), "b1"))
+        & F.array_contains(F.col("bloom"), _bloom_pos(F.col("o_custkey"), "b2"))
+    )
+    j = cand.join(
+        F.broadcast(build.withColumnRenamed("c_custkey", "mk")),
+        F.col("o_custkey") == F.col("mk"),
+        "left",
+    )
+    n_build = build.agg(F.count(F.lit(1)).cast("long").alias("n_build_keys"))
+    return (
+        j.agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.count("mk").cast("long").alias("n_matched"),
+            (F.count(F.lit(1)) - F.count("mk")).cast("long").alias("n_false_pos"),
+            F.round(
+                F.sum(F.when(F.col("mk").isNotNull(), F.col("o_totalprice"))), 2
+            ).alias("matched_revenue"),
+        )
+        .crossJoin(F.broadcast(n_build))
+        .select(
+            "n_build_keys",
+            "n_candidates",
+            "n_matched",
+            "n_false_pos",
+            "matched_revenue",
+        )
+    )

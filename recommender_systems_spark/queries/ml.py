@@ -738,3 +738,59 @@ def e_rec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gini"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Prediction calibration table (reliability diagram data)
+# ---------------------------------------------------------------------------
+
+_CAL_BINS = 10
+
+_CAL_SQL = f"""
+    WITH {_ML_CTE},
+    b AS (SELECT min(uv) AS lo, max(uv) AS hi FROM j),
+    binned AS (
+        SELECT least(CAST(floor((uv - lo) * {_CAL_BINS} / (hi - lo))
+                          AS BIGINT), {_CAL_BINS - 1}) AS bucket,
+               uv, r
+        FROM j, b
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(uv), 4) AS avg_pred,
+           round(avg(r), 4) AS avg_actual
+    FROM binned GROUP BY bucket
+"""
+
+
+@register("e_calibration", _CAL_SQL)
+def e_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model calibration table (reliability-diagram data): bucket the
+    model's predicted scores into {_CAL_BINS} equal-width bins and
+    compare mean prediction against mean observed rating per bin — the
+    eval that catches a model whose RANKING is fine (P@k, NDCG green)
+    but whose SCORES are systematically biased, which matters the
+    moment scores cross model boundaries (A/B arms, ensembling,
+    bid scaling).
+
+    Reuses the M1 scoring join (_scored: fact table never shuffles,
+    both factor lookups broadcast); the (min, max) scalar agg comes
+    back as a broadcast and the per-bin reduction is one {_CAL_BINS}-
+    row hash aggregate with map-side partials. avg of double streams
+    rounds at 4 per the house float rule."""
+    sc = _scored(spark, sf_dir).select("uv", "r")
+    b = sc.agg(F.min("uv").alias("lo"), F.max("uv").alias("hi"))
+    lo, hi = F.col("lo"), F.col("hi")
+    bucket = F.least(
+        F.floor((F.col("uv") - lo) * _CAL_BINS / (hi - lo)).cast("long"),
+        F.lit(_CAL_BINS - 1),
+    )
+    return (
+        sc.crossJoin(F.broadcast(b))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("uv"), 4).alias("avg_pred"),
+            F.round(F.avg("r"), 4).alias("avg_actual"),
+        )
+    )

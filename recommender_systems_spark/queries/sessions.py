@@ -334,3 +334,245 @@ def s_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(n2.cast("double") / n1, 4).alias("click_rate"),
         F.round(n3.cast("double") / n2, 4).alias("purchase_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention analysis
+# ---------------------------------------------------------------------------
+
+_RETENTION_SQL = """
+    WITH activity AS (
+        SELECT DISTINCT user_id,
+               date_trunc('week', ts) AS week
+        FROM events
+    ),
+    cohort AS (
+        SELECT user_id, min(week) AS cohort_week
+        FROM activity GROUP BY user_id
+    ),
+    sizes AS (
+        SELECT cohort_week, count(*) AS cohort_size
+        FROM cohort GROUP BY cohort_week
+    ),
+    ret AS (
+        SELECT c.cohort_week,
+               CAST(datediff('day', c.cohort_week, a.week) // 7 AS BIGINT)
+                   AS week_offset,
+               count(*) AS n_active
+        FROM activity a JOIN cohort c ON a.user_id = c.user_id
+        GROUP BY 1, 2
+    )
+    SELECT ret.cohort_week, ret.week_offset,
+           CAST(ret.n_active AS BIGINT) AS n_active,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           round(CAST(ret.n_active AS DOUBLE) / s.cohort_size, 4) AS retention
+    FROM ret JOIN sizes s ON ret.cohort_week = s.cohort_week
+"""
+
+
+@register("s_retention", _RETENTION_SQL)
+def s_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention analysis — the third leg of the product-
+    analytics triad (sessionization, funnel, retention): users are
+    cohorted by the week of their first activity and each cohort's
+    weekly active fraction is tracked forward.
+
+    Plan shape: ONE distinct over (user_id, week) collapses the event
+    volume to user-weeks immediately (everything downstream is
+    user-dimension-sized); the cohort assignment is a per-user min that
+    REUSES the distinct's hash partitioning on user_id, as does the
+    activity⋈cohort join — so the only event-volume shuffle is the
+    initial distinct, and it carries (id, date) pairs. Cohort sizes
+    are a week-sized table joined broadcast. Retention is an int/int
+    rational — exact in both engines. Weeks stay TIMESTAMP (not DATE)
+    on both sides: Spark date columns surface as datetime.date objects
+    while DuckDB's surface as Timestamps, which breaks the driver's
+    repr-based canonical form even when values agree."""
+    ev = _t(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    ret = (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return ret.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        F.col("n_active").cast("long").alias("n_active"),
+        F.col("cohort_size").cast("long").alias("cohort_size"),
+        F.round(
+            F.col("n_active").cast("double") / F.col("cohort_size"), 4
+        ).alias("retention"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-grid gap filling (forward fill)
+# ---------------------------------------------------------------------------
+
+_GAP_USERS = 12  # bound the emitted grid; the op is per-user-partition anyway
+
+_GAP_SQL = f"""
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour,
+               round(sum(value), 2) AS obs
+        FROM events WHERE user_id < {_GAP_USERS}
+        GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT user_id, min(hour) AS h0, max(hour) AS h1
+        FROM hourly GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id,
+               unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        FROM span
+    ),
+    j AS (
+        SELECT g.user_id, g.hour, h.obs
+        FROM grid g LEFT JOIN hourly h USING (user_id, hour)
+    )
+    SELECT user_id, hour,
+           last_value(obs IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           CAST(obs IS NULL AS INTEGER) AS is_gap
+    FROM j
+"""
+
+
+@register("s_gap_fill", _GAP_SQL)
+def s_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: densify each user's hourly aggregate
+    onto a complete hour grid and forward-fill missing hours with the
+    last observation — the regularisation step before any
+    fixed-step time-series model (demand forecasting, feature
+    snapshots, monitoring rollups) consumes an irregular event stream.
+
+    Plan shape: the hourly pre-aggregate collapses event volume first
+    (everything after is grid-sized); each user's grid is GENERATED
+    in-plan (``sequence`` + explode over the per-user [min,max] span —
+    no driver-side calendar table, no cross join against a global
+    grid, so a user active for a day doesn't pay for the corpus's full
+    span); the left join and the forward-fill window both ride
+    user-keyed exchanges. ``last(ignorenulls)`` over the running frame
+    is the canonical Spark forward fill; DuckDB's IGNORE NULLS
+    last_value mirrors it exactly."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < _GAP_USERS)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.round(F.sum("value"), 2).alias("obs"))
+    span = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+        ).alias("hour"),
+    )
+    j = grid.join(hourly, ["user_id", "hour"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "hour",
+        F.last("obs", ignorenulls=True).over(w).alias("value"),
+        F.col("obs").isNull().cast("int").alias("is_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot reconciliation diff (full-outer audit join)
+# ---------------------------------------------------------------------------
+
+_DIFF_SPLIT = "2024-01-16"
+
+_DIFF_SQL = f"""
+    WITH a AS (
+        SELECT user_id, round(sum(value), 2) AS v
+        FROM events WHERE ts < TIMESTAMP '{_DIFF_SPLIT}'
+        GROUP BY user_id
+    ),
+    b AS (
+        SELECT user_id, round(sum(value), 2) AS v
+        FROM events WHERE ts >= TIMESTAMP '{_DIFF_SPLIT}'
+        GROUP BY user_id
+    ),
+    d AS (
+        SELECT coalesce(a.user_id, b.user_id) AS user_id,
+               CASE WHEN a.user_id IS NULL THEN 'added'
+                    WHEN b.user_id IS NULL THEN 'removed'
+                    WHEN a.v = b.v THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               coalesce(b.v, 0) - coalesce(a.v, 0) AS delta
+        FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+    )
+    SELECT status,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           round(sum(delta), 2) AS total_delta
+    FROM d GROUP BY status
+"""
+
+
+@register("j_snapshot_diff", _DIFF_SQL)
+def j_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: FULL OUTER join two per-key aggregate
+    snapshots (here: each user's value total before/after a cut date)
+    and classify every key as added / removed / changed / unchanged
+    with the value drift per class — the audit query run after every
+    backfill, migration, or CDC replay to prove the new snapshot
+    moved only what it should have (the verification counterpart to
+    s_cdc_snapshot's MERGE).
+
+    The one join type the engine's query surface didn't yet exercise:
+    full-outer hash join on the key, both sides pre-aggregated to
+    key-sized tables first (events volume collapses BEFORE the join,
+    and both pre-aggregates partition on user_id so the join reuses
+    their exchanges). Values compare after the house round-2, making
+    'unchanged' a bit-exact predicate in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    split = F.lit(_DIFF_SPLIT).cast("timestamp")
+
+    def snap(pred):
+        return (
+            ev.filter(pred)
+            .groupBy("user_id")
+            .agg(F.round(F.sum("value"), 2).alias("v"))
+        )
+
+    a = snap(F.col("ts") < split).withColumnsRenamed(
+        {"user_id": "ka", "v": "va"}
+    )
+    b = snap(F.col("ts") >= split).withColumnsRenamed(
+        {"user_id": "kb", "v": "vb"}
+    )
+    d = a.join(b, F.col("ka") == F.col("kb"), "full_outer").select(
+        F.when(F.col("ka").isNull(), "added")
+        .when(F.col("kb").isNull(), "removed")
+        .when(F.col("va") == F.col("vb"), "unchanged")
+        .otherwise("changed")
+        .alias("status"),
+        (
+            F.coalesce(F.col("vb"), F.lit(0.0))
+            - F.coalesce(F.col("va"), F.lit(0.0))
+        ).alias("delta"),
+    )
+    return d.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.round(F.sum("delta"), 2).alias("total_delta"),
+    )

@@ -856,3 +856,67 @@ def v_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(hit) / F.lit(float(_RP_K))).alias(f"recall_at_{_RP_K}"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids (codebook seeding / class prototypes)
+# ---------------------------------------------------------------------------
+
+_CENT_SCALE = 100_000
+_CENT_DIM = 64
+
+_CENT_SQL = f"""
+    WITH pos AS (
+        SELECT label, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS val
+        FROM embeddings CROSS JOIN (SELECT unnest(range({_CENT_DIM})) AS i)
+    ),
+    per AS (
+        SELECT label, pos, count(*) AS n, avg(val) AS v
+        FROM pos GROUP BY label, pos
+    )
+    SELECT label,
+           CAST(max(n) AS BIGINT) AS n_members,
+           string_agg(CAST(CAST(round(v * {_CENT_SCALE}) AS BIGINT) AS VARCHAR),
+                      ',' ORDER BY pos) AS centroid
+    FROM per GROUP BY label
+"""
+
+
+@register("v_label_centroids", _CENT_SQL)
+def v_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids — the grouped element-wise vector
+    mean (class prototypes for nearest-centroid classification, warm
+    codebook seeds for m_kmeans/IVF, cluster summaries for SemDeDup).
+
+    Plan shape: posexplode to (label, pos, val) then ONE hash aggregate
+    on the composite (label, pos) key — dimension parallelism instead
+    of whole-vector reduction, so a single label with a billion members
+    spreads over D×labels reducers rather than hot-keying one. The
+    partial aggregate collapses each map partition to ≤ labels×D rows
+    before the exchange. Re-assembly (sort the D struct rows, project
+    vals) happens on label-sized data. The centroid is serialised to
+    scaled-int CSV per the house hashing rule (driver canonicalizer
+    cannot sort raw arrays); round-to-int at 1e5 absorbs the engines'
+    summation-order ulp drift."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "val"
+        ),
+    )
+    per = pos.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("val").alias("v")
+    )
+    return per.groupBy("label").agg(
+        F.max("n").cast("long").alias("n_members"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                lambda s: F.round(s["v"] * _CENT_SCALE)
+                .cast("long")
+                .cast("string"),
+            ),
+            ",",
+        ).alias("centroid"),
+    )

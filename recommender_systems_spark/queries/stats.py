@@ -736,3 +736,76 @@ def e_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dcg_s") / idcg.cast("double"), 5).alias("ndcg_at_10"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Equal-width histogram (binned distribution profile)
+# ---------------------------------------------------------------------------
+
+_HIST_BINS = 10
+
+_HIST_SQL = f"""
+    WITH b AS (
+        SELECT min(value) AS lo, max(value) AS hi FROM events
+    ),
+    binned AS (
+        SELECT least(CAST(floor((value - lo) * {_HIST_BINS} / (hi - lo))
+                          AS BIGINT), {_HIST_BINS - 1}) AS bucket,
+               lo, hi
+        FROM events, b
+    )
+    SELECT bucket,
+           round(min(lo + bucket * (hi - lo) / {_HIST_BINS}), 4) AS bin_lo,
+           round(min(lo + (bucket + 1) * (hi - lo) / {_HIST_BINS}), 4) AS bin_hi,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(count(*) AS DOUBLE)
+                 / (SELECT count(*) FROM events), 5) AS frac
+    FROM binned GROUP BY bucket
+"""
+
+
+@register("a_histogram", _HIST_SQL)
+def a_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram of a measure column — the binned
+    distribution profile behind every data-quality dashboard and the
+    driver of S7-style plots (the reference's power-law histograms,
+    prac_1_plotting.py, computed engine-side with rendering left to
+    the driver per SURVEY §2.1/S7).
+
+    Two scans: a (min, max) scalar agg broadcast back into a
+    bucket-index expression (floor over identical IEEE arithmetic in
+    both engines — the edge value lands via least() in the top bin),
+    then ONE hash aggregate on the bucket id with map-side partials;
+    at 100 TB the exchange carries ≤ {_HIST_BINS} rows per partition.
+    Bin edges are re-derived from the bucket id inside the aggregate
+    so no per-row floats ride the shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    total = ev.agg(F.count(F.lit(1)).alias("total"))
+    lo, hi = F.col("lo"), F.col("hi")
+    bucket = F.least(
+        F.floor((F.col("value") - lo) * _HIST_BINS / (hi - lo)).cast("long"),
+        F.lit(_HIST_BINS - 1),
+    )
+    return (
+        ev.crossJoin(F.broadcast(b))
+        .select(bucket.alias("bucket"), "lo", "hi")
+        .groupBy("bucket")
+        .agg(
+            F.round(
+                F.min(lo + F.col("bucket") * (hi - lo) / _HIST_BINS), 4
+            ).alias("bin_lo"),
+            F.round(
+                F.min(lo + (F.col("bucket") + 1) * (hi - lo) / _HIST_BINS), 4
+            ).alias("bin_hi"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            "bin_lo",
+            "bin_hi",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 5).alias("frac"),
+        )
+    )

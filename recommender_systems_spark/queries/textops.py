@@ -755,3 +755,76 @@ def t_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         avg_bits.alias("avg_bits"),
         F.round(F.pow(F.lit(2.0), avg_bits), 2).alias("ppl"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-weighted dataset mixture (data-mixing step)
+# ---------------------------------------------------------------------------
+
+_MIX_ALPHA = 0.3          # temperature exponent on token mass
+_MIX_TARGET = 1_000_000   # target training-token budget
+
+_MIX_SQL = f"""
+    WITH src AS (
+        SELECT source,
+               count(*) AS n_docs,
+               sum(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+                   AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT *, pow(CAST(n_tokens AS DOUBLE), {_MIX_ALPHA}) AS wt FROM src
+    ),
+    tot AS (SELECT sum(wt) AS wsum FROM w)
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(wt / wsum, 6) AS mix_p,
+           round(wt / wsum * {_MIX_TARGET} / n_tokens, 4) AS epochs
+    FROM w, tot
+    ORDER BY source
+"""
+
+
+@register("t_dataset_mixture", _MIX_SQL)
+def t_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted dataset mixing — the step that turns
+    per-source corpus statistics into sampling weights for training
+    (up-weight small high-value sources, down-weight the crawl):
+    p_source ∝ tokens^α with α={_MIX_ALPHA} (α=1 is natural
+    proportions, α→0 uniform — the multilingual/data-mixture
+    temperature trick), plus the implied epoch count over each source
+    at a {_MIX_TARGET}-token training budget (epochs > 1 = the source
+    repeats; the signal data engines alert on).
+
+    One source-sized aggregate (token counting rides the scan), a
+    1-row total broadcast, and scalar math — the cheapest query in the
+    registry at any scale. Cross-engine floats: pow and the weight
+    ratio are computed identically from exact integer token counts;
+    only the final displayed values round."""
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("n_tokens"),
+    )
+    w = src.withColumn(
+        "wt", F.pow(F.col("n_tokens").cast("double"), F.lit(_MIX_ALPHA))
+    )
+    tot = w.agg(F.sum("wt").alias("wsum"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("wt") / F.col("wsum"), 6).alias("mix_p"),
+            F.round(
+                F.col("wt")
+                / F.col("wsum")
+                * F.lit(float(_MIX_TARGET))
+                / F.col("n_tokens"),
+                4,
+            ).alias("epochs"),
+        )
+        .orderBy("source")
+    )

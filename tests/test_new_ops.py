@@ -610,3 +610,55 @@ def test_snapshot_diff_partitions_keys(spark):
     total_keys = sum(r["n_keys"] for r in rows.values())
     ev = load_table(spark, SF_MED, "events")
     assert total_keys == ev.select("user_id").distinct().count()
+
+
+def test_pivot_rows_sum_to_total(spark):
+    """Wide counts must sum to the row total and cover all events."""
+    from recommender_systems_spark.io import load_table
+    from recommender_systems_spark.queries.stats import _PIVOT_TYPES, a_pivot
+
+    rows = a_pivot(spark, SF_MED).collect()
+    for r in rows:
+        assert sum(r[t] for t in _PIVOT_TYPES) == r["total"]
+    assert sum(r["total"] for r in rows) == load_table(
+        spark, SF_MED, "events"
+    ).count()
+
+
+def test_zscore_history_bounds(spark):
+    """Trailing-window discipline: history count within [MIN_N, HIST],
+    flags are exactly the |z| > threshold rows."""
+    from recommender_systems_spark.queries.sessions import (
+        _ZS_HIST,
+        _ZS_MIN_N,
+        _ZS_THRESH,
+        s_anomaly_zscore,
+    )
+
+    rows = s_anomaly_zscore(spark, SF_MED).collect()
+    assert rows
+    for r in rows:
+        assert _ZS_MIN_N <= r["n_hist"] <= _ZS_HIST
+        assert r["is_anomaly"] == int(abs(r["z"]) > _ZS_THRESH)
+
+
+def test_feature_hashing_conserves_tokens(spark):
+    """Vector mass equals the tokeniser's count per doc; fixed width;
+    nnz bounded by both the width and the token count."""
+    from recommender_systems_spark.functions.text import token_count
+    from recommender_systems_spark.io import load_table
+    from recommender_systems_spark.queries.textops import (
+        _FH_DIM,
+        t_feature_hashing,
+    )
+
+    fh = {r["doc_id"]: r for r in t_feature_hashing(spark, SF_MED).collect()}
+    docs = load_table(spark, SF_MED, "documents").select(
+        "doc_id", token_count("text").alias("n")
+    )
+    for d in docs.collect():
+        r = fh[d["doc_id"]]
+        vec = [int(x) for x in r["features"].split(",")]
+        assert len(vec) == _FH_DIM
+        assert sum(vec) == r["n_tok"] == d["n"]
+        assert r["nnz"] == sum(1 for v in vec if v > 0) <= min(_FH_DIM, d["n"])

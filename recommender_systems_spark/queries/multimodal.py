@@ -401,3 +401,37 @@ def mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         _csv_ints("sampled_frames").alias("sampled_frames"),
         _csv_scaled("frame_features").alias("frame_features"),
     )
+
+
+@register(
+    "s_stream_join",
+    """
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           v.ts AS view_ts,
+           p.ts AS purchase_ts,
+           round(p.value, 2) AS purchase_value,
+           CAST((epoch_us(p.ts) - epoch_us(v.ts)) // 60000000 AS BIGINT)
+               AS delay_min
+    FROM events v
+    JOIN events p
+      ON p.user_id = v.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+)
+def s_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming extension: stream-stream inner join (view→purchase
+    attribution pairs within a 1-hour horizon) run as a REAL Structured
+    Streaming job — two watermarked streams over the same file source,
+    time-range join state bounded by the horizon, append-mode drain —
+    compared against the equivalent batch join: the value-hash match
+    is the stream/batch parity proof for the fourth core streaming
+    pattern (streaming.events.stream_stream_join for the eviction
+    argument)."""
+    from recommender_systems_spark.streaming.events import (
+        run_stream_join_available_now,
+    )
+
+    name = f"stream_join_{abs(hash(sf_dir)) % 10**8}"
+    return run_stream_join_available_now(spark, _stream_dir(sf_dir), name)

@@ -851,3 +851,66 @@ def a_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in _PIVOT_TYPES],
         total.cast("long").alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exponentially time-decayed aggregate (recency-weighted features)
+# ---------------------------------------------------------------------------
+
+_DECAY_HALFLIFE_H = 24.0
+
+_DECAY_SQL = f"""
+    WITH ref AS (SELECT max(ts) AS ref_ts FROM events),
+    w AS (
+        SELECT user_id,
+               value * pow(0.5, (epoch_us(ref_ts) - epoch_us(ts))
+                                / 3600000000.0 / {_DECAY_HALFLIFE_H}) AS dv,
+               value
+        FROM events, ref
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS raw_value,
+           round(sum(dv), 4) AS decayed_value
+    FROM w GROUP BY user_id
+"""
+
+
+@register("a_decay_agg", _DECAY_SQL)
+def a_decay_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed aggregation: each user's engagement
+    value with a {_DECAY_HALFLIFE_H:.0f}-hour half-life relative to the
+    corpus's newest event — the recency-weighted feature every
+    ranking/serving feature store materialises (yesterday's click is
+    worth half of today's), next to the raw lifetime sum it corrects.
+
+    The reference timestamp is a 1-row aggregate broadcast back into a
+    codegen'd weight expression (age in hours is exact integer-µs
+    arithmetic before ONE division); the weighted and raw sums ride the
+    same single user-keyed hash aggregate with map-side partials.
+    pow(0.5, ·) on identical IEEE inputs agrees across engines;
+    summation-order drift is absorbed by the house round."""
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.agg(F.max("ts").alias("ref_ts"))
+    # batch parquet surfaces ts as TIMESTAMP_NTZ; unix_micros wants LTZ
+    # (the cast is a reinterpretation — only the DIFFERENCE is used).
+    age_h = (
+        F.unix_micros(F.col("ref_ts").cast("timestamp"))
+        - F.unix_micros(F.col("ts").cast("timestamp"))
+    ) / F.lit(3_600_000_000.0)
+    return (
+        ev.crossJoin(F.broadcast(ref))
+        .select(
+            "user_id",
+            "value",
+            (F.col("value") * F.pow(F.lit(0.5), age_h / _DECAY_HALFLIFE_H)).alias(
+                "dv"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("raw_value"),
+            F.round(F.sum("dv"), 4).alias("decayed_value"),
+        )
+    )

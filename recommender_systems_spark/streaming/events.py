@@ -148,3 +148,61 @@ def run_available_now(
     checkpointing) and return the final result table."""
     agg = stream_window_agg(read_events_stream(spark, source_dir))
     return _drain_to_memory(agg, query_name, "complete")
+
+
+def stream_stream_join(
+    views: DataFrame, purchases: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition:
+    each purchase joins the same user's views from the preceding
+    ``horizon`` — the attribution shape (view → purchase conversion
+    pairing) and the fourth core streaming pattern after windowed
+    aggregation, stream-static enrichment, and stateful dedup.
+
+    Both sides are watermarked; the time-range predicate is what lets
+    the state store EVICT: a buffered view older than
+    max(event time) − watermark − horizon can never match a future
+    purchase, so state is bounded by (rate × horizon) per side rather
+    than growing with the stream. Append mode emits each matched pair
+    exactly once, which makes the drained result equal to the batch
+    join — the oracle's parity proof."""
+    v = views.withWatermark("ts", horizon).select(
+        F.col("user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.withWatermark("ts", horizon).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    joined = v.join(
+        p,
+        (v["user_id"] == p["p_user"])
+        & (p["purchase_ts"] > v["view_ts"])
+        & (p["purchase_ts"] <= v["view_ts"] + F.expr(f"interval {horizon}")),
+    )
+    return joined.select(
+        "user_id",
+        "view_id",
+        "view_ts",
+        "purchase_ts",
+        F.round("purchase_value", 2).alias("purchase_value"),
+        (
+            (F.unix_micros("purchase_ts") - F.unix_micros("view_ts"))
+            / F.lit(60_000_000)
+        ).cast("long").alias("delay_min"),
+    )
+
+
+def run_stream_join_available_now(
+    spark: SparkSession, source_dir: str, query_name: str
+) -> DataFrame:
+    """Drain the view⋈purchase attribution join (append mode — inner
+    stream-stream joins emit once per match) into a memory sink."""
+    src = read_events_stream(spark, source_dir)
+    joined = stream_stream_join(
+        src.filter(F.col("event_type") == "view"),
+        src.filter(F.col("event_type") == "purchase"),
+    )
+    return _drain_to_memory(joined, query_name, "append")

@@ -662,3 +662,30 @@ def test_feature_hashing_conserves_tokens(spark):
         assert len(vec) == _FH_DIM
         assert sum(vec) == r["n_tok"] == d["n"]
         assert r["nnz"] == sum(1 for v in vec if v > 0) <= min(_FH_DIM, d["n"])
+
+
+def test_stream_join_delay_bounds(spark):
+    """Attribution pairs obey the horizon: strictly positive delay,
+    within 60 minutes; pair keys are unique."""
+    from recommender_systems_spark.queries.multimodal import s_stream_join
+
+    rows = s_stream_join(spark, SF_MED).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r["view_ts"] < r["purchase_ts"]
+        assert 0 <= r["delay_min"] <= 60
+        key = (r["view_id"], r["purchase_ts"])
+        assert key not in seen
+        seen.add(key)
+
+
+def test_decay_agg_bounded_by_raw(spark):
+    """With positive values, the decayed sum is positive and never
+    exceeds the raw sum (weights ≤ 1 relative to the newest event)."""
+    from recommender_systems_spark.queries.stats import a_decay_agg
+
+    rows = a_decay_agg(spark, SF_MED).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["decayed_value"] <= r["raw_value"] + 0.01

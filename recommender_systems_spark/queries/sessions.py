@@ -655,3 +655,62 @@ def s_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         (F.abs(z) > _ZS_THRESH).cast("int").alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (state + batch merge == recompute)
+# ---------------------------------------------------------------------------
+
+_INC_CUT = "2024-01-20"
+
+_INC_SQL = """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY user_id
+"""
+
+
+@register("s_incremental_agg", _INC_SQL)
+def s_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a per-key aggregate STATE table
+    (events before the cut) merged with a NEW BATCH's partial aggregate
+    (events after the cut) via full-outer coalesce — the nightly-merge
+    shape every lakehouse metric table runs instead of recomputing
+    history (count/sum are the self-mergeable aggregates; the oracle
+    recomputes from the FULL table, so the hash match IS the proof
+    that merge(state, batch) == recompute — the invariant an
+    incremental pipeline must certify before it can replace its
+    batch job).
+
+    Both partials and the merge share one user_id hash partitioning
+    (the join reuses the aggs' exchanges); at 100 TB the state side is
+    a stored table and only the batch partial is computed fresh."""
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit(_INC_CUT).cast("timestamp")
+
+    def partial(pred):
+        return (
+            ev.filter(pred)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        )
+
+    state = partial(F.col("ts") < cut).withColumnsRenamed(
+        {"user_id": "ku", "n": "n0", "s": "s0"}
+    )
+    batch = partial(F.col("ts") >= cut)
+    merged = state.join(
+        batch, F.col("ku") == F.col("user_id"), "full_outer"
+    ).select(
+        F.coalesce(F.col("ku"), F.col("user_id")).alias("user_id"),
+        (
+            F.coalesce(F.col("n0"), F.lit(0)) + F.coalesce(F.col("n"), F.lit(0))
+        ).cast("long").alias("n_events"),
+        F.round(
+            F.coalesce(F.col("s0"), F.lit(0.0))
+            + F.coalesce(F.col("s"), F.lit(0.0)),
+            2,
+        ).alias("sum_value"),
+    )
+    return merged

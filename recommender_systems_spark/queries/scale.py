@@ -22,7 +22,7 @@ from __future__ import annotations
 import hashlib
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from recommender_systems_spark.registry import _t, register
@@ -370,5 +370,85 @@ def j_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_matched",
             "n_false_pos",
             "matched_revenue",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew profile (the diagnostic before salting / AQE tuning)
+# ---------------------------------------------------------------------------
+
+_SKEW_TOP = 10
+
+_SKEW_SQL = f"""
+    WITH k AS (
+        SELECT o_custkey AS key, count(*) AS c FROM orders GROUP BY o_custkey
+    ),
+    s AS (
+        SELECT (SELECT count(*) FROM k) AS n_keys,
+               (SELECT sum(c) FROM k) AS n_rows,
+               (SELECT max(c) FROM k) AS max_c,
+               (SELECT round(quantile_cont(c, 0.5), 1) FROM k) AS p50_c,
+               (SELECT round(quantile_cont(c, 0.99), 1) FROM k) AS p99_c
+    ),
+    top AS (
+        SELECT key, c, row_number() OVER (ORDER BY c DESC, key) AS rnk
+        FROM k
+    )
+    SELECT t.rnk AS rank, t.key, CAST(t.c AS BIGINT) AS n,
+           round(CAST(t.c AS DOUBLE) / s.n_rows, 6) AS share,
+           round(CAST(t.c AS DOUBLE) * s.n_keys / s.n_rows, 2)
+               AS x_over_uniform,
+           CAST(s.n_keys AS BIGINT) AS n_keys,
+           s.p50_c, s.p99_c
+    FROM top t, s
+    WHERE t.rnk <= {_SKEW_TOP}
+"""
+
+
+@register("a_skew_profile", _SKEW_SQL)
+def a_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile: the heaviest {_SKEW_TOP} keys of a
+    prospective shuffle key with their row share and multiple-over-
+    uniform, next to the key-count distribution's p50/p99 — the
+    diagnostic a data engineer reads BEFORE choosing between plain
+    hash join, AQE skew handling, and explicit salting
+    (j_salted_skew); at 100 TB you run this on a sample first, and a
+    single key at >5% share means the reducer holding it IS the job's
+    critical path.
+
+    One hash aggregate builds the per-key histogram (key-sized from
+    then on); percentiles and totals are scalar aggs over that
+    key-sized table, and the top-{_SKEW_TOP} is TakeOrderedAndProject.
+    Every derived number is exact integer arithmetic before one
+    division."""
+    orders = _t(spark, sf_dir, "orders")
+    k = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint()  # consumed twice: stats + top-k
+    s = k.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.round(F.percentile("c", F.lit(0.5)), 1).alias("p50_c"),
+        F.round(F.percentile("c", F.lit(0.99)), 1).alias("p99_c"),
+    )
+    top = k.orderBy(F.col("c").desc(), "key").limit(_SKEW_TOP)
+    w = Window.orderBy(F.col("c").desc(), "key")
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(s))
+        .select(
+            "rank",
+            "key",
+            F.col("c").cast("long").alias("n"),
+            F.round(F.col("c").cast("double") / F.col("n_rows"), 6).alias(
+                "share"
+            ),
+            F.round(
+                F.col("c").cast("double") * F.col("n_keys") / F.col("n_rows"), 2
+            ).alias("x_over_uniform"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            "p50_c",
+            "p99_c",
         )
     )

@@ -1094,3 +1094,97 @@ def v_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid long, rank int, vec_id long, score double",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Out-of-distribution scoring (distance to own-label centroid)
+# ---------------------------------------------------------------------------
+
+_OOD_FLAG_PCT = 0.05  # flag the farthest 5% per label
+
+_OOD_CENT = f"""
+    pos AS (
+        SELECT label, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS val
+        FROM embeddings CROSS JOIN (SELECT unnest(range({_CENT_DIM})) AS i)
+    ),
+    cent AS (
+        SELECT label, pos, avg(val) AS v FROM pos GROUP BY label, pos
+    ),
+    cvec AS (
+        SELECT label, list(v ORDER BY pos) AS cv FROM cent GROUP BY label
+    )
+"""
+
+_OOD_SQL = f"""
+    WITH {_OOD_CENT},
+    scored AS (
+        SELECT e.vec_id, e.label,
+               round(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+                     / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(c.cv, c.cv))), 5) AS cos_cent
+        FROM embeddings e JOIN cvec c ON c.label = e.label
+    ),
+    cut AS (
+        SELECT label,
+               round(quantile_cont(cos_cent, {_OOD_FLAG_PCT}), 5) AS thr
+        FROM scored GROUP BY label
+    )
+    SELECT s.vec_id, s.label, s.cos_cent,
+           CAST(s.cos_cent < c.thr AS INTEGER) AS is_outlier
+    FROM scored s JOIN cut c ON c.label = s.label
+"""
+
+
+@register("v_ood_score", _OOD_SQL)
+def v_ood_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier / OOD scoring:each vector's cosine to its OWN
+    label's centroid, with the farthest {_OOD_FLAG_PCT:.0%} per label
+    flagged — the embedding-space QA gate (mislabeled rows, encoder
+    drift, garbage inputs) run before a corpus trains a classifier or
+    seeds semantic dedup; the centroid table is v_label_centroids'
+    aggregation reused as a MODEL.
+
+    Per-label centroids build exactly as v_label_centroids (dimension-
+    parallel (label,pos) agg), re-assemble label-sized, and broadcast
+    into the scoring join — the data-sized side never shuffles. The
+    flag threshold is a per-label percentile over the scored table
+    (label-sized agg), rounded to 5dp on both sides so the strict <
+    comparison never straddles an ulp."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "val"
+        ),
+    )
+    cvec = (
+        pos.groupBy("label", "pos")
+        .agg(F.avg("val").alias("v"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                lambda s: s["v"],
+            ).alias("cv")
+        )
+    )
+    scored = emb.join(F.broadcast(cvec), "label").select(
+        "vec_id",
+        "label",
+        F.round(
+            cosine_similarity(
+                F.col("embedding").cast("array<double>"), F.col("cv")
+            ),
+            5,
+        ).alias("cos_cent"),
+    )
+    cut = scored.groupBy("label").agg(
+        F.round(F.percentile("cos_cent", F.lit(_OOD_FLAG_PCT)), 5).alias("thr")
+    )
+    return scored.join(F.broadcast(cut), "label").select(
+        "vec_id",
+        "label",
+        "cos_cent",
+        (F.col("cos_cent") < F.col("thr")).cast("int").alias("is_outlier"),
+    )

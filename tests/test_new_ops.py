@@ -835,3 +835,56 @@ def test_mmr_diversity_and_validity(spark):
         rs.sort(key=lambda r: r["rank"])
         assert [r["rank"] for r in rs] == list(range(1, _MMR_K + 1))
         assert len({r["vec_id"] for r in rs}) == _MMR_K
+
+
+def test_skew_profile_consistency(spark):
+    """Shares descend with rank, each multiple-over-uniform matches
+    share × n_keys, and no share exceeds 1."""
+    from recommender_systems_spark.queries.scale import a_skew_profile
+
+    rows = sorted(
+        a_skew_profile(spark, SF_MED).collect(), key=lambda r: r["rank"]
+    )
+    assert len(rows) == 10
+    shares = [r["share"] for r in rows]
+    assert shares == sorted(shares, reverse=True)
+    for r in rows:
+        assert 0 < r["share"] < 1
+        assert abs(r["x_over_uniform"] - round(r["share"] * r["n_keys"], 2)) <= 0.01
+
+
+def test_ood_flags_per_label_fraction(spark):
+    """Roughly 5% flagged per label (percentile threshold); outliers
+    are each label's lowest-similarity vectors."""
+    from collections import defaultdict
+
+    from recommender_systems_spark.queries.similarity import v_ood_score
+
+    by_label = defaultdict(list)
+    for r in v_ood_score(spark, SF_MED).collect():
+        by_label[r["label"]].append(r)
+    for label, rs in by_label.items():
+        flagged = [r for r in rs if r["is_outlier"] == 1]
+        assert len(flagged) <= max(3, 0.08 * len(rs)), label
+        if flagged:
+            worst_ok = min(
+                r["cos_cent"] for r in rs if r["is_outlier"] == 0
+            )
+            assert max(f["cos_cent"] for f in flagged) <= worst_ok, label
+
+
+def test_ips_estimators_relationship(spark):
+    """SNIPS is a reweighted mean of {0,1} rewards so it must land in
+    [0,1]; the match count is bounded by users × k."""
+    from recommender_systems_spark.queries.ml import _IPS_K, m_ips_eval
+    from recommender_systems_spark.io import load_table
+
+    r = m_ips_eval(spark, SF_MED).collect()[0]
+    assert 0.0 <= r["v_snips"] <= 1.0
+    assert 0.0 <= r["v_logged"] <= 1.0
+    # n_logged must equal the logged interaction count exactly — a
+    # duplicate-pair fan-out in the policy join inflated it once.
+    n_logged = load_table(spark, SF_MED, "lineitem").count()
+    assert r["n_logged"] == n_logged
+    assert 0 < r["n_matched"] < r["n_logged"]
+    assert _IPS_K > 0

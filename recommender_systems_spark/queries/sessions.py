@@ -714,3 +714,46 @@ def s_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_value"),
     )
     return merged
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2 history (validity intervals from a change log)
+# ---------------------------------------------------------------------------
+
+_SCD2_SQL = """
+    SELECT user_id,
+           round(value, 2) AS value,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to,
+           CAST(lead(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) IS NULL AS INTEGER)
+               AS is_current
+    FROM events
+    WHERE event_type = 'purchase'
+"""
+
+
+@register("s_scd2_history", _SCD2_SQL)
+def s_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: each change event becomes a validity
+    interval [valid_from, valid_to) closed by the NEXT change of the
+    same key, the open interval marked current — the slowly-changing-
+    dimension shape every warehouse keeps next to the SCD-1 snapshot
+    (s_cdc_snapshot); a point-in-time feature join (j_asof_join) reads
+    exactly this table.
+
+    One window over one user-keyed exchange: lead() closes the
+    interval and derives the current flag from the same shuffle+sort;
+    the event_id tie-break makes simultaneous changes deterministic in
+    both engines."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.round("value", 2).alias("value"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().cast("int").alias("is_current"),
+    )

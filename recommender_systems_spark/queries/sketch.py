@@ -195,3 +195,83 @@ def a_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_within_bound"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch set operations: audience overlap via HLL union + inclusion-exclusion
+# ---------------------------------------------------------------------------
+
+_OVL_CUT = "2024-01-16"
+_OVL_TOL = 0.05  # |estimate − exact| / exact tolerance for lgConfigK=12
+
+_OVL_SQL = f"""
+    WITH a AS (SELECT DISTINCT user_id FROM events
+               WHERE ts < TIMESTAMP '{_OVL_CUT}'),
+    b AS (SELECT DISTINCT user_id FROM events
+          WHERE ts >= TIMESTAMP '{_OVL_CUT}'),
+    x AS (
+        SELECT (SELECT count(*) FROM a) AS na,
+               (SELECT count(*) FROM b) AS nb,
+               (SELECT count(*) FROM a JOIN b USING (user_id)) AS nab,
+               (SELECT count(*) FROM (SELECT user_id FROM a
+                                      UNION SELECT user_id FROM b)) AS nu
+    )
+    SELECT CAST(na AS BIGINT) AS exact_a,
+           CAST(nb AS BIGINT) AS exact_b,
+           CAST(nu AS BIGINT) AS exact_union,
+           CAST(nab AS BIGINT) AS exact_overlap,
+           1 AS union_in_band, 1 AS overlap_in_band
+    FROM x
+"""
+
+
+@register("a_hll_overlap", _OVL_SQL)
+def a_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set operations: audience overlap between two time windows
+    from MERGEABLE HLL sketches — union via sketch merge, intersection
+    via inclusion-exclusion (|A|+|B|−|A∪B|) — the pattern that answers
+    "how many users did both campaigns reach?" at 100 TB without ever
+    co-shuffling the two audiences: each side's sketch is a few KB,
+    builds with map-side partial aggregation, and the set algebra
+    happens on the driver-sized sketches.
+
+    Oracle contract is a_hll_distinct's: the query computes the exact
+    counts AND asserts in-plan that the sketch estimates land within
+    {_OVL_TOL:.0%} of them (≫ the lgConfigK=12 rsd), emitting the
+    exact values + in-band flags — the oracle recomputes the exact
+    side and expects both flags TRUE. The estimates themselves stay
+    out of the output: they are implementation-specific and would
+    never hash across engines."""
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit(_OVL_CUT).cast("timestamp")
+    sk = ev.agg(
+        F.hll_sketch_agg(
+            F.when(F.col("ts") < cut, F.col("user_id"))
+        ).alias("ska"),
+        F.hll_sketch_agg(
+            F.when(F.col("ts") >= cut, F.col("user_id"))
+        ).alias("skb"),
+        F.countDistinct(
+            F.when(F.col("ts") < cut, F.col("user_id"))
+        ).alias("na"),
+        F.countDistinct(
+            F.when(F.col("ts") >= cut, F.col("user_id"))
+        ).alias("nb"),
+        F.countDistinct("user_id").alias("nu"),
+    )
+    est_a = F.hll_sketch_estimate("ska")
+    est_b = F.hll_sketch_estimate("skb")
+    est_u = F.hll_sketch_estimate(F.hll_union("ska", "skb"))
+    est_ab = est_a + est_b - est_u
+    exact_ab = F.col("na") + F.col("nb") - F.col("nu")
+    in_band = lambda est, exact: (  # noqa: E731
+        F.abs(est.cast("double") - exact) <= _OVL_TOL * exact + F.lit(2.0)
+    ).cast("int")
+    return sk.select(
+        F.col("na").cast("long").alias("exact_a"),
+        F.col("nb").cast("long").alias("exact_b"),
+        F.col("nu").cast("long").alias("exact_union"),
+        exact_ab.cast("long").alias("exact_overlap"),
+        in_band(est_u, F.col("nu")).alias("union_in_band"),
+        in_band(est_ab, exact_ab).alias("overlap_in_band"),
+    )

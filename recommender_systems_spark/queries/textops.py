@@ -1011,3 +1011,79 @@ def t_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PMI_TOP)
         .select("x", "y", F.col("c").cast("long").alias("c"), "pmi")
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocklist content filter (safety wordlist gate)
+# ---------------------------------------------------------------------------
+
+_BLOCKLIST = ["slow", "error", "big"]
+_BLOCK_MAX_HITS = 3
+_BLOCK_MAX_RATE = 0.03
+
+
+def _block_sql_list() -> str:
+    return "[" + ", ".join(f"'{w}'" for w in _BLOCKLIST) + "]"
+
+
+_BLOCK_SQL = f"""
+    WITH t AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tok,
+           CAST(len(list_filter(toks,
+                    x -> list_contains({_block_sql_list()}, x)))
+                AS BIGINT) AS n_hits,
+           round(CAST(len(list_filter(toks,
+                    x -> list_contains({_block_sql_list()}, x))) AS DOUBLE)
+                 / greatest(len(toks), 1), 5) AS hit_rate,
+           CAST(len(list_filter(toks,
+                    x -> list_contains({_block_sql_list()}, x)))
+                    <= {_BLOCK_MAX_HITS}
+                AND CAST(len(list_filter(toks,
+                    x -> list_contains({_block_sql_list()}, x))) AS DOUBLE)
+                    / greatest(len(toks), 1) <= {_BLOCK_MAX_RATE}
+                AS INTEGER) AS keep
+    FROM t
+"""
+
+
+@register("t_blocklist_filter", _BLOCK_SQL)
+def t_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist content filter: per document, hits against a term
+    blocklist, the hit RATE, and the keep/drop verdict (absolute cap
+    AND rate cap) — the wordlist safety gate every pre-training
+    curation pipeline runs before the statistical filters (the C4
+    badwords pass; here the list is a stand-in inventory shared with
+    the oracle, production swaps in the real list without touching
+    the plan).
+
+    Single traversal: tokens bind once, the hit count is one
+    list-filter over the broadcast-literal inventory (JVM codegen, no
+    UDF), and rate/verdict derive in the same projection. The verdict
+    compares an exact int/int rational against shared literals —
+    bit-identical in both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = F.array(*[F.lit(w) for w in _BLOCKLIST])
+    toks = tokens(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(F.filter(toks, lambda x: F.array_contains(vocab, x)))
+        .cast("long")
+        .alias("n_hits"),
+    )
+    rate = F.col("n_hits").cast("double") / F.greatest(F.col("n_tok"), F.lit(1))
+    return d.select(
+        "doc_id",
+        "n_tok",
+        "n_hits",
+        F.round(rate, 5).alias("hit_rate"),
+        (
+            (F.col("n_hits") <= _BLOCK_MAX_HITS)
+            & (rate <= _BLOCK_MAX_RATE)
+        ).cast("int").alias("keep"),
+    )

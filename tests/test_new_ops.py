@@ -888,3 +888,52 @@ def test_ips_estimators_relationship(spark):
     assert r["n_logged"] == n_logged
     assert 0 < r["n_matched"] < r["n_logged"]
     assert _IPS_K > 0
+
+
+def test_scd2_intervals_partition_time(spark):
+    """Per user: exactly one current row; intervals chain (each
+    valid_to equals the next valid_from) and never overlap."""
+    from collections import defaultdict
+
+    from recommender_systems_spark.queries.sessions import s_scd2_history
+
+    by_user = defaultdict(list)
+    for r in s_scd2_history(spark, SF_MED).collect():
+        by_user[r["user_id"]].append(r)
+    for u, rs in by_user.items():
+        rs.sort(key=lambda r: r["valid_from"])
+        assert sum(r["is_current"] for r in rs) == 1, u
+        assert rs[-1]["valid_to"] is None, u
+        for a, b in zip(rs, rs[1:]):
+            assert a["valid_to"] == b["valid_from"], u
+
+
+def test_blocklist_verdict_consistency(spark):
+    """keep == (hits <= cap AND rate <= cap) recomputed from the row's
+    own numbers; hits never exceed tokens."""
+    from recommender_systems_spark.queries.textops import (
+        _BLOCK_MAX_HITS,
+        _BLOCK_MAX_RATE,
+        t_blocklist_filter,
+    )
+
+    rows = t_blocklist_filter(spark, SF_MED).collect()
+    assert any(r["keep"] == 0 for r in rows)  # the gate actually fires
+    for r in rows:
+        assert r["n_hits"] <= r["n_tok"]
+        expect = int(
+            r["n_hits"] <= _BLOCK_MAX_HITS
+            and r["n_hits"] / max(r["n_tok"], 1) <= _BLOCK_MAX_RATE + 1e-9
+        )
+        assert r["keep"] == expect
+
+
+def test_hll_overlap_set_algebra(spark):
+    """Exact counts obey inclusion-exclusion and the sketch estimates
+    sit in band (flags TRUE)."""
+    from recommender_systems_spark.queries.sketch import a_hll_overlap
+
+    r = a_hll_overlap(spark, SF_MED).collect()[0]
+    assert r["exact_union"] == r["exact_a"] + r["exact_b"] - r["exact_overlap"]
+    assert r["exact_overlap"] <= min(r["exact_a"], r["exact_b"])
+    assert r["union_in_band"] == 1 and r["overlap_in_band"] == 1

@@ -1234,3 +1234,103 @@ def a_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value"), 4).alias("mean_raw"),
         F.round(F.avg(clipped), 4).alias("mean_winsor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson-bootstrap confidence interval (hash-deterministic replicates)
+# ---------------------------------------------------------------------------
+
+_BOOT_REPS = 20
+# Poisson(1) inverse-CDF thresholds: P(X<=k) for k = 0..4; u above the
+# last takes weight 5. Shared literals drive both engines.
+_BOOT_CDF = [0.36787944, 0.73575888, 0.91969860, 0.98101184, 0.99634015]
+
+
+def _pois_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} <= {c} THEN {k}" for k, c in enumerate(_BOOT_CDF)
+    )
+    return f"(CASE {branches} ELSE 5 END)"
+
+
+# Exact md5 input mirror of the Spark side: concat_ws('_', event_id,
+# 'boot', rep) plus _u01's trailing '_<salt>' with an empty salt.
+_BOOT_U = (
+    "((CAST('0x' || substring(md5(CAST(event_id AS VARCHAR) || '_boot_' "
+    "|| CAST(rep AS VARCHAR) || '_'), 1, 13) AS BIGINT) + 1.0)"
+    " / 4503599627370497.0)"
+)
+
+_BOOT_SQL = f"""
+    WITH reps AS (
+        SELECT e.event_id, e.value, r.rep
+        FROM events e CROSS JOIN (SELECT unnest(range({_BOOT_REPS})) AS rep) r
+    ),
+    w AS (
+        SELECT rep, value, {_pois_sql(_BOOT_U)} AS wt FROM reps
+    ),
+    means AS (
+        SELECT rep, sum(wt * value) / sum(wt) AS m
+        FROM w GROUP BY rep
+    ),
+    pt AS (SELECT avg(value) AS mean_full FROM events)
+    SELECT round(pt.mean_full, 4) AS mean,
+           round(quantile_cont(means.m, 0.025), 4) AS ci_lo,
+           round(quantile_cont(means.m, 0.975), 4) AS ci_hi,
+           CAST(count(*) AS BIGINT) AS n_reps
+    FROM means, pt
+    GROUP BY pt.mean_full
+"""
+
+
+@register("e_bootstrap_ci", _BOOT_SQL)
+def e_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean: every row
+    draws an independent Poisson(1) weight PER REPLICATE from a
+    hash-deterministic uniform, replicate means aggregate in one pass,
+    and the CI is the [2.5%, 97.5%] band of the {_BOOT_REPS} replicate
+    means — the bootstrap that actually runs at 100 TB (resampling
+    n-out-of-n is impossible distributed; Poisson weights need no
+    global coordination, no shared state, and map-side-combine like
+    any other aggregate).
+
+    The uniform comes from md5(event_id, replicate) — the engine-
+    portable seeding rule every sampling twin here uses — so both
+    engines draw the IDENTICAL weight matrix and the replicate means
+    match bit-for-bit before rounding; the inverse-CDF is a shared
+    literal CASE ladder. The explode is ×{_BOOT_REPS} rows but stays
+    inside one codegen stage feeding a {_BOOT_REPS}-row aggregate; at
+    scale you fuse the replicate loop into per-row weight VECTORS to
+    scan once (same statistics, one pass — this form keeps the oracle
+    readable)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    reps = ev.select(
+        "event_id",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_REPS - 1))).alias("rep"),
+    )
+    from recommender_systems_spark.queries.sampling import _u01
+
+    u = _u01(
+        F.concat_ws(
+            "_", F.col("event_id"), F.lit("boot"), F.col("rep").cast("string")
+        ),
+        "",
+    )
+    # _u01 appends '_<salt>'; empty salt keeps the exact md5 input
+    # 'event_id_boot_rep_' — mirrored literally in the oracle string.
+    wt = F.lit(5)
+    for k in range(len(_BOOT_CDF) - 1, -1, -1):
+        wt = F.when(u <= _BOOT_CDF[k], k).otherwise(wt)
+    means = (
+        reps.select("rep", "value", wt.alias("wt"))
+        .groupBy("rep")
+        .agg((F.sum(F.col("wt") * F.col("value")) / F.sum("wt")).alias("m"))
+    )
+    pt = ev.agg(F.avg("value").alias("mean_full"))
+    return means.crossJoin(F.broadcast(pt)).agg(
+        F.round(F.min("mean_full"), 4).alias("mean"),
+        F.round(F.percentile("m", F.lit(0.025)), 4).alias("ci_lo"),
+        F.round(F.percentile("m", F.lit(0.975)), 4).alias("ci_hi"),
+        F.count(F.lit(1)).cast("long").alias("n_reps"),
+    )

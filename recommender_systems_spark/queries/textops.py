@@ -1087,3 +1087,74 @@ def t_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (rate <= _BLOCK_MAX_RATE)
         ).cast("int").alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index build (posting lists)
+# ---------------------------------------------------------------------------
+
+_IDX_MAX_POSTINGS = 20
+
+_IDX_SQL = f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents
+    ),
+    post AS (
+        SELECT term, doc_id,
+               row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
+               count(*) OVER (PARTITION BY term) AS df
+        FROM tok
+    )
+    SELECT term,
+           CAST(min(df) AS BIGINT) AS df,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+               AS postings_head
+    FROM post
+    WHERE rn <= {_IDX_MAX_POSTINGS}
+    GROUP BY term
+"""
+
+
+@register("t_inverted_index", _IDX_SQL)
+def t_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: term → document frequency + the first
+    {_IDX_MAX_POSTINGS} postings (doc ids ascending) — the structure
+    under every keyword search and the lookup side of contamination/
+    attribution tooling (t_contamination probes an n-gram variant of
+    exactly this).
+
+    Distinct (doc, term) pairs first (presence index, not positions —
+    dedup BEFORE the shuffle so a term repeated in one doc ships
+    once), then ONE term-keyed window ranks postings and counts df in
+    the same exchange. The emitted posting list is explicitly
+    HEAD-capped — at 100 TB full postings for stopwords are the skew
+    pathology (a_skew_profile's subject); real indexes shard exactly
+    this way — and serialised per the house hashing rule."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    ).distinct()
+    w = Window.partitionBy("term").orderBy("doc_id")
+    wc = Window.partitionBy("term")
+    post = tok.select(
+        "term",
+        "doc_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("df"),
+    )
+    return (
+        post.filter(F.col("rn") <= _IDX_MAX_POSTINGS)
+        .groupBy("term")
+        .agg(
+            F.min("df").cast("long").alias("df"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "doc_id"))),
+                    lambda s: s["doc_id"].cast("string"),
+                ),
+                ",",
+            ).alias("postings_head"),
+        )
+    )

@@ -937,3 +937,34 @@ def test_hll_overlap_set_algebra(spark):
     assert r["exact_union"] == r["exact_a"] + r["exact_b"] - r["exact_overlap"]
     assert r["exact_overlap"] <= min(r["exact_a"], r["exact_b"])
     assert r["union_in_band"] == 1 and r["overlap_in_band"] == 1
+
+
+def test_bootstrap_ci_contains_mean(spark):
+    """The bootstrap band must bracket the point estimate and be
+    non-degenerate."""
+    from recommender_systems_spark.queries.stats import e_bootstrap_ci
+
+    r = e_bootstrap_ci(spark, SF_MED).collect()[0]
+    assert r["ci_lo"] <= r["mean"] <= r["ci_hi"]
+    assert r["ci_lo"] < r["ci_hi"]
+    assert r["n_reps"] == 20
+
+
+def test_inverted_index_postings(spark):
+    """Posting heads are ascending, capped, deduped; df ≥ head length
+    with equality below the cap."""
+    from recommender_systems_spark.queries.textops import (
+        _IDX_MAX_POSTINGS,
+        t_inverted_index,
+    )
+
+    rows = t_inverted_index(spark, SF_MED).collect()
+    assert rows
+    for r in rows:
+        ids = [int(x) for x in r["postings_head"].split(",")]
+        assert ids == sorted(set(ids))
+        assert len(ids) <= _IDX_MAX_POSTINGS
+        if r["df"] <= _IDX_MAX_POSTINGS:
+            assert len(ids) == r["df"]
+        else:
+            assert len(ids) == _IDX_MAX_POSTINGS

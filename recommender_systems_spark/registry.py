@@ -81,7 +81,7 @@ from recommender_systems_spark.queries import graph as _graph  # noqa: E402,F401
 # every brief-named pipeline component (dedup ×5, similarity ×3 + brute
 # force, multimodal ×3, text analysis ×4).  Everything after slot 50 is
 # still benchmarked every round and hash-checked against DuckDB by
-# tests/test_oracle_parity.py (same comparison, all 90 queries).
+# tests/test_oracle_parity.py (same comparison, the full registry).
 # ---------------------------------------------------------------------------
 
 GATE_ORDER: list[str] = [

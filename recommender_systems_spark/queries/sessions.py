@@ -757,3 +757,102 @@ def s_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         nxt.isNull().cast("int").alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection
+# ---------------------------------------------------------------------------
+
+_CUSUM_SQL = """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               round(avg(value), 4) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, count(*) AS n, sum(x) AS s, sum(x * x) AS ss
+        FROM hourly GROUP BY event_type
+    ),
+    z AS (
+        SELECT h.event_type, h.hour,
+               (h.x - st.s / st.n)
+                   / sqrt((st.ss - st.s * st.s / st.n) / (st.n - 1)) AS zx,
+               st.n
+        FROM hourly h JOIN stats st USING (event_type)
+    ),
+    cum AS (
+        SELECT event_type, hour, n,
+               round(abs(sum(zx) OVER (
+                   PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+                   AS abs_s
+        FROM z
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_hours, hour AS cp_hour,
+           round(abs_s, 3) AS max_abs_s
+    FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY abs_s DESC, hour) AS rn
+          FROM cum)
+    WHERE rn = 1
+"""
+
+
+@register("s_changepoint", _CUSUM_SQL)
+def s_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection: per event_type, standardise the
+    hourly mean series and locate the hour where the cumulative sum of
+    deviations peaks in magnitude — the classic estimator of WHERE a
+    level shift happened (the retrospective counterpart to
+    s_anomaly_zscore's online flagging; a_psi_drift says IF the
+    distribution moved, CUSUM says WHEN).
+
+    Series statistics use the explicit Σ/Σ² identity (engine-identical
+    ordering, as in s_anomaly_zscore); the running sum is one ordered
+    window per type, |S| rounds to 6dp BEFORE the argmax so the peak
+    pick cannot straddle an ulp, and the argmax is a row_number pick
+    over (|S| desc, hour) — a total ordering both engines resolve
+    identically.
+    Everything after the hourly pre-agg is series-sized."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.round(F.avg("value"), 4).alias("x"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+    )
+    n, s_, ss = F.col("n"), F.col("s"), F.col("ss")
+    z = hourly.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "hour",
+        "n",
+        (
+            (F.col("x") - s_ / n)
+            / F.sqrt((ss - s_ * s_ / n) / (n - 1))
+        ).alias("zx"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = z.select(
+        "event_type",
+        "hour",
+        "n",
+        F.round(F.abs(F.sum("zx").over(w)), 6).alias("abs_s"),
+    )
+    wpick = Window.partitionBy("event_type").orderBy(
+        F.col("abs_s").desc(), "hour"
+    )
+    return (
+        cum.withColumn("rn", F.row_number().over(wpick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_hours"),
+            F.col("hour").alias("cp_hour"),
+            F.round("abs_s", 3).alias("max_abs_s"),
+        )
+    )

@@ -1158,3 +1158,125 @@ def t_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("postings_head"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram-LM surprisal (the two-pass LM quality score)
+# ---------------------------------------------------------------------------
+
+_BG_LAMBDA = 0.7  # bigram weight; 1-λ backs off to the unigram
+
+
+_BG_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        FROM documents
+    ),
+    uni AS (SELECT unnest(t) AS w FROM toks),
+    ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+    nu AS (SELECT sum(c) AS n FROM ucnt),
+    dbg AS (
+        SELECT doc_id, t[i] AS x, t[i + 1] AS y
+        FROM toks CROSS JOIN (SELECT unnest(range(1, 2000)) AS i)
+        WHERE i < len(t)
+    ),
+    bcnt AS (SELECT x, y, count(*) AS c FROM dbg GROUP BY x, y),
+    hist AS (SELECT x, sum(c) AS ch FROM bcnt GROUP BY x),
+    bits AS (
+        SELECT b.x, b.y,
+               CAST(round(-log2({_BG_LAMBDA} * CAST(b.c AS DOUBLE) / h.ch
+                          + {round(1 - _BG_LAMBDA, 10)}
+                            * CAST(u.c AS DOUBLE) / nu.n)
+                          * 1000000) AS BIGINT) AS bits_ppm
+        FROM bcnt b
+        JOIN hist h ON h.x = b.x
+        JOIN ucnt u ON u.w = b.y
+        CROSS JOIN nu
+    ),
+    per AS (
+        SELECT d.doc_id, count(*) AS n_bigrams, sum(bits_ppm) AS sb
+        FROM dbg d JOIN bits ON bits.x = d.x AND bits.y = d.y
+        GROUP BY d.doc_id
+    )
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           round(sb / n_bigrams / 1000000.0, 4) AS avg_bits,
+           round(pow(2.0, round(sb / n_bigrams / 1000000.0, 4)), 2) AS ppl
+    FROM per
+"""
+
+
+@register("t_bigram_surprisal", _BG_SQL)
+def t_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM surprisal: per-document cross-entropy
+    under p(y|x) = λ·c(xy)/c(x·) + (1−λ)·c(y)/N — the step from
+    t_surprisal's unigram to a real conditional LM with backoff
+    smoothing (unseen-in-context words cost the unigram rate, not ∞),
+    which is the shape CCNet's KenLM filter takes at order 5.
+
+    Same engineering as t_surprisal: the surprisal table is
+    integer-scaled at the BIGRAM-vocab level so per-doc sums are
+    exact; bigram history counts come from the bigram table itself
+    (Σ_y c(x,y)), not the unigram count — exact conditional mass. The
+    bigram table is vocab²-bounded and broadcast here; past the
+    broadcast threshold the scoring join shuffles on (x, y) — noted,
+    same head/tail split as the unigram case."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    uni = toks.select(F.explode("t").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    nu = ucnt.agg(F.sum("c").alias("n"))
+    dbg = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(F.size("t") < 2, F.array()).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("t", i).alias("x"),
+                        F.element_at("t", i + 1).alias("y"),
+                    ),
+                )
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.x", "p.y")
+    bcnt = dbg.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c"))
+    hist = bcnt.groupBy("x").agg(F.sum("c").alias("ch"))
+    bits = (
+        bcnt.join(F.broadcast(hist), "x")
+        .join(
+            F.broadcast(ucnt.select(F.col("w").alias("y"), F.col("c").alias("cy"))),
+            "y",
+        )
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "x",
+            "y",
+            F.round(
+                -F.log2(
+                    _BG_LAMBDA * F.col("c").cast("double") / F.col("ch")
+                    + round(1 - _BG_LAMBDA, 10)
+                    * F.col("cy").cast("double")
+                    / F.col("n")
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("bits_ppm"),
+        )
+    )
+    per = (
+        dbg.join(F.broadcast(bits), ["x", "y"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("bits_ppm").alias("sb"),
+        )
+    )
+    avg_bits = F.round(F.col("sb") / F.col("n_bigrams") / F.lit(1e6), 4)
+    return per.select(
+        "doc_id",
+        "n_bigrams",
+        avg_bits.alias("avg_bits"),
+        F.round(F.pow(F.lit(2.0), avg_bits), 2).alias("ppl"),
+    )

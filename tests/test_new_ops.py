@@ -968,3 +968,34 @@ def test_inverted_index_postings(spark):
             assert len(ids) == r["df"]
         else:
             assert len(ids) == _IDX_MAX_POSTINGS
+
+
+def test_bigram_surprisal_vs_unigram(spark):
+    """Bigram context must reduce average surprisal vs the unigram LM
+    corpus-wide (conditioning can't hurt an MLE on its own corpus),
+    and all perplexities are >= 1."""
+    from recommender_systems_spark.queries.textops import (
+        t_bigram_surprisal,
+        t_surprisal,
+    )
+
+    bg = {r["doc_id"]: r for r in t_bigram_surprisal(spark, SF_MED).collect()}
+    un = {r["doc_id"]: r for r in t_surprisal(spark, SF_MED).collect()}
+    assert set(bg) == set(un)
+    assert all(r["ppl"] >= 1.0 for r in bg.values())
+    mean_bg = sum(r["avg_bits"] for r in bg.values()) / len(bg)
+    mean_un = sum(r["avg_bits"] for r in un.values()) / len(un)
+    assert mean_bg < mean_un
+
+
+def test_changepoint_within_series(spark):
+    """One changepoint per type, located inside the observed series,
+    with a positive peak statistic."""
+    from recommender_systems_spark.queries.sessions import s_changepoint
+
+    rows = s_changepoint(spark, SF_MED).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_hours"] > 0
+        assert r["max_abs_s"] > 0
+        assert r["cp_hour"] is not None

@@ -1,0 +1,145 @@
+"""Plan-shape regression tests: the 100-TB claims in docstrings and
+PLANS.md (broadcast where claimed, bounded exchange counts, never a
+cartesian product) asserted against the PHYSICAL plan, so a refactor
+that silently degrades a plan fails CI rather than a future bench.
+
+Only lazily-planned queries appear here (training loops execute work
+inside the query function and are audited in PLANS.md instead).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from recommender_systems_spark import registry
+from tests.conftest import SF_SMALL
+
+# Declarative queries whose plan must never contain a CartesianProduct.
+# (BroadcastNestedLoopJoin with a 1-row build side is fine — that is
+# how scalar-aggregate broadcasts plan.)
+_NO_CARTESIAN = [
+    "flagship_top_customers",
+    "p_filter_project",
+    "p_anti_join_threshold",
+    "j_star_join",
+    "a_group_agg",
+    "a_cumsum",
+    "w_densify_ids",
+    "w_global_topk",
+    "w_group_topk",
+    "g_genre_invert",
+    "m_rmse",
+    "m_top_n",
+    "v_cosine_topk",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "sim_ann_topk",
+    "sim_ivf_topk",
+    "t_token_stats",
+    "t_surprisal",
+    "t_feature_hashing",
+    "t_bigram_surprisal",
+    "s_funnel",
+    "s_retention",
+    "s_sessionize",
+    "s_anomaly_zscore",
+    "s_changepoint",
+    "w_trailing_24h",
+    "j_bloom_join",
+    "j_snapshot_diff",
+    "a_histogram",
+    "a_pivot",
+    "a_decay_agg",
+    "a_psi_drift",
+    "a_winsorize",
+    "e_auc",
+    "m_ips_eval",
+    "t_pmi_collocations",
+    "t_inverted_index",
+]
+
+
+def _plan(spark, name: str) -> str:
+    df = registry.QUERIES[name](spark, SF_SMALL)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _count(plan: str, pat: str) -> int:
+    return len(re.findall(pat, plan))
+
+
+@pytest.mark.parametrize("name", _NO_CARTESIAN)
+def test_no_cartesian_product(spark, name):
+    assert _count(_plan(spark, name), r"CartesianProduct") == 0, name
+
+
+def test_flagship_is_broadcast_star(spark):
+    """Dims broadcast, ONE fact-sized exchange, top-k as
+    TakeOrderedAndProject — the J1-J3 + W3 contract."""
+    p = _plan(spark, "flagship_top_customers")
+    assert _count(p, r"BroadcastHashJoin") >= 2
+    assert _count(p, r"Exchange hashpartitioning") == 1
+    assert _count(p, r"TakeOrderedAndProject") == 1
+    assert _count(p, r"SortMergeJoin") == 0
+
+
+def test_funnel_single_exchange(spark):
+    """Three chained windows + per-user reduction on ONE hash
+    exchange (the docstring's central claim)."""
+    p = _plan(spark, "s_funnel")
+    assert _count(p, r"Exchange hashpartitioning") == 1
+    assert _count(p, r"Window") >= 3
+
+
+def test_trailing_window_single_exchange(spark):
+    p = _plan(spark, "w_trailing_24h")
+    assert _count(p, r"Exchange hashpartitioning") == 1
+
+
+def test_global_topk_no_shuffle(spark):
+    """W3 must plan TakeOrderedAndProject with zero hash exchanges —
+    a global sort here would be the 100-TB bottleneck."""
+    p = _plan(spark, "w_global_topk")
+    assert _count(p, r"TakeOrderedAndProject") == 1
+    assert _count(p, r"Exchange hashpartitioning") == 0
+    assert _count(p, r"\bSort\b.*global=true") == 0
+
+
+def test_surprisal_vocab_joins_broadcast(spark):
+    """The scoring join against the vocab-sized surprisal table must
+    be a broadcast hash join, never a shuffle join on tokens."""
+    p = _plan(spark, "t_surprisal")
+    assert _count(p, r"BroadcastHashJoin") >= 1
+    assert _count(p, r"SortMergeJoin") == 0
+
+
+def test_bloom_join_probe_never_shuffles(spark):
+    """The probe side is filtered in-scan and the residual join is
+    broadcast: no hash exchange anywhere before the scalar agg."""
+    p = _plan(spark, "j_bloom_join")
+    assert _count(p, r"Exchange hashpartitioning") == 0
+    assert _count(p, r"BroadcastHashJoin") >= 1
+
+
+def test_scoring_join_broadcasts_factors(spark):
+    """m_rmse's factor lookups broadcast; the fact table is never
+    hash-exchanged for the join (only the repartition for CPU spread,
+    which is RoundRobin, not hash)."""
+    p = _plan(spark, "m_rmse")
+    assert _count(p, r"BroadcastHashJoin") >= 2
+    assert _count(p, r"SortMergeJoin") == 0
+
+
+def test_dedup_candidates_are_equi_joins(spark):
+    """LSH candidate generation must plan hash/broadcast equi-joins —
+    a nested-loop pair enumeration would be the quadratic blowup the
+    design exists to avoid."""
+    for name in ("dedup_minhash", "dedup_simhash", "dedup_embedding_cosine"):
+        p = _plan(spark, name)
+        assert _count(p, r"CartesianProduct") == 0, name
+        assert _count(p, r"BroadcastNestedLoopJoin") == 0, name

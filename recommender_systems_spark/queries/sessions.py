@@ -856,3 +856,76 @@ def s_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("abs_s", 3).alias("max_abs_s"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time feature join (feature-store correctness join)
+# ---------------------------------------------------------------------------
+
+_PIT_SQL = """
+    WITH scd AS (
+        SELECT user_id,
+               round(value, 2) AS feat,
+               ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS valid_to
+        FROM events WHERE event_type = 'purchase'
+    ),
+    label AS (
+        SELECT event_id, user_id, ts
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT l.event_id, l.user_id, l.ts AS label_ts, s.feat,
+           s.valid_from AS feat_from
+    FROM label l
+    JOIN scd s
+      ON s.user_id = l.user_id
+     AND s.valid_from <= l.ts
+     AND (s.valid_to IS NULL OR l.ts < s.valid_to)
+"""
+
+
+@register("j_pit_features", _PIT_SQL)
+def j_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature join: each label event (clicks) picks up
+    the feature value that was CURRENT at its timestamp from the SCD-2
+    validity table (purchases as the change log) — the feature-store
+    correctness join that prevents label leakage (training must never
+    see a feature written after the label; an ordinary latest-value
+    join silently does).
+
+    Because SCD-2 intervals partition each user's timeline, interval
+    containment is logically an as-of lookup; the plan is one
+    user-keyed equi-join with the containment as a residual filter —
+    both sides pre-partition on user_id (the SCD build's window and
+    the join share the exchange) and per-user interval counts are
+    bounded by that user's change count, so the residual never
+    explodes. Labels before a user's first change simply drop (inner
+    join) — exactly the rows a leak-free training set must exclude."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    scd = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.round("value", 2).alias("feat"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+        .withColumnsRenamed({"user_id": "su"})
+    )
+    label = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("label_ts")
+    )
+    return label.join(
+        scd,
+        (F.col("user_id") == F.col("su"))
+        & (F.col("valid_from") <= F.col("label_ts"))
+        & (F.col("valid_to").isNull() | (F.col("label_ts") < F.col("valid_to"))),
+    ).select(
+        "event_id",
+        "user_id",
+        "label_ts",
+        "feat",
+        F.col("valid_from").alias("feat_from"),
+    )

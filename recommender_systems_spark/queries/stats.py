@@ -1334,3 +1334,65 @@ def e_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("m", F.lit(0.975)), 4).alias("ci_hi"),
         F.count(F.lit(1)).cast("long").alias("n_reps"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Power-law fit of the interaction-degree distribution
+# ---------------------------------------------------------------------------
+
+_PL_KMIN = 2  # MLE lower cutoff
+
+_POWERLAW_SQL = f"""
+    WITH deg AS (
+        SELECT l_partkey AS item, count(*) AS k FROM lineitem GROUP BY 1
+    ),
+    hist AS (
+        SELECT k, count(*) AS n_items FROM deg GROUP BY k
+    ),
+    fit AS (
+        SELECT count(*) AS n_tail,
+               sum(ln(CAST(k AS DOUBLE) / ({_PL_KMIN} - 0.5))) AS slog
+        FROM deg WHERE k >= {_PL_KMIN}
+    )
+    SELECT h.k, CAST(h.n_items AS BIGINT) AS n_items,
+           CAST(fit.n_tail AS BIGINT) AS n_tail,
+           round(1.0 + fit.n_tail / fit.slog, 4) AS alpha_mle
+    FROM hist h, fit
+"""
+
+
+@register("e_powerlaw_fit", _POWERLAW_SQL)
+def e_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution profile + discrete power-law exponent: the
+    count-of-counts histogram of per-item interaction degrees together
+    with the Clauset-style MLE α̂ = 1 + n/Σln(k/(kmin−½)) — the
+    long-tail analysis the reference performs on ratings-per-movie
+    (prac_1_plotting.py's log-log histogram; SURVEY S7 keeps the
+    RENDERING out-of-engine, this is the data side plus the fit the
+    plot eyeballs). The α estimate is what sizes the popularity bias
+    every negative sampler and skew mitigation in this repo fights.
+
+    Two tiny aggregations over the per-item degree table (itself one
+    hash agg of the fact table): histogram by k, and the (n, Σln)
+    sufficient statistics of the MLE — the exponent needs no
+    iteration. One ln per distinct item; fraction is an exact-input
+    division rounded once."""
+    deg = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("item"))
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint()  # consumed twice: histogram + MLE tail
+    )
+    hist = deg.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n_items"))
+    fit = deg.filter(F.col("k") >= _PL_KMIN).agg(
+        F.count(F.lit(1)).alias("n_tail"),
+        F.sum(F.log(F.col("k").cast("double") / (_PL_KMIN - 0.5))).alias(
+            "slog"
+        ),
+    )
+    return hist.crossJoin(F.broadcast(fit)).select(
+        "k",
+        "n_items",
+        F.col("n_tail").cast("long").alias("n_tail"),
+        F.round(1.0 + F.col("n_tail") / F.col("slog"), 4).alias("alpha_mle"),
+    )

@@ -999,3 +999,35 @@ def test_changepoint_within_series(spark):
         assert r["n_hours"] > 0
         assert r["max_abs_s"] > 0
         assert r["cp_hour"] is not None
+
+
+def test_pit_join_no_leakage(spark):
+    """Point-in-time discipline: every attached feature was written at
+    or before the label timestamp, and each label matches at most one
+    interval."""
+    from recommender_systems_spark.queries.sessions import j_pit_features
+
+    rows = j_pit_features(spark, SF_MED).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r["feat_from"] <= r["label_ts"]
+        assert r["event_id"] not in seen  # intervals partition time
+        seen.add(r["event_id"])
+
+
+def test_powerlaw_fit_shape(spark):
+    """Histogram masses sum to the item count; alpha is a single
+    shared positive value > 1."""
+    from recommender_systems_spark.io import load_table
+    from recommender_systems_spark.queries.stats import e_powerlaw_fit
+
+    rows = e_powerlaw_fit(spark, SF_MED).collect()
+    n_items = (
+        load_table(spark, SF_MED, "lineitem")
+        .select("l_partkey").distinct().count()
+    )
+    assert sum(r["n_items"] for r in rows) == n_items
+    alphas = {r["alpha_mle"] for r in rows}
+    assert len(alphas) == 1
+    assert alphas.pop() > 1.0

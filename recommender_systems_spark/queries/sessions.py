@@ -929,3 +929,80 @@ def j_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "feat",
         F.col("valid_from").alias("feat_from"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Watermark sizing: event-time lateness profile in arrival order
+# ---------------------------------------------------------------------------
+
+_WM_SQL = """
+    WITH arr AS (
+        SELECT event_id, ts,
+               max(ts) OVER (ORDER BY epoch_us(ts) // 300000000,
+                                      substring(md5(CAST(event_id AS VARCHAR)),
+                                                1, 8),
+                                      event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS hwm
+        FROM events
+    ),
+    late AS (
+        SELECT (epoch_us(hwm) - epoch_us(ts)) / 1000000.0 AS late_s,
+               CAST(ts < hwm AS INTEGER) AS is_late
+        FROM arr
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(is_late) AS BIGINT) AS n_late,
+           round(CAST(sum(is_late) AS DOUBLE) / count(*), 5) AS late_frac,
+           round(quantile_cont(late_s, 0.5), 2) AS p50_late_s,
+           round(quantile_cont(late_s, 0.95), 2) AS p95_late_s,
+           round(quantile_cont(late_s, 0.99), 2) AS p99_late_s,
+           round(max(late_s), 2) AS max_late_s
+    FROM late
+"""
+
+
+@register("s_watermark_sizing", _WM_SQL)
+def s_watermark_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark sizing: replay the stream in ARRIVAL order (event_id)
+    and measure each event's lateness against the running event-time
+    high-water mark — the p95/p99 of exactly this distribution is what
+    a production job sets `withWatermark` to (too small drops data,
+    too large bloats every stateful operator's store; the streaming
+    queries here use '1 hour' — this profile is the evidence that
+    number needs).
+
+    The driver's synthetic events file is perfectly time-ordered, so
+    ARRIVAL order is simulated deterministically: events shuffle
+    (md5-keyed) WITHIN 5-minute ingestion blocks — the consumer-
+    interleaving pattern a kafka-fed job actually sees, bounding true
+    lateness at one block. The running max rides one ordered window
+    (at scale this runs per source-partition, which is exactly what
+    Spark's per-partition watermark tracks); lateness is exact
+    integer-µs arithmetic, and the quantiles reduce a number-sized
+    column."""
+    ev = _t(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    w = Window.orderBy(
+        F.floor(us("ts") / F.lit(300_000_000)),
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+        "event_id",
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    arr = ev.select(
+        "event_id", "ts", F.max("ts").over(w).alias("hwm")
+    )
+    late = arr.select(
+        ((us("hwm") - us("ts")) / F.lit(1e6)).alias("late_s"),
+        (F.col("ts") < F.col("hwm")).cast("int").alias("is_late"),
+    )
+    return late.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("is_late").cast("long").alias("n_late"),
+        F.round(
+            F.sum("is_late").cast("double") / F.count(F.lit(1)), 5
+        ).alias("late_frac"),
+        F.round(F.percentile("late_s", F.lit(0.5)), 2).alias("p50_late_s"),
+        F.round(F.percentile("late_s", F.lit(0.95)), 2).alias("p95_late_s"),
+        F.round(F.percentile("late_s", F.lit(0.99)), 2).alias("p99_late_s"),
+        F.round(F.max("late_s"), 2).alias("max_late_s"),
+    )

@@ -1031,3 +1031,15 @@ def test_powerlaw_fit_shape(spark):
     alphas = {r["alpha_mle"] for r in rows}
     assert len(alphas) == 1
     assert alphas.pop() > 1.0
+
+
+def test_watermark_sizing_bounded_by_block(spark):
+    """Simulated arrival shuffles within 5-minute blocks, so lateness
+    is bounded by one block; percentiles are monotone and some but not
+    all events are late."""
+    from recommender_systems_spark.queries.sessions import s_watermark_sizing
+
+    r = s_watermark_sizing(spark, SF_MED).collect()[0]
+    assert 0 < r["n_late"] < r["n_events"]
+    assert r["p50_late_s"] <= r["p95_late_s"] <= r["p99_late_s"] <= r["max_late_s"]
+    assert r["max_late_s"] < 300.0

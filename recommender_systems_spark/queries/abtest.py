@@ -17,80 +17,10 @@ from pyspark.sql import functions as F
 from recommender_systems_spark.registry import _t, register
 
 # Acklam's inverse-normal-CDF rational approximation coefficients
-# (widely published; relative error < 1.15e-9 over (0,1)).
-_A = [
-    -3.969683028665376e01, 2.209460984245205e02, -2.759285104469687e02,
-    1.383577518672690e02, -3.066479806614716e01, 2.506628277459239e00,
-]
-_B = [
-    -5.447609879822406e01, 1.615858368580409e02, -1.556989798598866e02,
-    6.680131188771972e01, -1.328068155288572e01,
-]
-_C = [
-    -7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e00,
-    -2.549732539343734e00, 4.374664141464968e00, 2.938163982698783e00,
-]
-_D = [
-    7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e00,
-    3.754408661907416e00,
-]
-P_LOW = 0.02425
-
-
-def _horner_col(coeffs: list[float], x: Column) -> Column:
-    out: Column = F.lit(coeffs[0])
-    for c in coeffs[1:]:
-        out = out * x + F.lit(c)
-    return out
-
-
-def _horner_sql(coeffs: list[float], x: str) -> str:
-    out = repr(coeffs[0])
-    for c in coeffs[1:]:
-        out = f"({out} * {x} + {c!r})"
-    return out
-
-
-def probit_col(p: Column) -> Column:
-    """Acklam inverse normal CDF as a Spark expression."""
-    q_low = F.sqrt(-2.0 * F.log(p))
-    x_low = _horner_col(_C, q_low) / (_horner_col(_D, q_low) * q_low + F.lit(1.0))
-    q_high = F.sqrt(-2.0 * F.log(1.0 - p))
-    x_high = -(
-        _horner_col(_C, q_high) / (_horner_col(_D, q_high) * q_high + F.lit(1.0))
-    )
-    q_mid = p - F.lit(0.5)
-    r = q_mid * q_mid
-    x_mid = (
-        _horner_col(_A, r)
-        * q_mid
-        / (_horner_col(_B, r) * r + F.lit(1.0))
-    )
-    return (
-        F.when(p < P_LOW, x_low)
-        .when(p > 1.0 - P_LOW, x_high)
-        .otherwise(x_mid)
-    )
-
-
-def probit_sql(p: str) -> str:
-    """The same approximation, same Horner order, as DuckDB SQL."""
-    q_low = f"sqrt(-2.0 * ln({p}))"
-    x_low = f"({_horner_sql(_C, q_low)} / ({_horner_sql(_D, q_low)} * {q_low} + 1.0))"
-    q_high = f"sqrt(-2.0 * ln(1.0 - ({p})))"
-    x_high = (
-        f"(-({_horner_sql(_C, q_high)} / "
-        f"({_horner_sql(_D, q_high)} * {q_high} + 1.0)))"
-    )
-    q_mid = f"(({p}) - 0.5)"
-    r = f"({q_mid} * {q_mid})"
-    x_mid = f"({_horner_sql(_A, r)} * {q_mid} / ({_horner_sql(_B, r)} * {r} + 1.0))"
-    return (
-        f"(CASE WHEN ({p}) < {P_LOW} THEN {x_low} "
-        f"WHEN ({p}) > {1.0 - P_LOW} THEN {x_high} "
-        f"ELSE {x_mid} END)"
-    )
-
+from recommender_systems_spark.functions.probit import (  # noqa: F401
+    probit_col,
+    probit_sql,
+)
 
 _BLOM_SQL = "((rnk - 0.375) / (n + 0.25))"
 
@@ -546,4 +476,84 @@ def e_ab_simulation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "grp",
             "rank",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Experiment power analysis (minimum detectable effect / required n)
+# ---------------------------------------------------------------------------
+
+_PW_Z_ALPHA = 1.959964  # two-sided alpha = 0.05
+_PW_Z_BETA = 0.841621   # power = 0.8
+_PW_EFFECTS = [0.01, 0.02, 0.05]  # relative-to-mean effect sizes
+
+_POWER_SQL = f"""
+    WITH s AS (
+        SELECT count(*) AS n, sum(value) AS s1, sum(value * value) AS s2
+        FROM events
+    ),
+    base AS (
+        SELECT n, s1 / n AS mean,
+               sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sd,
+               CAST(n // 2 AS BIGINT) AS n_arm
+        FROM s
+    ),
+    eff(rel) AS (VALUES {", ".join(f"({e!r})" for e in _PW_EFFECTS)})
+    SELECT eff.rel,
+           CAST(base.n_arm AS BIGINT) AS n_arm,
+           round(base.mean, 4) AS mean,
+           round(base.sd, 4) AS sd,
+           round(({_PW_Z_ALPHA} + {_PW_Z_BETA}) * base.sd
+                 * sqrt(2.0 / base.n_arm), 4) AS mde_abs,
+           round(({_PW_Z_ALPHA} + {_PW_Z_BETA}) * base.sd
+                 * sqrt(2.0 / base.n_arm) / base.mean, 5) AS mde_rel,
+           CAST(ceil(2.0 * pow(({_PW_Z_ALPHA} + {_PW_Z_BETA}) * base.sd
+                               / (eff.rel * base.mean), 2)) AS BIGINT)
+               AS n_required_per_arm
+    FROM base, eff
+"""
+
+
+@register("e_power_mde", _POWER_SQL)
+def e_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power analysis: from pilot data's (n, mean, sd),
+    the minimum detectable effect at the CURRENT sample size and the
+    required per-arm n for target relative effects — the planning
+    computation that runs BEFORE e_ab_simulation spends traffic and
+    e_t_test_stats reads the result (α=0.05 two-sided, power=0.8;
+    z constants are shared literals, the same pairing the reference's
+    hypothesis tests use post-hoc).
+
+    One scalar aggregate (Σ, Σ², n — the same sufficient-statistic
+    shape as m_hyperparam_sweep) crossed with a literal effect grid;
+    sd uses the explicit identity written identically in both
+    engines."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s1"),
+        F.sum(F.col("value") * F.col("value")).alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    base = s.select(
+        n,
+        (s1 / n).alias("mean"),
+        F.sqrt((s2 - s1 * s1 / n) / (n - 1)).alias("sd"),
+        F.floor(n / 2).cast("long").alias("n_arm"),
+    )
+    eff = spark.createDataFrame([(e,) for e in _PW_EFFECTS], "rel double")
+    zsum = _PW_Z_ALPHA + _PW_Z_BETA
+    mde = zsum * F.col("sd") * F.sqrt(F.lit(2.0) / F.col("n_arm"))
+    return base.crossJoin(F.broadcast(eff)).select(
+        "rel",
+        "n_arm",
+        F.round("mean", 4).alias("mean"),
+        F.round("sd", 4).alias("sd"),
+        F.round(mde, 4).alias("mde_abs"),
+        F.round(mde / F.col("mean"), 5).alias("mde_rel"),
+        F.ceil(
+            2.0 * F.pow(zsum * F.col("sd") / (F.col("rel") * F.col("mean")), 2)
+        )
+        .cast("long")
+        .alias("n_required_per_arm"),
     )

@@ -1396,3 +1396,146 @@ def e_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tail").cast("long").alias("n_tail"),
         F.round(1.0 + F.col("n_tail") / F.col("slog"), 4).alias("alpha_mle"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Higher-moment profile (skewness / kurtosis from power sums)
+# ---------------------------------------------------------------------------
+
+_MOMENTS_SQL = """
+    WITH s AS (
+        SELECT event_type, count(*) AS n,
+               sum(value) AS s1, sum(value * value) AS s2,
+               sum(value * value * value) AS s3,
+               sum(value * value * value * value) AS s4
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(s1 / n, 4) AS mean,
+           round(sqrt(s2 / n - (s1 / n) * (s1 / n)), 4) AS sd,
+           round((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * pow(s1 / n, 3))
+                 / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 4) AS skewness,
+           round((s4 / n - 4 * (s1 / n) * (s3 / n)
+                  + 6 * pow(s1 / n, 2) * (s2 / n) - 3 * pow(s1 / n, 4))
+                 / pow(s2 / n - (s1 / n) * (s1 / n), 2) - 3.0, 4)
+               AS excess_kurtosis
+    FROM s
+"""
+
+
+@register("a_moments", _MOMENTS_SQL)
+def a_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment distribution profile per group: mean, sd,
+    skewness, excess kurtosis — the shape diagnostics that decide
+    whether downstream assumes normality (e_t_test_stats),
+    winsorizes (a_winsorize), or log-transforms. Computed from raw
+    power sums S1..S4 with the central-moment identities written
+    CHARACTER-IDENTICALLY in both engines — not the builtin
+    skewness/kurtosis, whose streaming update formulas differ between
+    engines and would never hash-match.
+
+    One hash aggregate with map-side partials; four multiplications
+    per row in codegen, five rows out."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+        F.sum(v * v * v * v).alias("s4"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1") / n
+    m2r = F.col("s2") / n
+    m3r = F.col("s3") / n
+    m4r = F.col("s4") / n
+    var = m2r - m1 * m1
+    return s.select(
+        "event_type",
+        n.cast("long").alias("n"),
+        F.round(m1, 4).alias("mean"),
+        F.round(F.sqrt(var), 4).alias("sd"),
+        F.round(
+            (m3r - 3 * m1 * m2r + 2 * F.pow(m1, 3)) / F.pow(var, 1.5), 4
+        ).alias("skewness"),
+        F.round(
+            (m4r - 4 * m1 * m3r + 6 * F.pow(m1, 2) * m2r - 3 * F.pow(m1, 4))
+            / F.pow(var, 2)
+            - 3.0,
+            4,
+        ).alias("excess_kurtosis"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization (rank → normal scores)
+# ---------------------------------------------------------------------------
+
+_QN_SQL_TMPL = """
+    WITH pv AS (
+        SELECT value, count(*) AS cnt FROM events GROUP BY value
+    ),
+    mr AS (
+        -- row-weighted midrank: #rows < v + (count(v)+1)/2
+        SELECT value,
+               CAST(sum(cnt) OVER (ORDER BY value
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - cnt AS DOUBLE) + (cnt + 1) / 2.0 AS midrank
+        FROM pv
+    ),
+    n AS (SELECT count(*) AS n FROM events)
+    SELECT e.event_id,
+           round(e.value, 2) AS value,
+           round({probit}, 5) AS z_score
+    FROM events e JOIN mr ON mr.value = e.value CROSS JOIN n
+"""
+
+
+@register("w_quantile_normalize", None)  # SQL bound below (needs probit_sql)
+def w_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization: map every value to the normal score of
+    its (Blom-adjusted) midrank — the rank-based transform that forces
+    any marginal distribution to N(0,1) (microarray-style
+    cross-dataset harmonisation, robust feature scaling for linear
+    models; Shapiro-Francia E4 consumes exactly these normal scores
+    for ORDER statistics, this op applies them to the DATA).
+
+    Distinct-value pre-agg → midranks via
+    ``operators.relational.two_phase_midrank`` (range partitions +
+    offsets — the same no-single-partition shape as e_rank_sum/e_auc;
+    ties share the midrank, so the map is value-deterministic) → one
+    join back to rows. The probit is the house Acklam expression
+    (functions.probit) — the same polynomial, literal for
+    literal, in both engines; p = (midrank − 0.375)/(n + 0.25) keeps
+    the tails finite."""
+    from recommender_systems_spark.functions.probit import probit_col
+    from recommender_systems_spark.operators.relational import two_phase_midrank
+
+    ev = _t(spark, sf_dir, "events")
+    pv = ev.groupBy("value").agg(F.count(F.lit(1)).alias("cnt"))
+    mr = two_phase_midrank(pv, "value", "cnt").select("value", "midrank")
+    nn = ev.agg(F.count(F.lit(1)).alias("n"))
+    p = (F.col("midrank") - 0.375) / (F.col("n") + 0.25)
+    return (
+        ev.select("event_id", "value")
+        .join(F.broadcast(mr), "value")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "event_id",
+            F.round("value", 2).alias("value"),
+            F.round(probit_col(p), 5).alias("z_score"),
+        )
+    )
+
+
+def _bind_qn_oracle() -> None:
+    from recommender_systems_spark.functions.probit import probit_sql
+    from recommender_systems_spark.registry import ORACLE
+
+    ORACLE["w_quantile_normalize"] = _QN_SQL_TMPL.format(
+        probit=probit_sql("((mr.midrank - 0.375) / (n.n + 0.25))")
+    )
+
+
+_bind_qn_oracle()

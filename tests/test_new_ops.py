@@ -1043,3 +1043,58 @@ def test_watermark_sizing_bounded_by_block(spark):
     assert 0 < r["n_late"] < r["n_events"]
     assert r["p50_late_s"] <= r["p95_late_s"] <= r["p99_late_s"] <= r["max_late_s"]
     assert r["max_late_s"] < 300.0
+
+
+def test_power_mde_scaling(spark):
+    """Required n grows as 1/effect²; the MDE at current n is the
+    effect a test of that size can just detect."""
+    from recommender_systems_spark.queries.abtest import e_power_mde
+
+    rows = {r["rel"]: r for r in e_power_mde(spark, SF_MED).collect()}
+    assert len(rows) == 3
+    n1, n2, n5 = (rows[e]["n_required_per_arm"] for e in (0.01, 0.02, 0.05))
+    assert n1 > n2 > n5
+    assert abs(n1 / n2 - 4.0) < 0.02  # 1/eff² scaling
+    for r in rows.values():
+        assert r["mde_abs"] > 0 and r["mde_rel"] > 0
+
+
+def test_moments_match_builtin_direction(spark):
+    """Explicit power-sum moments agree with Spark's builtins to the
+    rounding tolerance (the builtins only stay OUT of the query for
+    cross-engine determinism, not correctness)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from recommender_systems_spark.io import load_table
+    from recommender_systems_spark.queries.stats import a_moments
+
+    ours = {r["event_type"]: r for r in a_moments(spark, SF_MED).collect()}
+    ref = {
+        r["event_type"]: r
+        for r in load_table(spark, SF_MED, "events")
+        .groupBy("event_type")
+        .agg(
+            F.skewness("value").alias("sk"),
+            F.kurtosis("value").alias("ku"),
+        )
+        .collect()
+    }
+    for t, r in ours.items():
+        assert abs(r["skewness"] - ref[t]["sk"]) < 1e-3, t
+        assert abs(r["excess_kurtosis"] - ref[t]["ku"]) < 1e-3, t
+
+
+def test_quantile_normalize_is_normalish(spark):
+    """The transformed column must be ~N(0,1): mean ≈ 0, sd ≈ 1,
+    symmetric extremes, monotone in the input value."""
+    from recommender_systems_spark.queries.stats import w_quantile_normalize
+
+    rows = w_quantile_normalize(spark, SF_MED).collect()
+    zs = [r["z_score"] for r in rows]
+    n = len(zs)
+    mean = sum(zs) / n
+    sd = (sum((z - mean) ** 2 for z in zs) / (n - 1)) ** 0.5
+    assert abs(mean) < 0.01
+    assert abs(sd - 1.0) < 0.02
+    pairs = sorted((r["value"], r["z_score"]) for r in rows)
+    assert all(a[1] <= b[1] for a, b in zip(pairs, pairs[1:]))

@@ -64,7 +64,7 @@ def test_probit_matches_normal_sf():
     from pyspark.sql import functions as F  # noqa: F401 (import guard)
 
     # Evaluate the Python-side mirror of the Horner chains directly.
-    from recommender_systems_spark.queries.abtest import _A, _B, _C, _D, P_LOW
+    from recommender_systems_spark.functions.probit import _A, _B, _C, _D, P_LOW
 
     def horner(coeffs, x):
         out = coeffs[0]

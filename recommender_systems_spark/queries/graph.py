@@ -83,6 +83,37 @@ _PR_SQL = (
 )
 
 
+def _cooc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capped-history item co-occurrence pair list (ia < ib,
+    support ≥ CF_MIN_COOC) — the shared edge build behind
+    m_item_item_cooc, g_pagerank, and g_triangles."""
+    from pyspark.sql import Window
+
+    hist = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_suppkey").alias("uid"), F.col("l_partkey").alias("iid")
+        )
+        .agg(F.sum(F.col("l_quantity").cast("double")).alias("w"))
+    )
+    wcap = Window.partitionBy("uid").orderBy(F.col("w").desc(), F.col("iid"))
+    capped = (
+        hist.withColumn("rn", F.row_number().over(wcap))
+        .filter(F.col("rn") <= _CF_CAP)
+        .select("uid", "iid")
+    )
+    return (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.uid") == F.col("b.uid")) & (F.col("a.iid") < F.col("b.iid")),
+        )
+        .groupBy(F.col("a.iid").alias("ia"), F.col("b.iid").alias("ib"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _CF_MIN_COOC)
+    )
+
+
 @register("g_pagerank", _PR_SQL)
 def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank ({PR_ITERS} power iterations, damping
@@ -100,31 +131,7 @@ def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair explode. Hot pages (high in-degree) are exactly what AQE
     skew-split handles on the contribution aggregate. N and the
     iteration count are the only driver-side scalars."""
-    hist = (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy(
-            F.col("l_suppkey").alias("uid"), F.col("l_partkey").alias("iid")
-        )
-        .agg(F.sum(F.col("l_quantity").cast("double")).alias("w"))
-    )
-    from pyspark.sql import Window
-
-    wcap = Window.partitionBy("uid").orderBy(F.col("w").desc(), F.col("iid"))
-    capped = (
-        hist.withColumn("rn", F.row_number().over(wcap))
-        .filter(F.col("rn") <= _CF_CAP)
-        .select("uid", "iid")
-    )
-    cooc = (
-        capped.alias("a")
-        .join(
-            capped.alias("b"),
-            (F.col("a.uid") == F.col("b.uid")) & (F.col("a.iid") < F.col("b.iid")),
-        )
-        .groupBy(F.col("a.iid").alias("ia"), F.col("b.iid").alias("ib"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= _CF_MIN_COOC)
-    )
+    cooc = _cooc_pairs(spark, sf_dir)
     edges = (
         cooc.select(F.col("ia").alias("src"), F.col("ib").alias("dst"))
         .unionAll(cooc.select(F.col("ib").alias("src"), F.col("ia").alias("dst")))
@@ -149,4 +156,111 @@ def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return r.select(
         F.col("id").alias("item"), F.round(F.col("r") * n, 5).alias("pr_scaled")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting / global clustering coefficient
+# ---------------------------------------------------------------------------
+
+_TRI_SQL = (
+    "WITH "
+    + _EDGES_SQL
+    + f""",
+    und AS (SELECT ia AS a, ib AS b FROM cooc WHERE c >= {_CF_MIN_COOC}),
+    degu AS (
+        SELECT id, COUNT(*) AS d FROM (
+            SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
+        GROUP BY 1
+    ),
+    orient AS (
+        SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND und.a < und.b)
+                    THEN und.a ELSE und.b END AS u,
+               CASE WHEN (da.d < db.d) OR (da.d = db.d AND und.a < und.b)
+                    THEN und.b ELSE und.a END AS v
+        FROM und
+        JOIN degu da ON da.id = und.a
+        JOIN degu db ON db.id = und.b
+    ),
+    wedge AS (
+        SELECT e1.v AS x, e2.v AS y
+        FROM orient e1 JOIN orient e2
+          ON e1.u = e2.u AND e1.v < e2.v
+    ),
+    tri AS (
+        SELECT COUNT(*) AS t
+        FROM wedge w JOIN und
+          ON und.a = least(w.x, w.y) AND und.b = greatest(w.x, w.y)
+    ),
+    wtot AS (SELECT SUM(d * (d - 1) / 2) AS nw FROM degu)
+    SELECT CAST((SELECT COUNT(*) FROM degu) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM und) AS BIGINT) AS n_edges,
+           CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles,
+           round(3.0 * (SELECT t FROM tri) / (SELECT nw FROM wtot), 6)
+               AS clustering_coeff
+"""
+)
+
+
+@register("g_triangles", _TRI_SQL)
+def g_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient over the item
+    co-occurrence graph (the transitivity profile of the interaction
+    graph — the density diagnostic behind community structure and the
+    reference's long-tail plots, prac_1_plotting.py's analysis family).
+
+    Scale shape — degree-ordered orientation, the standard
+    O(m^{3/2})-work trick: each undirected edge is directed from its
+    lower-(degree, id) endpoint to the higher, so every wedge is
+    enumerated at its LOWEST-degree apex. A hub of degree 10⁶ generates
+    zero wedges as apex (all its edges point INTO it); without
+    orientation it would generate 10¹² wedge rows. The wedge build is
+    one self-equi-join on the apex id, closure is one equi-join back to
+    the unique-edge list on the (least, greatest) key, and everything
+    that shuffles is id pairs/triples — never payloads. All outputs are
+    exact integers except the rounded coefficient, so the oracle
+    matches bit-for-bit."""
+    cooc = _cooc_pairs(spark, sf_dir)
+    und = cooc.select(F.col("ia").alias("a"), F.col("ib").alias("b"))
+    degu = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    und = und.localCheckpoint()  # edge build reused 3× (orient, closure, count)
+    da = degu.withColumnRenamed("id", "a").withColumnRenamed("d", "da")
+    db = degu.withColumnRenamed("id", "b").withColumnRenamed("d", "db")
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    orient = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
+    e1 = orient.withColumnRenamed("v", "x")
+    e2 = orient.withColumnRenamed("v", "y")
+    wedge = e1.join(e2, "u").filter(F.col("x") < F.col("y")).select("x", "y")
+    closed = wedge.join(
+        und,
+        (F.col("a") == F.least("x", "y")) & (F.col("b") == F.greatest("x", "y")),
+    )
+    tri = closed.agg(F.count(F.lit(1)).alias("t"))
+    nw = degu.agg(F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("nw"))
+    counts = und.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    ).crossJoin(degu.agg(F.count(F.lit(1)).cast("long").alias("n_nodes")))
+    return (
+        counts.crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(nw))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("t").cast("long").alias("n_triangles"),
+            F.round(3.0 * F.col("t") / F.col("nw"), 6).alias("clustering_coeff"),
+        )
     )

@@ -30,6 +30,7 @@ from recommender_systems_spark.dedup.minhash import (
     sql_shingles,
     sql_tokens,
 )
+from recommender_systems_spark.functions.text import token_count
 from recommender_systems_spark.registry import _t, register
 
 # Split boundaries on the first two md5 hex chars (256 buckets):
@@ -137,5 +138,74 @@ def t_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.col("n_contaminated") / F.col("n_ngrams").cast("double"), 5
             ).alias("contamination"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-shard manifest (export planning for sharded training data)
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 16
+
+# Shard = value of the first md5 hex digit (16 shards). `instr` has
+# identical semantics in Spark and DuckDB, so the digit→int map is the
+# same expression string on both sides.
+_SHARD_SQL = (
+    "(instr('0123456789abcdef', "
+    "substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)"
+)
+
+_MANIFEST_SQL = f"""
+    SELECT CAST({_SHARD_SQL} AS INTEGER) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+                AS BIGINT) AS n_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS n_bytes,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM documents
+    GROUP BY 1
+"""
+
+
+@register("t_shard_manifest", _MANIFEST_SQL)
+def t_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard assignment + export manifest — the planning
+    artifact for writing a curated corpus out as N training shards
+    (shard sizes for the data loader, an id checksum for audit, token
+    counts for step-budget math). The companion of t_split_train_test:
+    same md5-projection idea, but keyed to a shard NUMBER that a writer
+    would feed straight to ``df.repartition(N, "shard")
+    .write.partitionBy("shard")``.
+
+    Scale shape: assignment is an in-scan projection (no shuffle,
+    stable under appends/repartitioning — a new ingest batch lands in
+    the same shards); the manifest itself is one 16-group hash
+    aggregate with map-side partials, so the only shuffled rows are
+    16 partial tuples per task. All outputs are exact integers —
+    bit-for-bit across engines. The shard-balance spread visible in
+    n_docs is the empirical answer to "is md5 uniform enough", the
+    same evidence a file-size-balanced exporter needs."""
+    docs = _t(spark, sf_dir, "documents")
+    shard = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+        )
+        - 1
+    ).cast("int")
+    return (
+        docs.select(
+            shard.alias("shard"),
+            F.col("doc_id"),
+            token_count(F.col("text")).alias("nt"),
+            F.length("text").alias("nb"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+            F.sum("nb").cast("long").alias("n_bytes"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
         )
     )

@@ -1539,3 +1539,56 @@ def _bind_qn_oracle() -> None:
 
 
 _bind_qn_oracle()
+
+
+# ---------------------------------------------------------------------------
+# One-pass Pearson correlation matrix (feature profiling)
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+_CORR_SQL = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{a}' AS col_x, '{b}' AS col_y,
+           round(corr({a}, {b}), 6) AS pearson_r
+    FROM lineitem"""
+    for i, a in enumerate(_CORR_COLS)
+    for b in _CORR_COLS[i + 1 :]
+)
+
+
+@register("a_corr_matrix", _CORR_SQL)
+def a_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation over the numeric fact columns —
+    the feature-redundancy profile (which measures are collinear) that
+    sits next to a_higher_moments and a_skew_profile in the profiling
+    family.
+
+    Scale shape: ALL C(4,2)=6 correlations come out of ONE scan and ONE
+    1-row hash aggregate — `corr` is algebraic (n, Σx, Σy, Σxy
+    partials), so Spark computes the six accumulators map-side in a
+    single whole-stage-codegen pass and reduces 1 row per task; the
+    unpivot to (col_x, col_y, r) rows is a driver-free stack over the
+    1-row frame. Contrast the naive 6-scans-of-the-fact-table shape the
+    oracle's UNION ALL spells out (fine for DuckDB at sf0.01; at 100 TB
+    the single-pass form reads the 4 columns once). Correlations are
+    scale-free, so the only cross-engine noise is accumulation order —
+    killed by round(…, 6)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    ]
+    agg = li.agg(
+        *[
+            F.round(F.corr(a, b), 6).alias(f"r_{a}_{b}")
+            for a, b in pairs
+        ]
+    )
+    stack_args = ", ".join(f"'{a}', '{b}', r_{a}_{b}" for a, b in pairs)
+    return agg.select(
+        F.expr(
+            f"stack({len(pairs)}, {stack_args}) AS (col_x, col_y, pearson_r)"
+        )
+    )

@@ -1280,3 +1280,106 @@ def t_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         avg_bits.alias("avg_bits"),
         F.round(F.pow(F.lit(2.0), avg_bits), 2).alias("ppl"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source vocabulary divergence (corpus drift / mixture diagnostics)
+# ---------------------------------------------------------------------------
+
+_KL_SCALE = 1_000_000
+
+_VOCAB_DIV_SQL = f"""
+    WITH tok AS (
+        SELECT source,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents
+    ),
+    sc AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+    cc AS (SELECT tok, sum(c) AS cc FROM sc GROUP BY 1),
+    st AS (SELECT source, sum(c) AS ns, count(*) AS n_terms FROM sc GROUP BY 1),
+    nn AS (SELECT sum(cc) AS n FROM cc),
+    contrib AS (
+        SELECT sc.source, sc.c,
+               CAST(round(log2((CAST(sc.c AS DOUBLE) * nn.n)
+                               / (CAST(st.ns AS DOUBLE) * cc.cc))
+                          * {_KL_SCALE}) AS BIGINT) AS bits_ppm
+        FROM sc
+        JOIN cc USING (tok)
+        JOIN st USING (source)
+        CROSS JOIN nn
+    )
+    SELECT contrib.source,
+           CAST(st.ns AS BIGINT) AS n_tok,
+           CAST(st.n_terms AS BIGINT) AS n_terms,
+           round(sum(contrib.c * contrib.bits_ppm) / st.ns
+                 / {_KL_SCALE}.0, 4) AS kl_bits
+    FROM contrib JOIN st ON st.source = contrib.source
+    GROUP BY contrib.source, st.ns, st.n_terms
+"""
+
+
+@register("t_vocab_divergence", _VOCAB_DIV_SQL)
+def t_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary KL divergence to the corpus-wide unigram
+    distribution — the dataset-mixture drift diagnostic (which sources
+    are lexically far from the blend, the signal behind up/down-
+    weighting decisions and the categorical sibling of a_psi_drift's
+    numeric PSI monitor).
+
+    KL(source‖corpus) = Σ_t p_t·log2(p_t/q_t) over the source's own
+    terms (q_t > 0 wherever p_t > 0 by construction, so no smoothing
+    is needed).
+
+    Scale shape: ONE raw-text scan; the (source, term) count table is
+    the only data-sized aggregate, and everything downstream is
+    vocab-sized — the corpus table derives from the per-source table
+    (map-side partials, no second scan), per-source totals are a
+    sources-sized broadcast, and N is a 1-row cross join. Cross-engine
+    determinism is t_surprisal's scheme: log2 is taken at the
+    vocab level on identical double quotients of exact integers,
+    rounded to integer millionths, then multiplied by exact counts and
+    summed — both engines sum the same integers."""
+    docs = _t(spark, sf_dir, "documents")
+    sc = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sc = sc.localCheckpoint()  # scanned 3× (corpus counts, totals, contribs)
+    cc = sc.groupBy("tok").agg(F.sum("c").alias("cc"))
+    st = sc.groupBy("source").agg(
+        F.sum("c").alias("ns"), F.count(F.lit(1)).alias("n_terms")
+    )
+    nn = cc.agg(F.sum("cc").alias("n"))
+    contrib = (
+        sc.join(F.broadcast(cc), "tok")
+        .join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "source",
+            "c",
+            "ns",
+            "n_terms",
+            F.round(
+                F.log2(
+                    (F.col("c").cast("double") * F.col("n"))
+                    / (F.col("ns").cast("double") * F.col("cc"))
+                )
+                * _KL_SCALE
+            )
+            .cast("long")
+            .alias("bits_ppm"),
+        )
+    )
+    return (
+        contrib.groupBy("source", "ns", "n_terms")
+        .agg(F.sum(F.col("c") * F.col("bits_ppm")).alias("sb"))
+        .select(
+            "source",
+            F.col("ns").cast("long").alias("n_tok"),
+            F.col("n_terms").cast("long").alias("n_terms"),
+            F.round(F.col("sb") / F.col("ns") / float(_KL_SCALE), 4).alias(
+                "kl_bits"
+            ),
+        )
+    )

@@ -1098,3 +1098,92 @@ def test_quantile_normalize_is_normalish(spark):
     assert abs(sd - 1.0) < 0.02
     pairs = sorted((r["value"], r["z_score"]) for r in rows)
     assert all(a[1] <= b[1] for a, b in zip(pairs, pairs[1:]))
+
+
+def test_triangles_invariants(spark):
+    """Triangle count is bounded by wedges/3; the coefficient lies in
+    [0,1]; a hand-built 4-cycle+chord graph gives exactly 2 triangles
+    via the same orientation rule."""
+    from recommender_systems_spark.queries.graph import g_triangles
+
+    row = g_triangles(spark, SF_MED).collect()[0]
+    assert row["n_triangles"] >= 0
+    assert 0.0 <= row["clustering_coeff"] <= 1.0
+    # K4 minus one edge: nodes 1-2-3-4, edges 12,23,34,41,13 → 2 triangles.
+    import duckdb
+
+    con = duckdb.connect()
+    tri = con.execute(
+        """
+        WITH und AS (SELECT * FROM (VALUES (1,2),(2,3),(3,4),(1,4),(1,3))
+                     AS t(a, b)),
+        degu AS (SELECT id, COUNT(*) AS d FROM (
+                     SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+                 GROUP BY 1),
+        orient AS (
+            SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND und.a < und.b)
+                        THEN und.a ELSE und.b END AS u,
+                   CASE WHEN (da.d < db.d) OR (da.d = db.d AND und.a < und.b)
+                        THEN und.b ELSE und.a END AS v
+            FROM und JOIN degu da ON da.id = und.a
+                     JOIN degu db ON db.id = und.b),
+        wedge AS (SELECT e1.v AS x, e2.v AS y FROM orient e1
+                  JOIN orient e2 ON e1.u = e2.u AND e1.v < e2.v)
+        SELECT COUNT(*) FROM wedge w JOIN und
+            ON und.a = least(w.x, w.y) AND und.b = greatest(w.x, w.y)
+        """
+    ).fetchone()[0]
+    assert tri == 2
+
+
+def test_vocab_divergence_nonnegative(spark):
+    """KL ≥ 0 up to quantization noise, and token totals tie out to the
+    corpus token count."""
+    from recommender_systems_spark.io import load_table
+    from recommender_systems_spark.functions.text import token_count
+    from recommender_systems_spark.queries.textops import t_vocab_divergence
+
+    rows = t_vocab_divergence(spark, SF_MED).collect()
+    assert all(r["kl_bits"] >= -1e-4 for r in rows)  # int-millionth rounding
+    total = (
+        load_table(spark, SF_MED, "documents")
+        .select(F.sum(token_count(F.col("text"))).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert sum(r["n_tok"] for r in rows) == total
+
+
+def test_shard_manifest_ties_out(spark):
+    """Shards partition the corpus exactly: doc/byte/id totals equal the
+    whole-table aggregates, and every shard id is in [0, 16)."""
+    from recommender_systems_spark.io import load_table
+    from recommender_systems_spark.queries.splits import t_shard_manifest
+
+    rows = t_shard_manifest(spark, SF_MED).collect()
+    docs = load_table(spark, SF_MED, "documents")
+    agg = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("text")).alias("nb"),
+        F.sum("doc_id").alias("ids"),
+    ).collect()[0]
+    assert sum(r["n_docs"] for r in rows) == agg["n"]
+    assert sum(r["n_bytes"] for r in rows) == agg["nb"]
+    assert sum(r["id_sum"] for r in rows) == agg["ids"]
+    assert all(0 <= r["shard"] < 16 for r in rows)
+
+
+def test_corr_matrix_bounds_and_diag(spark):
+    """All correlations in [-1, 1]; self-correlation (not emitted) is 1
+    by the same accumulator — checked via F.corr directly."""
+    from recommender_systems_spark.io import load_table
+    from recommender_systems_spark.queries.stats import a_corr_matrix
+
+    rows = a_corr_matrix(spark, SF_MED).collect()
+    assert len(rows) == 6
+    assert all(-1.0 <= r["pearson_r"] <= 1.0 for r in rows)
+    self_r = (
+        load_table(spark, SF_MED, "lineitem")
+        .agg(F.corr("l_quantity", "l_quantity").alias("r"))
+        .collect()[0]["r"]
+    )
+    assert abs(self_r - 1.0) < 1e-9

@@ -1,0 +1,251 @@
+"""Implicit-feedback ALS (Hu, Koren & Volinsky, "Collaborative
+Filtering for Implicit Feedback Datasets", ICDM 2008) — the canonical
+third trainer next to the reference's explicit bias-ALS
+(explicit_ratings/prac_1.py) and BPR (implicit_feedback/prac_2.py).
+The reference curates implicit feedback for BPR
+(implicit_feedback/functions.py:278-325); iALS is the
+confidence-weighted least-squares treatment of the SAME signal, and
+the engine exposes both so a reference user can switch objectives
+without leaving the API.
+
+Model: every (user, item) pair has preference p = 1[observed] and
+confidence c = 1 + α·r. Alternating ridge solves minimize
+
+    L = Σ_{ALL u,i} c_ui (p_ui − x_u·y_i)² + λ(‖X‖² + ‖Y‖²)
+
+The 100-TB trick is the paper's own: the normal matrix for user u is
+
+    YᵀY + Yᵀ(C_u − I)Y + λI
+
+where YᵀY is ONE k×k Gram shared by every user — computed once per
+half-sweep from dimension-sized partials — and the (C_u − I) correction
+touches only u's observed items. Per-user work is O(|Ω_u|·k² + k³),
+independent of the catalog size; the unobserved majority is never
+materialised.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from recommender_systems_spark.ml.als import SOLVE_BUCKETS, init_factors
+
+IALS_ALPHA = 1.0   # confidence slope: c = 1 + α r
+IALS_LMD = 0.1     # L2 regularisation
+IALS_RANK = 8
+
+
+def _gram(factors: DataFrame, k: int) -> np.ndarray:
+    """FᵀF as a k×k driver matrix from per-batch BLAS partials — each
+    Arrow batch ships exactly k² doubles regardless of row count (the
+    v_embedding_spectrum shape; the k×k rule allows the driver hop)."""
+
+    def partial(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["features"]]
+            )
+            g = x.T @ x
+            ii, jj = np.meshgrid(np.arange(k), np.arange(k), indexing="ij")
+            yield pd.DataFrame(
+                {"i": ii.ravel(), "j": jj.ravel(), "s": g.ravel()}
+            )
+
+    rows = (
+        factors.select("features")
+        .mapInPandas(partial, "i int, j int, s double")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+        .collect()
+    )
+    g = np.zeros((k, k))
+    for r in rows:
+        g[r["i"], r["j"]] = r["s"]
+    return g
+
+
+def _half_sweep(
+    ratings: DataFrame,
+    self_col: str,
+    other_col: str,
+    rating_col: str,
+    other_factors: DataFrame,
+    k: int,
+    alpha: float,
+    lmd: float,
+) -> DataFrame:
+    """Re-solve every `self_col` entity against frozen other-side
+    factors. One join (ratings ⋈ other factors), one bucketed
+    applyInPandas; the shared Gram rides the closure (k² doubles)."""
+    gram = _gram(other_factors, k)
+
+    data = ratings.select(
+        F.col(self_col).cast("long").alias("id"),
+        F.col(other_col).cast("long").alias("other_id"),
+        F.col(rating_col).cast("double").alias("r"),
+    ).join(
+        other_factors.select(
+            F.col("id").alias("other_id"), F.col("features").alias("of")
+        ),
+        "other_id",
+    )
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_ids, out_feat = [], []
+        y_all = np.stack(pdf["of"].to_numpy())
+        r_all = pdf["r"].to_numpy(dtype=np.float64)
+        lam_eye = lmd * np.eye(k)
+        for eid, idx in pdf.groupby("id", sort=False).indices.items():
+            y = y_all[idx]
+            cm1 = alpha * r_all[idx]  # c − 1, observed rows only
+            a_mat = gram + (y.T * cm1) @ y + lam_eye
+            rhs = y.T @ (1.0 + cm1)  # Yᵀ C p, p = 1 on observed
+            vec = np.linalg.solve(a_mat, rhs)
+            out_ids.append(int(eid))
+            out_feat.append(vec.tolist())
+        return pd.DataFrame({"id": out_ids, "features": out_feat})
+
+    return (
+        data.withColumn("__b", F.pmod(F.col("id"), F.lit(SOLVE_BUCKETS)))
+        .groupBy("__b")
+        .applyInPandas(solve, schema="id long, features array<double>")
+    )
+
+
+def ials_objective(
+    ratings: DataFrame,
+    user_col: str,
+    item_col: str,
+    rating_col: str,
+    user_factors: DataFrame,
+    item_factors: DataFrame,
+    k: int,
+    alpha: float = IALS_ALPHA,
+    lmd: float = IALS_LMD,
+) -> float:
+    """Exact confidence-weighted objective over ALL pairs via the Gram
+    identity: Σ_all (x·y)² = Σ_u x_uᵀ (YᵀY) x_u, so the unobserved
+    majority costs one k² quadratic form per user — O((M+N)k² + nnz·k)
+    total, never M×N."""
+    gram_y = _gram(item_factors, k)
+
+    def quad(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["features"]]
+            )
+            yield pd.DataFrame(
+                {
+                    "q": [float(np.einsum("ij,jk,ik->", x, gram_y, x))],
+                    "n2": [float(np.sum(x * x))],
+                }
+            )
+
+    qrow = (
+        user_factors.select("features")
+        .mapInPandas(quad, "q double, n2 double")
+        .agg(F.sum("q").alias("q"), F.sum("n2").alias("un"))
+        .collect()[0]
+    )
+    all_sq = qrow["q"]  # Σ_all (x·y)²  (c=1, p=0 background)
+    item_n2 = float(
+        item_factors.select(
+            F.aggregate(
+                F.transform("features", lambda v: v * v),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ).alias("s")
+        )
+        .agg(F.sum("s"))
+        .collect()[0][0]
+    )
+    # Observed correction: c(1 − x·y)² − (x·y)²
+    pred = (
+        ratings.select(
+            F.col(user_col).cast("long").alias("uid"),
+            F.col(item_col).cast("long").alias("iid"),
+            F.col(rating_col).cast("double").alias("r"),
+        )
+        .join(
+            user_factors.select(F.col("id").alias("uid"), F.col("features").alias("xu")),
+            "uid",
+        )
+        .join(
+            item_factors.select(F.col("id").alias("iid"), F.col("features").alias("yi")),
+            "iid",
+        )
+        .select(
+            F.col("r"),
+            F.aggregate(
+                F.zip_with("xu", "yi", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ).alias("s"),
+        )
+        .select(
+            (
+                (1.0 + F.lit(alpha) * F.col("r"))
+                * (1.0 - F.col("s")) * (1.0 - F.col("s"))
+                - F.col("s") * F.col("s")
+            ).alias("contrib")
+        )
+        .agg(F.sum("contrib"))
+        .collect()[0][0]
+    )
+    return float(all_sq + pred + lmd * (qrow["un"] + item_n2))
+
+
+def train_ials(
+    ratings: DataFrame,
+    user_col: str,
+    item_col: str,
+    rating_col: str,
+    rank: int = IALS_RANK,
+    max_iter: int = 2,
+    alpha: float = IALS_ALPHA,
+    lmd: float = IALS_LMD,
+    seed: int = 7,
+) -> tuple[DataFrame, DataFrame, list[float]]:
+    """Alternating confidence-weighted sweeps; returns (user factors,
+    item factors, per-iteration objective trajectory). Each full
+    iteration is two half-sweeps (users, then items) + one objective
+    pass; factor frames are localCheckpointed so lineage stays flat
+    across sweeps (the train_als_bias pattern)."""
+    users = ratings.select(
+        F.col(user_col).cast("long").alias("id")
+    ).distinct()
+    items = ratings.select(
+        F.col(item_col).cast("long").alias("id")
+    ).distinct()
+    uf = (
+        init_factors(users, "id", rank, seed, scale=0.1)
+        .drop("bias")
+        .localCheckpoint()
+    )
+    vf = (
+        init_factors(items, "id", rank, seed + 1, scale=0.1)
+        .drop("bias")
+        .localCheckpoint()
+    )
+    history: list[float] = []
+    for _ in range(max_iter):
+        uf = _half_sweep(
+            ratings, user_col, item_col, rating_col, vf, rank, alpha, lmd
+        ).localCheckpoint()
+        vf = _half_sweep(
+            ratings, item_col, user_col, rating_col, uf, rank, alpha, lmd
+        ).localCheckpoint()
+        history.append(
+            ials_objective(
+                ratings, user_col, item_col, rating_col, uf, vf, rank,
+                alpha, lmd,
+            )
+        )
+    return uf, vf, history

@@ -1037,3 +1037,23 @@ def m_ips_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("rew") * w_) / F.count(F.lit(1)), 4).alias("v_ips"),
         F.round(F.sum(F.col("rew") * w_) / F.sum(w_), 6).alias("v_snips"),
     )
+
+
+@register("m_ials_train")  # no oracle: confidence-weighted training loop
+def m_ials_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Implicit-feedback ALS (Hu-Koren 2008; ml/ials.py) — the
+    confidence-weighted companion to m_als_train (explicit) and
+    m_bpr_train (pairwise-ranking) on the same lineitem-as-implicit
+    signal: c = 1 + α·quantity, p = 1[observed]. 2 iterations, rank 8;
+    returns the per-iteration exact objective (computed over ALL
+    user×item pairs via the Gram identity — never materialising the
+    unobserved majority). Rows-only driver check (alternating Arrow
+    solves are not SQL-expressible); the golden test asserts the
+    objective decreases monotonically, which exact alternating
+    minimisation guarantees."""
+    from recommender_systems_spark.ml.ials import train_ials
+
+    r = _ratings(spark, sf_dir)
+    _, _, history = train_ials(r, "uid", "iid", "r", rank=8, max_iter=2)
+    rows = [(i + 1, round(v, 4)) for i, v in enumerate(history)]
+    return spark.createDataFrame(rows, "iter int, objective double")

@@ -1006,3 +1006,86 @@ def s_watermark_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("late_s", F.lit(0.99)), 2).alias("p99_late_s"),
         F.round(F.max("late_s"), 2).alias("max_late_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrency (interval sweep-line / occupancy curve)
+# ---------------------------------------------------------------------------
+
+OCCUPANCY_MIN = 15  # each event holds a slot for 15 minutes
+
+# Composite integer order key: µs×2, ends get +1 so starts at the same
+# instant land first (overlap-inclusive boundary semantics). Ties are
+# COLLAPSED by a per-key pre-aggregate, so the running sum is defined on
+# distinct keys only — deterministic in any engine and under any
+# partitioning.
+_OCC_SQL = f"""
+    WITH b AS (
+        SELECT epoch_us(ts) * 2 AS k, 1 AS delta FROM events
+        UNION ALL
+        SELECT (epoch_us(ts) + {OCCUPANCY_MIN} * 60000000) * 2 + 1 AS k,
+               -1 AS delta
+        FROM events
+    ),
+    g AS (SELECT k, sum(delta) AS d FROM b GROUP BY 1),
+    run AS (
+        SELECT k, sum(d) OVER (ORDER BY k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS occ
+        FROM g
+    ),
+    peak AS (SELECT max(occ) AS p FROM run)
+    SELECT CAST((SELECT count(*) FROM events) AS BIGINT) AS n_intervals,
+           CAST(peak.p AS BIGINT) AS peak_concurrency,
+           make_timestamp(CAST(min(run.k) // 2 AS BIGINT)) AS peak_ts
+    FROM run, peak
+    WHERE run.occ = peak.p
+    GROUP BY peak.p
+"""
+
+
+@register("s_peak_concurrency", _OCC_SQL)
+def s_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-concurrency sweep-line: treat every event as holding a slot
+    for {OCCUPANCY_MIN} minutes and find the maximum number of
+    simultaneously-open intervals and the first instant it is reached —
+    the capacity-planning / connection-pool-sizing query (and the
+    occupancy-curve shape behind concurrent-session analytics).
+
+    Algorithm: classic boundary sweep — +1 at each start, −1 at each
+    end, running sum over the global boundary order, max. Scale shape:
+    boundaries are generated in-scan (a 2-row explode per event carrying
+    only an int64 key and a ±1), per-key pre-aggregation collapses ties
+    map-side AND makes the sweep deterministic (the running sum is
+    defined on distinct keys, so no intra-key order dependence), and the
+    global cumulative sum is operators.relational.global_running_total —
+    two-phase range-partitioned, NO single-partition window. The peak
+    extraction is a 1-row aggregate joined back on the distinct-key
+    frame."""
+    from recommender_systems_spark.operators.relational import (
+        global_running_total,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    # batch parquet surfaces ts as TIMESTAMP_NTZ; unix_micros wants LTZ
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    starts = ev.select((us * 2).alias("k"), F.lit(1).alias("delta"))
+    ends = ev.select(
+        ((us + OCCUPANCY_MIN * 60_000_000) * 2 + 1).alias("k"),
+        F.lit(-1).alias("delta"),
+    )
+    g = starts.unionAll(ends).groupBy("k").agg(F.sum("delta").alias("d"))
+    run = global_running_total(g, "k", "d", out_col="occ")
+    peak = run.agg(F.max("occ").alias("p"))
+    n = ev.agg(F.count(F.lit(1)).cast("long").alias("n_intervals"))
+    return (
+        run.join(F.broadcast(peak), F.col("occ") == F.col("p"))
+        .agg(F.min("k").alias("mk"), F.first("p").alias("p"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "n_intervals",
+            F.col("p").cast("long").alias("peak_concurrency"),
+            F.timestamp_micros((F.col("mk") / 2).cast("long"))
+            .cast("timestamp_ntz")
+            .alias("peak_ts"),
+        )
+    )

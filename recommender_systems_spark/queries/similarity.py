@@ -1188,3 +1188,152 @@ def v_ood_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos_cent",
         (F.col("cos_cent") < F.col("thr")).cast("int").alias("is_outlier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding covariance spectrum (PCA energy via fixed power iteration)
+# ---------------------------------------------------------------------------
+
+_SPEC_DIM = 64        # embeddings table dimension
+_SPEC_ITERS = 3       # fixed power-iteration count (unrolls into the oracle)
+_SPEC_ROUND = 6       # covariance entries become shared literals at 6dp
+
+_SPEC_AUG = f"list_append(CAST(embedding AS DOUBLE[]), 1.0)"
+
+_SPEC_COV = f"""
+    aug AS (SELECT {_SPEC_AUG} AS a FROM embeddings),
+    idx AS (SELECT CAST(r.range AS INTEGER) + 1 AS p
+            FROM range({_SPEC_DIM + 1}) r),
+    gram AS (
+        SELECT ii.p AS i, jj.p AS j, sum(a[ii.p] * a[jj.p]) AS s
+        FROM aug CROSS JOIN idx ii CROSS JOIN idx jj
+        GROUP BY 1, 2
+    ),
+    nrow AS (SELECT s AS n FROM gram
+             WHERE i = {_SPEC_DIM + 1} AND j = {_SPEC_DIM + 1}),
+    cov AS (
+        SELECT g.i, g.j,
+               round(g.s / nrow.n
+                     - (mi.s / nrow.n) * (mj.s / nrow.n),
+                     {_SPEC_ROUND}) AS c
+        FROM gram g
+        JOIN gram mi ON mi.i = g.i AND mi.j = {_SPEC_DIM + 1}
+        JOIN gram mj ON mj.i = g.j AND mj.j = {_SPEC_DIM + 1}
+        CROSS JOIN nrow
+        WHERE g.i <= {_SPEC_DIM} AND g.j <= {_SPEC_DIM}
+    )
+"""
+
+
+def _spec_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+    w{cur} AS (SELECT cov.i, sum(cov.c * {prev}.val) AS wv
+               FROM cov JOIN {prev} ON {prev}.j = cov.j GROUP BY 1),
+    n{cur} AS (SELECT sqrt(sum(wv * wv)) AS nm FROM w{cur}),
+    {cur} AS (SELECT i AS j, wv / nm AS val FROM w{cur}, n{cur})"""
+
+
+_SPEC_SQL = (
+    "WITH "
+    + _SPEC_COV
+    + f""",
+    v0 AS (SELECT CAST(r.range AS INTEGER) + 1 AS j, 1.0 AS val
+           FROM range({_SPEC_DIM}) r),"""
+    + ",".join(
+        _spec_iter_sql(f"v{i}", f"v{i + 1}") for i in range(_SPEC_ITERS)
+    )
+    + f""",
+    ray AS (
+        SELECT sum(va.val * cov.c * vb.val) AS lam
+        FROM cov
+        JOIN v{_SPEC_ITERS} va ON va.j = cov.i
+        JOIN v{_SPEC_ITERS} vb ON vb.j = cov.j
+    ),
+    tr AS (SELECT sum(c) AS t FROM cov WHERE i = j)
+    SELECT CAST(nrow.n AS BIGINT) AS n_vectors,
+           CAST({_SPEC_DIM} AS INTEGER) AS dim,
+           round(tr.t, 4) AS total_var,
+           round(ray.lam, 4) AS top_eig,
+           round(ray.lam / tr.t, 4) AS top_share
+    FROM nrow, ray, tr
+"""
+)
+
+
+@register("v_embedding_spectrum", _SPEC_SQL)
+def v_embedding_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding covariance spectrum — total variance and the top
+    principal component's eigenvalue/energy share, the PCA-energy
+    diagnostic behind dimensionality decisions (how many IVF/OPQ
+    dimensions carry signal, is the embedding space collapsing —
+    anisotropy is the standard representation-quality smell).
+
+    Scale shape: the ONLY data-sized work is one Arrow-batched
+    mapInPandas pass computing per-batch partial Gram matrices of the
+    1-AUGMENTED vectors (X'ᵀX' in one BLAS call per batch carries the
+    Gram, the mean sums, AND the row count in its last row/column), so
+    each task ships exactly (D+1)² doubles regardless of row count —
+    the shuffle is #batches × 4 225 rows of (i, j, partial). The
+    covariance assembles from the merged Gram on the driver at D×D
+    size, is ROUNDED to {_SPEC_ROUND}dp so both engines iterate the
+    same literal matrix, and {_SPEC_ITERS} power iterations + the
+    Rayleigh quotient run on the 64×64 driver-side matrix (the k×k
+    rule: driver math only on dimension-sized objects). The oracle
+    unrolls the identical iteration (m_kmeans pattern)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    d1 = _SPEC_DIM + 1
+
+    def partial_gram(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            x = np.hstack([x, np.ones((len(x), 1))])
+            g = x.T @ x
+            ii, jj = np.meshgrid(np.arange(d1), np.arange(d1), indexing="ij")
+            yield pd.DataFrame(
+                {
+                    "i": (ii + 1).ravel().astype("int32"),
+                    "j": (jj + 1).ravel().astype("int32"),
+                    "s": g.ravel(),
+                }
+            )
+
+    gram_rows = (
+        emb.select("embedding")
+        .mapInPandas(partial_gram, "i int, j int, s double")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+        .collect()
+    )
+    g = np.zeros((d1, d1))
+    for r in gram_rows:
+        g[r["i"] - 1, r["j"] - 1] = r["s"]
+    n = g[-1, -1]
+    m = g[:-1, -1] / n
+    cov = np.round(g[:-1, :-1] / n - np.outer(m, m), _SPEC_ROUND)
+    v = np.ones(_SPEC_DIM)
+    for _ in range(_SPEC_ITERS):
+        w = cov @ v
+        v = w / np.sqrt(float(w @ w))
+    lam = float(v @ cov @ v)
+    tr = float(np.trace(cov))
+    out = [
+        (
+            int(n),
+            _SPEC_DIM,
+            round(tr, 4),
+            round(lam, 4),
+            round(lam / tr, 4),
+        )
+    ]
+    return spark.createDataFrame(
+        out,
+        "n_vectors long, dim int, total_var double, top_eig double, "
+        "top_share double",
+    )

@@ -1057,3 +1057,165 @@ def m_ials_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, _, history = train_ials(r, "uid", "iid", "r", rank=8, max_iter=2)
     rows = [(i + 1, round(v, 4)) for i, v in enumerate(history)]
     return spark.createDataFrame(rows, "iter int, objective double")
+
+
+# ---------------------------------------------------------------------------
+# Offline bandit replay evaluation (Li et al., WSDM 2011)
+# ---------------------------------------------------------------------------
+
+# Hash-uniform in [0,1) from the event id — the engine's standard
+# engine-portable randomness (w_hash_shuffle's scheme).
+_REPLAY_U = (
+    "(CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) / 4294967296.0)"
+)
+
+_REPLAY_SQL = f"""
+    WITH ev AS (
+        SELECT event_id, user_id, event_type AS arm, value,
+               epoch_us(ts) AS us
+        FROM events
+    ),
+    bounds AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+    train AS (SELECT ev.* FROM ev, bounds WHERE us < mid),
+    eval_ AS (SELECT ev.* FROM ev, bounds WHERE us >= mid),
+    astats AS (SELECT arm, round(avg(value), 6) AS m FROM train GROUP BY 1),
+    arms AS (SELECT arm, row_number() OVER (ORDER BY arm) - 1 AS idx
+             FROM astats),
+    na AS (SELECT count(*) AS n FROM arms),
+    gbest AS (SELECT arm FROM astats ORDER BY m DESC, arm LIMIT 1),
+    ubest AS (
+        SELECT user_id, arm FROM (
+            SELECT user_id, arm,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY round(avg(value), 6) DESC, arm)
+                       AS r
+            FROM train GROUP BY user_id, arm)
+        WHERE r = 1
+    ),
+    prop AS (
+        SELECT e.event_id, e.arm AS logged, e.value,
+               coalesce(u.arm, (SELECT arm FROM gbest)) AS greedy_arm,
+               r.arm AS random_arm
+        FROM eval_ e
+        LEFT JOIN ubest u ON u.user_id = e.user_id
+        JOIN na ON true
+        JOIN arms r
+          ON r.idx = CAST(floor({_REPLAY_U} * na.n) AS BIGINT)
+    )
+    SELECT 'greedy' AS policy,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(sum(CASE WHEN greedy_arm = logged THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_matched,
+           round(sum(CASE WHEN greedy_arm = logged THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS match_rate,
+           round(sum(CASE WHEN greedy_arm = logged THEN value ELSE 0 END)
+                 / greatest(sum(CASE WHEN greedy_arm = logged
+                                     THEN 1 ELSE 0 END), 1), 6) AS est_reward
+    FROM prop
+    UNION ALL
+    SELECT 'random',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN random_arm = logged THEN 1 ELSE 0 END)
+                AS BIGINT),
+           round(sum(CASE WHEN random_arm = logged THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6),
+           round(sum(CASE WHEN random_arm = logged THEN value ELSE 0 END)
+                 / greatest(sum(CASE WHEN random_arm = logged
+                                     THEN 1 ELSE 0 END), 1), 6)
+    FROM prop
+"""
+
+
+@register("e_bandit_replay", _REPLAY_SQL)
+def e_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline bandit-policy evaluation by REPLAY (Li et al., WSDM
+    2011): train a policy on the first half of the event log, then walk
+    the second half and count only the events where the policy's
+    proposed arm equals the logged arm — the unbiased estimator when
+    logging is uniform, and the third offline-eval method in the engine
+    next to m_ips_eval (propensity reweighting) and e_ab_report
+    (online split). Two policies replay in one pass: per-user greedy
+    (fallback: global best train arm) and hash-uniform random (the
+    control).
+
+    Scale shape: the time split is a 1-row bounds broadcast (no
+    pre-shuffle); arm statistics are |arms|-sized broadcasts; the
+    per-user favorite needs ONE user-keyed aggregate + window over the
+    train half and joins back user-keyed; the random proposal is an
+    in-scan md5 draw joined to the |arms|-row index table. Replay
+    matching itself is a projection — nothing data-sized shuffles
+    except the two keyed aggregates. Policy rankings order by ROUNDED
+    means with arm tie-breaks, and the uniform draw is engine-portable
+    md5, so both engines replay the identical action sequence."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("event_type").alias("arm"),
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    bounds = ev.agg(
+        ((F.min("us") + F.max("us")) / 2).cast("long").alias("mid")
+    )
+    ev_b = ev.crossJoin(F.broadcast(bounds))
+    train = ev_b.filter(F.col("us") < F.col("mid"))
+    ev_eval = ev_b.filter(F.col("us") >= F.col("mid"))
+    astats = train.groupBy("arm").agg(F.round(F.avg("value"), 6).alias("m"))
+    arms = astats.select(
+        "arm",
+        (F.row_number().over(Window.orderBy("arm")) - 1).alias("idx"),
+    )
+    na = arms.agg(F.count(F.lit(1)).alias("n"))
+    gbest = astats.orderBy(F.col("m").desc(), "arm").limit(1).select(
+        F.col("arm").alias("gb")
+    )
+    wu = Window.partitionBy("user_id").orderBy(F.col("um").desc(), "arm")
+    ubest = (
+        train.groupBy("user_id", "arm")
+        .agg(F.round(F.avg("value"), 6).alias("um"))
+        .withColumn("r", F.row_number().over(wu))
+        .filter(F.col("r") == 1)
+        .select("user_id", F.col("arm").alias("ub"))
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    prop = (
+        ev_eval.join(F.broadcast(ubest), "user_id", "left")
+        .crossJoin(F.broadcast(gbest))
+        .crossJoin(F.broadcast(na))
+        .withColumn("greedy_arm", F.coalesce("ub", "gb"))
+        .withColumn("ridx", F.floor(u * F.col("n")).cast("long"))
+        .join(
+            F.broadcast(arms.withColumnRenamed("arm", "random_arm")),
+            F.col("ridx") == F.col("idx"),
+        )
+        .select(
+            F.col("arm").alias("logged"), "value", "greedy_arm", "random_arm"
+        )
+        .localCheckpoint()  # scanned twice (one pass per policy row)
+    )
+
+    def policy_row(name: str, col: str) -> DataFrame:
+        hit = F.when(F.col(col) == F.col("logged"), 1).otherwise(0)
+        return prop.agg(
+            F.lit(name).alias("policy"),
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.sum(hit).cast("long").alias("n_matched"),
+            F.round(F.sum(hit) / F.count(F.lit(1)).cast("double"), 6).alias(
+                "match_rate"
+            ),
+            F.round(
+                F.sum(F.when(F.col(col) == F.col("logged"), F.col("value")).otherwise(0.0))
+                / F.greatest(F.sum(hit), F.lit(1)),
+                6,
+            ).alias("est_reward"),
+        )
+
+    return policy_row("greedy", "greedy_arm").unionAll(
+        policy_row("random", "random_arm")
+    )

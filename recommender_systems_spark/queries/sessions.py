@@ -1089,3 +1089,62 @@ def s_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("peak_ts"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-transition matrix (first-order Markov journey analytics)
+# ---------------------------------------------------------------------------
+
+_TRANS_SQL = """
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT prev_type AS src, event_type AS dst, count(*) AS n
+        FROM ordered WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT src, sum(n) AS t FROM pairs GROUP BY 1)
+    SELECT pairs.src, pairs.dst,
+           CAST(pairs.n AS BIGINT) AS n,
+           round(pairs.n / CAST(tot.t AS DOUBLE), 6) AS p
+    FROM pairs JOIN tot USING (src)
+"""
+
+
+@register("s_transition_matrix", _TRANS_SQL)
+def s_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — P(next event type | current), the user-journey /
+    sequence-mining profile (what follows a view, where do purchases
+    come from) and the input to journey-simulation and next-event
+    baselines.
+
+    Scale shape: ONE user-keyed exchange feeds the lag window (the
+    s_sessionize exchange — at 100 TB this is the same partitioning
+    every per-user operator reuses), then the pair counts collapse
+    map-side to ≤ |event_types|² rows before a tiny final agg; the
+    row-normalising totals join is over the same tiny frame. Exact
+    integer counts; the probability is a single rounded division."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = pairs.groupBy("src").agg(F.sum("n").alias("t"))
+    return pairs.join(F.broadcast(tot), "src").select(
+        "src",
+        "dst",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.col("t").cast("double"), 6).alias("p"),
+    )

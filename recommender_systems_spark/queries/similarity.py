@@ -1337,3 +1337,112 @@ def v_embedding_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vectors long, dim int, total_var double, top_eig double, "
         "top_share double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation recall (reduced-dimension retrieval eval)
+# ---------------------------------------------------------------------------
+
+TRUNC_DIM = 16
+
+_TRUNC_SQL = f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.qid, e.vec_id,
+               round(list_dot_product(e.v, q.qv)
+                     / (sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(q.qv, q.qv))), 5) AS full_sim,
+               round(list_dot_product(e.v[1:{TRUNC_DIM}], q.qv[1:{TRUNC_DIM}])
+                     / (sqrt(list_dot_product(e.v[1:{TRUNC_DIM}],
+                                              e.v[1:{TRUNC_DIM}]))
+                        * sqrt(list_dot_product(q.qv[1:{TRUNC_DIM}],
+                                                q.qv[1:{TRUNC_DIM}]))), 5)
+                   AS trunc_sim
+        FROM q JOIN e ON e.vec_id <> q.qid
+    ),
+    fullk AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY full_sim DESC, vec_id) AS r
+            FROM scored) WHERE r <= {TOP_K}
+    ),
+    trunck AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY trunc_sim DESC, vec_id) AS r
+            FROM scored) WHERE r <= {TOP_K}
+    )
+    SELECT f.qid,
+           CAST(count(t.vec_id) AS BIGINT) AS trunc_hits,
+           count(t.vec_id) / {TOP_K}.0 AS recall_at_{TOP_K}
+    FROM fullk f LEFT JOIN trunck t
+      ON t.qid = f.qid AND t.vec_id = f.vec_id
+    GROUP BY f.qid
+"""
+
+
+@register("v_truncation_recall", _TRUNC_SQL)
+def v_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation eval: retrieval recall@{TOP_K} when
+    ranking with only the first {TRUNC_DIM} of 64 dimensions versus the
+    full vector — the measurement behind shipping truncated (MRL)
+    embeddings: how much ranking quality does a 4× cheaper index give
+    up. The prefix-slice is free column math, so BOTH rankings come out
+    of ONE scored frame (one scan, one candidate join — the full-dim
+    score and the truncated score ride the same row), then two
+    per-query top-k windows and an overlap join on (qid, vec_id) pairs.
+    Same determinism discipline as sim_ann_recall: ranks order by the
+    ROUNDED similarity with vec_id tie-break.
+
+    At scale the truncated ranking is the shortlist generator (scan the
+    16-dim prefix index, rerank survivors with the full vector —
+    v_random_projection's two-stage shape with a learned-prefix twist);
+    here both sides rank everything so recall is exact."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    cand = q.join(emb, F.col("vec_id") != F.col("qid"))
+    tv = F.slice(F.col("v"), 1, TRUNC_DIM)
+    tq = F.slice(F.col("qv"), 1, TRUNC_DIM)
+    scored = cand.select(
+        "qid",
+        "vec_id",
+        F.round(cosine_similarity("v", "qv"), 5).alias("full_sim"),
+        F.round(cosine_similarity(tv, tq), 5).alias("trunc_sim"),
+    )
+    wf = Window.partitionBy("qid").orderBy(
+        F.col("full_sim").desc(), F.col("vec_id")
+    )
+    wt = Window.partitionBy("qid").orderBy(
+        F.col("trunc_sim").desc(), F.col("vec_id")
+    )
+    fullk = (
+        scored.withColumn("r", F.row_number().over(wf))
+        .filter(F.col("r") <= TOP_K)
+        .select("qid", "vec_id")
+    )
+    trunck = (
+        scored.withColumn("r", F.row_number().over(wt))
+        .filter(F.col("r") <= TOP_K)
+        .select("qid", F.col("vec_id").alias("tvid"))
+    )
+    return (
+        fullk.join(
+            trunck,
+            (fullk["qid"] == trunck["qid"]) & (F.col("vec_id") == F.col("tvid")),
+            "left",
+        )
+        .groupBy(fullk["qid"].alias("qid"))
+        .agg(
+            F.count("tvid").cast("long").alias("trunc_hits"),
+            (F.count("tvid") / float(TOP_K)).alias(f"recall_at_{TOP_K}"),
+        )
+    )

@@ -1383,3 +1383,107 @@ def t_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality classifier inference (linear scorer in-plan)
+# ---------------------------------------------------------------------------
+
+# Fixed published-style weights (a fastText/logreg quality gate's
+# inference half; training such a scorer is standard MLlib). Shared
+# literals on both engine sides.
+_QC_W0 = -2.0       # intercept
+_QC_W_LEN = 0.5     # tokens / 100
+_QC_W_DIV = 2.0     # lexical diversity (distinct/total)
+_QC_W_MTL = 0.3     # mean token length
+_QC_W_STOP = 4.0    # en-stopword ratio
+_QC_THRESHOLD = 0.5
+
+_QC_SQL = f"""
+    WITH t AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id,
+               len(toks) AS n_tok,
+               len(list_distinct(toks)) AS n_distinct,
+               list_sum(list_transform(toks, tk -> length(tk))) AS n_chars,
+               {_hits_sql("en")} AS n_stop
+        FROM t
+    ),
+    z AS (
+        SELECT doc_id,
+               {_QC_W0}
+               + {_QC_W_LEN} * (n_tok / 100.0)
+               + {_QC_W_DIV} * (n_distinct / CAST(greatest(n_tok, 1) AS DOUBLE))
+               + {_QC_W_MTL} * (n_chars / CAST(greatest(n_tok, 1) AS DOUBLE))
+               + {_QC_W_STOP} * (n_stop / CAST(greatest(n_tok, 1) AS DOUBLE))
+                   AS logit
+        FROM f
+    )
+    SELECT doc_id,
+           round(logit, 6) AS logit,
+           round(1.0 / (1.0 + exp(-logit)), 6) AS prob,
+           CAST(round(1.0 / (1.0 + exp(-logit)), 6) >= {_QC_THRESHOLD}
+                AS BOOLEAN) AS keep
+    FROM z
+"""
+
+
+@register("t_quality_classifier", _QC_SQL)
+def t_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate: logistic-scorer INFERENCE in-plan —
+    the shape of a fastText/logreg quality classifier applied at
+    curation time (CCNet / LLaMA-style "model-based filtering"), with
+    fixed literal weights over exact-rational surface features
+    (tokens/100, lexical diversity, mean token length, stopword
+    ratio). Complements t_quality_score (hand rules) and
+    t_repetition_filter (fragment repetition): together they are the
+    full heuristic→model filter ladder.
+
+    Scale shape: single traversal — tokenise once, every feature folds
+    over the same array in one codegen'd projection; NO shuffle at all
+    (the classifier is embarrassingly parallel, the ideal 100-TB
+    operator). A trained-weights swap is a literal change; a
+    vocabulary-hashing upgrade is t_feature_hashing's plumbing. The
+    keep verdict derives from the ROUNDED probability so cross-engine
+    exp() ulp drift cannot flip it."""
+    from recommender_systems_spark.functions.text import (
+        STOPWORDS,
+        _stopword_hits,
+        tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)),
+            F.lit(0),
+            lambda a, b: a + b,
+        ).alias("n_chars"),
+        _stopword_hits(toks, STOPWORDS["en"]).alias("n_stop"),
+    )
+    nt = F.greatest(F.col("n_tok"), F.lit(1)).cast("double")
+    logit = (
+        F.lit(_QC_W0)
+        + F.lit(_QC_W_LEN) * (F.col("n_tok") / 100.0)
+        + F.lit(_QC_W_DIV) * (F.col("n_distinct") / nt)
+        + F.lit(_QC_W_MTL) * (F.col("n_chars") / nt)
+        + F.lit(_QC_W_STOP) * (F.col("n_stop") / nt)
+    )
+    prob = F.round(1.0 / (1.0 + F.exp(-F.col("logit"))), 6)
+    return (
+        d.withColumn("logit", logit)
+        .select(
+            "doc_id",
+            F.round("logit", 6).alias("logit"),
+            prob.alias("prob"),
+            (prob >= _QC_THRESHOLD).alias("keep"),
+        )
+    )

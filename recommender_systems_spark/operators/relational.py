@@ -205,31 +205,57 @@ def global_running_total(
     partition in parallel, then add per-partition exclusive offsets from
     a #partitions-row driver scan. The inclusive running total is exact
     and identical to ``SUM(value) OVER (ORDER BY order_by)``."""
+    return global_running_totals(
+        df, order_by, [(value, out_col)], num_partitions=num_partitions
+    )
+
+
+def global_running_totals(
+    df: DataFrame,
+    order_by: str,
+    value_out: list[tuple[str, str]],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Multi-column variant of :func:`global_running_total`: inclusive
+    running totals for SEVERAL integer value columns over one shared
+    global ordering, in a single range-repartition + one per-partition
+    window pass (the KS statistic needs two group ECDFs cumulated over
+    the same pooled value order — doing them in one pass halves the
+    shuffles and guarantees both see identical partition boundaries)."""
     n = num_partitions or max(df.sparkSession.sparkContext.defaultParallelism, 2)
     parts = (
         df.repartitionByRange(n, F.col(order_by))
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint()  # pin partition boundaries across the two jobs
     )
-    sizes = sorted(
-        (r["__pid"], r["t"])
-        for r in parts.groupBy("__pid").agg(F.sum(value).alias("t")).collect()
+    sums = {
+        r["__pid"]: r
+        for r in parts.groupBy("__pid")
+        .agg(*(F.sum(v).alias(f"__t_{i}") for i, (v, _) in enumerate(value_out)))
+        .collect()
+    }
+    acc = [0] * len(value_out)
+    offsets = []
+    for pid in sorted(sums):
+        offsets.append((pid, *acc))
+        for i in range(len(value_out)):
+            acc[i] += int(sums[pid][f"__t_{i}"] or 0)
+    schema = "__pid int, " + ", ".join(
+        f"__off_{i} long" for i in range(len(value_out))
     )
-    offsets, acc = [], 0
-    for pid, total in sizes:
-        offsets.append((pid, int(acc)))
-        acc += int(total or 0)
-    offset_df = F.broadcast(
-        df.sparkSession.createDataFrame(offsets, "__pid int, __offset long")
-    )
+    offset_df = F.broadcast(df.sparkSession.createDataFrame(offsets, schema))
     w = (
         Window.partitionBy("__pid")
         .orderBy(order_by)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        parts.withColumn("__cum", F.sum(value).over(w))
-        .join(offset_df, "__pid")
-        .withColumn(out_col, F.col("__offset") + F.col("__cum"))
-        .drop("__pid", "__cum", "__offset")
-    )
+    out = parts
+    for i, (v, _) in enumerate(value_out):
+        out = out.withColumn(f"__cum_{i}", F.sum(v).over(w))
+    out = out.join(offset_df, "__pid")
+    for i, (_, oc) in enumerate(value_out):
+        out = out.withColumn(oc, F.col(f"__off_{i}") + F.col(f"__cum_{i}"))
+    drop = ["__pid"] + [f"__cum_{i}" for i in range(len(value_out))] + [
+        f"__off_{i}" for i in range(len(value_out))
+    ]
+    return out.drop(*drop)

@@ -264,3 +264,87 @@ def g_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(3.0 * F.col("t") / F.col("nw"), 6).alias("clustering_coeff"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation community detection
+# ---------------------------------------------------------------------------
+
+LP_ITERS = 2
+
+
+def _lp_iter(prev: str, cur: str) -> str:
+    return f"""
+    {cur}_c AS (
+        SELECT e.dst AS id, l.label, COUNT(*) AS n
+        FROM edges e JOIN {prev} l ON l.id = e.src
+        GROUP BY e.dst, l.label
+    ),
+    {cur} AS (
+        SELECT id, label FROM (
+            SELECT id, label,
+                   row_number() OVER (PARTITION BY id
+                                      ORDER BY n DESC, label ASC) AS rn
+            FROM {cur}_c)
+        WHERE rn = 1
+    )"""
+
+
+_LPA_SQL = (
+    "WITH "
+    + _EDGES_SQL
+    + ", l0 AS (SELECT id, id AS label FROM nodes),"
+    + ",".join(_lp_iter(f"l{i}", f"l{i + 1}") for i in range(LP_ITERS))
+    + f"""
+    SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members
+    FROM l{LP_ITERS}
+    GROUP BY label
+"""
+)
+
+
+@register("g_label_propagation", _LPA_SQL)
+def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation community detection ({LP_ITERS}
+    fixed iterations) over the item co-occurrence graph: every node
+    starts as its own community, then repeatedly adopts the most
+    frequent label among its neighbours with a TOTAL tie-break
+    (count desc, then smallest label) — so the fixed-iteration loop is
+    deterministic in any engine and unrolls into the DuckDB oracle
+    (the g_pagerank pattern). Complements dedup_clusters (connected
+    components = the degenerate "any path" community notion) with the
+    density-sensitive one. Emits community sizes.
+
+    Scale shape per iteration: ONE equi-join of the (id, label) state
+    onto edge sources + ONE (dst, label) count aggregate (map-side
+    combined) + a per-node top-1 window whose input is the aggregate
+    (≤ #distinct neighbour labels per node, never raw edges). State
+    and shuffles carry id pairs only; the edge frame is checkpointed
+    once and reused every iteration."""
+    from pyspark.sql import Window
+
+    cooc = _cooc_pairs(spark, sf_dir)
+    edges = (
+        cooc.select(F.col("ia").alias("src"), F.col("ib").alias("dst"))
+        .unionAll(cooc.select(F.col("ib").alias("src"), F.col("ia").alias("dst")))
+        .localCheckpoint()  # reused every iteration
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("n").desc(), F.col("label").asc())
+    for _ in range(LP_ITERS):
+        counts = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"), "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", "label")
+            .localCheckpoint()  # flat lineage per round
+        )
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )

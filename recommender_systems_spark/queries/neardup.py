@@ -42,7 +42,7 @@ _BANDS_SQL = " UNION ALL ".join(
     for b in range(LSH_BANDS)
 )
 
-_NGRAM_SQL = f"""
+_FUNNEL_SQL = f"""
     WITH sh AS (
         SELECT doc_id, {sql_shingles(sql_tokens('text'))} AS shingles,
                list_distinct({sql_char_ngrams('text', NGRAM_N)}) AS grams
@@ -57,6 +57,10 @@ _NGRAM_SQL = f"""
         JOIN bands b ON a.band = b.band AND a.key = b.key
                     AND a.doc_id < b.doc_id
     )
+"""
+
+_NGRAM_SQL = f"""
+    {_FUNNEL_SQL}
     SELECT p.doc_a, p.doc_b,
            round(CAST(len(list_distinct(list_intersect(ga.grams, gb.grams)))
                       AS DOUBLE)
@@ -69,14 +73,11 @@ _NGRAM_SQL = f"""
 """
 
 
-@register("dedup_ngram_jaccard", _NGRAM_SQL)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup flavour: exact char-5-gram Jaccard, verified on
-    MinHash-LSH candidates only — the standard two-stage funnel
-    (sketch candidates → exact measure). Character grams catch
-    near-dups that word shingles miss (whitespace/punctuation edits);
-    the candidate set is the band equi-join, so the exact O(|gramsets|)
-    comparison runs on ~25 pairs, not 125k."""
+def _lsh_candidate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared two-stage funnel front end: MinHash-LSH candidate pairs
+    (band equi-join, doc_a < doc_b) joined back to both docs' distinct
+    char-n-gram sets — the input to any exact set measure (Jaccard,
+    containment)."""
     docs = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
@@ -110,13 +111,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    ver = pairs.join(
+    return pairs.join(
         sh.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga")),
         "doc_a",
     ).join(
         sh.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb")),
         "doc_b",
     )
+
+
+@register("dedup_ngram_jaccard", _NGRAM_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup flavour: exact char-5-gram Jaccard, verified on
+    MinHash-LSH candidates only — the standard two-stage funnel
+    (sketch candidates → exact measure). Character grams catch
+    near-dups that word shingles miss (whitespace/punctuation edits);
+    the candidate set is the band equi-join, so the exact O(|gramsets|)
+    comparison runs on ~25 pairs, not 125k."""
+    ver = _lsh_candidate_grams(spark, sf_dir)
     inter = F.size(F.array_intersect("ga", "gb")).cast("double")
     return ver.select(
         "doc_a",
@@ -124,6 +136,55 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             inter / (F.size("ga") + F.size("gb") - inter), 5
         ).alias("ngram_jaccard"),
+    )
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+_CONTAIN_SQL = f"""
+    {_FUNNEL_SQL}
+    SELECT p.doc_a, p.doc_b,
+           round(CAST(len(list_distinct(list_intersect(ga.grams, gb.grams)))
+                      AS DOUBLE) / greatest(len(ga.grams), 1), 5)
+               AS containment_ab,
+           round(CAST(len(list_distinct(list_intersect(ga.grams, gb.grams)))
+                      AS DOUBLE) / greatest(len(gb.grams), 1), 5)
+               AS containment_ba,
+           (greatest(
+               CAST(len(list_distinct(list_intersect(ga.grams, gb.grams)))
+                    AS DOUBLE) / greatest(len(ga.grams), 1),
+               CAST(len(list_distinct(list_intersect(ga.grams, gb.grams)))
+                    AS DOUBLE) / greatest(len(gb.grams), 1))
+            >= {CONTAINMENT_THRESHOLD}) AS is_subdup
+    FROM pairs p
+    JOIN sig ga ON ga.doc_id = p.doc_a
+    JOIN sig gb ON gb.doc_id = p.doc_b
+"""
+
+
+@register("dedup_containment", _CONTAIN_SQL)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup flavour: DIRECTED n-gram containment C(A→B) =
+    |A∩B| / |A| on the same LSH candidate pairs as
+    dedup_ngram_jaccard. Containment catches sub-document duplication
+    (a short doc embedded verbatim in a long one) that symmetric
+    Jaccard dilutes below threshold — the Broder distinction the
+    curation literature leans on for boilerplate/quote removal.
+
+    Scale shape: identical to the Jaccard funnel (shared
+    `_lsh_candidate_grams`) — candidates from the band equi-join, the
+    exact set measure only on candidates; both directions come from
+    ONE intersection per pair."""
+    ver = _lsh_candidate_grams(spark, sf_dir)
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    c_ab = inter / F.greatest(F.size("ga"), F.lit(1))
+    c_ba = inter / F.greatest(F.size("gb"), F.lit(1))
+    return ver.select(
+        "doc_a",
+        "doc_b",
+        F.round(c_ab, 5).alias("containment_ab"),
+        F.round(c_ba, 5).alias("containment_ba"),
+        (F.greatest(c_ab, c_ba) >= CONTAINMENT_THRESHOLD).alias("is_subdup"),
     )
 
 

@@ -1446,3 +1446,112 @@ def v_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("tvid") / float(TOP_K)).alias(f"recall_at_{TOP_K}"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) codes + reconstruction error
+# ---------------------------------------------------------------------------
+
+PQ_M = 4          # subspaces
+PQ_SUB = 16       # dims per subspace (PQ_M * PQ_SUB == embedding dim 64)
+PQ_K = 8          # codewords per subspace
+
+_PQ_DIST = " + ".join(
+    f"pow(v[sub.s * {PQ_SUB} + {i}] - cw[sub.s * {PQ_SUB} + {i}], 2)"
+    for i in range(1, PQ_SUB + 1)
+)
+
+_PQ_SQL = f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    codebook AS (
+        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                  vec_id) AS cid,
+               v AS cw
+        FROM e
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {PQ_K}
+    ),
+    sub AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS s),
+    dists AS (
+        SELECT e.vec_id, sub.s, codebook.cid,
+               round({_PQ_DIST}, 6) AS dist
+        FROM e CROSS JOIN sub CROSS JOIN codebook
+    ),
+    best AS (
+        SELECT vec_id, s, cid, dist FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                         ORDER BY dist ASC, cid ASC) AS rn
+            FROM dists)
+        WHERE rn = 1
+    )
+    SELECT vec_id,
+           string_agg(CAST(cid AS VARCHAR), ',' ORDER BY s) AS pq_code,
+           round(sum(dist), 6) AS recon_err
+    FROM best
+    GROUP BY vec_id
+"""
+
+
+@register("v_pq_codes", _PQ_SQL)
+def v_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al. 2011): split each embedding
+    into {PQ_M} subspaces of {PQ_SUB} dims, assign each subvector to
+    its nearest of {PQ_K} codewords, emit the per-vector code (engine-
+    portable comma string, house array rule) and the reconstruction
+    error. The codebook is a hash-deterministic sample (md5-ordered
+    first {PQ_K} vectors — both engines derive it independently;
+    production would k-means each subspace, m_kmeans shows that path).
+    PQ is the memory move behind IVF-PQ ANN serving: 64 float dims
+    (256 B) compress to {PQ_M} byte codes.
+
+    Scale shape: the codebook is dimension-sized (k rows) → broadcast;
+    candidates = vectors × k codewords × m subspaces via a broadcast
+    nested loop, then one (vec, subspace)-keyed argmin window and one
+    vec-keyed rollup — the only shuffle partitions by vec_id. Distances
+    are rounded to 6dp BEFORE the argmin on both sides, so boundary
+    ties break identically (dist, then cid)."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    wcb = Window.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+    codebook = (
+        e.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(PQ_K)
+        .withColumn("cid", F.row_number().over(wcb))
+        .select("cid", F.col("v").alias("cw"))
+    )
+    sub = spark.range(PQ_M).select(F.col("id").cast("int").alias("s"))
+    sq_dist = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("v"), F.col("s") * PQ_SUB + 1, PQ_SUB),
+            F.slice(F.col("cw"), F.col("s") * PQ_SUB + 1, PQ_SUB),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    dists = (
+        e.crossJoin(F.broadcast(sub))
+        .crossJoin(F.broadcast(codebook))
+        .select("vec_id", "s", "cid", F.round(sq_dist, 6).alias("dist"))
+    )
+    wbest = Window.partitionBy("vec_id", "s").orderBy(
+        F.col("dist").asc(), F.col("cid").asc()
+    )
+    best = (
+        dists.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "cid", "dist")
+    )
+    return best.groupBy("vec_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "cid"))),
+                lambda p: p["cid"].cast("string"),
+            ),
+            ",",
+        ).alias("pq_code"),
+        F.round(F.sum("dist"), 6).alias("recon_err"),
+    )

@@ -69,6 +69,7 @@ from recommender_systems_spark.queries import sessions as _sessions  # noqa: E40
 from recommender_systems_spark.queries import sketch as _sketch  # noqa: E402,F401
 from recommender_systems_spark.queries import splits as _splits  # noqa: E402,F401
 from recommender_systems_spark.queries import graph as _graph  # noqa: E402,F401
+from recommender_systems_spark.queries import analytics as _analytics  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Gate ordering.  The driver's correctness harness checks the FIRST 50

@@ -1243,3 +1243,191 @@ def test_bandit_replay_sanity(spark):
     assert rows["greedy"]["n_eval"] == rows["random"]["n_eval"] > 0
     assert 0.0 <= rows["random"]["match_rate"] <= 1.0
     assert 0.0 <= rows["greedy"]["match_rate"] <= 1.0
+
+
+def test_global_running_totals_two_columns(spark):
+    """Multi-column two-phase cumsum: each output column equals its own
+    single-column run over the same ordering (distinct order keys make
+    per-row totals well-defined)."""
+    from recommender_systems_spark.operators.relational import (
+        global_running_total,
+        global_running_totals,
+    )
+
+    rows = [(i, i % 5, (i * 7) % 11) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, a long, b long")
+    got = {
+        r["k"]: (r["ca"], r["cb"])
+        for r in global_running_totals(
+            df, "k", [("a", "ca"), ("b", "cb")]
+        ).collect()
+    }
+    for col, idx in (("a", 0), ("b", 1)):
+        want = {
+            r["k"]: r["rt"]
+            for r in global_running_total(df, "k", col, out_col="rt").collect()
+        }
+        assert {k: v[idx] for k, v in got.items()} == want
+
+
+def test_ks_and_chi2_bounds(spark):
+    """KS D ∈ [0,1] with both arm sizes positive; chi2 ≥ 0 with the
+    correct contingency dof for 2 arms × 5 event types."""
+    from recommender_systems_spark.queries.analytics import e_chi2_test, e_ks_test
+
+    ks = e_ks_test(spark, SF_MED).collect()
+    assert len(ks) == 1
+    assert 0.0 <= ks[0]["ks_d"] <= 1.0
+    assert ks[0]["na"] > 0 and ks[0]["nb"] > 0
+
+    chi = e_chi2_test(spark, SF_MED).collect()
+    assert len(chi) == 1
+    assert chi[0]["chi2"] >= 0.0
+    assert chi[0]["dof"] == (2 - 1) * (5 - 1)
+    assert chi[0]["n"] == ks[0]["na"] + ks[0]["nb"]
+
+
+def test_confusion_matrix_cells_partition_corpus(spark):
+    """The four confusion cells partition the document corpus, and the
+    reported precision/recall re-derive from the cells."""
+    from recommender_systems_spark.queries.analytics import e_confusion_matrix
+    from recommender_systems_spark.registry import _t
+
+    r = e_confusion_matrix(spark, SF_MED).collect()[0]
+    n_docs = _t(spark, SF_MED, "documents").count()
+    assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == n_docs
+    assert abs(r["precision_en"] - round(r["tp"] / (r["tp"] + r["fp"]), 6)) < 1e-12
+    assert abs(r["recall_en"] - round(r["tp"] / (r["tp"] + r["fn"]), 6)) < 1e-12
+
+
+def test_grouping_sets_marginals_consistent(spark):
+    """Each marginal sums to the same grand total, and the set labels
+    partition the output."""
+    from recommender_systems_spark.queries.analytics import a_grouping_sets
+
+    rows = a_grouping_sets(spark, SF_MED).collect()
+    by_set: dict[str, list] = {}
+    for r in rows:
+        by_set.setdefault(r["set_name"], []).append(r)
+    assert set(by_set) == {"by_type", "by_day", "all"}
+    assert len(by_set["all"]) == 1
+    total = by_set["all"][0]["n"]
+    assert sum(r["n"] for r in by_set["by_type"]) == total
+    assert sum(r["n"] for r in by_set["by_day"]) == total
+
+
+def test_mode_is_deterministic_majority(spark):
+    """The reported mode count is the max per-user count, and repeated
+    runs agree (total tie-break)."""
+    from recommender_systems_spark.queries.analytics import a_mode
+    from recommender_systems_spark.registry import _t
+
+    got = {r["user_id"]: (r["mode_event_type"], r["n"]) for r in
+           a_mode(spark, SF_MED).collect()}
+    ev = _t(spark, SF_MED, "events").filter(F.col("user_id") < 100)
+    maxn = {
+        r["user_id"]: r["m"]
+        for r in ev.groupBy("user_id", "event_type")
+        .count()
+        .groupBy("user_id")
+        .agg(F.max("count").alias("m"))
+        .collect()
+    }
+    assert {u: n for u, (_, n) in got.items()} == maxn
+    again = {r["user_id"]: (r["mode_event_type"], r["n"]) for r in
+             a_mode(spark, SF_MED).collect()}
+    assert got == again
+
+
+def test_label_propagation_partitions_nodes(spark):
+    """Community sizes sum to the node count of the co-occurrence
+    graph, and at least one community merged (total communities <
+    nodes — LPA with 2 rounds on a connected-ish graph must merge
+    neighbours)."""
+    from recommender_systems_spark.queries.graph import (
+        _cooc_pairs,
+        g_label_propagation,
+    )
+
+    rows = g_label_propagation(spark, SF_MED).collect()
+    cooc = _cooc_pairs(spark, SF_MED)
+    n_nodes = (
+        cooc.select(F.col("ia").alias("id"))
+        .unionAll(cooc.select(F.col("ib").alias("id")))
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_members"] for r in rows) == n_nodes
+    assert len(rows) < n_nodes
+
+
+def test_qte_deciles_shape(spark):
+    """Ten deciles, arm sizes per decile sum to the arm totals, and
+    each decile's qte re-derives from its reported means."""
+    from recommender_systems_spark.queries.analytics import e_ks_test, e_qte_deciles
+
+    rows = sorted(e_qte_deciles(spark, SF_MED).collect(), key=lambda r: r["decile"])
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    ks = e_ks_test(spark, SF_MED).collect()[0]
+    assert sum(r["na"] for r in rows) == ks["na"]
+    assert sum(r["nb"] for r in rows) == ks["nb"]
+    for r in rows:
+        # qte rounds the UNROUNDED mean difference; recomputing from the
+        # rounded means can differ by up to one ulp of the 6dp grid.
+        assert abs(r["qte"] - round(r["mean_a"] - r["mean_b"], 6)) <= 2e-6
+
+
+def test_pq_codes_contract(spark):
+    """Every vector gets an m-part code with codeword ids in range and
+    a non-negative reconstruction error; codebook members reconstruct
+    themselves exactly (err == 0)."""
+    from recommender_systems_spark.queries.similarity import (
+        PQ_K,
+        PQ_M,
+        v_pq_codes,
+    )
+
+    rows = v_pq_codes(spark, SF_MED).collect()
+    assert len(rows) == 500
+    zero_err = 0
+    for r in rows:
+        parts = r["pq_code"].split(",")
+        assert len(parts) == PQ_M
+        assert all(1 <= int(p) <= PQ_K for p in parts)
+        assert r["recon_err"] >= 0.0
+        if r["recon_err"] == 0.0:
+            zero_err += 1
+    assert zero_err >= PQ_K  # the codebook vectors themselves
+
+
+def test_containment_dominates_jaccard(spark):
+    """For every candidate pair, max containment ≥ Jaccard (set
+    algebra: |∩|/min ≥ |∩|/|∪|), and both directions are in [0,1]."""
+    from recommender_systems_spark.queries.neardup import (
+        dedup_containment,
+        dedup_ngram_jaccard,
+    )
+
+    jac = {(r["doc_a"], r["doc_b"]): r["ngram_jaccard"]
+           for r in dedup_ngram_jaccard(spark, SF_MED).collect()}
+    con = {(r["doc_a"], r["doc_b"]): r
+           for r in dedup_containment(spark, SF_MED).collect()}
+    assert set(jac) == set(con)
+    for pair, r in con.items():
+        assert 0.0 <= r["containment_ab"] <= 1.0
+        assert 0.0 <= r["containment_ba"] <= 1.0
+        assert max(r["containment_ab"], r["containment_ba"]) >= jac[pair] - 1e-9
+
+
+def test_cuped_reduces_variance_when_correlated(spark):
+    """Both arms present; the adjusted mean stays finite and the
+    variance-reduction ratio is < 1 (adjustment can't be worse than a
+    θ=0 no-op by more than sampling noise of the rounded grid)."""
+    from recommender_systems_spark.queries.analytics import e_cuped
+
+    rows = {r["grp"]: r for r in e_cuped(spark, SF_MED).collect()}
+    assert set(rows) == {"A", "B"}
+    for r in rows.values():
+        assert r["n_users"] > 0
+        assert r["mean_post"] is not None and r["mean_adjusted"] is not None
+        assert r["var_reduction"] <= 1.0

@@ -143,3 +143,52 @@ def test_dedup_candidates_are_equi_joins(spark):
         p = _plan(spark, name)
         assert _count(p, r"CartesianProduct") == 0, name
         assert _count(p, r"BroadcastNestedLoopJoin") == 0, name
+
+
+_NO_CARTESIAN_R5B = [
+    "e_chi2_test",
+    "m_ols_regression",
+    "e_confusion_matrix",
+    "a_mode",
+    "a_grouping_sets",
+    "dedup_containment",
+    "g_label_propagation",
+]
+
+
+@pytest.mark.parametrize("name", _NO_CARTESIAN_R5B)
+def test_no_cartesian_product_r5b(spark, name):
+    assert _count(_plan(spark, name), r"CartesianProduct") == 0, name
+
+
+def test_grouping_sets_single_expand(spark):
+    """a_grouping_sets must plan ONE Expand feeding one aggregation —
+    the whole point is one scan for all three marginals."""
+    p = _plan(spark, "a_grouping_sets")
+    assert _count(p, r"\bExpand\b") == 1
+    assert _count(p, r"Scan parquet") == 1
+
+
+def test_ks_and_qte_no_global_window(spark):
+    """The ECDF cumsums must ride the two-phase range-partition path:
+    every window in the plan is partitioned (no 'Window [' with an
+    empty partition spec collapsing to one task)."""
+    for name in ("e_ks_test", "e_qte_deciles"):
+        p = _plan(spark, name)
+        # Spark prints unpartitioned windows without a 'partitionBy';
+        # the two-phase path partitions by __pid, so every Window node
+        # must mention a partition spec.
+        for m in re.finditer(r"Window \[[^\n]*", p):
+            assert "__pid" in m.group(0) or "partition" in m.group(0).lower(), (
+                name,
+                m.group(0)[:200],
+            )
+
+
+def test_ols_single_aggregation_pass(spark):
+    """The regression aggregates must plan as ONE hash aggregation
+    pair (partial + final) over one scan — no joins, no windows."""
+    p = _plan(spark, "m_ols_regression")
+    assert _count(p, r"Scan parquet") == 1
+    assert _count(p, r"Join") == 0
+    assert _count(p, r"Window") == 0

@@ -12,3 +12,58 @@ registry → graph → partially-initialized ml → ImportError).
 # queries.graph.g_pagerank build the same capped-history edge list).
 CF_CAP = 40        # per-user history cap bounding the pair explode
 CF_MIN_COOC = 2    # minimum co-occurrence for an edge
+
+# ---------------------------------------------------------------------------
+# Cross-module SQL fragments.  These live here (not in the query module
+# that "owns" them) because sibling query modules that embed them in
+# their own oracle strings would otherwise need a module-level
+# cross-import — the circular-import class described above.  Only
+# dependency-free imports are allowed here (functions.* is fine; query
+# modules and registry are not).
+# ---------------------------------------------------------------------------
+
+from recommender_systems_spark.functions.text import STOPWORDS as _STOPWORDS
+
+# The A/B arm rule (user-id parity — FIXTURES.md split) as SQL; the
+# Spark twin is queries.stats._events_grouped / analytics._events_grouped.
+GRP_SQL = """
+    SELECT *, CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS grp
+    FROM events
+"""
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def sql_stopword_hits(lang: str) -> str:
+    """DuckDB twin of functions.text._stopword_hits over a `toks` list."""
+    return (
+        f"len(list_filter(toks, t -> list_contains({_sql_list(_STOPWORDS[lang])}, t)))"
+    )
+
+
+LANG_CASE = " ".join(
+    f"WHEN best > 0 AND s_{lang} = best THEN '{lang}'" for lang in _STOPWORDS
+)
+
+# Full stopword-argmax language-ID SQL twin (functions.text.language_id).
+LANG_SQL = f"""
+    WITH t AS (
+        SELECT doc_id, lang AS lang_actual,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, lang_actual,
+               {", ".join(f"{sql_stopword_hits(lang)} AS s_{lang}" for lang in _STOPWORDS)}
+        FROM t
+    ),
+    b AS (
+        SELECT *, greatest({", ".join(f"s_{lang}" for lang in _STOPWORDS)}) AS best
+        FROM s
+    )
+    SELECT doc_id, lang_actual,
+           CASE {LANG_CASE} ELSE 'und' END AS lang_guess
+    FROM b
+"""

@@ -18,8 +18,27 @@ from pyspark.sql import functions as F
 
 from recommender_systems_spark.operators.relational import global_running_totals
 from recommender_systems_spark.registry import _t, register
-from recommender_systems_spark.queries.stats import _GRP_SQL, _events_grouped
-from recommender_systems_spark.queries.textops import _LANG_SQL
+# SQL fragments come from the dependency-free _shared module, NEVER from
+# sibling query modules: a module-level import of queries.stats/.textops
+# here breaks whenever one of THOSE is the process's first entry into the
+# package (their registration stops at their own registry import, so this
+# module would see them partially initialised — the documented
+# circular-import class in _shared.py).
+from recommender_systems_spark.queries._shared import (
+    GRP_SQL as _GRP_SQL,
+    LANG_SQL as _LANG_SQL,
+)
+
+
+def _events_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events + the A/B arm from user_id parity (FIXTURES.md split) —
+    the Spark twin of _shared.GRP_SQL (same 4 lines as
+    queries.stats._events_grouped, duplicated to keep this module free
+    of sibling imports)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.withColumn(
+        "grp", F.when(F.col("user_id") % 2 == 0, F.lit("A")).otherwise(F.lit("B"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -523,4 +542,66 @@ def e_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.lit(1) - F.var_samp("a") / F.var_samp("post"), 4
         ).alias("var_reduction"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# e_diff_in_diff — 2×2 difference-in-differences estimator
+# ---------------------------------------------------------------------------
+
+@register(
+    "e_diff_in_diff",
+    f"""
+    WITH g AS ({_GRP_SQL}),
+    ts_us AS (SELECT *, epoch_us(ts) AS us FROM g),
+    bounds AS (SELECT min(us) AS lo, max(us) AS hi FROM ts_us),
+    cells AS (
+        SELECT
+            avg(CASE WHEN grp = 'A' AND us * 2 <  lo + hi THEN value END) AS pre_a,
+            avg(CASE WHEN grp = 'A' AND us * 2 >= lo + hi THEN value END) AS post_a,
+            avg(CASE WHEN grp = 'B' AND us * 2 <  lo + hi THEN value END) AS pre_b,
+            avg(CASE WHEN grp = 'B' AND us * 2 >= lo + hi THEN value END) AS post_b,
+            CAST(count(*) AS BIGINT) AS n
+        FROM ts_us CROSS JOIN bounds
+    )
+    SELECT n,
+           round(pre_a, 6) AS pre_a, round(post_a, 6) AS post_a,
+           round(pre_b, 6) AS pre_b, round(post_b, 6) AS post_b,
+           round((post_b - pre_b) - (post_a - pre_a), 6) AS did
+    FROM cells
+    """,
+)
+def e_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator over the 2×2 (arm ×
+    pre/post) design: DiD = (post_B − pre_B) − (post_A − pre_A),
+    treating arm A as the control trend — the causal-inference
+    workhorse when randomisation is imperfect (complements e_cuped's
+    variance reduction; same integer-time midpoint split).
+
+    Scale shape: ONE conditional-aggregate pass over the events scan
+    (four cell means from the same map-side-combined aggregation) after
+    a 1-row bounds broadcast. Nothing shuffles but partial
+    aggregates."""
+    g = _events_grouped(spark, sf_dir).withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    bounds = g.agg(F.min("us").alias("lo"), F.max("us").alias("hi"))
+    is_pre = F.col("us") * 2 < F.col("lo") + F.col("hi")
+    cells = g.crossJoin(F.broadcast(bounds)).agg(
+        F.avg(F.when((F.col("grp") == "A") & is_pre, F.col("value"))).alias("pre_a"),
+        F.avg(F.when((F.col("grp") == "A") & ~is_pre, F.col("value"))).alias("post_a"),
+        F.avg(F.when((F.col("grp") == "B") & is_pre, F.col("value"))).alias("pre_b"),
+        F.avg(F.when((F.col("grp") == "B") & ~is_pre, F.col("value"))).alias("post_b"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return cells.select(
+        "n",
+        F.round("pre_a", 6).alias("pre_a"),
+        F.round("post_a", 6).alias("post_a"),
+        F.round("pre_b", 6).alias("pre_b"),
+        F.round("post_b", 6).alias("post_b"),
+        F.round(
+            (F.col("post_b") - F.col("pre_b")) - (F.col("post_a") - F.col("pre_a")),
+            6,
+        ).alias("did"),
     )

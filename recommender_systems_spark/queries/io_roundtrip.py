@@ -113,3 +113,36 @@ def s_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _out_dir("csv", sf_dir)
     write_csv(agg, path, single_file=True)
     return spark.read.schema(_CSV_SCHEMA).option("header", True).csv(path)
+
+
+_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("value", T.DoubleType(), False),
+    ]
+)
+
+
+@register(
+    "s_json_roundtrip",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events WHERE user_id < 50
+    """,
+)
+def s_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink → declared-schema JSON source round trip (the
+    third source format next to CSV and Parquet — the interchange
+    format event collectors actually emit). Doubles survive because
+    Spark serialises them with round-trip precision (17 significant
+    digits) and the declared-schema read (inference off) parses them
+    back to the identical IEEE value — the oracle runs on the ORIGINAL
+    table, so a hash match proves losslessness."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = _out_dir("json", sf_dir)
+    ev.write.mode("overwrite").json(path)
+    return spark.read.schema(_JSON_SCHEMA).json(path)

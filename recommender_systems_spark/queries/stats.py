@@ -34,10 +34,8 @@ def _events_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GRP_SQL = """
-    SELECT *, CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS grp
-    FROM events
-"""
+# Shared with sibling modules' oracles via _shared (circular-import-safe).
+from recommender_systems_spark.queries._shared import GRP_SQL as _GRP_SQL  # noqa: E402
 
 
 @register(

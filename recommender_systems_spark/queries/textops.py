@@ -22,39 +22,14 @@ from recommender_systems_spark.functions.text import (
 from recommender_systems_spark.registry import _t, register
 
 
-def _sql_list(words: list[str]) -> str:
-    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
-
-
-def _hits_sql(lang: str) -> str:
-    return (
-        f"len(list_filter(toks, t -> list_contains({_sql_list(STOPWORDS[lang])}, t)))"
-    )
-
-
-_LANG_CASE = " ".join(
-    f"WHEN best > 0 AND s_{lang} = best THEN '{lang}'" for lang in STOPWORDS
+# Shared SQL fragments live in _shared (sibling modules embed them in
+# their own oracles; a module-level cross-import of THIS module would
+# hit the circular-import class _shared documents).
+from recommender_systems_spark.queries._shared import (  # noqa: E402
+    LANG_CASE as _LANG_CASE,
+    LANG_SQL as _LANG_SQL,
+    sql_stopword_hits as _hits_sql,
 )
-
-_LANG_SQL = f"""
-    WITH t AS (
-        SELECT doc_id, lang AS lang_actual,
-               regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-        FROM documents
-    ),
-    s AS (
-        SELECT doc_id, lang_actual,
-               {", ".join(f"{_hits_sql(lang)} AS s_{lang}" for lang in STOPWORDS)}
-        FROM t
-    ),
-    b AS (
-        SELECT *, greatest({", ".join(f"s_{lang}" for lang in STOPWORDS)}) AS best
-        FROM s
-    )
-    SELECT doc_id, lang_actual,
-           CASE {_LANG_CASE} ELSE 'und' END AS lang_guess
-    FROM b
-"""
 
 
 @register("t_language_id", _LANG_SQL)
@@ -1486,4 +1461,220 @@ def t_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             prob.alias("prob"),
             (prob >= _QC_THRESHOLD).alias("keep"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multinomial Naive Bayes language classifier (model-as-aggregation)
+# ---------------------------------------------------------------------------
+
+NB_LANGS = ["de", "en", "es", "fr", "zh"]  # the corpus's lang enum
+_NB_SCALE = 1_000_000
+
+_NB_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+_NB_MODEL_COLS = ", ".join(
+    f"max(CASE WHEN lang = '{lg}' THEN c END) AS c_{lg}" for lg in NB_LANGS
+)
+_NB_LL_COLS = ", ".join(
+    f"CAST(round(ln((COALESCE(c_{lg}, 0) + 1.0) / (n_{lg} + v)) * {_NB_SCALE}) "
+    f"AS BIGINT) AS ll_{lg}"
+    for lg in NB_LANGS
+)
+_NB_TOTALS = ", ".join(
+    f"sum(CASE WHEN lang = '{lg}' THEN c ELSE 0 END) AS n_{lg}" for lg in NB_LANGS
+)
+_NB_DEFAULTS = ", ".join(
+    f"CAST(round(ln(1.0 / (n_{lg} + v)) * {_NB_SCALE}) AS BIGINT) AS def_{lg}"
+    for lg in NB_LANGS
+)
+_NB_PRIORS = ", ".join(
+    f"CAST(round(ln(CAST(sum(CASE WHEN lang = '{lg}' THEN 1 ELSE 0 END) AS DOUBLE)"
+    f" / count(*)) * {_NB_SCALE}) AS BIGINT) AS pr_{lg}"
+    for lg in NB_LANGS
+)
+_NB_SUMS = ", ".join(
+    f"sum(COALESCE(ll_{lg}, def_{lg})) + max(pr_{lg}) AS s_{lg}" for lg in NB_LANGS
+)
+_NB_STACK = " UNION ALL ".join(
+    f"SELECT doc_id, lang_actual, '{lg}' AS lang_guess, s_{lg} AS score FROM scored"
+    for lg in NB_LANGS
+)
+
+_NB_SQL = f"""
+    WITH train AS (
+        SELECT lang, {_NB_TOKS} AS toks FROM documents WHERE doc_id % 2 = 0
+    ),
+    test AS (
+        SELECT doc_id, lang AS lang_actual, {_NB_TOKS} AS toks
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    counts AS (
+        SELECT lang, unnest(toks) AS tok, 1 AS one FROM train
+    ),
+    cagg AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+             FROM counts GROUP BY lang, tok),
+    stats AS (
+        SELECT {_NB_TOTALS}, CAST(count(DISTINCT tok) AS BIGINT) AS v
+        FROM cagg
+    ),
+    priors AS (SELECT {_NB_PRIORS} FROM train),
+    model AS (
+        SELECT tok, {_NB_MODEL_COLS} FROM cagg GROUP BY tok
+    ),
+    ll AS (SELECT tok, {_NB_LL_COLS} FROM model CROSS JOIN stats),
+    defaults AS (SELECT {_NB_DEFAULTS} FROM stats),
+    ttok AS (
+        SELECT doc_id, lang_actual, unnest(toks) AS tok FROM test
+    ),
+    joined AS (
+        SELECT t.doc_id, t.lang_actual,
+               {", ".join(f"ll.ll_{lg}" for lg in NB_LANGS)},
+               {", ".join(f"d.def_{lg}" for lg in NB_LANGS)},
+               {", ".join(f"p.pr_{lg}" for lg in NB_LANGS)}
+        FROM ttok t
+        LEFT JOIN ll ON ll.tok = t.tok
+        CROSS JOIN defaults d CROSS JOIN priors p
+    ),
+    scored AS (
+        SELECT doc_id, lang_actual, {_NB_SUMS}
+        FROM joined GROUP BY doc_id, lang_actual
+    ),
+    stacked AS ({_NB_STACK}),
+    best AS (
+        SELECT doc_id, lang_actual, lang_guess FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, lang_guess ASC)
+                          AS rn
+            FROM stacked)
+        WHERE rn = 1
+    )
+    SELECT lang_actual, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN lang_guess = lang_actual THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(CAST(sum(CASE WHEN lang_guess = lang_actual THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS accuracy
+    FROM best
+    GROUP BY lang_actual
+"""
+
+
+@register("t_naive_bayes_lang", _NB_SQL)
+def t_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier trained and evaluated
+    entirely in-plan — the "model is an aggregation" pattern: token
+    likelihoods ARE the (lang, token) count table with +1 smoothing,
+    so training is one groupBy and inference is one broadcast join.
+    Train = even doc_ids, test = odd; reports per-language accuracy
+    (the learned-model counterpart of the stopword heuristic that
+    e_confusion_matrix evaluates).
+
+    Scale shape: the model is vocab-sized — broadcast; the only
+    data-sized shuffle is the per-doc score aggregate carrying
+    (doc_id, 5 longs). Per-token log-likelihoods are integer
+    millionths (the t_surprisal scale convention), so per-doc sums are
+    EXACT integer arithmetic in both engines and the 5-way argmax
+    (score desc, lang asc) can never flip on accumulation order."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "lang", tokens(F.col("text")).alias("toks")
+    )
+    test = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.col("lang").alias("lang_actual"),
+        tokens(F.col("text")).alias("toks"),
+    )
+    cagg = (
+        train.select("lang", F.explode("toks").alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = cagg.agg(
+        *[
+            F.sum(F.when(F.col("lang") == lg, F.col("c")).otherwise(0)).alias(
+                f"n_{lg}"
+            )
+            for lg in NB_LANGS
+        ],
+        F.count_distinct("tok").alias("v"),
+    )
+    priors = train.agg(
+        *[
+            F.round(
+                F.log(
+                    F.sum(F.when(F.col("lang") == lg, 1).otherwise(0)).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1))
+                )
+                * _NB_SCALE
+            )
+            .cast("long")
+            .alias(f"pr_{lg}")
+            for lg in NB_LANGS
+        ]
+    )
+    model = cagg.groupBy("tok").pivot("lang", NB_LANGS).agg(F.first("c"))
+    ll = model.crossJoin(F.broadcast(stats)).select(
+        "tok",
+        *[
+            F.round(
+                F.log(
+                    (F.coalesce(F.col(lg), F.lit(0)) + F.lit(1.0))
+                    / (F.col(f"n_{lg}") + F.col("v"))
+                )
+                * _NB_SCALE
+            )
+            .cast("long")
+            .alias(f"ll_{lg}")
+            for lg in NB_LANGS
+        ],
+    )
+    defaults = stats.select(
+        *[
+            F.round(F.log(F.lit(1.0) / (F.col(f"n_{lg}") + F.col("v"))) * _NB_SCALE)
+            .cast("long")
+            .alias(f"def_{lg}")
+            for lg in NB_LANGS
+        ]
+    )
+    ttok = test.select("doc_id", "lang_actual", F.explode("toks").alias("tok"))
+    joined = (
+        ttok.join(F.broadcast(ll), "tok", "left")
+        .crossJoin(F.broadcast(defaults))
+        .crossJoin(F.broadcast(priors))
+    )
+    scored = joined.groupBy("doc_id", "lang_actual").agg(
+        *[
+            (
+                F.sum(F.coalesce(F.col(f"ll_{lg}"), F.col(f"def_{lg}")))
+                + F.max(F.col(f"pr_{lg}"))
+            ).alias(f"s_{lg}")
+            for lg in NB_LANGS
+        ]
+    )
+    stacked = scored.selectExpr(
+        "doc_id",
+        "lang_actual",
+        "stack({n}, {args}) AS (lang_guess, score)".format(
+            n=len(NB_LANGS),
+            args=", ".join(f"'{lg}', s_{lg}" for lg in NB_LANGS),
+        ),
+    )
+    from pyspark.sql import Window
+
+    wbest = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("lang_guess").asc()
+    )
+    best = (
+        stacked.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang_actual", "lang_guess")
+    )
+    correct = F.sum(
+        F.when(F.col("lang_guess") == F.col("lang_actual"), 1).otherwise(0)
+    )
+    return best.groupBy("lang_actual").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        correct.alias("n_correct"),
+        F.round(correct.cast("double") / F.count(F.lit(1)), 6).alias("accuracy"),
     )

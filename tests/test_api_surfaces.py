@@ -73,3 +73,21 @@ def test_gate_order_window():
          "t_fingerprint"},
     ):
         assert family <= window
+
+
+def test_first_entry_imports_are_cycle_safe():
+    """Each fragment-consuming query module must import cleanly as the
+    process's FIRST entry into the package — the circular-import class
+    documented in queries/_shared.py (a sibling cross-import sees a
+    partially-initialised module only on first entry, so in-process
+    imports can't catch it)."""
+    import subprocess
+    import sys
+
+    for mod in ("textops", "stats", "analytics", "abtest", "neardup"):
+        r = subprocess.run(
+            [sys.executable, "-c",
+             f"import recommender_systems_spark.queries.{mod}"],
+            capture_output=True, text=True, timeout=120,
+        )
+        assert r.returncode == 0, (mod, r.stderr[-500:])

@@ -1431,3 +1431,56 @@ def test_cuped_reduces_variance_when_correlated(spark):
         assert r["n_users"] > 0
         assert r["mean_post"] is not None and r["mean_adjusted"] is not None
         assert r["var_reduction"] <= 1.0
+
+
+def test_naive_bayes_partitions_and_is_deterministic(spark):
+    """Per-language counts partition the test half, accuracies re-derive
+    from the cells, and repeated runs agree exactly (integer-scaled
+    log-likelihoods leave no accumulation-order wiggle). No accuracy
+    floor is asserted: the synthetic corpus draws every language from
+    ONE shared vocabulary, so language labels carry no token signal by
+    construction — the operator's value is the in-plan train/score
+    shape, which the DuckDB oracle verifies end to end."""
+    from recommender_systems_spark.queries.textops import t_naive_bayes_lang
+    from recommender_systems_spark.registry import _t
+
+    rows = t_naive_bayes_lang(spark, SF_MED).collect()
+    test = _t(spark, SF_MED, "documents").filter(F.col("doc_id") % 2 == 1)
+    per_lang = {r["lang"]: r["n"] for r in
+                test.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert {r["lang_actual"]: r["n_docs"] for r in rows} == per_lang
+    for r in rows:
+        assert 0 <= r["n_correct"] <= r["n_docs"]
+        assert abs(r["accuracy"] - round(r["n_correct"] / r["n_docs"], 6)) < 1e-12
+    again = {(r["lang_actual"], r["n_correct"])
+             for r in t_naive_bayes_lang(spark, SF_MED).collect()}
+    assert again == {(r["lang_actual"], r["n_correct"]) for r in rows}
+
+
+def test_diff_in_diff_rederives(spark):
+    """DiD recomputes from its own reported cell means (to the rounded
+    grid), and all four cells are populated."""
+    from recommender_systems_spark.queries.analytics import e_diff_in_diff
+
+    r = e_diff_in_diff(spark, SF_MED).collect()[0]
+    for c in ("pre_a", "post_a", "pre_b", "post_b"):
+        assert r[c] is not None
+    assert abs(
+        r["did"] - round((r["post_b"] - r["pre_b"]) - (r["post_a"] - r["pre_a"]), 6)
+    ) <= 2e-6
+
+
+def test_json_roundtrip_exact(spark):
+    """The JSON round trip must reproduce the source rows exactly,
+    including doubles (round-trip serialisation)."""
+    from recommender_systems_spark.queries.io_roundtrip import s_json_roundtrip
+    from recommender_systems_spark.registry import _t
+
+    got = {r["event_id"]: (r["user_id"], r["event_type"], r["value"])
+           for r in s_json_roundtrip(spark, SF_MED).collect()}
+    want = {r["event_id"]: (r["user_id"], r["event_type"], r["value"])
+            for r in _t(spark, SF_MED, "events")
+            .filter(F.col("user_id") < 50)
+            .select("event_id", "user_id", "event_type", "value")
+            .collect()}
+    assert got == want

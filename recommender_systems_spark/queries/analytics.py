@@ -605,3 +605,462 @@ def e_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("did"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e_srm_guard — sample-ratio-mismatch check
+# ---------------------------------------------------------------------------
+
+@register(
+    "e_srm_guard",
+    f"""
+    WITH g AS ({_GRP_SQL}),
+    units AS (SELECT DISTINCT user_id, grp FROM g),
+    c AS (
+        SELECT
+            sum(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS na,
+            sum(CASE WHEN grp = 'B' THEN 1 ELSE 0 END) AS nb
+        FROM units
+    )
+    SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+           round(pow(na - (na + nb) / 2.0, 2) / ((na + nb) / 2.0)
+                 + pow(nb - (na + nb) / 2.0, 2) / ((na + nb) / 2.0), 6)
+               AS chi2_srm,
+           (pow(na - (na + nb) / 2.0, 2) / ((na + nb) / 2.0)
+            + pow(nb - (na + nb) / 2.0, 2) / ((na + nb) / 2.0)
+            > 3.841458820694124) AS srm_detected
+    FROM c
+    """,
+)
+def e_srm_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guard: chi-squared goodness-of-fit of the
+    experiment's UNIT counts (distinct users per arm) against the
+    designed 50/50 split, flagged at the 95% critical value (1 dof) —
+    the gate every experimentation platform runs before reading any
+    metric, because a biased assignment invalidates them all (the
+    reference asserts exact group-size equality instead,
+    ab_test.py:247-251 — this is that guard for unequal-but-random
+    splits).
+
+    Scale shape: one distinct on (user, arm) — the only shuffle — then
+    a scalar aggregate. Counts are exact integers; the statistic is
+    one shared expression over them."""
+    units = _events_grouped(spark, sf_dir).select("user_id", "grp").distinct()
+    c = units.agg(
+        F.sum(F.when(F.col("grp") == "A", 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("grp") == "B", 1).otherwise(0)).alias("nb"),
+    )
+    exp = (F.col("na") + F.col("nb")) / 2.0
+    chi2 = F.pow(F.col("na") - exp, 2) / exp + F.pow(F.col("nb") - exp, 2) / exp
+    return c.select(
+        "na",
+        "nb",
+        F.round(chi2, 6).alias("chi2_srm"),
+        (chi2 > F.lit(3.841458820694124)).alias("srm_detected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# m_survival_km — Kaplan-Meier survival estimator
+# ---------------------------------------------------------------------------
+
+_KM_SCALE = 1_000_000
+
+_KM_DUR = """
+    u AS (
+        SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id
+    ),
+    obs_end AS (SELECT max(ts) AS tmax FROM events),
+    conv AS (
+        SELECT e.user_id, min(e.ts) AS tconv
+        FROM events e JOIN u ON u.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > u.t0
+        GROUP BY e.user_id
+    ),
+    dur AS (
+        SELECT u.user_id,
+               CASE WHEN c.tconv IS NOT NULL
+                    THEN date_diff('microsecond', u.t0, c.tconv)
+                    ELSE date_diff('microsecond', u.t0, obs_end.tmax) END
+                   AS dur_us,
+               CASE WHEN c.tconv IS NOT NULL THEN 1 ELSE 0 END AS converted
+        FROM u LEFT JOIN conv c ON c.user_id = u.user_id
+        CROSS JOIN obs_end
+    )
+"""
+
+_KM_SQL = f"""
+    WITH {_KM_DUR},
+    t AS (
+        SELECT dur_us,
+               sum(converted) AS d,
+               sum(1 - converted) AS cens
+        FROM dur GROUP BY dur_us
+    ),
+    n0 AS (SELECT sum(d + cens) AS n_total FROM t),
+    r AS (
+        SELECT dur_us, d, cens,
+               n_total
+               - COALESCE(sum(d + cens) OVER (ORDER BY dur_us
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n_risk
+        FROM t CROSS JOIN n0
+    ),
+    ev AS (
+        SELECT dur_us, d, n_risk,
+               CAST(round(ln(greatest(1.0 - CAST(d AS DOUBLE) / n_risk, 1e-12))
+                          * {_KM_SCALE}) AS BIGINT) AS lnterm
+        FROM r WHERE d > 0
+    ),
+    s AS (
+        SELECT dur_us, d, n_risk,
+               sum(lnterm) OVER (ORDER BY dur_us
+                                 ROWS UNBOUNDED PRECEDING) AS lnsum
+        FROM ev
+    )
+    SELECT CAST(dur_us AS BIGINT) AS dur_us,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS d,
+           round(exp(CAST(lnsum AS DOUBLE) / {_KM_SCALE}), 6) AS s_km
+    FROM s
+    """
+
+
+@register("m_survival_km", _KM_SQL)
+def m_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimator for time-to-conversion: each
+    user's duration runs from their first event to their first
+    subsequent 'purchase' (event) or to the observation end (censored);
+    S(t) = Π over event times ≤ t of (1 − d_i/n_i) — the standard
+    censoring-correct time-to-event curve (subscription/churn
+    analytics; the naive conversion-rate-by-day curve is biased by
+    censoring, which is the whole reason KM exists).
+
+    Scale shape: durations are one user-keyed aggregation; the risk
+    set n_i and the log-survival accumulation are TWO two-phase
+    range-partitioned cumsums over DISTINCT durations
+    (global_running_totals — no single-partition window at any size).
+    The product becomes a sum via integer-millionth log terms (the
+    t_surprisal convention), so both engines accumulate exactly and
+    exp() of the identical double rounds identically. d = n_i
+    (survival hits zero) is capped at ln(1e-12) so S rounds to 0
+    without a special case."""
+    from recommender_systems_spark.operators.relational import (
+        global_running_totals,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    obs_end = ev.agg(F.max("ts").alias("tmax"))
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(u, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tconv"))
+    )
+    dur = (
+        u.join(conv, "user_id", "left")
+        .crossJoin(F.broadcast(obs_end))
+        .select(
+            F.when(
+                F.col("tconv").isNotNull(),
+                F.unix_micros(F.col("tconv").cast("timestamp"))
+                - F.unix_micros(F.col("t0").cast("timestamp")),
+            )
+            .otherwise(
+                F.unix_micros(F.col("tmax").cast("timestamp"))
+                - F.unix_micros(F.col("t0").cast("timestamp"))
+            )
+            .alias("dur_us"),
+            F.when(F.col("tconv").isNotNull(), 1).otherwise(0).alias("converted"),
+        )
+    )
+    t = dur.groupBy("dur_us").agg(
+        F.sum("converted").alias("d"),
+        F.sum(F.lit(1) - F.col("converted")).alias("cens"),
+    ).withColumn("leave", F.col("d") + F.col("cens"))
+    n0 = t.agg(F.sum("leave").alias("n_total"))
+    cum = global_running_totals(t, "dur_us", [("leave", "cum_leave")])
+    r = cum.crossJoin(F.broadcast(n0)).select(
+        "dur_us",
+        "d",
+        (F.col("n_total") - (F.col("cum_leave") - F.col("leave"))).alias("n_risk"),
+    )
+    ev_rows = r.filter(F.col("d") > 0).select(
+        "dur_us",
+        "d",
+        "n_risk",
+        F.round(
+            F.log(
+                F.greatest(
+                    F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk"),
+                    F.lit(1e-12),
+                )
+            )
+            * _KM_SCALE
+        )
+        .cast("long")
+        .alias("lnterm"),
+    )
+    s = global_running_totals(ev_rows, "dur_us", [("lnterm", "lnsum")])
+    return s.select(
+        F.col("dur_us").cast("long").alias("dur_us"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("d"),
+        F.round(F.exp(F.col("lnsum").cast("double") / _KM_SCALE), 6).alias("s_km"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# e_permutation_test — hash-deterministic permutation test
+# ---------------------------------------------------------------------------
+
+PERM_K = 40
+
+# Unit-level relabeling draw: parity of a 13-hex-digit md5 prefix keyed
+# by (user, permutation index) — the sampling.py hash-draw convention,
+# inlined here so this module keeps zero sibling-module imports.
+def _perm_parity_sql(k: int) -> str:
+    return (
+        f"CAST('0x' || substring(md5(CAST(user_id AS VARCHAR) || '_p{k}'), 1, 13)"
+        f" AS BIGINT) % 2"
+    )
+
+
+_PERM_DIFFS = ", ".join(
+    f"round(avg(CASE WHEN {_perm_parity_sql(k)} = 0 THEN m END)"
+    f" - avg(CASE WHEN {_perm_parity_sql(k)} = 1 THEN m END), 6) AS d_{k}"
+    for k in range(PERM_K)
+)
+_PERM_EXTREME = " + ".join(
+    f"(CASE WHEN abs(d_{k}) >= abs(obs_diff) THEN 1 ELSE 0 END)"
+    for k in range(PERM_K)
+)
+
+_PERM_SQL = f"""
+    WITH g AS ({_GRP_SQL}),
+    u AS (
+        SELECT user_id, max(grp) AS grp, round(avg(value), 6) AS m
+        FROM g GROUP BY user_id
+    ),
+    d AS (
+        SELECT round(avg(CASE WHEN grp = 'A' THEN m END)
+                     - avg(CASE WHEN grp = 'B' THEN m END), 6) AS obs_diff,
+               {_PERM_DIFFS}
+        FROM u
+    )
+    SELECT obs_diff,
+           CAST({PERM_K} AS BIGINT) AS n_perms,
+           CAST({_PERM_EXTREME} AS BIGINT) AS n_extreme,
+           round((1.0 + ({_PERM_EXTREME})) / (1.0 + {PERM_K}), 6) AS p_value
+    FROM d
+    """
+
+
+@register("e_permutation_test", _PERM_SQL)
+def e_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation (randomisation) test of the arm difference in
+    per-user mean outcome: the observed A−B difference is compared
+    against {PERM_K} unit-level relabelings, p = (1 + #extreme) /
+    (1 + K) — the assumption-free alternative to the t test (E5) when
+    normality is doubtful. Relabelings are md5-parity draws keyed by
+    (user, permutation), so both engines generate the IDENTICAL
+    permutation set and the whole test is value-hash checkable (no
+    seeded RNG divergence).
+
+    Scale shape: one user-keyed aggregation, then ONE scalar
+    aggregation evaluating all {PERM_K} relabeled differences as
+    sibling conditional aggregates over the unit frame — the K
+    permutations cost K extra expressions in a single pass, not K
+    jobs. Per-user means round to the 6dp grid before comparison, so
+    the extreme-count is exact in both engines."""
+    u = (
+        _events_grouped(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.max("grp").alias("grp"),
+            F.round(F.avg("value"), 6).alias("m"),
+        )
+    )
+
+    def parity(k: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("user_id").cast("string"),
+                                   F.lit(f"_p{k}"))),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        )
+
+    aggs = [
+        F.round(
+            F.avg(F.when(F.col("grp") == "A", F.col("m")))
+            - F.avg(F.when(F.col("grp") == "B", F.col("m"))),
+            6,
+        ).alias("obs_diff")
+    ]
+    for k in range(PERM_K):
+        aggs.append(
+            F.round(
+                F.avg(F.when(parity(k) == 0, F.col("m")))
+                - F.avg(F.when(parity(k) == 1, F.col("m"))),
+                6,
+            ).alias(f"d_{k}")
+        )
+    d = u.agg(*aggs)
+    extreme = None
+    for k in range(PERM_K):
+        term = F.when(
+            F.abs(F.col(f"d_{k}")) >= F.abs(F.col("obs_diff")), 1
+        ).otherwise(0)
+        extreme = term if extreme is None else extreme + term
+    return d.select(
+        "obs_diff",
+        F.lit(PERM_K).cast("long").alias("n_perms"),
+        extreme.cast("long").alias("n_extreme"),
+        F.round(
+            (F.lit(1.0) + extreme) / F.lit(1.0 + PERM_K), 6
+        ).alias("p_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# m_logreg_train — in-plan logistic regression (fixed-iteration GD)
+# ---------------------------------------------------------------------------
+
+LOGREG_ITERS = 3
+LOGREG_LR = 1.0
+_LR_FEATS = ["x0", "x1", "x2", "x3"]
+
+
+def _lr_sigma(wcte: str) -> str:
+    dot = " + ".join(f"{wcte}.w_{j} * {x}" for j, x in enumerate(_LR_FEATS))
+    return f"1.0 / (1.0 + exp(-({dot})))"
+
+
+def _lr_sql() -> str:
+    ctes = [
+        """
+    f AS (
+        SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+               1.0 AS x0,
+               round(length(text) / 1000.0, 6) AS x1,
+               round((length(text) - length(replace(text, ' ', '')))
+                     / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS x2,
+               round(length(text) / (10.0 * greatest(
+                     length(text) - length(replace(text, ' ', '')) + 1, 1)), 6)
+                   AS x3
+        FROM documents
+    )""",
+        "w0 AS (SELECT "
+        + ", ".join(f"0.0 AS w_{j}" for j in range(len(_LR_FEATS)))
+        + ")",
+    ]
+    for i in range(1, LOGREG_ITERS + 1):
+        p = _lr_sigma(f"w{i - 1}")
+        grads = ", ".join(
+            f"avg(({p} - y) * {x}) AS g_{j}" for j, x in enumerate(_LR_FEATS)
+        )
+        ctes.append(f"g{i} AS (SELECT {grads} FROM f CROSS JOIN w{i - 1})")
+        upd = ", ".join(
+            f"round(w{i - 1}.w_{j} - {LOGREG_LR} * g{i}.g_{j}, 6) AS w_{j}"
+            for j in range(len(_LR_FEATS))
+        )
+        ctes.append(f"w{i} AS (SELECT {upd} FROM w{i - 1} CROSS JOIN g{i})")
+    wf = f"w{LOGREG_ITERS}"
+    p = _lr_sigma(wf)
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+    SELECT {", ".join(f"{wf}.w_{j}" for j in range(len(_LR_FEATS)))},
+           round(avg(CASE WHEN (round({p}, 6) >= 0.5) = (y = 1.0)
+                          THEN 1.0 ELSE 0.0 END), 6) AS accuracy,
+           round(avg(-(y * ln({p}) + (1.0 - y) * ln(1.0 - ({p})))), 6)
+               AS log_loss
+    FROM f CROSS JOIN {wf}
+    GROUP BY {", ".join(f"{wf}.w_{j}" for j in range(len(_LR_FEATS)))}
+"""
+    )
+
+
+@register("m_logreg_train", _lr_sql())
+def m_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic-regression training INSIDE one lazy plan: {LOGREG_ITERS}
+    full-batch gradient-descent steps for an is-English classifier over
+    three cheap surface features (length, space ratio, mean word
+    length), then accuracy + log-loss on the training frame. The whole
+    loop — model state included — is DataFrame algebra: weights live in
+    a 1-row broadcast frame, each step is one partial-aggregable
+    gradient pass, and nothing is ever collected to the driver (compare
+    ml/als.py, which collects k×k Grams by design; here even that is
+    avoided). The fixed iteration count and 6dp-rounded weight updates
+    unroll the loop into the DuckDB oracle (g_pagerank pattern for
+    iterative algorithms).
+
+    Scale shape: per iteration ONE scan-wide aggregation (4 doubles of
+    state); features are rounded to the 6dp grid before any cross-
+    engine arithmetic; the verdict uses the ROUNDED probability
+    (t_quality_classifier convention) so threshold ties can't flip."""
+    docs = _t(spark, sf_dir, "documents")
+    n = F.length("text")
+    sp = n - F.length(F.regexp_replace("text", " ", ""))
+    f = docs.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        F.lit(1.0).alias("x0"),
+        F.round(n / 1000.0, 6).alias("x1"),
+        F.round(sp / F.greatest(n, F.lit(1)).cast("double"), 6).alias("x2"),
+        F.round(n / (10.0 * F.greatest(sp + 1, F.lit(1))), 6).alias("x3"),
+    )
+    w = spark.range(1).select(
+        *[F.lit(0.0).alias(f"w_{j}") for j in range(len(_LR_FEATS))]
+    )
+    for _ in range(LOGREG_ITERS):
+        dot = sum(
+            (F.col(f"w_{j}") * F.col(x) for j, x in enumerate(_LR_FEATS)),
+            F.lit(0.0),
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-dot))
+        w = (
+            f.crossJoin(F.broadcast(w))
+            .agg(
+                *[
+                    F.round(
+                        F.max(F.col(f"w_{j}"))
+                        - LOGREG_LR * F.avg((p - F.col("y")) * F.col(x)),
+                        6,
+                    ).alias(f"w_{j}")
+                    for j, x in enumerate(_LR_FEATS)
+                ]
+            )
+        )
+    dot = sum(
+        (F.col(f"w_{j}") * F.col(x) for j, x in enumerate(_LR_FEATS)), F.lit(0.0)
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-dot))
+    correct = F.when(
+        (F.round(p, 6) >= 0.5) == (F.col("y") == 1.0), 1.0
+    ).otherwise(0.0)
+    return (
+        f.crossJoin(F.broadcast(w))
+        .groupBy(*[F.col(f"w_{j}") for j in range(len(_LR_FEATS))])
+        .agg(
+            F.round(F.avg(correct), 6).alias("accuracy"),
+            F.round(
+                F.avg(
+                    -(
+                        F.col("y") * F.log(p)
+                        + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - p)
+                    )
+                ),
+                6,
+            ).alias("log_loss"),
+        )
+    )

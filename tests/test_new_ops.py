@@ -1484,3 +1484,66 @@ def test_json_roundtrip_exact(spark):
             .select("event_id", "user_id", "event_type", "value")
             .collect()}
     assert got == want
+
+
+def test_srm_guard_counts_units(spark):
+    """Arm unit counts must equal distinct users per parity class, and
+    the flag must re-derive from the statistic."""
+    from recommender_systems_spark.queries.analytics import e_srm_guard
+    from recommender_systems_spark.registry import _t
+
+    r = e_srm_guard(spark, SF_MED).collect()[0]
+    ev = _t(spark, SF_MED, "events")
+    na = ev.filter(F.col("user_id") % 2 == 0).select("user_id").distinct().count()
+    nb = ev.filter(F.col("user_id") % 2 == 1).select("user_id").distinct().count()
+    assert (r["na"], r["nb"]) == (na, nb)
+    e = (na + nb) / 2.0
+    chi2 = (na - e) ** 2 / e + (nb - e) ** 2 / e
+    assert abs(r["chi2_srm"] - round(chi2, 6)) < 1e-9
+    assert r["srm_detected"] == (chi2 > 3.841458820694124)
+
+
+def test_km_curve_is_valid_survival_function(spark):
+    """S(t) must start below 1, be non-increasing, stay in [0,1]; the
+    risk set must be non-increasing; and the first risk set equals the
+    total user count minus earlier censor-only leavers."""
+    from recommender_systems_spark.queries.analytics import m_survival_km
+    from recommender_systems_spark.registry import _t
+
+    rows = sorted(m_survival_km(spark, SF_MED).collect(),
+                  key=lambda r: r["dur_us"])
+    assert rows
+    n_users = _t(spark, SF_MED, "events").select("user_id").distinct().count()
+    s_prev, n_prev = 1.0, None
+    for r in rows:
+        assert 0.0 <= r["s_km"] <= 1.0
+        assert r["s_km"] <= s_prev + 1e-9
+        assert 1 <= r["d"] <= r["n_risk"] <= n_users
+        if n_prev is not None:
+            assert r["n_risk"] <= n_prev
+        s_prev, n_prev = r["s_km"], r["n_risk"]
+
+
+def test_permutation_test_pvalue_bounds(spark):
+    """p ∈ (0, 1], extreme count ≤ K, and p re-derives from the
+    extreme count."""
+    from recommender_systems_spark.queries.analytics import PERM_K, e_permutation_test
+
+    r = e_permutation_test(spark, SF_MED).collect()[0]
+    assert r["n_perms"] == PERM_K
+    assert 0 <= r["n_extreme"] <= PERM_K
+    assert 0.0 < r["p_value"] <= 1.0
+    assert abs(r["p_value"] - round((1 + r["n_extreme"]) / (1 + PERM_K), 6)) < 1e-12
+
+
+def test_logreg_train_descends(spark):
+    """Trained weights must beat the w=0 model's log-loss (ln 2), and
+    the reported metrics must be finite with accuracy in [0,1]."""
+    import math
+
+    from recommender_systems_spark.queries.analytics import m_logreg_train
+
+    r = m_logreg_train(spark, SF_MED).collect()[0]
+    assert 0.0 <= r["accuracy"] <= 1.0
+    assert r["log_loss"] < math.log(2.0)  # GD made progress from w=0
+    assert any(abs(r[f"w_{j}"]) > 0 for j in range(4))

@@ -1219,3 +1219,79 @@ def e_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return policy_row("greedy", "greedy_arm").unionAll(
         policy_row("random", "random_arm")
     )
+
+
+_NOV_SCALE = 1_000_000
+
+_NOV_SQL = f"""
+    WITH hist AS (
+        SELECT l_suppkey AS uid, l_partkey AS iid,
+               SUM(CAST(l_quantity AS DOUBLE)) AS w
+        FROM lineitem GROUP BY 1, 2
+    ),
+    top3 AS (
+        SELECT uid, iid FROM (
+            SELECT uid, iid,
+                   row_number() OVER (PARTITION BY uid
+                                      ORDER BY w DESC, iid) AS rn
+            FROM hist)
+        WHERE rn <= {_COV_K}
+    ),
+    pop AS (SELECT iid, CAST(count(*) AS BIGINT) AS p FROM hist GROUP BY iid),
+    tot AS (SELECT sum(p) AS t FROM pop),
+    bits AS (
+        SELECT iid,
+               CAST(round(log2(CAST(t AS DOUBLE) / p) * {_NOV_SCALE}) AS BIGINT)
+                   AS b
+        FROM pop CROSS JOIN tot
+    )
+    SELECT CAST(count(DISTINCT r.uid) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_recs,
+           round(CAST(sum(b.b) AS DOUBLE) / count(*) / {_NOV_SCALE}, 4)
+               AS avg_novelty_bits
+    FROM top3 r JOIN bits b ON b.iid = r.iid
+"""
+
+
+@register("e_rec_novelty", _NOV_SQL)
+def e_rec_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommendation novelty@k: the mean self-information
+    −log₂(pop(i)/Σpop) of the items a top-k recommender serves — the
+    third beyond-accuracy serving metric next to coverage and Gini
+    (e_rec_coverage): a recommender that only serves blockbusters
+    scores near the catalog's minimum bits even with perfect
+    coverage. Same deterministic top-{_COV_K} recommendations as
+    e_rec_coverage.
+
+    Scale shape: popularity is an item-sized aggregate; per-item bits
+    are integer millionths (t_surprisal convention) so the rec-set sum
+    is exact integer arithmetic; the scoring join is item-keyed
+    against the item-sized bits table (broadcast at any catalog that
+    fits the Zipf-head rule)."""
+    hist = (
+        _ratings(spark, sf_dir)
+        .groupBy("uid", "iid")
+        .agg(F.sum("r").alias("w"))
+        .localCheckpoint()  # consumed twice: top-k + popularity
+    )
+    wtop = Window.partitionBy("uid").orderBy(F.col("w").desc(), F.col("iid"))
+    topk = (
+        hist.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= _COV_K)
+        .select("uid", "iid")
+    )
+    pop = hist.groupBy("iid").agg(F.count(F.lit(1)).alias("p"))
+    tot = pop.agg(F.sum("p").alias("t"))
+    bits = pop.crossJoin(F.broadcast(tot)).select(
+        "iid",
+        F.round(F.log2(F.col("t").cast("double") / F.col("p")) * _NOV_SCALE)
+        .cast("long")
+        .alias("b"),
+    )
+    return topk.join(F.broadcast(bits), "iid").agg(
+        F.count_distinct("uid").alias("n_users"),
+        F.count(F.lit(1)).alias("n_recs"),
+        F.round(
+            F.sum("b").cast("double") / F.count(F.lit(1)) / _NOV_SCALE, 4
+        ).alias("avg_novelty_bits"),
+    )

@@ -1590,3 +1590,143 @@ def a_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack({len(pairs)}, {stack_args}) AS (col_x, col_y, pearson_r)"
         )
     )
+
+
+@register(
+    "s_window_topk",
+    """
+    WITH agg AS (
+        SELECT date_trunc('hour', ts) AS window_start, user_id,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, user_id, n, sum_value,
+           CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY window_start
+              ORDER BY sum_value DESC, user_id) AS rnk
+          FROM agg)
+    WHERE rnk <= 3
+    """,
+)
+def s_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-time-window top-k: the hourly top-3 users by summed value —
+    the leaderboard shape every event pipeline serves (trending items,
+    top spenders per hour). Composes the tumbling-window aggregate
+    (s_window_agg) with per-group top-k (W4) so the window ranking
+    runs on the AGGREGATE (hour × user), never raw events; total
+    tie-break (sum desc, user asc) as always.
+
+    Scale shape: one (hour, user) hash aggregation — map-side combined
+    — then a window over each hour's user rows. At 100 TB the
+    rank input is bounded by active users per hour, not events."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"), "user_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("sum_value").desc(), F.col("user_id")
+    )
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("window_start", "user_id", "n", "sum_value", "rnk")
+    )
+
+
+@register(
+    "w_first_last",
+    """
+    WITH w AS (
+        SELECT user_id,
+               first_value(event_type) OVER uw AS first_type,
+               last_value(event_type) OVER uw AS last_type,
+               first_value(value) OVER uw AS first_value_amt,
+               last_value(value) OVER uw AS last_value_amt,
+               CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events
+        FROM events
+        WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING)
+    )
+    SELECT DISTINCT user_id, first_type, last_type,
+           first_value_amt, last_value_amt, n_events
+    FROM w
+    """,
+)
+def w_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-value analytics per user: entry and exit event type
+    and value over the (ts, event_id)-total-ordered stream — the
+    acquisition/churn snapshot (what did each user do first and last?).
+    Completes the window-function surface next to lag/lead/ntile
+    (w_lag_lead): first_value/last_value over an unbounded frame.
+
+    Scale shape: ONE shuffle on user_id serves all five window
+    expressions (shared frame), then a distinct on the per-user
+    constants. Total ordering makes both engines pick identical
+    first/last rows."""
+    ev = _t(spark, sf_dir, "events")
+    uw = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    cw = Window.partitionBy("user_id")
+    return (
+        ev.select(
+            "user_id",
+            F.first("event_type").over(uw).alias("first_type"),
+            F.last("event_type").over(uw).alias("last_type"),
+            F.first("value").over(uw).alias("first_value_amt"),
+            F.last("value").over(uw).alias("last_value_amt"),
+            F.count(F.lit(1)).over(cw).alias("n_events"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "j_null_safe_join",
+    """
+    WITH l AS (
+        SELECT event_id, nullif(event_type, 'error') AS k, value
+        FROM events WHERE user_id < 30
+    ),
+    r AS (
+        SELECT nullif(event_type, 'error') AS k,
+               CAST(count(*) AS BIGINT) AS n_type
+        FROM events GROUP BY 1
+    )
+    SELECT l.event_id, l.k, r.n_type
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    """,
+)
+def j_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (Spark `<=>` / SQL IS NOT DISTINCT FROM):
+    NULL keys MATCH each other instead of silently dropping — the
+    semantics dimension the join family (J1-J4, asof, range, bucketed,
+    salted, bloom) didn't yet cover. Keys are event types with 'error'
+    nulled out, so the null bucket is real data: a plain equi-join
+    would lose every nulled row; the null-safe join keeps them paired
+    with the null-keyed aggregate row.
+
+    Scale shape: still a hash join — Spark plans EqualNullSafe as a
+    regular shuffled/broadcast equi-join on a null-tagged key; the
+    dimension side is type-sized → broadcast. (Skew caveat at 100 TB:
+    ALL null rows share one key, same remedy as any hot key —
+    j_salted_skew's salting.)"""
+    ev = _t(spark, sf_dir, "events")
+    k = F.nullif(F.col("event_type"), F.lit("error"))
+    l = ev.filter(F.col("user_id") < 30).select(
+        "event_id", k.alias("k"), "value"
+    )
+    r = ev.select(k.alias("k")).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_type")
+    )
+    return l.join(F.broadcast(r), l["k"].eqNullSafe(r["k"])).select(
+        "event_id", l["k"].alias("k"), "n_type"
+    )

@@ -1547,3 +1547,59 @@ def test_logreg_train_descends(spark):
     assert 0.0 <= r["accuracy"] <= 1.0
     assert r["log_loss"] < math.log(2.0)  # GD made progress from w=0
     assert any(abs(r[f"w_{j}"]) > 0 for j in range(4))
+
+
+def test_rec_novelty_bounds(spark):
+    """Novelty must sit between the catalog's min and max per-item
+    self-information, and the rec count equals users × k (every user
+    has ≥ k history items at sf0.01)."""
+    import math
+
+    from recommender_systems_spark.queries.ml import _COV_K, _ratings, e_rec_novelty
+
+    r = e_rec_novelty(spark, SF_MED).collect()[0]
+    hist = _ratings(spark, SF_MED).groupBy("uid", "iid").count()
+    pop = hist.groupBy("iid").count().collect()
+    t = sum(p["count"] for p in pop)
+    lo = min(math.log2(t / p["count"]) for p in pop)
+    hi = max(math.log2(t / p["count"]) for p in pop)
+    assert lo - 1e-6 <= r["avg_novelty_bits"] <= hi + 1e-6
+    assert r["n_recs"] <= r["n_users"] * _COV_K
+
+
+def test_null_safe_join_keeps_null_bucket(spark):
+    """Every nulled-key row must survive the null-safe join (a plain
+    equi-join would drop them), matched to the null aggregate row."""
+    from recommender_systems_spark.queries.stats import j_null_safe_join
+    from recommender_systems_spark.registry import _t
+
+    rows = j_null_safe_join(spark, SF_MED).collect()
+    ev = _t(spark, SF_MED, "events").filter(F.col("user_id") < 30)
+    n_err = ev.filter(F.col("event_type") == "error").count()
+    n_total_err = (
+        _t(spark, SF_MED, "events").filter(F.col("event_type") == "error").count()
+    )
+    null_rows = [r for r in rows if r["k"] is None]
+    assert len(null_rows) == n_err
+    assert all(r["n_type"] == n_total_err for r in null_rows)
+    assert len(rows) == ev.count()  # nothing dropped
+
+
+def test_first_last_window_consistency(spark):
+    """first/last must agree with a direct min/max-by over the total
+    (ts, event_id) order."""
+    from recommender_systems_spark.queries.stats import w_first_last
+    from recommender_systems_spark.registry import _t
+
+    got = {r["user_id"]: (r["first_type"], r["last_type"])
+           for r in w_first_last(spark, SF_MED).collect()}
+    ev = _t(spark, SF_MED, "events").select("user_id", "ts", "event_id",
+                                            "event_type")
+    want = {
+        r["user_id"]: (r["f"], r["l"])
+        for r in ev.groupBy("user_id").agg(
+            F.min_by("event_type", F.struct("ts", "event_id")).alias("f"),
+            F.max_by("event_type", F.struct("ts", "event_id")).alias("l"),
+        ).collect()
+    }
+    assert got == want

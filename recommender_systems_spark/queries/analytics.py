@@ -1064,3 +1064,267 @@ def m_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("log_loss"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# e_hte_segments — heterogeneous treatment effects by customer segment
+# ---------------------------------------------------------------------------
+
+@register(
+    "e_hte_segments",
+    f"""
+    WITH g AS ({_GRP_SQL}),
+    j AS (
+        SELECT c.c_mktsegment AS segment, g.grp, g.value
+        FROM g JOIN customer c ON c.c_custkey = g.user_id
+    ),
+    s AS (
+        SELECT segment,
+               avg(CASE WHEN grp = 'A' THEN value END) AS ma,
+               avg(CASE WHEN grp = 'B' THEN value END) AS mb,
+               var_samp(CASE WHEN grp = 'A' THEN value END) AS va,
+               var_samp(CASE WHEN grp = 'B' THEN value END) AS vb,
+               sum(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS na,
+               sum(CASE WHEN grp = 'B' THEN 1 ELSE 0 END) AS nb
+        FROM j GROUP BY segment
+    )
+    SELECT segment,
+           CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+           round(ma - mb, 6) AS effect,
+           round((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat
+    FROM s
+    """,
+)
+def e_hte_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous treatment effects: the A−B outcome difference and
+    its Welch t statistic WITHIN each customer market segment — the
+    forest-plot data behind "did the treatment help everyone or just
+    one cohort?" (segment dimension from the star schema, so this is
+    the e_t_test_stats statistic composed with a J1-style dim join).
+
+    Scale shape: one broadcast dim join (customer is dimension-sized)
+    feeding one segment-keyed conditional aggregation — per-segment
+    means/variances/counts from a single pass, the same
+    sufficient-statistic shape as e_t_test_stats but grouped."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    j = _events_grouped(spark, sf_dir).join(F.broadcast(cust), "user_id")
+    a = F.when(F.col("grp") == "A", F.col("value"))
+    b = F.when(F.col("grp") == "B", F.col("value"))
+    s = j.groupBy("segment").agg(
+        F.avg(a).alias("ma"),
+        F.avg(b).alias("mb"),
+        F.var_samp(a).alias("va"),
+        F.var_samp(b).alias("vb"),
+        F.sum(F.when(F.col("grp") == "A", 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("grp") == "B", 1).otherwise(0)).alias("nb"),
+    )
+    se = F.sqrt(F.col("va") / F.col("na") + F.col("vb") / F.col("nb"))
+    return s.select(
+        "segment",
+        "na",
+        "nb",
+        F.round(F.col("ma") - F.col("mb"), 6).alias("effect"),
+        F.round((F.col("ma") - F.col("mb")) / se, 6).alias("t_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a_mad — median absolute deviation (robust scale) per group
+# ---------------------------------------------------------------------------
+
+@register(
+    "a_mad",
+    """
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+        FROM events e JOIN med m USING (event_type)
+    )
+    SELECT event_type,
+           round(max(med), 6) AS median_value,
+           round(quantile_cont(adev, 0.5), 6) AS mad
+    FROM dev GROUP BY event_type
+    """,
+)
+def a_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per event type — the robust scale
+    estimate outlier pipelines use where variance is poisoned by the
+    outliers themselves (complements a_winsorize's robust location and
+    s_anomaly_zscore's parametric z). MAD = median(|x − median(x)|):
+    two grouped exact-percentile passes with the group medians
+    broadcast back between them.
+
+    Scale shape: both medians are grouped percentile aggregations on
+    the same (event_type) key — the deviation join is against the
+    TYPE-sized median table (broadcast), so the data shuffles twice on
+    the same small key space and nothing else moves. Both engines use
+    the same linear-interpolation percentile definition (established
+    by a_group_agg A4)."""
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("adev"), "med"
+    )
+    return dev.groupBy("event_type").agg(
+        F.round(F.max("med"), 6).alias("median_value"),
+        F.round(F.percentile("adev", F.lit(0.5)), 6).alias("mad"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a_benford_test — first-digit distribution conformity (data quality)
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d), rounded to the 6dp grid — identical literals both sides.
+_BENFORD_P = {
+    1: 0.30103, 2: 0.176091, 3: 0.124939, 4: 0.09691, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+_BENFORD_CASE = " ".join(
+    f"WHEN d = {d} THEN {p}" for d, p in _BENFORD_P.items()
+)
+
+_BENFORD_SQL = f"""
+    WITH i AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE value > 0
+    ),
+    d AS (
+        SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INT) AS d
+        FROM i WHERE cents > 0
+    ),
+    c AS (SELECT d, CAST(count(*) AS BIGINT) AS o FROM d GROUP BY d),
+    tot AS (SELECT sum(o) AS n FROM c)
+    SELECT d, o,
+           round(CAST(o AS DOUBLE) / n, 6) AS observed_p,
+           CASE {_BENFORD_CASE} END AS benford_p,
+           round(pow(o - n * (CASE {_BENFORD_CASE} END), 2)
+                 / (n * (CASE {_BENFORD_CASE} END)), 6) AS chi2_term
+    FROM c CROSS JOIN tot
+"""
+
+
+@register("a_benford_test", _BENFORD_SQL)
+def a_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformity of the value column's first significant
+    digit — the forensic data-quality screen (fabricated or
+    unit-mangled numeric columns break the log-uniform digit law; a
+    fraud/ETL-bug detector that needs no labels). Emits the per-digit
+    observed share, the Benford expectation, and the chi-squared term.
+
+    Parity note: the first digit comes from the INTEGER STRING of
+    exact cents (value has 2dp, so round(value·100) is exact) — never
+    from floor(log10(x)), whose boundary behaviour at powers of ten is
+    libm-dependent. Expected shares are shared 6dp literals.
+
+    Scale shape: one scan → 9-row digit aggregate; everything after is
+    digit-sized."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
+    cents = F.round(F.col("value") * 100).cast("long")
+    d = ev.select(cents.alias("cents")).filter(F.col("cents") > 0).select(
+        F.substring(F.col("cents").cast("string"), 1, 1).cast("int").alias("d")
+    )
+    c = d.groupBy("d").agg(F.count(F.lit(1)).alias("o"))
+    tot = c.agg(F.sum("o").alias("n"))
+    bp = F.lit(None).cast("double")
+    for dig, p in reversed(list(_BENFORD_P.items())):
+        bp = F.when(F.col("d") == dig, F.lit(p)).otherwise(bp)
+    return c.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "o",
+        F.round(F.col("o").cast("double") / F.col("n"), 6).alias("observed_p"),
+        bp.alias("benford_p"),
+        F.round(
+            F.pow(F.col("o") - F.col("n") * bp, 2) / (F.col("n") * bp), 6
+        ).alias("chi2_term"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a_runs_test — Wald-Wolfowitz runs test for randomness over time
+# ---------------------------------------------------------------------------
+
+@register(
+    "a_runs_test",
+    """
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    s AS (
+        SELECT e.event_type,
+               CASE WHEN e.value > m.med THEN 1 ELSE 0 END AS sgn,
+               lag(CASE WHEN e.value > m.med THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY e.event_type
+                         ORDER BY e.ts, e.event_id) AS prev
+        FROM events e JOIN med m USING (event_type)
+    ),
+    agg AS (
+        SELECT event_type,
+               sum(CASE WHEN prev IS NULL OR sgn <> prev THEN 1 ELSE 0 END)
+                   AS r,
+               sum(sgn) AS n1,
+               sum(1 - sgn) AS n2
+        FROM s GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(r AS BIGINT) AS n_runs,
+           CAST(n1 AS BIGINT) AS n_above,
+           CAST(n2 AS BIGINT) AS n_below,
+           round((r - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / (pow(n1 + n2, 2) * (n1 + n2 - 1))), 6) AS z
+    FROM agg
+    """,
+)
+def a_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per event type: are above/below-median
+    values randomly interleaved over time, or do they clump (trend or
+    regime shifts the mean-based tests can't see)? Counts sign runs
+    over the (ts, event_id)-total-ordered stream and standardises
+    against the exact run-count moments.
+
+    Scale shape: the median table is type-sized (broadcast back, the
+    a_mad chassis); the sign + lag ride ONE type-partitioned window;
+    runs and sign counts collapse in the same shuffle's aggregate —
+    counts are exact integers, so only the final z needs the 6dp
+    round."""
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    sgn = F.when(F.col("value") > F.col("med"), 1).otherwise(0)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    s = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", sgn.alias("sgn"), F.lag(sgn).over(w).alias("prev")
+    )
+    agg = s.groupBy("event_type").agg(
+        F.sum(
+            F.when(
+                F.col("prev").isNull() | (F.col("sgn") != F.col("prev")), 1
+            ).otherwise(0)
+        ).alias("r"),
+        F.sum("sgn").alias("n1"),
+        F.sum(F.lit(1) - F.col("sgn")).alias("n2"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1
+    sig = F.sqrt(
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / (F.pow(n1 + n2, 2) * (n1 + n2 - 1))
+    )
+    return agg.select(
+        "event_type",
+        r.alias("n_runs"),
+        n1.alias("n_above"),
+        n2.alias("n_below"),
+        F.round((r - mu) / sig, 6).alias("z"),
+    )

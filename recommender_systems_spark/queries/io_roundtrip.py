@@ -146,3 +146,25 @@ def s_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _out_dir("json", sf_dir)
     ev.write.mode("overwrite").json(path)
     return spark.read.schema(_JSON_SCHEMA).json(path)
+
+
+@register(
+    "s_orc_roundtrip",
+    """
+    SELECT doc_id, lang, source, n_chars
+    FROM documents WHERE n_chars >= 200
+    """,
+)
+def s_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink → source round trip (fourth format: the columnar
+    format Hive/Trino warehouses standardise on). The filtered
+    projection is written as ORC, read back, and hash-compared against
+    the ORIGINAL parquet table — DuckDB never reads the ORC file, so a
+    match proves Spark's ORC sink+source compose to identity on these
+    types (long, string)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 200).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    path = _out_dir("orc", sf_dir)
+    docs.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)

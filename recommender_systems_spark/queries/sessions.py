@@ -1148,3 +1148,60 @@ def s_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round(F.col("n") / F.col("t").cast("double"), 6).alias("p"),
     )
+
+
+_PATTERN_SQL = """
+    WITH o AS (
+        SELECT user_id, ts, event_type,
+               lead(event_type, 1) OVER w AS t1,
+               lead(event_type, 2) OVER w AS t2,
+               lead(ts, 2) OVER w AS ts2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    hits AS (
+        SELECT user_id
+        FROM o
+        WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+          AND date_diff('microsecond', ts, ts2) <= 604800000000
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_matches
+    FROM hits GROUP BY user_id
+"""
+
+
+@register("s_event_pattern", _PATTERN_SQL)
+def s_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict consecutive-sequence detection (MATCH_RECOGNIZE-lite):
+    count, per user, the view→click→purchase runs with NO intervening
+    event and the whole pattern inside 7 days — the CEP shape
+    behind conversion-path and fraud-sequence rules. Differs from
+    s_funnel (ordered but gappy steps): here adjacency is part of the
+    pattern, which a simple min-ts funnel cannot express.
+
+    Scale shape: ONE user-partitioned window provides both lookahead
+    types and the pattern-window timestamp; matches collapse to a
+    per-user count in the same shuffle's aggregate. The pattern is
+    pure JVM expressions — no state machine UDF needed for
+    fixed-length patterns."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead("ts", 2).over(w).alias("ts2"),
+    )
+    hits = o.filter(
+        (F.col("event_type") == "view")
+        & (F.col("t1") == "click")
+        & (F.col("t2") == "purchase")
+        & (
+            F.unix_micros(F.col("ts2").cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+            <= 604_800_000_000
+        )
+    )
+    return hits.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_matches"))

@@ -1555,3 +1555,123 @@ def v_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pq_code"),
         F.round(F.sum("dist"), 6).alias("recon_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-centroid classification + accuracy
+# ---------------------------------------------------------------------------
+
+_NCC_SCALE = 100_000
+
+_NCC_SQL = f"""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    pos AS (
+        SELECT label, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS val
+        FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS i)
+    ),
+    per AS (
+        SELECT label, pos,
+               CAST(round(avg(val) * {_NCC_SCALE}) AS BIGINT)
+                   / {_NCC_SCALE}.0 AS v
+        FROM pos GROUP BY label, pos
+    ),
+    cent AS (
+        SELECT label AS clabel, list(v ORDER BY pos) AS c FROM per GROUP BY label
+    ),
+    scored AS (
+        SELECT e.vec_id, e.label, cent.clabel,
+               round(list_dot_product(e.v, cent.c)
+                     / (sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(cent.c, cent.c))), 5) AS cos
+        FROM e CROSS JOIN cent
+    ),
+    best AS (
+        SELECT vec_id, label, clabel FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cos DESC, clabel) AS rn
+            FROM scored)
+        WHERE rn = 1
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(CASE WHEN clabel = label THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+           round(CAST(sum(CASE WHEN clabel = label THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS accuracy
+    FROM best GROUP BY label
+"""
+
+
+@register("v_centroid_classify", _NCC_SQL)
+def v_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification over the embedding table: class
+    prototypes are the per-label mean vectors (v_label_centroids'
+    aggregation), every vector is assigned to its max-cosine prototype,
+    and per-label accuracy comes back — the 1-NN-to-prototype baseline
+    every embedding-quality report starts with (Rocchio / prototype
+    networks' zero-parameter ancestor).
+
+    Scale shape: centroids are label-sized → broadcast; the
+    vector×centroid score is a broadcast nested loop over |labels|
+    rows per vector; the only wide shuffle is the per-vector argmax
+    window keyed by vec_id. Parity: centroids snap to the 1e-5 grid
+    BEFORE scoring (shared-rounded-values rule) and the argmax reads
+    the 5dp-rounded cosine with (cos, label) tie-break, so assignment
+    can never flip on summation order."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    pos = e.select(
+        "label", F.posexplode("v").alias("pos", "val")
+    )
+    per = pos.groupBy("label", "pos").agg(
+        (
+            F.round(F.avg("val") * _NCC_SCALE).cast("long")
+            / float(_NCC_SCALE)
+        ).alias("cv")
+    )
+    cent = per.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+            lambda s: s["cv"],
+        ).alias("c")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nv = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("v"), lambda a: a * a), F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nc = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("c"), lambda a: a * a), F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.round(dot / (nv * nc), 5).alias("cos"),
+    )
+    wbest = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("clabel")
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "clabel")
+    )
+    correct = F.sum(F.when(F.col("clabel") == F.col("label"), 1).otherwise(0))
+    return best.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        correct.alias("n_correct"),
+        F.round(correct.cast("double") / F.count(F.lit(1)), 6).alias("accuracy"),
+    )

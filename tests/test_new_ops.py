@@ -1603,3 +1603,145 @@ def test_first_last_window_consistency(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_hte_segments_match_global(spark):
+    """Segment arm counts must sum to the joined-event totals, and
+    each effect must re-derive to its t statistic's sign."""
+    from recommender_systems_spark.queries.analytics import e_hte_segments
+    from recommender_systems_spark.registry import _t
+
+    rows = e_hte_segments(spark, SF_MED).collect()
+    assert len(rows) == 5  # five market segments
+    ev = _t(spark, SF_MED, "events")
+    cust = _t(spark, SF_MED, "customer").select(
+        F.col("c_custkey").alias("user_id")
+    )
+    joined = ev.join(cust, "user_id")
+    n_a = joined.filter(F.col("user_id") % 2 == 0).count()
+    n_b = joined.filter(F.col("user_id") % 2 == 1).count()
+    assert sum(r["na"] for r in rows) == n_a
+    assert sum(r["nb"] for r in rows) == n_b
+    for r in rows:
+        if r["effect"] != 0:
+            assert (r["effect"] > 0) == (r["t_stat"] > 0)
+
+
+def test_orc_roundtrip_exact(spark):
+    """ORC sink+source must reproduce the filtered projection exactly."""
+    from recommender_systems_spark.queries.io_roundtrip import s_orc_roundtrip
+    from recommender_systems_spark.registry import _t
+
+    got = {r["doc_id"]: (r["lang"], r["source"], r["n_chars"])
+           for r in s_orc_roundtrip(spark, SF_MED).collect()}
+    want = {r["doc_id"]: (r["lang"], r["source"], r["n_chars"])
+            for r in _t(spark, SF_MED, "documents")
+            .filter(F.col("n_chars") >= 200)
+            .select("doc_id", "lang", "source", "n_chars")
+            .collect()}
+    assert got == want
+
+
+def test_event_pattern_counts_are_adjacent_runs(spark):
+    """Every reported match must correspond to an adjacent
+    view→click→purchase triple in the user's ordered stream."""
+    from recommender_systems_spark.queries.sessions import s_event_pattern
+    from recommender_systems_spark.registry import _t
+
+    got = {r["user_id"]: r["n_matches"]
+           for r in s_event_pattern(spark, SF_MED).collect()}
+    rows = (
+        _t(spark, SF_MED, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    want = {}
+    for uid, evs in by_user.items():
+        evs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        n = sum(
+            1
+            for i in range(len(evs) - 2)
+            if (evs[i]["event_type"], evs[i + 1]["event_type"],
+                evs[i + 2]["event_type"]) == ("view", "click", "purchase")
+            and (evs[i + 2]["ts"] - evs[i]["ts"]).total_seconds() <= 604800
+        )
+        if n:
+            want[uid] = n
+    assert got == want
+
+
+def test_mad_bounded_by_range(spark):
+    """MAD must be non-negative and no larger than half the value
+    range within each event type."""
+    from recommender_systems_spark.queries.analytics import a_mad
+    from recommender_systems_spark.registry import _t
+
+    rows = {r["event_type"]: r for r in a_mad(spark, SF_MED).collect()}
+    rng = {
+        r["event_type"]: (r["mn"], r["mx"])
+        for r in _t(spark, SF_MED, "events")
+        .groupBy("event_type")
+        .agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+        .collect()
+    }
+    for t, r in rows.items():
+        mn, mx = rng[t]
+        assert 0.0 <= r["mad"] <= (mx - mn)
+        assert mn <= r["median_value"] <= mx
+
+
+def test_centroid_classify_beats_uniform(spark):
+    """Per-label counts partition the embedding table; overall accuracy
+    must beat the 1/|labels| uniform-guess rate (labels are real
+    cluster structure in the synthetic embeddings)."""
+    from recommender_systems_spark.queries.similarity import v_centroid_classify
+    from recommender_systems_spark.registry import _t
+
+    rows = v_centroid_classify(spark, SF_MED).collect()
+    per = {r["label"]: r["n_vectors"] for r in rows}
+    emb = _t(spark, SF_MED, "embeddings")
+    want = {r["label"]: r["n"] for r in
+            emb.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per == want
+    total = sum(per.values())
+    acc = sum(r["n_correct"] for r in rows) / total
+    assert acc > 1.0 / len(per)
+
+
+def test_benford_terms_partition_and_sum(spark):
+    """Nine digits, observed shares sum to 1 (to the rounded grid),
+    chi2 terms non-negative, expectations are the Benford law."""
+    from recommender_systems_spark.queries.analytics import _BENFORD_P, a_benford_test
+
+    rows = {r["d"]: r for r in a_benford_test(spark, SF_MED).collect()}
+    assert set(rows) == set(range(1, 10))
+    assert abs(sum(r["observed_p"] for r in rows.values()) - 1.0) < 1e-4
+    for d, r in rows.items():
+        assert r["benford_p"] == _BENFORD_P[d]
+        assert r["chi2_term"] >= 0.0
+
+
+def test_runs_test_bounds(spark):
+    """Run counts must lie in [1, n] and the above/below counts split
+    each type's rows; |z| finite."""
+    import math
+
+    from recommender_systems_spark.queries.analytics import a_runs_test
+    from recommender_systems_spark.registry import _t
+
+    rows = a_runs_test(spark, SF_MED).collect()
+    totals = {
+        r["event_type"]: r["n"]
+        for r in _t(spark, SF_MED, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        n = totals[r["event_type"]]
+        assert r["n_above"] + r["n_below"] == n
+        assert 1 <= r["n_runs"] <= n
+        assert math.isfinite(r["z"])

@@ -1328,3 +1328,43 @@ def a_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         n2.alias("n_below"),
         F.round((r - mu) / sig, 6).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a_autocorr — lag-1 serial correlation per event type
+# ---------------------------------------------------------------------------
+
+@register(
+    "a_autocorr",
+    """
+    WITH s AS (
+        SELECT event_type, value,
+               lag(value) OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS prev
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(prev) AS BIGINT) AS n_pairs,
+           round(corr(value, prev), 6) AS lag1_autocorr
+    FROM s WHERE prev IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def a_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 serial correlation of the value stream per event type —
+    the independence check behind every i.i.d.-assuming statistic in
+    the E-family (a_runs_test's parametric sibling: runs detect sign
+    clumping, autocorrelation detects linear memory).
+
+    Scale shape: one type-partitioned window for the lag, then the
+    Pearson aggregate (algebraic moments, map-side combined) in the
+    same shuffle. Only the correlation itself is rounded."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", "value", F.lag("value").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    return s.groupBy("event_type").agg(
+        F.count("prev").alias("n_pairs"),
+        F.round(F.corr("value", "prev"), 6).alias("lag1_autocorr"),
+    )

@@ -1745,3 +1745,21 @@ def test_runs_test_bounds(spark):
         assert r["n_above"] + r["n_below"] == n
         assert 1 <= r["n_runs"] <= n
         assert math.isfinite(r["z"])
+
+
+def test_autocorr_in_range(spark):
+    """Correlations live in [-1, 1] and pair counts are n_type - 1."""
+    from recommender_systems_spark.queries.analytics import a_autocorr
+    from recommender_systems_spark.registry import _t
+
+    rows = {r["event_type"]: r for r in a_autocorr(spark, SF_MED).collect()}
+    totals = {
+        r["event_type"]: r["n"]
+        for r in _t(spark, SF_MED, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for t, r in rows.items():
+        assert r["n_pairs"] == totals[t] - 1
+        assert -1.0 <= r["lag1_autocorr"] <= 1.0

@@ -1368,3 +1368,197 @@ def a_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("prev").alias("n_pairs"),
         F.round(F.corr("value", "prev"), 6).alias("lag1_autocorr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a_weighted_median — exact distributed weighted median
+# ---------------------------------------------------------------------------
+
+@register(
+    "a_weighted_median",
+    """
+    WITH per_value AS (
+        SELECT event_type, value, CAST(count(*) AS BIGINT) AS w
+        FROM events GROUP BY event_type, value
+    ),
+    cum AS (
+        SELECT event_type, value, w,
+               sum(w) OVER (PARTITION BY event_type ORDER BY value
+                            ROWS UNBOUNDED PRECEDING) AS cw
+        FROM per_value
+    ),
+    tot AS (
+        SELECT event_type, sum(w) AS t FROM per_value GROUP BY event_type
+    )
+    SELECT c.event_type,
+           CAST(t.t AS BIGINT) AS total_weight,
+           min(c.value) AS weighted_median
+    FROM cum c JOIN tot t USING (event_type)
+    WHERE c.cw * 2 >= t.t
+    GROUP BY c.event_type, t.t
+    """,
+)
+def a_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median per group — the first value whose
+    cumulative weight reaches half the total (lower weighted median;
+    here weights are occurrence counts, so it doubles as an exact
+    frequency-weighted median that never samples). The percentile
+    built-ins interpolate between rows; the weighted median is a
+    SELECTED data value, which matters when values are prices or
+    latencies that must exist in the data.
+
+    Scale shape: pre-aggregate to (group, distinct value, weight),
+    cumulate within each group's ordinary partitioned window (groups
+    parallelise; no global window), then one group-sized reduction
+    picks the crossing value via min-over-qualifying. Integer weights
+    end-to-end — nothing to round."""
+    ev = _t(spark, sf_dir, "events")
+    per_value = ev.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("w")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_value.withColumn("cw", F.sum("w").over(w))
+    tot = per_value.groupBy("event_type").agg(F.sum("w").alias("t"))
+    return (
+        cum.join(F.broadcast(tot), "event_type")
+        .filter(F.col("cw") * 2 >= F.col("t"))
+        .groupBy("event_type", "t")
+        .agg(F.min("value").alias("weighted_median"))
+        .select(
+            "event_type",
+            F.col("t").alias("total_weight"),
+            "weighted_median",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# e_sequential_test — always-valid inference (mixture SPRT)
+# ---------------------------------------------------------------------------
+
+_MSPRT_TAU2 = 1.0     # mixture variance of the effect prior
+_MSPRT_ALPHA = 0.05
+
+
+@register(
+    "e_sequential_test",
+    f"""
+    WITH g AS ({_GRP_SQL}),
+    daily AS (
+        SELECT date_trunc('day', ts) AS day,
+               sum(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS na,
+               sum(CASE WHEN grp = 'B' THEN 1 ELSE 0 END) AS nb,
+               sum(CASE WHEN grp = 'A' THEN value ELSE 0 END) AS sa,
+               sum(CASE WHEN grp = 'B' THEN value ELSE 0 END) AS sb,
+               sum(CASE WHEN grp = 'A' THEN value * value ELSE 0 END) AS qa,
+               sum(CASE WHEN grp = 'B' THEN value * value ELSE 0 END) AS qb
+        FROM g GROUP BY 1
+    ),
+    cum AS (
+        SELECT day,
+               sum(na) OVER w AS cna, sum(nb) OVER w AS cnb,
+               sum(sa) OVER w AS csa, sum(sb) OVER w AS csb,
+               sum(qa) OVER w AS cqa, sum(qb) OVER w AS cqb
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+    ),
+    stat AS (
+        SELECT day, CAST(cna AS BIGINT) AS na, CAST(cnb AS BIGINT) AS nb,
+               round(csa / cna - csb / cnb, 6) AS delta,
+               round((cqa + cqb - cna * pow(csa / cna, 2)
+                      - cnb * pow(csb / cnb, 2)) / (cna + cnb - 2), 6) AS s2,
+               round(CAST(cna AS DOUBLE) * cnb / (cna + cnb), 6) AS neff
+        FROM cum WHERE cna > 1 AND cnb > 1
+    )
+    SELECT day, na, nb, delta,
+           round(0.5 * ln(2.0 * s2 / (2.0 * s2 + {_MSPRT_TAU2} * neff))
+                 + pow(neff * delta, 2) * {_MSPRT_TAU2}
+                   / (4.0 * s2 * (2.0 * s2 + {_MSPRT_TAU2} * neff)), 6)
+               AS log_lambda,
+           (0.5 * ln(2.0 * s2 / (2.0 * s2 + {_MSPRT_TAU2} * neff))
+            + pow(neff * delta, 2) * {_MSPRT_TAU2}
+              / (4.0 * s2 * (2.0 * s2 + {_MSPRT_TAU2} * neff))
+            > ln(1.0 / {_MSPRT_ALPHA})) AS rejected
+    FROM stat
+    """,
+)
+def e_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential test (mixture SPRT, Johari et al. 2017):
+    for every day of the experiment, the running log mixture-likelihood
+    ratio of the arm difference and whether it has crossed the
+    ln(1/α) boundary — the "peek whenever you like" replacement for
+    the fixed-horizon t test (E5), which inflates false positives
+    under continuous monitoring.
+
+    Scale shape: events collapse to per-day sufficient statistics
+    (6 sums per day — calendar-sized) BEFORE any window; the running
+    totals then cumulate over the tiny day series. Running stats snap
+    to the 6dp grid before the Λ formula (shared-rounded-values rule),
+    so both engines evaluate the identical closed form."""
+    g = _events_grouped(spark, sf_dir)
+    daily = g.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.when(F.col("grp") == "A", 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("grp") == "B", 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(F.col("grp") == "A", F.col("value")).otherwise(0.0)).alias("sa"),
+        F.sum(F.when(F.col("grp") == "B", F.col("value")).otherwise(0.0)).alias("sb"),
+        F.sum(
+            F.when(F.col("grp") == "A", F.col("value") * F.col("value")).otherwise(0.0)
+        ).alias("qa"),
+        F.sum(
+            F.when(F.col("grp") == "B", F.col("value") * F.col("value")).otherwise(0.0)
+        ).alias("qb"),
+    )
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # The day series is calendar-sized (one row per day), so this
+    # single-partition window is the k×k rule, not a scale hazard.
+    cum = daily.select(
+        "day",
+        F.sum("na").over(w).alias("cna"),
+        F.sum("nb").over(w).alias("cnb"),
+        F.sum("sa").over(w).alias("csa"),
+        F.sum("sb").over(w).alias("csb"),
+        F.sum("qa").over(w).alias("cqa"),
+        F.sum("qb").over(w).alias("cqb"),
+    ).filter((F.col("cna") > 1) & (F.col("cnb") > 1))
+    cna, cnb = F.col("cna"), F.col("cnb")
+    stat = cum.select(
+        "day",
+        cna.alias("na"),
+        cnb.alias("nb"),
+        F.round(F.col("csa") / cna - F.col("csb") / cnb, 6).alias("delta"),
+        F.round(
+            (
+                F.col("cqa")
+                + F.col("cqb")
+                - cna * F.pow(F.col("csa") / cna, 2)
+                - cnb * F.pow(F.col("csb") / cnb, 2)
+            )
+            / (cna + cnb - 2),
+            6,
+        ).alias("s2"),
+        F.round(cna.cast("double") * cnb / (cna + cnb), 6).alias("neff"),
+    )
+    s2, neff, delta = F.col("s2"), F.col("neff"), F.col("delta")
+    log_lambda = (
+        0.5 * F.log(2.0 * s2 / (2.0 * s2 + _MSPRT_TAU2 * neff))
+        + F.pow(neff * delta, 2)
+        * _MSPRT_TAU2
+        / (4.0 * s2 * (2.0 * s2 + _MSPRT_TAU2 * neff))
+    )
+    import math
+
+    return stat.select(
+        "day",
+        F.col("na").cast("long").alias("na"),
+        F.col("nb").cast("long").alias("nb"),
+        "delta",
+        F.round(log_lambda, 6).alias("log_lambda"),
+        (log_lambda > math.log(1.0 / _MSPRT_ALPHA)).alias("rejected"),
+    )

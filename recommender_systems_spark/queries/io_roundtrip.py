@@ -168,3 +168,39 @@ def s_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _out_dir("orc", sf_dir)
     docs.write.mode("overwrite").orc(path)
     return spark.read.orc(path)
+
+
+@register(
+    "j_dpp_join",
+    """
+    SELECT d.source, d.doc_id, d.n_chars
+    FROM documents d
+    JOIN (SELECT DISTINCT source FROM documents WHERE n_chars > 540) s
+      ON s.source = d.source
+    """,
+)
+def j_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is the
+    source-partitioned lakehouse layout (s_partitioned_scan's sink)
+    and the dim side is a runtime-computed source list — Spark injects
+    a `dynamicpruning` subquery so only the qualifying partition
+    DIRECTORIES are read, even though the filter value isn't known
+    until runtime (static pruning, s_partitioned_scan, needs the
+    literal up front). At 100 TB this is the difference between
+    scanning 5 sources and scanning 200.
+
+    The oracle replays the same semi-join on the ORIGINAL table, so
+    the hash match proves pruning loses no rows; the plan-shape test
+    asserts the pruning subquery is actually in the physical plan."""
+    path = _out_dir("part", sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars", "source")
+        docs.write.mode("overwrite").partitionBy("source").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        spark.read.parquet(path)
+        .filter(F.col("n_chars") > 540)
+        .select("source")
+        .distinct()
+    )
+    return fact.join(dim, "source").select("source", "doc_id", "n_chars")

@@ -1205,3 +1205,90 @@ def s_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return hits.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_matches"))
+
+
+_LTV_SQL = """
+    WITH cohort AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    spend AS (
+        SELECT e.user_id, c.cohort_week,
+               CAST(datediff('day', c.cohort_week,
+                             date_trunc('week', e.ts)) // 7 AS BIGINT)
+                   AS week_offset,
+               sum(e.value) AS v
+        FROM events e JOIN cohort c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2, 3
+    ),
+    sizes AS (
+        SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+        FROM cohort GROUP BY cohort_week
+    ),
+    wk AS (
+        SELECT cohort_week, week_offset, sum(v) AS wv
+        FROM spend GROUP BY cohort_week, week_offset
+    ),
+    cum AS (
+        SELECT cohort_week, week_offset,
+               sum(wv) OVER (PARTITION BY cohort_week ORDER BY week_offset
+                             ROWS UNBOUNDED PRECEDING) AS cum_v
+        FROM wk
+    )
+    SELECT c.cohort_week, c.week_offset, s.cohort_size,
+           round(c.cum_v, 2) AS cum_value,
+           round(c.cum_v / s.cohort_size, 4) AS ltv_per_user
+    FROM cum c JOIN sizes s USING (cohort_week)
+"""
+
+
+@register("s_cohort_ltv", _LTV_SQL)
+def s_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: cumulative purchase value per signup
+    cohort by week-of-life, normalised per cohort member — the revenue
+    twin of s_retention's activity matrix (the LTV curve that payback
+    and acquisition-cost decisions read from).
+
+    Scale shape: cohorts from one user-keyed min; spend collapses to
+    (cohort, week-offset) cells — calendar-sized — BEFORE the
+    cumulative window, so the running sum runs on tiny per-cohort
+    series, not events. Sum order differs between engines → the two
+    monetary outputs round (2dp absolute, 4dp per-user)."""
+    ev = _t(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    spend = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort_week").cast("date"),
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.sum("value").alias("wv"))
+    )
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = spend.withColumn("cum_v", F.sum("wv").over(w))
+    return cum.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "cohort_size",
+        F.round("cum_v", 2).alias("cum_value"),
+        F.round(F.col("cum_v") / F.col("cohort_size"), 4).alias("ltv_per_user"),
+    )

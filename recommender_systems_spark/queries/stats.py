@@ -1730,3 +1730,40 @@ def j_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.join(F.broadcast(r), l["k"].eqNullSafe(r["k"])).select(
         "event_id", l["k"].alias("k"), "n_type"
     )
+
+
+@register(
+    "w_rank_functions",
+    """
+    SELECT event_id, event_type,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           round(percent_rank() OVER w, 6) AS prnk,
+           round(cume_dist() OVER w, 6) AS cdist
+    FROM events
+    WHERE user_id < 20
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def w_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining rank-function family in one query: rank,
+    dense_rank, percent_rank, cume_dist per event type over a TOTAL
+    (value, event_id) order — completes the window surface beside
+    row_number (W4), lag/lead/ntile (w_lag_lead), and
+    first/last (w_first_last). percent_rank/cume_dist are the
+    ECDF-as-window primitives analysts reach for before a full KS.
+
+    Scale shape: all four functions share one frame spec → one
+    event_type exchange, one Window node. Rank arithmetic is exact
+    integers; the two ratios are single divisions of exact ints,
+    rounded only for cross-engine display."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )

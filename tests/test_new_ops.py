@@ -1763,3 +1763,98 @@ def test_autocorr_in_range(spark):
     for t, r in rows.items():
         assert r["n_pairs"] == totals[t] - 1
         assert -1.0 <= r["lag1_autocorr"] <= 1.0
+
+
+def test_weighted_median_is_data_value(spark):
+    """The weighted median must be an actual data value at the
+    half-weight crossing, bracketed by the group's min/max."""
+    from recommender_systems_spark.queries.analytics import a_weighted_median
+    from recommender_systems_spark.registry import _t
+
+    rows = {r["event_type"]: r for r in a_weighted_median(spark, SF_MED).collect()}
+    ev = _t(spark, SF_MED, "events")
+    stats = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(F.min("value").alias("mn"), F.max("value").alias("mx"),
+             F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for t, r in rows.items():
+        s = stats[t]
+        assert r["total_weight"] == s["n"]
+        assert s["mn"] <= r["weighted_median"] <= s["mx"]
+        # must be an existing value
+        assert ev.filter(
+            (F.col("event_type") == t) & (F.col("value") == r["weighted_median"])
+        ).count() > 0
+
+
+def test_cohort_ltv_monotone(spark):
+    """Cumulative LTV must be non-decreasing in week_offset within
+    each cohort."""
+    from recommender_systems_spark.queries.sessions import s_cohort_ltv
+
+    rows = s_cohort_ltv(spark, SF_MED).collect()
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_week"], []).append(r)
+    for cohort, rs in by_cohort.items():
+        rs.sort(key=lambda r: r["week_offset"])
+        vals = [r["cum_value"] for r in rs]
+        assert vals == sorted(vals), cohort
+        for r in rs:
+            assert abs(r["ltv_per_user"] * r["cohort_size"] - r["cum_value"]) \
+                <= r["cohort_size"] * 1e-3
+
+
+def test_rank_functions_consistency(spark):
+    """cume_dist must be ≥ percent_rank, both in (0, 1], and
+    dense_rank ≤ rank everywhere."""
+    from recommender_systems_spark.queries.stats import w_rank_functions
+
+    rows = w_rank_functions(spark, SF_MED).collect()
+    assert rows
+    for r in rows:
+        assert r["drnk"] <= r["rnk"]
+        assert 0.0 <= r["prnk"] <= 1.0
+        assert 0.0 < r["cdist"] <= 1.0
+        assert r["cdist"] >= r["prnk"] - 1e-9
+
+
+def test_sequential_test_monotone_samples(spark):
+    """Running sample sizes must be non-decreasing over days and the
+    rejection flag must re-derive from the boundary."""
+    import math
+
+    from recommender_systems_spark.queries.analytics import (
+        _MSPRT_ALPHA,
+        e_sequential_test,
+    )
+
+    rows = sorted(e_sequential_test(spark, SF_MED).collect(),
+                  key=lambda r: r["day"])
+    assert rows
+    prev_na = prev_nb = 0
+    for r in rows:
+        assert r["na"] >= prev_na and r["nb"] >= prev_nb
+        prev_na, prev_nb = r["na"], r["nb"]
+        assert r["rejected"] == (r["log_lambda"] > math.log(1 / _MSPRT_ALPHA))
+
+
+def test_dpp_join_plans_dynamic_pruning(spark):
+    """The fact scan must carry a dynamicpruning subquery (runtime
+    partition pruning), and results must equal the logical semi-join."""
+    from recommender_systems_spark.queries.io_roundtrip import j_dpp_join
+    from recommender_systems_spark.registry import _t
+
+    df = j_dpp_join(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    docs = _t(spark, SF_MED, "documents")
+    keep = {r["source"] for r in
+            docs.filter(F.col("n_chars") > 540).select("source").distinct().collect()}
+    got = {(r["source"], r["doc_id"]) for r in df.collect()}
+    want = {(r["source"], r["doc_id"]) for r in
+            docs.filter(F.col("source").isin(list(keep))).collect()}
+    assert got == want

@@ -204,3 +204,32 @@ def j_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return fact.join(dim, "source").select("source", "doc_id", "n_chars")
+
+
+@register(
+    "s_compact_files",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events WHERE user_id < 40
+    """,
+)
+def s_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: the fragmented layout (64 shards of a
+    3k-row extract — the classic streaming-sink pathology) is rewritten
+    to 4 right-sized files, and the compacted read-back must equal the
+    ORIGINAL table. At 100 TB, compaction is the difference between a
+    NameNode/driver choking on 10⁷ file statuses and a scan with
+    healthy split sizes; the op here is the rewrite job itself
+    (repartition → overwrite), with row preservation proven by the
+    oracle and the file-count collapse asserted by the test layer."""
+    src = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    frag = _out_dir("frag", sf_dir)
+    if not os.path.exists(os.path.join(frag, "_SUCCESS")):
+        src.repartition(64).write.mode("overwrite").parquet(frag)
+    compact = _out_dir("compact", sf_dir)
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(
+        compact
+    )
+    return spark.read.parquet(compact)

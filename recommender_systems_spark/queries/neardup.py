@@ -479,3 +479,83 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_span_ratio"),
         )
     )
+
+
+_SWEEP_SQL = f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               {sql_bucket_keys('CAST(embedding AS DOUBLE[])')} AS keys
+        FROM embeddings
+    ),
+    eb AS (SELECT vec_id, unnest(keys) AS key FROM e),
+    pairs AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM eb a JOIN eb b ON a.key = b.key AND a.vec_id < b.vec_id
+    ),
+    sims AS (
+        SELECT round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 5) AS cos
+        FROM pairs p
+        JOIN e a ON a.vec_id = p.vec_a
+        JOIN e b ON b.vec_id = p.vec_b
+    )
+    SELECT CAST(floor(cos * 10) / 10 AS DOUBLE) AS threshold_bin,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM sims GROUP BY 1
+"""
+
+
+@register("dedup_threshold_sweep", _SWEEP_SQL)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold tuning in ONE pass: the cosine histogram
+    (0.1-wide bins) of every LSH candidate pair — the sweep an
+    operator runs before fixing the dedup threshold, because the right
+    cut sits at the valley between the near-dup mode and the
+    background mode. Scanning per candidate threshold would re-run the
+    candidate join N times; binning runs it once.
+
+    Scale shape: same bucketed candidate generation as
+    dedup_embedding_cosine (equi-join, no all-pairs), one extra
+    digit-sized aggregate. Bin edges come from the 5dp-ROUNDED cosine
+    so bin membership can't flip between engines."""
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .select("vec_id", "v", bucket_keys("v").alias("keys"))
+        .localCheckpoint()
+    )
+    eb = e.select("vec_id", F.explode("keys").alias("key"))
+    pairs = (
+        eb.alias("a")
+        .join(
+            eb.alias("b"),
+            (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    va = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("xa"))
+    vb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("xb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("xa"), F.col("xb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nx = F.sqrt(
+        F.aggregate(F.transform(F.col("xa"), lambda x: x * x), F.lit(0.0),
+                    lambda a, b: a + b)
+    )
+    ny = F.sqrt(
+        F.aggregate(F.transform(F.col("xb"), lambda x: x * x), F.lit(0.0),
+                    lambda a, b: a + b)
+    )
+    sims = (
+        pairs.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(F.round(dot / (nx * ny), 5).alias("cos"))
+    )
+    return sims.groupBy(
+        (F.floor(F.col("cos") * 10) / 10).cast("double").alias("threshold_bin")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))

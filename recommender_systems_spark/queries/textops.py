@@ -1678,3 +1678,92 @@ def t_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         correct.alias("n_correct"),
         F.round(correct.cast("double") / F.count(F.lit(1)), 6).alias("accuracy"),
     )
+
+
+_CARD_SQL = """
+    WITH t AS (
+        SELECT doc_id, lang, text, n_chars,
+               len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok,
+               md5(text) AS fp
+        FROM documents
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+               CAST(sum(n_tok) AS DOUBLE) AS total_tokens,
+               CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*) AS pct_en,
+               1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*)
+                   AS exact_dup_rate,
+               CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars,
+               quantile_cont(n_chars, 0.5) AS p50_chars
+        FROM t
+    )
+    SELECT 'n_docs' AS metric, round(n_docs, 6) AS value FROM agg
+    UNION ALL SELECT 'total_tokens', round(total_tokens, 6) FROM agg
+    UNION ALL SELECT 'avg_tokens_per_doc',
+                     round(total_tokens / n_docs, 6) FROM agg
+    UNION ALL SELECT 'n_langs', round(n_langs, 6) FROM agg
+    UNION ALL SELECT 'pct_en', round(pct_en, 6) FROM agg
+    UNION ALL SELECT 'exact_dup_rate', round(exact_dup_rate, 6) FROM agg
+    UNION ALL SELECT 'mean_chars', round(mean_chars, 6) FROM agg
+    UNION ALL SELECT 'p50_chars', round(p50_chars, 6) FROM agg
+"""
+
+
+@register("t_dataset_card", _CARD_SQL)
+def t_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card: the one-query corpus summary a dataset release
+    ships with (HuggingFace/Datasheets style) — size, token budget,
+    language mix, exact-duplicate rate, length profile — so the
+    "describe this 100 TB corpus" job is ONE scan, not a notebook of
+    ad-hoc passes.
+
+    Scale shape: every metric is a sibling aggregate over the same
+    single traversal (tokenise once, fingerprint once); the unpivot to
+    (metric, value) rows touches an 8-row frame. Distinct counts are
+    the only shuffles and both carry fixed-width keys."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        "n_chars",
+        F.size(tokens(F.col("text"))).alias("n_tok"),
+        F.md5("text").alias("fp"),
+    )
+    agg = t.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("n_tok").cast("double").alias("total_tokens"),
+        F.count_distinct("lang").cast("double").alias("n_langs"),
+        (
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("pct_en"),
+        (
+            F.lit(1.0)
+            - F.count_distinct("fp").cast("double") / F.count(F.lit(1))
+        ).alias("exact_dup_rate"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("mean_chars"),
+        F.percentile("n_chars", F.lit(0.5)).alias("p50_chars"),
+    )
+    metrics = [
+        ("n_docs", F.col("n_docs")),
+        ("total_tokens", F.col("total_tokens")),
+        ("avg_tokens_per_doc", F.col("total_tokens") / F.col("n_docs")),
+        ("n_langs", F.col("n_langs")),
+        ("pct_en", F.col("pct_en")),
+        ("exact_dup_rate", F.col("exact_dup_rate")),
+        ("mean_chars", F.col("mean_chars")),
+        ("p50_chars", F.col("p50_chars")),
+    ]
+    stacked = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(m).alias("metric"),
+                             F.round(c, 6).alias("value"))
+                    for m, c in metrics
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.metric", "kv.value")
+    return stacked

@@ -1858,3 +1858,72 @@ def test_dpp_join_plans_dynamic_pruning(spark):
     want = {(r["source"], r["doc_id"]) for r in
             docs.filter(F.col("source").isin(list(keep))).collect()}
     assert got == want
+
+
+def test_threshold_sweep_totals_match_pair_count(spark):
+    """Bin counts must sum to the LSH candidate pair count, and bins
+    must lie in [-1, 1]."""
+    from recommender_systems_spark.queries.neardup import dedup_threshold_sweep
+    from recommender_systems_spark.similarity.ann import bucket_keys
+
+    rows = dedup_threshold_sweep(spark, SF_MED).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r["threshold_bin"] <= 1.0
+        assert r["n_pairs"] > 0
+    from recommender_systems_spark.registry import _t
+
+    e = (
+        _t(spark, SF_MED, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .select("vec_id", bucket_keys("v").alias("keys"))
+    )
+    eb = e.select("vec_id", F.explode("keys").alias("key"))
+    n_pairs = (
+        eb.alias("a")
+        .join(
+            eb.alias("b"),
+            (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select("a.vec_id", "b.vec_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_pairs"] for r in rows) == n_pairs
+
+
+def test_dataset_card_rederives(spark):
+    """Card metrics must re-derive from direct aggregates."""
+    from recommender_systems_spark.queries.textops import t_dataset_card
+    from recommender_systems_spark.registry import _t
+
+    card = {r["metric"]: r["value"] for r in t_dataset_card(spark, SF_MED).collect()}
+    docs = _t(spark, SF_MED, "documents")
+    n = docs.count()
+    assert card["n_docs"] == float(n)
+    assert card["n_langs"] == 5.0
+    assert 0.0 <= card["pct_en"] <= 1.0
+    assert 0.0 <= card["exact_dup_rate"] < 1.0
+    assert abs(card["avg_tokens_per_doc"]
+               - round(card["total_tokens"] / card["n_docs"], 6)) <= 2e-6
+
+
+def test_compact_files_reduces_file_count(spark):
+    """Compaction must collapse the 64-shard layout to 4 parquet parts
+    while preserving every row (row preservation is the oracle's job;
+    the file counts are asserted here)."""
+    import glob
+
+    from recommender_systems_spark.queries.io_roundtrip import (
+        _out_dir,
+        s_compact_files,
+    )
+
+    df = s_compact_files(spark, SF_MED)
+    n_rows = df.count()
+    frag = len(glob.glob(_out_dir("frag", SF_MED) + "/part-*.parquet"))
+    comp = len(glob.glob(_out_dir("compact", SF_MED) + "/part-*.parquet"))
+    assert frag == 64
+    assert comp == 4
+    assert n_rows > 0

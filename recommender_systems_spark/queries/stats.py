@@ -1767,3 +1767,63 @@ def w_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("prnk"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
     )
+
+
+@register(
+    "w_trailing_distinct",
+    """
+    WITH presence AS (
+        SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour
+        FROM events
+    ),
+    bounds AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM presence),
+    covered AS (
+        SELECT DISTINCT p.user_id,
+               p.hour + to_hours(o.off) AS out_hour
+        FROM presence p
+        CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS off) o
+        CROSS JOIN bounds b
+        WHERE p.hour + to_hours(o.off) <= b.h1
+    )
+    SELECT out_hour,
+           CAST(count(*) AS BIGINT) AS distinct_users_24h
+    FROM covered GROUP BY out_hour
+    """,
+)
+def w_trailing_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-24-hour DISTINCT user count per hour — the DAU
+    curve at hourly grain. Distinct is NOT decomposable over sliding
+    windows (you can't subtract the leaving hour), so the naive form
+    re-scans 24 hours per output point; instead each deduped
+    (user, hour) presence row is exploded to the 24 output hours it
+    covers and distinct-counted once — the standard presence-explode
+    rewrite (w_trailing_24h's sum/count sibling, which IS
+    decomposable and needs no explode).
+
+    Scale shape: the explode input is the DEDUPED presence table
+    (users × active-hours, already collapsed map-side), ×24 — bounded,
+    and orders of magnitude below raw events; the distinct + count
+    shuffle on (hour, user) fixed-width keys."""
+    ev = _t(spark, sf_dir, "events")
+    presence = ev.select(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).distinct()
+    h1 = presence.agg(F.max("hour").alias("h1"))
+    off = spark.range(24).select(F.col("id").cast("int").alias("off"))
+    covered = (
+        presence.crossJoin(F.broadcast(off))
+        .crossJoin(F.broadcast(h1))
+        .select(
+            "user_id",
+            (F.col("hour") + F.make_interval(hours=F.col("off"))).alias(
+                "out_hour"
+            ),
+            "h1",
+        )
+        .filter(F.col("out_hour") <= F.col("h1"))
+        .select("user_id", "out_hour")
+        .distinct()
+    )
+    return covered.groupBy("out_hour").agg(
+        F.count(F.lit(1)).alias("distinct_users_24h")
+    )

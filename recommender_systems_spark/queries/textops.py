@@ -93,7 +93,10 @@ _PIPE_FP = f"""list_reduce(
                        ch -> CAST(ascii(ch) AS BIGINT))),
     (acc, x) -> (acc * {FINGERPRINT_BASE} + x) % {FINGERPRINT_MOD})"""
 
-_CURATION_SQL = f"""
+# Shared CTE prefix: tokenise → stopword scores → quality + lang guess.
+# Used by BOTH t_curation_pipeline and t_curation_attrition so the two
+# can never disagree about gate semantics.
+_SCORED_PREFIX = f"""
     WITH t AS (
         SELECT doc_id, source, text,
                regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
@@ -124,7 +127,11 @@ _CURATION_SQL = f"""
                                          BETWEEN 2.0 AND 12.0
                                     THEN 1.0 ELSE 0.0 END), 6) AS quality
         FROM b
-    ),
+    )
+"""
+
+_CURATION_SQL = f"""
+    {_SCORED_PREFIX},
     kept AS (
         SELECT doc_id, source, n_tok, quality,
                {_PIPE_FP} AS fp, length(text) AS n_chars
@@ -1767,3 +1774,80 @@ def t_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("kv")
     ).select("kv.metric", "kv.value")
     return stacked
+
+
+_ATTRITION_SQL = f"""
+    {_SCORED_PREFIX},
+    d AS (
+        SELECT doc_id, quality, lang_guess,
+               {_PIPE_FP} AS fp, length(text) AS n_chars
+        FROM scored
+    ),
+    after_quality AS (SELECT * FROM d WHERE quality >= {QUALITY_CUTOFF}),
+    after_lang AS (SELECT * FROM after_quality WHERE lang_guess = 'en'),
+    after_dedup AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY fp, n_chars
+                                         ORDER BY doc_id) AS rn
+            FROM after_lang)
+        WHERE rn = 1
+    )
+    SELECT 'ingested' AS stage, CAST((SELECT count(*) FROM d) AS BIGINT)
+               AS n_surviving, 0 AS stage_order
+    UNION ALL
+    SELECT 'quality_gate', CAST((SELECT count(*) FROM after_quality) AS BIGINT), 1
+    UNION ALL
+    SELECT 'language_gate', CAST((SELECT count(*) FROM after_lang) AS BIGINT), 2
+    UNION ALL
+    SELECT 'exact_dedup', CAST((SELECT count(*) FROM after_dedup) AS BIGINT), 3
+"""
+
+
+@register("t_curation_attrition", _ATTRITION_SQL)
+def t_curation_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-by-stage attrition of the curation pipeline: how many
+    documents survive ingest → quality gate → language gate → exact
+    dedup — the ops-facing funnel report next to t_curation_pipeline's
+    survivor statistics (when a nightly corpus build shrinks, THIS
+    query says which gate did it). Same gates, same constants, same
+    kernels — so the two queries can never disagree about the
+    pipeline's semantics.
+
+    Scale shape: one tokenise-once scan computes every per-doc gate
+    input; the four stage counts are conditional aggregates over ONE
+    frame (the dedup stage needs its row_number, whose window input is
+    the post-gate subset keyed by 8-byte fingerprints). Counts are
+    exact integers."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "__toks", tokens(F.col("text"))
+    )
+    d = docs.select(
+        "doc_id",
+        F.round(
+            quality_score(F.col("text"), toks=F.col("__toks")), 6
+        ).alias("quality"),
+        language_id(F.col("text"), toks=F.col("__toks")).alias("lang_guess"),
+        rolling_fingerprint(F.col("text")).alias("fp"),
+        F.length("text").alias("n_chars"),
+    )
+    after_quality = d.filter(F.col("quality") >= QUALITY_CUTOFF)
+    after_lang = after_quality.filter(F.col("lang_guess") == "en")
+    w = Window.partitionBy("fp", "n_chars").orderBy("doc_id")
+    after_dedup = after_lang.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    stages = [
+        ("ingested", d, 0),
+        ("quality_gate", after_quality, 1),
+        ("language_gate", after_lang, 2),
+        ("exact_dedup", after_dedup, 3),
+    ]
+    out = None
+    for name, frame, order in stages:
+        row = frame.agg(F.count(F.lit(1)).alias("n_surviving")).select(
+            F.lit(name).alias("stage"),
+            "n_surviving",
+            F.lit(order).cast("int").alias("stage_order"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -1927,3 +1927,58 @@ def test_compact_files_reduces_file_count(spark):
     assert frag == 64
     assert comp == 4
     assert n_rows > 0
+
+
+def test_trailing_distinct_brackets_hourly(spark):
+    """The 24h distinct count must be ≥ the single-hour distinct count
+    at every hour and ≤ the total user count."""
+    from recommender_systems_spark.queries.stats import w_trailing_distinct
+    from recommender_systems_spark.registry import _t
+
+    got = {r["out_hour"]: r["distinct_users_24h"]
+           for r in w_trailing_distinct(spark, SF_MED).collect()}
+    ev = _t(spark, SF_MED, "events")
+    hourly = {
+        r["hour"]: r["n"]
+        for r in ev.select("user_id", F.date_trunc("hour", "ts").alias("hour"))
+        .distinct()
+        .groupBy("hour")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_users = ev.select("user_id").distinct().count()
+    for h, n in hourly.items():
+        assert got[h] >= n
+        assert got[h] <= n_users
+
+
+def test_ratio_metric_positive_se(spark):
+    """Both arms present with positive ratio and finite positive SE."""
+    import math
+
+    from recommender_systems_spark.queries.analytics import e_ratio_metric
+
+    rows = {r["grp"]: r for r in e_ratio_metric(spark, SF_MED).collect()}
+    assert set(rows) == {"A", "B"}
+    for r in rows.values():
+        assert r["n"] > 0
+        assert r["ratio"] > 0
+        assert r["se_delta"] > 0 and math.isfinite(r["se_delta"])
+
+
+def test_attrition_is_monotone_and_agrees_with_pipeline(spark):
+    """Stage survival must be non-increasing, and the final stage's
+    survivor count must equal t_curation_pipeline's total docs."""
+    from recommender_systems_spark.queries.textops import (
+        t_curation_attrition,
+        t_curation_pipeline,
+    )
+
+    rows = sorted(t_curation_attrition(spark, SF_MED).collect(),
+                  key=lambda r: r["stage_order"])
+    assert [r["stage"] for r in rows] == [
+        "ingested", "quality_gate", "language_gate", "exact_dedup"]
+    counts = [r["n_surviving"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    surv = sum(r["n_docs"] for r in t_curation_pipeline(spark, SF_MED).collect())
+    assert counts[-1] == surv

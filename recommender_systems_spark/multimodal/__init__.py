@@ -2,12 +2,15 @@
 
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct; decode / feature-extract run as Arrow-batched
-``mapInPandas`` stages (``multimodal.binary``). Real codec work (PIL /
-torchaudio / ffmpeg) is stubbed behind clearly-marked
-``NotImplementedError`` — those libraries are not in this container —
-but the Spark-side plumbing (schema, batching, partitioning, UDF
-signatures) is real and oracle-tested via the deterministic byte-level
-feature path.
+``mapInPandas`` stages (``multimodal.binary``). Decoding uses
+zero-dependency pure-Python parsers for self-describing formats —
+PPM/BMP pixel decode and RIFF/WAV sample decode (``binary.py``) — so
+the full decode → feature → resize / frame-sample path is real and
+oracle-tested end to end. Formats needing external codec libraries
+(JPEG/PNG/MP3/MP4 — PIL / torchaudio / ffmpeg are not in this
+container) raise a clearly-marked ``ValueError`` at the parser
+boundary; the Spark-side plumbing (schema, batching, partitioning,
+UDF signatures) is shared with the real decoders and unchanged.
 """
 
 from recommender_systems_spark.multimodal.binary import (  # noqa: F401

@@ -271,8 +271,87 @@ def e_boxplot_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Catalogs under this row count are broadcast to the serving kernel as one
+# dense NumPy block (item + 2·K float64 factors + 2 biases ≈ 150 B/row →
+# ~75 MB at the threshold); past it the top-N stage swaps to the blocked
+# tile shape below, which broadcasts nothing catalog-sized.
+AB_CATALOG_BROADCAST_THRESHOLD = 500_000
+
+
+def _ab_topn_blocked(
+    users_grp: DataFrame,
+    catalog: DataFrame,
+    n_rec: int,
+    bias_w: float,
+    n_blocks: int = 8,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Past-broadcast-reach serving stage for ``e_ab_simulation``: the
+    dual-model analogue of ``ml.bpr._topk_blocked``. Catalog items hash
+    into ``n_blocks`` blocks and users into ``n_buckets`` buckets; each
+    (bucket, block) tile is a cogroup whose kernel runs the identical
+    arm-selected dense scoring product (``mat @ u + bias_w·bias``) and
+    keeps the tile-local top-``n_rec`` — a superset of each user's
+    global top-``n_rec``. A row_number window merges the
+    |U|·n_blocks·n_rec candidates. Per-item scores are the same float64
+    dot products in the same order as the broadcast kernel, and the tie
+    order (score desc, item asc) matches, so results are bit-identical.
+    Tile memory is (|U|/buckets + |I|/blocks)·K floats — nothing
+    driver-side or broadcast-side grows with the catalog."""
+    import numpy as np
+    import pandas as pd
+
+    cat_rep = catalog.withColumn(
+        "__blk", F.pmod(F.col("item"), F.lit(n_blocks)).cast("int")
+    ).withColumn("__b", F.explode(F.array(*[F.lit(b) for b in range(n_buckets)])))
+    users_rep = users_grp.withColumn(
+        "__b", F.pmod(F.col("user_id"), F.lit(n_buckets)).cast("int")
+    ).withColumn("__blk", F.explode(F.array(*[F.lit(b) for b in range(n_blocks)])))
+
+    def tile(updf: pd.DataFrame, itdf: pd.DataFrame) -> pd.DataFrame:
+        if updf.empty or itdf.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "item": pd.Series(dtype="int64"),
+                    "score": pd.Series(dtype="float64"),
+                }
+            )
+        c_ids = itdf["item"].to_numpy()
+        c_va = np.stack([np.asarray(v, dtype=np.float64) for v in itdf["va"]])
+        c_vb = np.stack([np.asarray(v, dtype=np.float64) for v in itdf["vb"]])
+        c_ba = itdf["ba"].to_numpy(dtype=np.float64)
+        c_bb = itdf["bb"].to_numpy(dtype=np.float64)
+        out_u, out_i, out_s = [], [], []
+        for _, row in updf.iterrows():
+            u = np.asarray(row["uvec"], dtype=np.float64)
+            mat, bias = (c_va, c_ba) if row["grp"] == "A" else (c_vb, c_bb)
+            scores = mat @ u + bias_w * bias
+            order = np.lexsort((c_ids, -scores))[:n_rec]
+            out_u += [int(row["user_id"])] * len(order)
+            out_i += [int(c_ids[o]) for o in order]
+            out_s += [float(scores[o]) for o in order]
+        return pd.DataFrame({"user_id": out_u, "item": out_i, "score": out_s})
+
+    tiles = (
+        users_rep.groupBy("__b", "__blk")
+        .cogroup(cat_rep.groupBy("__b", "__blk"))
+        .applyInPandas(tile, "user_id long, item long, score double")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("score").desc(), F.col("item"))
+    return (
+        tiles.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_rec)
+        .select("user_id", "item", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 @register("e_ab_simulation")  # rows-only: seeded simulation + per-user ridge solves
-def e_ab_simulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e_ab_simulation(
+    spark: SparkSession,
+    sf_dir: str,
+    catalog_broadcast_threshold: int = AB_CATALOG_BROADCAST_THRESHOLD,
+) -> DataFrame:
     """The reference's END-TO-END A/B serving run (ab_test.py:72-234):
     simulate users (preferred genre pair, 5-10-item history, A/B arm) →
     fold each user into their arm's model (M11 bias aggregate + M12
@@ -287,8 +366,10 @@ def e_ab_simulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandas group solves every user's k×k ridge system, ONE
     bucketed GEMM scores all users against the (dimension-sized,
     broadcast) dual-model catalog. Nothing iterates per user on the
-    driver; for catalogs past broadcast reach the scoring stage swaps
-    to ml.bpr._topk_blocked's tile shape. The two 'loaded models'
+    driver; past ``catalog_broadcast_threshold`` rows the scoring stage
+    swaps to ``_ab_topn_blocked`` (the coded tile cogroup above —
+    bit-identical results, nothing catalog-sized collected or
+    broadcast). The two 'loaded models'
     (ab_test.py:73-86 .npy files) are deterministic constructions over
     the embeddings table — arm A and arm B differ in factor lookup and
     bias formula, like the reference's 25-iter vs 30-iter+genre
@@ -425,8 +506,14 @@ def e_ab_simulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # --- top-20 per user against the dual-model catalog (M13): bucketed
-    # GEMM, broadcast catalog (dimension-sized; _topk_blocked is the
-    # past-broadcast-reach variant of this stage) -----------------------
+    # GEMM with the catalog broadcast while it is dimension-sized; past
+    # the threshold, the blocked tile cogroup (nothing catalog-sized
+    # ever reaches the driver) ------------------------------------------
+    ug = uvecs.join(F.broadcast(users.select("user_id", "grp")), "user_id")
+    if catalog.count() > catalog_broadcast_threshold:
+        recs = _ab_topn_blocked(ug, catalog, N_REC, BIAS_W)
+        return _ab_log(spark, sf_dir, recs, users)
+
     cat_rows = catalog.collect()
     ids = np.array([r["item"] for r in cat_rows], dtype=np.int64)
     mva = np.stack([np.asarray(r["va"], dtype=np.float64) for r in cat_rows])
@@ -452,13 +539,20 @@ def e_ab_simulation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     recs = (
-        uvecs.join(F.broadcast(users.select("user_id", "grp")), "user_id")
-        .withColumn("__b", F.pmod(F.col("user_id"), F.lit(16)))
+        ug.withColumn("__b", F.pmod(F.col("user_id"), F.lit(16)))
         .groupBy("__b")
         .applyInPandas(topn, "user_id long, item long, score double, rank int")
     )
+    return _ab_log(spark, sf_dir, recs, users)
 
-    # --- the AB_test_with_bias.csv log (ab_test.py:222-232) ------------
+
+def _ab_log(
+    spark: SparkSession, sf_dir: str, recs: DataFrame, users: DataFrame
+) -> DataFrame:
+    """The AB_test_with_bias.csv log schema (ab_test.py:222-232), shared
+    by the broadcast and blocked serving paths."""
+    from recommender_systems_spark.queries.genre import GENRE_WORDS
+
     gname = F.array(*[F.lit(w) for w in GENRE_WORDS])
     titles = _t(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("item"), F.col("p_name").alias("item_title")

@@ -16,7 +16,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from recommender_systems_spark.operators.relational import global_running_totals
+from recommender_systems_spark.operators.relational import (
+    global_running_total,
+    global_running_totals,
+)
 from recommender_systems_spark.registry import _t, register
 # SQL fragments come from the dependency-free _shared module, NEVER from
 # sibling query modules: a module-level import of queries.stats/.textops
@@ -419,8 +422,6 @@ def e_qte_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ceil(10·cum/n) clamped, then one decile-keyed aggregation. Every
     shuffle after the first carries distinct values or 10 decile
     keys."""
-    from recommender_systems_spark.operators.relational import global_running_total
-
     per_value = (
         _events_grouped(spark, sf_dir)
         .groupBy("value")
@@ -745,10 +746,6 @@ def m_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     exp() of the identical double rounds identically. d = n_i
     (survival hits zero) is capped at ln(1e-12) so S rounds to 0
     without a special case."""
-    from recommender_systems_spark.operators.relational import (
-        global_running_totals,
-    )
-
     ev = _t(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
     obs_end = ev.agg(F.max("ts").alias("tmax"))
@@ -1139,7 +1136,7 @@ def e_hte_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a_mad",
     """
     WITH med AS (
-        SELECT event_type, quantile_cont(value, 0.5) AS med
+        SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
         FROM events GROUP BY event_type
     ),
     dev AS (
@@ -1167,8 +1164,10 @@ def a_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same linear-interpolation percentile definition (established
     by a_group_agg A4)."""
     ev = _t(spark, sf_dir, "events")
+    # Median snapped to the 6dp grid before it feeds the deviation pass
+    # (same cross-engine-reuse rule as a_runs_test).
     med = ev.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.5)).alias("med")
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
     )
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type", F.abs(F.col("value") - F.col("med")).alias("adev"), "med"
@@ -1256,7 +1255,7 @@ def a_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a_runs_test",
     """
     WITH med AS (
-        SELECT event_type, quantile_cont(value, 0.5) AS med
+        SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
         FROM events GROUP BY event_type
     ),
     s AS (
@@ -1298,8 +1297,12 @@ def a_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts are exact integers, so only the final z needs the 6dp
     round."""
     ev = _t(spark, sf_dir, "events")
+    # Snap the interpolated median to the 6dp grid before the row-level
+    # comparison (house rule: learned/interpolated values round before
+    # cross-engine reuse) — a 1-ulp engine difference at an even-count
+    # midpoint would otherwise flip sgn for values sitting exactly there.
     med = ev.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.5)).alias("med")
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
     )
     sgn = F.when(F.col("value") > F.col("med"), 1).otherwise(0)
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")

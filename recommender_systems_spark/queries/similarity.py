@@ -507,6 +507,48 @@ def sim_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 KM_K = 8
 KM_DIMS = 64
 KM_ITERS = 2
+# Codebooks up to this many K×D doubles are inlined as plan literals
+# (zero-join argmin scan); past it the assignment swaps to a broadcast
+# codebook-table join + min-struct agg — same struct-ordering argmin,
+# same sequential-fold dot products, bit-identical assignments.
+KM_LITERAL_BUDGET = 65_536
+
+
+def _km_codebook_df(spark: SparkSession, centroids) -> DataFrame:
+    """(cid, cv, sq) codebook table; sq is the Python sequential-fold
+    |c|² so both assignment paths share the exact double."""
+    rows = []
+    for cid, cv in centroids:
+        sq = 0.0
+        for x in cv:
+            sq += x * x
+        rows.append((int(cid), [float(x) for x in cv], sq))
+    return spark.createDataFrame(rows, "cid int, cv array<double>, sq double")
+
+
+def _km_assign_join(spark: SparkSession, emb: DataFrame, centroids) -> DataFrame:
+    """Broadcast-join assignment for codebooks past the literal budget
+    (a 10⁵-centroid × 64-dim codebook is ~50 MB — far beyond what a
+    plan should inline but exactly what a broadcast table is for).
+    Each vector meets the K broadcast codebook rows, distance rank
+    |c|² − 2·v·c rides the same dot_product fold as the literal path,
+    and the argmin is a min-struct aggregation with the identical
+    (s, cid) ordering — so assignments are bit-identical to the
+    literal-inline scan. The only shuffle is the (vec_id) min-struct
+    agg; the dedup_semantic assignment stage uses this same shape."""
+    cb = _km_codebook_df(spark, centroids)
+    scored = emb.crossJoin(F.broadcast(cb)).select(
+        "vec_id",
+        "v",
+        F.struct(
+            (F.col("sq") - 2.0 * dot_product(F.col("v"), F.col("cv"))).alias("s"),
+            F.col("cid").alias("cid"),
+        ).alias("sc"),
+    )
+    return scored.groupBy("vec_id").agg(
+        F.first("v").alias("v"),  # v is identical across the K copies
+        F.min("sc").getField("cid").alias("cid"),
+    )
 
 _KMEANS_SQL = f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -542,7 +584,11 @@ _KMEANS_SQL = f"""
 
 
 @register("m_kmeans", _KMEANS_SQL)
-def m_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def m_kmeans(
+    spark: SparkSession,
+    sf_dir: str,
+    codebook_literal_budget: int = KM_LITERAL_BUDGET,
+) -> DataFrame:
     """Lloyd's k-means over the embedding corpus — the codebook trainer
     for the IVF index above (its CENTROID_MOD codebook documents
     "swap in k-means centroids"; this is that training step, also the
@@ -557,7 +603,11 @@ def m_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows to re-solve centroids; driver state is the K×D codebook, like
     every production Lloyd implementation. At 100 TB: same two stages,
     the argmin scan is embarrassingly parallel and the update shuffles
-    only K×D partial sums per partition."""
+    only K×D partial sums per partition. Past
+    ``codebook_literal_budget`` K×D doubles, assignment and the final
+    metrics swap to the broadcast codebook-table join
+    (``_km_assign_join`` — bit-identical, nothing inlined in the
+    plan)."""
     emb = (
         _t(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
@@ -571,7 +621,11 @@ def m_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ]
 
+    use_join = KM_K * KM_DIMS > codebook_literal_budget
+
     def assign(centroids) -> DataFrame:
+        if use_join:
+            return _km_assign_join(spark, emb, centroids)
         structs = []
         for cid, cv in centroids:
             sq = 0.0
@@ -604,6 +658,26 @@ def m_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = [
             (cid, [byc[cid][t] for t in range(KM_DIMS)]) for cid in sorted(byc)
         ]
+
+    if use_join:
+        cb = _km_codebook_df(spark, cents)
+        return (
+            a.join(F.broadcast(cb), "cid")
+            .groupBy("cid")
+            .agg(
+                F.count(F.lit(1)).alias("n_members"),
+                F.round(
+                    F.avg(dot_product(F.col("v"), F.col("cv"))), 5
+                ).alias("mean_dot"),
+                F.round(F.max("sq"), 5).alias("centroid_sq_norm"),
+            )
+            .select(
+                F.col("cid").alias("cluster_id"),
+                "n_members",
+                "mean_dot",
+                "centroid_sq_norm",
+            )
+        )
 
     dot_own = None
     sq_own = None

@@ -1495,9 +1495,12 @@ _NB_DEFAULTS = ", ".join(
     f"CAST(round(ln(1.0 / (n_{lg} + v)) * {_NB_SCALE}) AS BIGINT) AS def_{lg}"
     for lg in NB_LANGS
 )
+# Priors are Laplace-smoothed (+1 / +|langs|): a language absent from the
+# even-doc_id training split must not drive ln(0) — DuckDB hard-errors on
+# it while F.log returns NULL, an asymmetric cross-engine failure.
 _NB_PRIORS = ", ".join(
-    f"CAST(round(ln(CAST(sum(CASE WHEN lang = '{lg}' THEN 1 ELSE 0 END) AS DOUBLE)"
-    f" / count(*)) * {_NB_SCALE}) AS BIGINT) AS pr_{lg}"
+    f"CAST(round(ln((sum(CASE WHEN lang = '{lg}' THEN 1 ELSE 0 END) + 1.0)"
+    f" / (count(*) + {len(NB_LANGS)})) * {_NB_SCALE}) AS BIGINT) AS pr_{lg}"
     for lg in NB_LANGS
 )
 _NB_SUMS = ", ".join(
@@ -1608,10 +1611,11 @@ def t_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             F.round(
                 F.log(
-                    F.sum(F.when(F.col("lang") == lg, 1).otherwise(0)).cast(
-                        "double"
+                    (
+                        F.sum(F.when(F.col("lang") == lg, 1).otherwise(0))
+                        + F.lit(1.0)
                     )
-                    / F.count(F.lit(1))
+                    / (F.count(F.lit(1)) + F.lit(len(NB_LANGS)))
                 )
                 * _NB_SCALE
             )

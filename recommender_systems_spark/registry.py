@@ -80,7 +80,7 @@ from recommender_systems_spark.queries import analytics as _analytics  # noqa: E
 # occupied checked slots.  GATE_ORDER curates the checked window: 50
 # oracle-backed queries covering every SURVEY.md §2 operator family and
 # every brief-named pipeline component (dedup ×5, similarity ×3 + brute
-# force, multimodal ×3, text analysis ×4).  Everything after slot 50 is
+# force, multimodal ×4, text analysis ×4).  Everything after slot 50 is
 # still benchmarked every round and hash-checked against DuckDB by
 # tests/test_oracle_parity.py (same comparison, the full registry).
 # ---------------------------------------------------------------------------

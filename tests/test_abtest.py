@@ -116,3 +116,22 @@ def test_ab_simulation_log_shape(spark):
         assert scores == sorted(scores, reverse=True), u
         assert rows[0]["genre_1_name"] in GENRE_WORDS
         assert rows[0]["genre_1_name"] != rows[0]["genre_2_name"], u
+
+
+def test_ab_simulation_blocked_serving_parity(spark):
+    """Forcing catalog_broadcast_threshold=0 routes the top-20 stage
+    through the blocked tile cogroup (_ab_topn_blocked); the log must be
+    IDENTICAL to the broadcast-kernel path — same float64 dot products,
+    same (score desc, item asc) tie order, so bit-identical rows."""
+    from recommender_systems_spark.queries.abtest import e_ab_simulation
+
+    sf = "/root/testdata/sf0.001"
+    key = lambda r: (r["user_id"], r["rank"])  # noqa: E731
+    base = sorted(e_ab_simulation(spark, sf).collect(), key=key)
+    blocked = sorted(
+        e_ab_simulation(spark, sf, catalog_broadcast_threshold=0).collect(),
+        key=key,
+    )
+    assert len(base) == len(blocked) and len(base) > 0
+    for a, b in zip(base, blocked):
+        assert a.asDict() == b.asDict()

@@ -1982,3 +1982,23 @@ def test_attrition_is_monotone_and_agrees_with_pipeline(spark):
     assert counts == sorted(counts, reverse=True)
     surv = sum(r["n_docs"] for r in t_curation_pipeline(spark, SF_MED).collect())
     assert counts[-1] == surv
+
+
+def test_kmeans_broadcast_codebook_parity(spark):
+    """Forcing codebook_literal_budget=0 routes both the assignment
+    scans and the final metrics through the broadcast codebook-table
+    join (_km_assign_join); cluster summaries must equal the
+    literal-inline path's (identical dot-product folds, identical
+    (s, cid) argmin ordering; the 5dp round absorbs aggregation-order
+    ulps in mean_dot)."""
+    from recommender_systems_spark.queries.similarity import m_kmeans
+
+    sf = "/root/testdata/sf0.001"
+    key = lambda r: r["cluster_id"]  # noqa: E731
+    lit_rows = sorted(m_kmeans(spark, sf).collect(), key=key)
+    join_rows = sorted(
+        m_kmeans(spark, sf, codebook_literal_budget=0).collect(), key=key
+    )
+    assert len(lit_rows) == len(join_rows) > 0
+    for a, b in zip(lit_rows, join_rows):
+        assert a.asDict() == b.asDict()

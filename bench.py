@@ -91,6 +91,34 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
+    # Regression gate: compare this run's per-query numbers against the
+    # PRIOR BENCH_DETAIL.json (read before it is overwritten below) and
+    # flag every >1.5× slowdown, so each round's bench output carries
+    # its own regression list instead of leaving readers to diff files.
+    # Same-sf comparisons only (totals across sf are meaningless), an
+    # absolute 0.2 s floor keeps sub-noise timings from flagging, and
+    # single-run (repeat=1) numbers flag at 2× — the measured noise
+    # envelope — rather than 1.5×.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    regressions: dict[str, list[float]] = {}
+    factor = 1.5 if repeat > 1 else 2.0
+    try:
+        with open(detail_path) as fh:
+            prior = json.load(fh)
+        if prior.get("sf") == sf:
+            for name, prev in prior.get("queries", {}).items():
+                cur = timings.get(name)
+                if (
+                    cur is not None
+                    and prev >= 0.2
+                    and cur > factor * prev
+                ):
+                    regressions[name] = [prev, cur]
+    except Exception:
+        pass
+
     # Full per-query detail goes to a file (and stderr) — the driver
     # records only the LAST 2000 characters of stdout, so the printed
     # JSON line must stay under that budget or the driver stores
@@ -103,14 +131,14 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "regressions": regressions,
     }
     if repeat > 1:
         detail["repeat"] = repeat
         detail["run_totals"] = [round(sum(r.values()), 3) for r in runs]
     if errors:
         detail["errors"] = errors
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_DETAIL.json"), "w") as fh:
+    with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
     print(json.dumps(detail), file=sys.stderr)
 
@@ -122,8 +150,17 @@ def main() -> None:
     budget = 1800
     fitted: dict[str, float] = {}
     rest_n, rest_sec = 0, 0.0
+    # Worst 15 regressions by ratio ride the printed line (the full map
+    # is in BENCH_DETAIL.json); the key is always present so a clean
+    # round reads as an explicit "regressions": {}.
+    flagged = dict(
+        sorted(
+            regressions.items(), key=lambda kv: kv[1][1] / kv[1][0], reverse=True
+        )[:15]
+    )
     frame = {"queries": fitted, "sf": sf, "nq": len(timings),
-             "errors": len(errors), "metric": "total_query_wall_clock",
+             "errors": len(errors), "regressions": flagged,
+             "metric": "total_query_wall_clock",
              "unit": "sec", "value": total}
     overhead = len(json.dumps(frame, separators=(",", ":"))) + len('"_other":12345.678,')
     used = overhead

@@ -78,11 +78,16 @@ def _half_sweep(
     k: int,
     alpha: float,
     lmd: float,
+    gram: np.ndarray | None = None,
 ) -> DataFrame:
     """Re-solve every `self_col` entity against frozen other-side
     factors. One join (ratings ⋈ other factors), one bucketed
-    applyInPandas; the shared Gram rides the closure (k² doubles)."""
-    gram = _gram(other_factors, k)
+    applyInPandas; the shared Gram rides the closure (k² doubles).
+    Callers that already hold Gram(other_factors) — the objective
+    monitor computes it every iteration — pass it via ``gram`` to skip
+    the recomputation job."""
+    if gram is None:
+        gram = _gram(other_factors, k)
 
     data = ratings.select(
         F.col(self_col).cast("long").alias("id"),
@@ -127,12 +132,16 @@ def ials_objective(
     k: int,
     alpha: float = IALS_ALPHA,
     lmd: float = IALS_LMD,
+    gram_y: np.ndarray | None = None,
 ) -> float:
     """Exact confidence-weighted objective over ALL pairs via the Gram
     identity: Σ_all (x·y)² = Σ_u x_uᵀ (YᵀY) x_u, so the unobserved
     majority costs one k² quadratic form per user — O((M+N)k² + nnz·k)
-    total, never M×N."""
-    gram_y = _gram(item_factors, k)
+    total, never M×N. Pass ``gram_y`` = Gram(item_factors) if already
+    computed; ‖Y‖² falls out of it as trace(YᵀY), so no separate norm
+    job runs either way."""
+    if gram_y is None:
+        gram_y = _gram(item_factors, k)
 
     def quad(batches):
         for pdf in batches:
@@ -155,17 +164,11 @@ def ials_objective(
         .collect()[0]
     )
     all_sq = qrow["q"]  # Σ_all (x·y)²  (c=1, p=0 background)
-    item_n2 = float(
-        item_factors.select(
-            F.aggregate(
-                F.transform("features", lambda v: v * v),
-                F.lit(0.0),
-                lambda a, b: a + b,
-            ).alias("s")
-        )
-        .agg(F.sum("s"))
-        .collect()[0][0]
-    )
+    # ‖Y‖² = trace(YᵀY): the Gram's diagonal already carries the squared
+    # norms, so the former per-row fold + sum job is a free driver-side
+    # trace (summation order differs at the ulp level; the objective is
+    # reported at 4dp and only its monotone descent is asserted).
+    item_n2 = float(np.trace(gram_y))
     # Observed correction: c(1 − x·y)² − (x·y)²
     pred = (
         ratings.select(
@@ -212,12 +215,20 @@ def train_ials(
     alpha: float = IALS_ALPHA,
     lmd: float = IALS_LMD,
     seed: int = 7,
+    monitor: bool = True,
 ) -> tuple[DataFrame, DataFrame, list[float]]:
     """Alternating confidence-weighted sweeps; returns (user factors,
     item factors, per-iteration objective trajectory). Each full
     iteration is two half-sweeps (users, then items) + one objective
     pass; factor frames are localCheckpointed so lineage stays flat
-    across sweeps (the train_als_bias pattern)."""
+    across sweeps (the train_als_bias pattern).
+
+    ``monitor=False`` (the train_als_genre pattern) skips the
+    per-iteration objective passes and returns history = [final
+    objective] — for callers that only need the trained factors plus a
+    convergence sanity number. On the monitored path, the objective's
+    Gram(Y) is handed to the next iteration's user half-sweep, so
+    monitoring adds no duplicate Gram job."""
     users = ratings.select(
         F.col(user_col).cast("long").alias("id")
     ).distinct()
@@ -235,13 +246,26 @@ def train_ials(
         .localCheckpoint()
     )
     history: list[float] = []
+    gram_v: np.ndarray | None = None  # Gram(vf) carried across iterations
     for _ in range(max_iter):
         uf = _half_sweep(
-            ratings, user_col, item_col, rating_col, vf, rank, alpha, lmd
+            ratings, user_col, item_col, rating_col, vf, rank, alpha, lmd,
+            gram=gram_v,
         ).localCheckpoint()
         vf = _half_sweep(
             ratings, item_col, user_col, rating_col, uf, rank, alpha, lmd
         ).localCheckpoint()
+        if monitor:
+            gram_v = _gram(vf, rank)
+            history.append(
+                ials_objective(
+                    ratings, user_col, item_col, rating_col, uf, vf, rank,
+                    alpha, lmd, gram_y=gram_v,
+                )
+            )
+        else:
+            gram_v = None
+    if not monitor:
         history.append(
             ials_objective(
                 ratings, user_col, item_col, rating_col, uf, vf, rank,

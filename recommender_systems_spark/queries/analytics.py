@@ -1639,3 +1639,257 @@ def e_ratio_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(r, 6).alias("ratio"),
         F.round(se, 6).alias("se_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a_seasonality_index — day-of-week × hour traffic/value profile
+# ---------------------------------------------------------------------------
+
+_SEASON_SQL = """
+    WITH b AS (
+        SELECT epoch_us(ts) AS us,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    cell AS (
+        SELECT CAST(((us // 86400000000) + 4) % 7 AS INT) AS dow,
+               CAST((us // 3600000000) % 24 AS INT) AS hour,
+               COUNT(*) AS n, SUM(cents) AS s
+        FROM b GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(n) AS gn, SUM(s) AS gs FROM cell)
+    SELECT dow, hour, CAST(n AS BIGINT) AS n_events,
+           round(s / (100.0 * n), 6) AS mean_value,
+           round((CAST(s AS DOUBLE) * gn) / (CAST(n AS DOUBLE) * gs), 6)
+               AS seasonality_index
+    FROM cell CROSS JOIN tot
+"""
+
+
+@register("a_seasonality_index", _SEASON_SQL)
+def a_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour seasonality profile: per-cell event count,
+    mean value, and the seasonality index (cell mean ÷ global mean) —
+    the calendar heat-map behind load forecasting, anomaly baselines
+    (s_anomaly_zscore detrends against exactly this kind of profile)
+    and experiment scheduling. Calendar cells come from pure epoch
+    integer arithmetic (day = µs // 86 400e6, epoch day 0 = Thursday →
+    +4 mod 7; hour = µs // 3 600e6 mod 24), NOT engine date functions —
+    timezone/locale-free and bit-identical across engines.
+
+    Scale shape: one scan, one 168-key hash aggregate (map-side
+    partials collapse everything), one broadcast of the 1-row global
+    total. Parity: values ride integer cents so cell sums are exact;
+    mean and index are single exact-operand IEEE divisions rounded to
+    6dp."""
+    b = _t(spark, sf_dir, "events").select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cell = (
+        b.select(
+            F.expr("CAST(((us div 86400000000) + 4) % 7 AS INT)").alias("dow"),
+            F.expr("CAST((us div 3600000000) % 24 AS INT)").alias("hour"),
+            "cents",
+        )
+        .groupBy("dow", "hour")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+    )
+    tot = cell.agg(F.sum("n").alias("gn"), F.sum("s").alias("gs"))
+    return cell.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "hour",
+        F.col("n").cast("long").alias("n_events"),
+        F.round(F.col("s") / (100.0 * F.col("n")), 6).alias("mean_value"),
+        F.round(
+            (F.col("s").cast("double") * F.col("gn"))
+            / (F.col("n").cast("double") * F.col("gs")),
+            6,
+        ).alias("seasonality_index"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# e_stratified_ate — observational ATE via activity-stratum adjustment
+# ---------------------------------------------------------------------------
+
+_ATE_STRATA = 4
+
+_ATE_SQL = f"""
+    WITH u AS (
+        SELECT user_id,
+               CASE WHEN SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                         > SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    THEN 1 ELSE 0 END AS t,
+               SUM(CAST(round(value * 100) AS BIGINT)) AS cents,
+               COUNT(*) AS n_ev
+        FROM events GROUP BY 1
+    ),
+    dist AS (SELECT n_ev, COUNT(*) AS c FROM u GROUP BY 1),
+    cum AS (SELECT n_ev, SUM(c) OVER (ORDER BY n_ev) AS cumt FROM dist),
+    nn AS (SELECT COUNT(*) AS n FROM u),
+    bucket AS (
+        SELECT n_ev,
+               least(CAST(ceil({_ATE_STRATA}.0 * cumt / n) AS INT),
+                     {_ATE_STRATA}) AS stratum
+        FROM cum CROSS JOIN nn
+    ),
+    strat AS (SELECT u.*, b.stratum FROM u JOIN bucket b USING (n_ev)),
+    s AS (
+        SELECT stratum,
+               SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS nt,
+               SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS nc,
+               SUM(CASE WHEN t = 1 THEN cents ELSE 0 END) AS st,
+               SUM(CASE WHEN t = 0 THEN cents ELSE 0 END) AS sc,
+               COUNT(*) AS ns
+        FROM strat GROUP BY 1
+    ),
+    tot AS (SELECT SUM(ns) AS n FROM s WHERE nt > 0 AND nc > 0)
+    SELECT CAST(stratum AS INT) AS stratum,
+           CAST(nt AS BIGINT) AS n_treat, CAST(nc AS BIGINT) AS n_ctrl,
+           round(st / (100.0 * nt), 6) AS mean_treat,
+           round(sc / (100.0 * nc), 6) AS mean_ctrl,
+           round(st / (100.0 * nt) - sc / (100.0 * nc), 6) AS effect,
+           round(CAST(ns AS DOUBLE) / n, 6) AS weight,
+           round((st / (100.0 * nt) - sc / (100.0 * nc)) * ns / n, 6)
+               AS weighted_effect
+    FROM s CROSS JOIN tot
+    WHERE nt > 0 AND nc > 0
+"""
+
+
+@register("e_stratified_ate", _ATE_SQL)
+def e_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observational average treatment effect via stratification: the
+    non-randomised counterpart of e_t_test_stats. Treatment = the user
+    ever clicked; outcome = the user's total event value; confounder =
+    activity volume, adjusted for by slicing users into
+    {_ATE_STRATA} activity strata and weighting within-stratum effects
+    by stratum size (Cochran's subclassification — the simplest member
+    of the propensity-adjustment family next to m_ips_eval's inverse-
+    propensity weighting). Strata violating positivity (an empty arm)
+    drop out on both sides.
+
+    Scale shape: user rollup is one keyed aggregation; the stratum cut
+    reuses the two-phase distinct-value cumsum (global_running_total —
+    no user-sized single-partition window, the e_qte_deciles shape);
+    stratum stats are a {_ATE_STRATA}-key aggregate. Parity: outcomes
+    ride integer cents so every stratum sum is exact; means and the
+    weighted effect are single exact-operand IEEE divisions rounded to
+    6dp."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            > F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        ).cast("int").alias("t"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        F.count(F.lit(1)).alias("n_ev"),
+    )
+    dist = u.groupBy("n_ev").agg(F.count(F.lit(1)).alias("c"))
+    cum = global_running_total(dist, "n_ev", "c", out_col="cumt")
+    nn = u.agg(F.count(F.lit(1)).alias("n"))
+    bucket = cum.crossJoin(F.broadcast(nn)).select(
+        "n_ev",
+        F.least(
+            F.ceil(F.lit(float(_ATE_STRATA)) * F.col("cumt") / F.col("n")).cast(
+                "int"
+            ),
+            F.lit(_ATE_STRATA),
+        ).alias("stratum"),
+    )
+    strat = u.join(F.broadcast(bucket), "n_ev")
+    s = strat.groupBy("stratum").agg(
+        F.sum(F.when(F.col("t") == 1, 1).otherwise(0)).alias("nt"),
+        F.sum(F.when(F.col("t") == 0, 1).otherwise(0)).alias("nc"),
+        F.sum(F.when(F.col("t") == 1, F.col("cents")).otherwise(0)).alias("st"),
+        F.sum(F.when(F.col("t") == 0, F.col("cents")).otherwise(0)).alias("sc"),
+        F.count(F.lit(1)).alias("ns"),
+    ).filter((F.col("nt") > 0) & (F.col("nc") > 0))
+    tot = s.agg(F.sum("ns").alias("n"))
+    mt = F.col("st") / (100.0 * F.col("nt"))
+    mc = F.col("sc") / (100.0 * F.col("nc"))
+    return s.crossJoin(F.broadcast(tot)).select(
+        F.col("stratum").cast("int").alias("stratum"),
+        F.col("nt").cast("long").alias("n_treat"),
+        F.col("nc").cast("long").alias("n_ctrl"),
+        F.round(mt, 6).alias("mean_treat"),
+        F.round(mc, 6).alias("mean_ctrl"),
+        F.round(mt - mc, 6).alias("effect"),
+        F.round(F.col("ns").cast("double") / F.col("n"), 6).alias("weight"),
+        F.round((mt - mc) * F.col("ns") / F.col("n"), 6).alias(
+            "weighted_effect"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a_column_profiler — per-column describe() over a table in one scan
+# ---------------------------------------------------------------------------
+
+# Profiled columns cast to engine-stable strings: plain ASCII values
+# (TPC-H enums / clerk ids), int, and ISO dates all render identically
+# in both engines, and byte-order min/max agrees for ASCII.
+_PROFILE_COLS = [
+    "o_orderstatus", "o_orderpriority", "o_orderdate", "o_custkey",
+]
+
+_PROFILE_SQL = " UNION ALL ".join(
+    f"""
+    SELECT '{c}' AS col,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           min(CAST({c} AS VARCHAR)) AS min_value,
+           max(CAST({c} AS VARCHAR)) AS max_value
+    FROM orders
+    """
+    for c in _PROFILE_COLS
+)
+
+
+@register("a_column_profiler", _PROFILE_SQL)
+def a_column_profiler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler — the describe-the-table job every ingest runs
+    before trusting a new feed: per column, row count, null count,
+    distinct count, and min/max (as strings, so one output schema fits
+    every column type). Complements a_dq_checks (which asserts
+    EXPECTED invariants; this DISCOVERS the shape) and t_dataset_card
+    (the corpus-level analogue for documents).
+
+    Scale shape: the oracle unions one aggregate per column, but the
+    Spark plan computes ALL columns' profiles in a SINGLE scan — one
+    aggregation carrying 4 measures per column, unpivoted to rows with
+    a stack() afterwards; count(DISTINCT) over multiple columns
+    becomes one expand+aggregate rather than {len(_PROFILE_COLS)}
+    scans. At 100 TB profiling cost is scan-bound, so scan-once is the
+    whole game."""
+    o = _t(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                f"{c}__null"
+            ),
+            F.count_distinct(F.col(c)).alias(f"{c}__dist"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__null, {c}__dist, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(col, n_rows, n_null, n_distinct, min_value, max_value)"
+    ).select(
+        "col",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_null").cast("long").alias("n_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_value",
+        "max_value",
+    )

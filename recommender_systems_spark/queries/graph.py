@@ -348,3 +348,117 @@ def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count(F.lit(1)).alias("n_members")
     )
+
+
+# ---------------------------------------------------------------------------
+# g_adamic_adar — link prediction over the co-occurrence graph
+# ---------------------------------------------------------------------------
+
+AA_TOPK = 50
+
+_AA_SQL = f"""
+    WITH {_EDGES_SQL},
+    invd AS (
+        SELECT src AS z, CAST(round(1000000.0 / ln(d)) AS BIGINT) AS inv
+        FROM deg WHERE d >= 2
+    ),
+    wedges AS (
+        SELECT e1.dst AS u, e1.src AS z, e2.dst AS w
+        FROM edges e1 JOIN edges e2
+          ON e1.src = e2.src AND e1.dst < e2.dst
+    ),
+    cand AS (
+        SELECT u, w, COUNT(*) AS n_common, SUM(inv) AS aa
+        FROM wedges JOIN invd ON invd.z = wedges.z
+        GROUP BY 1, 2
+    ),
+    nonadj AS (
+        SELECT c.u, c.w, c.n_common, c.aa
+        FROM cand c
+        LEFT JOIN edges e ON e.src = c.u AND e.dst = c.w
+        WHERE e.src IS NULL
+    )
+    SELECT CAST(u AS BIGINT) AS item_a, CAST(w AS BIGINT) AS item_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(aa AS BIGINT) AS aa_micros,
+           round(aa / 1000000.0, 6) AS adamic_adar,
+           CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, row_number() OVER (ORDER BY aa DESC, u, w) AS rnk
+          FROM nonadj)
+    WHERE rnk <= {AA_TOPK}
+"""
+
+
+@register("g_adamic_adar", _AA_SQL)
+def g_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the item co-occurrence graph:
+    for every NON-adjacent pair sharing at least one common neighbour,
+    AA(u,w) = Σ_z∈N(u)∩N(w) 1/ln(deg z) — rare shared neighbours count
+    more than hubs. The top-{AA_TOPK} predicted links are the
+    "items that SHOULD co-occur but don't yet" list a recommender uses
+    for exploration candidates and a curation pipeline for gap
+    detection (the predictive counterpart of m_item_item_cooc's
+    observed neighbours).
+
+    Scale shape: candidate pairs come from wedge enumeration THROUGH
+    each common neighbour (edges ⋈ edges on the centre node, dst <
+    dst) — O(Σ_z deg(z)²), which the capped-history edge build already
+    bounds (same hub-degree consideration as g_triangles); existing
+    edges drop out via one anti-join, and only (u, w) id pairs ever
+    shuffle. Parity: each neighbour contributes integer micros
+    round(10⁶/ln d), so the AA sum is exact integer arithmetic in both
+    engines and the global (aa desc, u, w) top-k never flips on
+    accumulation order."""
+    from pyspark.sql import Window
+
+    pairs = _cooc_pairs(spark, sf_dir).localCheckpoint()
+    edges = pairs.select(
+        F.col("ia").alias("src"), F.col("ib").alias("dst")
+    ).unionAll(pairs.select(F.col("ib").alias("src"), F.col("ia").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # d >= 2 guard: a wedge centre always has two neighbours, but the
+    # eager invd projection must not evaluate 1/ln(1) for leaf nodes
+    # (ANSI divide-by-zero).
+    invd = deg.filter(F.col("d") >= 2).select(
+        F.col("src").alias("z"),
+        F.round(1000000.0 / F.log(F.col("d"))).cast("long").alias("inv"),
+    )
+    wedges = (
+        edges.alias("e1")
+        .join(
+            edges.alias("e2"),
+            (F.col("e1.src") == F.col("e2.src"))
+            & (F.col("e1.dst") < F.col("e2.dst")),
+        )
+        .select(
+            F.col("e1.dst").alias("u"),
+            F.col("e1.src").alias("z"),
+            F.col("e2.dst").alias("w"),
+        )
+    )
+    cand = (
+        wedges.join(invd, "z")
+        .groupBy("u", "w")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum("inv").alias("aa"),
+        )
+    )
+    nonadj = cand.join(
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("w")),
+        ["u", "w"],
+        "left_anti",
+    )
+    wr = Window.orderBy(F.col("aa").desc(), F.col("u"), F.col("w"))
+    return (
+        nonadj.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= AA_TOPK)
+        .select(
+            F.col("u").cast("long").alias("item_a"),
+            F.col("w").cast("long").alias("item_b"),
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("aa").cast("long").alias("aa_micros"),
+            F.round(F.col("aa") / 1000000.0, 6).alias("adamic_adar"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

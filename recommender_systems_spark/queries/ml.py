@@ -522,8 +522,11 @@ from recommender_systems_spark.queries._shared import (  # noqa: E402
 )
 _CF_TOPK = 5
 
-_COOC_SQL = f"""
-    WITH hist AS (
+# Shared CTE chain: capped histories → co-occurrence → Jaccard →
+# per-item top-k neighbour table.  m_item_item_cooc reports it;
+# m_item_knn_recs composes it into per-user serving below.
+_COOC_CTES = f"""
+    hist AS (
         SELECT l_suppkey AS uid, l_partkey AS iid,
                SUM(CAST(l_quantity AS DOUBLE)) AS w
         FROM lineitem GROUP BY 1, 2
@@ -555,36 +558,30 @@ _COOC_SQL = f"""
         SELECT ia AS item, ib AS neighbor, c, jac FROM sim
         UNION ALL
         SELECT ib AS item, ia AS neighbor, c, jac FROM sim
+    ),
+    nbr AS (
+        SELECT item, neighbor, c, jac, rnk
+        FROM (SELECT *, row_number() OVER (PARTITION BY item
+                                           ORDER BY jac DESC, neighbor) AS rnk
+              FROM mirrored)
+        WHERE rnk <= {_CF_TOPK}
     )
+"""
+
+_COOC_SQL = f"""
+    WITH {_COOC_CTES}
     SELECT item, neighbor, CAST(c AS BIGINT) AS cooc,
            CAST(rnk AS INT) AS rnk, round(jac, 5) AS sim
-    FROM (SELECT *, row_number() OVER (PARTITION BY item
-                                       ORDER BY jac DESC, neighbor) AS rnk
-          FROM mirrored)
-    WHERE rnk <= {_CF_TOPK}
+    FROM nbr
 """
 
 
-@register("m_item_item_cooc", _COOC_SQL)
-def m_item_item_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Item-based collaborative filtering neighbours: per-item top-k by
-    Jaccard over capped user histories — the classic memory-based
-    counterpart to the reference's model-based ALS/BPR recommenders
-    (the "users who bought X also bought Y" table every serving stack
-    keeps warm).
-
-    Scale shape: the per-user history CAP ({_CF_CAP}, keep the
-    highest-weight items) is what makes item-item CF tractable at all —
-    it bounds the pair explode at CAP²/2 per user, so the uid self-join
-    emits O(|users|·CAP²) id pairs, never O(Σ|history|²) (one
-    pathological power user would otherwise dominate the job). After
-    the explode only (ia, ib) id pairs shuffle; co-occurrence is a hash
-    aggregate with map-side partials (hot pairs — two blockbusters
-    bought together — collapse to one row per partition before the
-    exchange), degrees are a dimension-sized pre-agg joined back, and
-    the final per-item top-k is one row_number window. Jaccard
-    c/(na+nb−c) is an int/int divide — exact IEEE in both engines, so
-    the ranking is bit-identical."""
+def _cf_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(hist, capped, nbr) — the item-item CF building blocks shared by
+    ``m_item_item_cooc`` (reports nbr) and ``m_item_knn_recs`` (serves
+    from it). Mirrors the _COOC_CTES chain exactly."""
     hist = (
         _ratings(spark, sf_dir)
         .groupBy("uid", "iid")
@@ -628,15 +625,125 @@ def m_item_item_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wk = Window.partitionBy("item").orderBy(F.col("jac").desc(), F.col("neighbor"))
+    nbr = mirrored.withColumn("rnk", F.row_number().over(wk)).filter(
+        F.col("rnk") <= _CF_TOPK
+    )
+    return hist, capped, nbr
+
+
+@register("m_item_item_cooc", _COOC_SQL)
+def m_item_item_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-based collaborative filtering neighbours: per-item top-k by
+    Jaccard over capped user histories — the classic memory-based
+    counterpart to the reference's model-based ALS/BPR recommenders
+    (the "users who bought X also bought Y" table every serving stack
+    keeps warm).
+
+    Scale shape: the per-user history CAP ({_CF_CAP}, keep the
+    highest-weight items) is what makes item-item CF tractable at all —
+    it bounds the pair explode at CAP²/2 per user, so the uid self-join
+    emits O(|users|·CAP²) id pairs, never O(Σ|history|²) (one
+    pathological power user would otherwise dominate the job). After
+    the explode only (ia, ib) id pairs shuffle; co-occurrence is a hash
+    aggregate with map-side partials (hot pairs — two blockbusters
+    bought together — collapse to one row per partition before the
+    exchange), degrees are a dimension-sized pre-agg joined back, and
+    the final per-item top-k is one row_number window. Jaccard
+    c/(na+nb−c) is an int/int divide — exact IEEE in both engines, so
+    the ranking is bit-identical."""
+    _, _, nbr = _cf_frames(spark, sf_dir)
+    return nbr.select(
+        "item",
+        "neighbor",
+        F.col("c").cast("long").alias("cooc"),
+        "rnk",
+        F.round("jac", 5).alias("sim"),
+    )
+
+
+_KNN_N = 5
+
+_KNN_SQL = f"""
+    WITH {_COOC_CTES},
+    wts AS (SELECT uid, iid, CAST(w AS BIGINT) AS wi FROM hist),
+    cand AS (
+        SELECT c.uid, n.neighbor AS item,
+               SUM(CAST(round(n.jac * 100000) AS BIGINT) * w.wi) AS s
+        FROM capped c
+        JOIN nbr n ON n.item = c.iid
+        JOIN wts w ON w.uid = c.uid AND w.iid = c.iid
+        GROUP BY 1, 2
+    ),
+    novel AS (
+        SELECT cand.uid, cand.item, cand.s
+        FROM cand
+        LEFT JOIN hist h ON h.uid = cand.uid AND h.iid = cand.item
+        WHERE h.iid IS NULL
+    )
+    SELECT uid AS user_id, item, CAST(s AS BIGINT) AS score_scaled,
+           round(s / 100000.0, 5) AS score, CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY uid
+                                       ORDER BY s DESC, item) AS rnk
+          FROM novel)
+    WHERE rnk <= {_KNN_N}
+"""
+
+
+@register("m_item_knn_recs", _KNN_SQL)
+def m_item_knn_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-kNN serving: per-user top-{_KNN_N} recommendations from the
+    item-item neighbour table — the memory-based counterpart of
+    ``m_top_n``'s model-based serving, and the second half of the
+    "users who bought X also bought Y" stack (``m_item_item_cooc``
+    builds the neighbours; this query consumes them). Candidate score
+    for item i is Σ over the user's history items j with i among j's
+    top-k neighbours of sim(j,i)·w(u,j); items already in the history
+    are anti-joined out (a recommender must not re-recommend the
+    basket).
+
+    Scale shape: the neighbour table is O(|items|·k) — item-dimension
+    sized, the natural broadcast side of the history join; the only
+    data-sized shuffle is the (uid, item) score aggregation, and the
+    per-user top-N is one row_number window over ≤ CAP·k candidates
+    per user. Parity: sim rides as integer hundred-thousandths and w
+    is an integral double cast to BIGINT, so scores are EXACT integer
+    sums in both engines and the (score desc, item asc) ranking can
+    never flip on accumulation order; the reported double score is one
+    exact division of that integer."""
+    hist, capped, nbr = _cf_frames(spark, sf_dir)
+    wts = hist.select(
+        "uid", "iid", F.col("w").cast("long").alias("wi")
+    )
+    cand = (
+        capped.join(
+            F.broadcast(
+                nbr.select(
+                    F.col("item").alias("iid"),
+                    F.col("neighbor").alias("item"),
+                    F.round(F.col("jac") * 100000).cast("long").alias("js"),
+                )
+            ),
+            "iid",
+        )
+        .join(wts, ["uid", "iid"])
+        .groupBy("uid", "item")
+        .agg(F.sum(F.col("js") * F.col("wi")).alias("s"))
+    )
+    novel = cand.join(
+        hist.select("uid", F.col("iid").alias("item")),
+        ["uid", "item"],
+        "left_anti",
+    )
+    wr = Window.partitionBy("uid").orderBy(F.col("s").desc(), F.col("item"))
     return (
-        mirrored.withColumn("rnk", F.row_number().over(wk))
-        .filter(F.col("rnk") <= _CF_TOPK)
+        novel.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= _KNN_N)
         .select(
+            F.col("uid").alias("user_id"),
             "item",
-            "neighbor",
-            F.col("c").cast("long").alias("cooc"),
-            "rnk",
-            F.round("jac", 5).alias("sim"),
+            F.col("s").cast("long").alias("score_scaled"),
+            F.round(F.col("s") / 100000.0, 5).alias("score"),
+            F.col("rnk").cast("int").alias("rnk"),
         )
     )
 

@@ -452,3 +452,109 @@ def a_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p99_c",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# j_merge_upsert — the lakehouse MERGE INTO (upsert + delete) join shape
+# ---------------------------------------------------------------------------
+
+_MERGE_SQL = """
+    WITH tgt AS (
+        SELECT c_custkey AS k, round(c_acctbal, 2) AS bal FROM customer
+    ),
+    src AS (
+        SELECT o_custkey AS k,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
+               max(CASE WHEN o_custkey % 97 = 0 THEN 1 ELSE 0 END) AS is_del
+        FROM orders GROUP BY 1
+    ),
+    ins AS (
+        SELECT k + 1000000 AS k, cents, 0 AS is_del FROM src WHERE k % 53 = 0
+    ),
+    batch AS (
+        SELECT k, round(cents / 10000.0, 2) AS new_bal, is_del FROM src
+        UNION ALL
+        SELECT k, round(cents / 10000.0, 2) AS new_bal, is_del FROM ins
+    ),
+    merged AS (
+        SELECT COALESCE(t.k, b.k) AS k,
+               CASE WHEN b.k IS NULL THEN 'keep'
+                    WHEN t.k IS NULL THEN 'insert'
+                    WHEN b.is_del = 1 THEN 'delete'
+                    ELSE 'update' END AS action,
+               CASE WHEN b.k IS NULL THEN t.bal ELSE b.new_bal END AS bal
+        FROM tgt t FULL OUTER JOIN batch b ON t.k = b.k
+    )
+    SELECT CAST(k AS BIGINT) AS cust_key, action, round(bal, 2) AS balance
+    FROM merged WHERE action <> 'delete'
+"""
+
+
+@register("j_merge_upsert", _MERGE_SQL)
+def j_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO — the lakehouse upsert: a target table meets a change
+    batch on the key with all four WHEN outcomes in one pass — matched
+    + delete-flag → row removed, matched → updated balance, source-only
+    → inserted, target-only → kept unchanged. The batch here is derived
+    from orders (per-customer total as the update, key%97 as the delete
+    marker, a shifted key range as the arriving inserts) so the query
+    is self-contained on the warehouse tables. Complements
+    ``s_cdc_snapshot``: that folds an append log per key (SCD-1 window
+    shape); this is the JOIN shape Delta/Iceberg MERGE compiles to.
+
+    Scale shape: ONE full-outer key-partitioned join — both sides
+    shuffle on the merge key exactly once and every WHEN branch is a
+    post-join projection, no second pass per action; at 100 TB this is
+    the canonical copy-on-write MERGE job (file/partition pruning on
+    the touched-key range happens upstream of this plan, s_partitioned
+    _scan shows that lever). Parity: update balances ride integer
+    cents (exact sums), one exact division at the end; 'keep' balances
+    pass the stored doubles through untouched."""
+    tgt = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.round("c_acctbal", 2).alias("bal")
+    )
+    src = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            ),
+            F.max(
+                F.when(F.col("o_custkey") % 97 == 0, 1).otherwise(0)
+            ).alias("is_del"),
+        )
+    )
+    ins = src.filter(F.col("k") % 53 == 0).select(
+        (F.col("k") + 1000000).alias("k"), "cents", F.lit(0).alias("is_del")
+    )
+    batch = (
+        src.select("k", F.round(F.col("cents") / 10000.0, 2).alias("new_bal"), "is_del")
+        .unionAll(
+            ins.select(
+                "k", F.round(F.col("cents") / 10000.0, 2).alias("new_bal"), "is_del"
+            )
+        )
+    )
+    merged = tgt.alias("t").join(
+        batch.alias("b"), F.col("t.k") == F.col("b.k"), "full_outer"
+    )
+    action = (
+        F.when(F.col("b.k").isNull(), F.lit("keep"))
+        .when(F.col("t.k").isNull(), F.lit("insert"))
+        .when(F.col("b.is_del") == 1, F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    return (
+        merged.select(
+            F.coalesce(F.col("t.k"), F.col("b.k")).cast("long").alias("cust_key"),
+            action.alias("action"),
+            F.round(
+                F.when(F.col("b.k").isNull(), F.col("t.bal")).otherwise(
+                    F.col("b.new_bal")
+                ),
+                2,
+            ).alias("balance"),
+        )
+        .filter(F.col("action") != "delete")
+    )

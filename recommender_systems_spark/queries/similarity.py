@@ -1535,8 +1535,11 @@ _PQ_DIST = " + ".join(
     for i in range(1, PQ_SUB + 1)
 )
 
-_PQ_SQL = f"""
-    WITH e AS (
+# Shared CTE chain (vectors → hash-deterministic codebook → per-subspace
+# nearest-codeword assignment); v_pq_codes reports the codes,
+# v_ivf_pq_search serves ADC top-k from them.
+_PQ_CTES = f"""
+    e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
     codebook AS (
@@ -1560,6 +1563,10 @@ _PQ_SQL = f"""
             FROM dists)
         WHERE rn = 1
     )
+"""
+
+_PQ_SQL = f"""
+    WITH {_PQ_CTES}
     SELECT vec_id,
            string_agg(CAST(cid AS VARCHAR), ',' ORDER BY s) AS pq_code,
            round(sum(dist), 6) AS recon_err
@@ -1586,6 +1593,25 @@ def v_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec-keyed rollup — the only shuffle partitions by vec_id. Distances
     are rounded to 6dp BEFORE the argmin on both sides, so boundary
     ties break identically (dist, then cid)."""
+    _, _, best = _pq_frames(spark, sf_dir)
+    return best.groupBy("vec_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "cid"))),
+                lambda p: p["cid"].cast("string"),
+            ),
+            ",",
+        ).alias("pq_code"),
+        F.round(F.sum("dist"), 6).alias("recon_err"),
+    )
+
+
+def _pq_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(e, codebook, best) — the product-quantization building blocks
+    shared by ``v_pq_codes`` and ``v_ivf_pq_search``; mirrors _PQ_CTES
+    exactly."""
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -1619,15 +1645,157 @@ def v_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "s", "cid", "dist")
     )
-    return best.groupBy("vec_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("s", "cid"))),
-                lambda p: p["cid"].cast("string"),
-            ),
-            ",",
-        ).alias("pq_code"),
-        F.round(F.sum("dist"), 6).alias("recon_err"),
+    return e, codebook, best
+
+
+# Query-side subspace distance for the ADC lookup table: the SAME
+# fixed-order 16-term sum as _PQ_DIST with the query vector in place of
+# the database vector.
+_PQ_QDIST = _PQ_DIST.replace("v[", "qv[")
+
+_IVFPQ_COS_V = (
+    "list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v))"
+    " * sqrt(list_dot_product(c.cv, c.cv)))"
+)
+_IVFPQ_COS_Q = (
+    "list_dot_product(q.qv, c.cv) / (sqrt(list_dot_product(q.qv, q.qv))"
+    " * sqrt(list_dot_product(c.cv, c.cv)))"
+)
+
+_IVFPQ_SQL = f"""
+    WITH {_PQ_CTES},
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    cents AS (SELECT vec_id AS cell, v AS cv FROM e
+              WHERE vec_id % {CENTROID_MOD} = 0),
+    assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY round({_IVFPQ_COS_V}, 5) DESC,
+                                               c.cell) AS rn
+            FROM e CROSS JOIN cents c)
+        WHERE rn = 1
+    ),
+    probes AS (
+        SELECT qid, cell FROM (
+            SELECT q.qid, c.cell,
+                   row_number() OVER (PARTITION BY q.qid
+                                      ORDER BY round({_IVFPQ_COS_Q}, 5) DESC,
+                                               c.cell) AS rn
+            FROM q CROSS JOIN cents c)
+        WHERE rn <= {NPROBE}
+    ),
+    cand AS (
+        SELECT p.qid, a.vec_id
+        FROM probes p JOIN assign a USING (cell)
+        WHERE a.vec_id <> p.qid
+    ),
+    lut AS (
+        SELECT q.qid, sub.s, codebook.cid,
+               CAST(round(({_PQ_QDIST}) * 1000000) AS BIGINT) AS di
+        FROM q CROSS JOIN sub CROSS JOIN codebook
+    ),
+    adc AS (
+        SELECT c.qid, c.vec_id, SUM(l.di) AS ad
+        FROM cand c
+        JOIN best b ON b.vec_id = c.vec_id
+        JOIN lut l ON l.qid = c.qid AND l.s = b.s AND l.cid = b.cid
+        GROUP BY 1, 2
+    )
+    SELECT qid, vec_id, CAST(ad AS BIGINT) AS adc_micros,
+           round(ad / 1000000.0, 6) AS approx_dist, CAST(rnk AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY ad ASC, vec_id) AS rnk
+          FROM adc)
+    WHERE rnk <= {TOP_K}
+"""
+
+
+@register("v_ivf_pq_search", _IVFPQ_SQL)
+def v_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ serving — the production ANN shape (Jégou et al. 2011,
+    the FAISS IVFPQ default): the IVF coarse quantizer prunes the scan
+    to NPROBE cells, then candidates are ranked by ASYMMETRIC distance
+    computation — the query builds a {PQ_M}×{PQ_K} lookup table of
+    subspace distances to every codeword once, and each candidate's
+    approximate distance is the sum of {PQ_M} table lookups keyed by
+    its stored PQ code. Full vectors are touched only for queries and
+    the (dimension-sized) codebook/centroids; the scan side reads just
+    the compressed code table.
+
+    Scale shape: this is what makes billion-vector serving work — the
+    candidate join carries (qid, vec_id) pairs from nprobe cells only,
+    the LUT is queries×{PQ_M}×{PQ_K} rows (broadcast), and the ADC sum
+    is a hash aggregate over code-table rows ({PQ_M} small ints per
+    candidate — the 256 B → {PQ_M} B memory move). Parity: LUT entries
+    are integer micros, so per-candidate ADC sums are EXACT integer
+    sums in both engines and (ad asc, vec_id) ranking never flips on
+    accumulation order."""
+    e, codebook, best = _pq_frames(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    cents = e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    w_a = Window.partitionBy("vec_id").orderBy(
+        F.round(cosine_similarity("v", "cv"), 5).desc(), F.col("cell")
+    )
+    assign = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("rn", F.row_number().over(w_a))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+    w_p = Window.partitionBy("qid").orderBy(
+        F.round(cosine_similarity("qv", "cv"), 5).desc(), F.col("cell")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("rn", F.row_number().over(w_p))
+        .filter(F.col("rn") <= NPROBE)
+        .select("qid", "cell")
+    )
+    cand = (
+        probes.join(assign, "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+    )
+    sub = spark.range(PQ_M).select(F.col("id").cast("int").alias("s"))
+    qdist = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("qv"), F.col("s") * PQ_SUB + 1, PQ_SUB),
+            F.slice(F.col("cw"), F.col("s") * PQ_SUB + 1, PQ_SUB),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    lut = (
+        q.crossJoin(F.broadcast(sub))
+        .crossJoin(F.broadcast(codebook))
+        .select(
+            "qid", "s", "cid",
+            F.round(qdist * 1000000).cast("long").alias("di"),
+        )
+    )
+    adc = (
+        cand.join(best.select("vec_id", "s", "cid"), "vec_id")
+        .join(F.broadcast(lut), ["qid", "s", "cid"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("di").alias("ad"))
+    )
+    wr = Window.partitionBy("qid").orderBy(F.col("ad").asc(), F.col("vec_id"))
+    return (
+        adc.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "qid",
+            "vec_id",
+            F.col("ad").cast("long").alias("adc_micros"),
+            F.round(F.col("ad") / 1000000.0, 6).alias("approx_dist"),
+            F.col("rnk").cast("int").alias("rank"),
+        )
     )
 
 

@@ -737,6 +737,153 @@ def e_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# E1 companion: MRR + MAP@k — the other two canonical ranking metrics
+# ---------------------------------------------------------------------------
+
+# Integer-scaled reciprocal ranks (millionths of 1/r) — like the NDCG
+# discount table, both engines sum/look up exact integers and the only
+# float ops are the final divisions of exact integers.
+_MRR_K = 10
+_MRR_RR = [round(1_000_000 / r) for r in range(1, _MRR_K + 1)]
+
+_MRR_SQL = f"""
+    WITH q AS (
+        SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
+        FROM embeddings WHERE vec_id < 20
+    ),
+    scored AS (
+        SELECT q.qid, q.qlabel, e.vec_id, e.label,
+               round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                     / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(q.qv, q.qv))), 5) AS cs
+        FROM embeddings e JOIN q ON e.vec_id <> q.qid
+    ),
+    ranked AS (
+        SELECT qid, qlabel, label,
+               row_number() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id)
+                   AS rnk
+        FROM scored
+    ),
+    cums AS (
+        SELECT qid, rnk,
+               CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel,
+               sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY qid ORDER BY rnk) AS cum
+        FROM ranked WHERE rnk <= {_MRR_K}
+    ),
+    per_q AS (
+        SELECT qid,
+               min(CASE WHEN rel = 1 THEN rnk END) AS fr,
+               sum(CASE WHEN rel = 1
+                        THEN CAST(round(1000000.0 * cum / rnk) AS BIGINT)
+                        ELSE 0 END) AS ap_s
+        FROM cums GROUP BY qid
+    ),
+    rel AS (
+        SELECT q.qid, count(e.vec_id) AS n_relevant
+        FROM q LEFT JOIN embeddings e
+          ON e.label = q.qlabel AND e.vec_id <> q.qid
+        GROUP BY q.qid
+    )
+    SELECT per_q.qid AS vec_id,
+           CAST(coalesce(fr, 0) AS INT) AS first_rel_rank,
+           CAST(CASE WHEN fr IS NOT NULL THEN {list(_MRR_RR)}[fr]
+                     ELSE 0 END AS BIGINT) AS rr_millionths,
+           CAST(coalesce(ap_s, 0) AS BIGINT) AS ap_millionths,
+           round(coalesce(ap_s, 0)
+                 / (greatest(least(rel.n_relevant, {_MRR_K}), 1)
+                    * 1000000.0), 6) AS ap_at_10
+    FROM per_q JOIN rel ON per_q.qid = rel.qid
+"""
+
+
+@register("e_mrr_map", _MRR_SQL)
+def e_mrr_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 companion: per-query MRR (reciprocal rank of the first
+    relevant hit, 0 if none lands in the top-{_MRR_K}) and MAP@{_MRR_K}
+    over the same scoring setup as ``e_precision_recall_at_k`` /
+    ``e_ndcg_at_k`` — MRR is the "how fast does the first good result
+    appear" metric, AP the order-sensitive area under the
+    precision-recall curve; together with NDCG they complete the
+    standard ranking-eval triple.
+
+    Parity: reciprocal ranks ride the integer-millionths table;
+    each AP term is round(10⁶·cum/rnk) where cum/rnk is an exact
+    int/int IEEE divide, so the per-query AP sum is exact integer
+    arithmetic in both engines; the final ap_at_10 is one division of
+    exact integers. Plan shape: identical to NDCG — broadcast queries
+    × catalog scan, one per-query window, dimension-sized rel join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        emb.select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("ev")
+        )
+        .join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "vec_id",
+            "label",
+            F.round(cosine_similarity(F.col("ev"), F.col("qv")), 5).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cs").desc(), F.col("vec_id"))
+    wc = Window.partitionBy("qid").orderBy("rnk")
+    cums = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _MRR_K)
+        .withColumn(
+            "rel", F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0)
+        )
+        .withColumn("cum", F.sum("rel").over(wc))
+    )
+    per_q = cums.groupBy("qid").agg(
+        F.min(F.when(F.col("rel") == 1, F.col("rnk"))).alias("fr"),
+        F.sum(
+            F.when(
+                F.col("rel") == 1,
+                F.round(1000000.0 * F.col("cum") / F.col("rnk")).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("ap_s"),
+    )
+    rel = (
+        q.join(
+            emb.select("vec_id", "label"),
+            (F.col("label") == F.col("qlabel")) & (F.col("vec_id") != F.col("qid")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(F.count(F.col("vec_id")).alias("n_relevant"))
+    )
+    rr = F.element_at(F.array(*[F.lit(r) for r in _MRR_RR]), F.col("fr"))
+    return per_q.join(F.broadcast(rel), "qid").select(
+        F.col("qid").alias("vec_id"),
+        F.coalesce(F.col("fr"), F.lit(0)).cast("int").alias("first_rel_rank"),
+        F.when(F.col("fr").isNotNull(), rr)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rr_millionths"),
+        F.coalesce(F.col("ap_s"), F.lit(0)).cast("long").alias("ap_millionths"),
+        F.round(
+            F.coalesce(F.col("ap_s"), F.lit(0))
+            / (
+                F.greatest(
+                    F.least(F.col("n_relevant"), F.lit(_MRR_K)), F.lit(1)
+                )
+                * 1000000.0
+            ),
+            6,
+        ).alias("ap_at_10"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Equal-width histogram (binned distribution profile)
 # ---------------------------------------------------------------------------
 
@@ -1826,4 +1973,89 @@ def w_trailing_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return covered.groupBy("out_hour").agg(
         F.count(F.lit(1)).alias("distinct_users_24h")
+    )
+
+
+# ---------------------------------------------------------------------------
+# e_tost_equivalence — two one-sided tests (equivalence testing)
+# ---------------------------------------------------------------------------
+
+_TOST_REL = 0.05        # equivalence margin: ±5% of the pooled mean
+_TOST_CRIT = 1.644854   # one-sided normal critical value, alpha = 0.05
+
+_TOST_SQL = f"""
+    WITH g AS ({{grp}}),
+    agg AS (
+        SELECT grp, avg(value) AS m, var_samp(value) AS v,
+               CAST(count(*) AS BIGINT) AS n
+        FROM g GROUP BY grp
+    ),
+    w AS (
+        SELECT
+            max(CASE WHEN grp = 'A' THEN m END) AS ma,
+            max(CASE WHEN grp = 'B' THEN m END) AS mb,
+            max(CASE WHEN grp = 'A' THEN v END) AS va,
+            max(CASE WHEN grp = 'B' THEN v END) AS vb,
+            max(CASE WHEN grp = 'A' THEN n END) AS na,
+            max(CASE WHEN grp = 'B' THEN n END) AS nb
+        FROM agg
+    ),
+    s AS (
+        SELECT na, nb, ma, mb,
+               abs((ma + mb) / 2) * {_TOST_REL} AS margin,
+               sqrt(va / na + vb / nb) AS se
+        FROM w
+    )
+    SELECT na, nb,
+           round(ma - mb, 6) AS diff,
+           round(margin, 6) AS margin,
+           round((ma - mb + margin) / se, 6) AS t_lower,
+           round((ma - mb - margin) / se, 6) AS t_upper,
+           (round((ma - mb + margin) / se, 6) > {_TOST_CRIT}
+            AND round((ma - mb - margin) / se, 6) < -{_TOST_CRIT})
+               AS equivalent
+    FROM s
+"""
+
+
+@register("e_tost_equivalence", _TOST_SQL.format(grp=_GRP_SQL))
+def e_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (Schuirmann 1987): two one-sided Welch t
+    statistics against the ±{_TOST_REL:.0%}-of-pooled-mean margin —
+    the test that can conclude "the arms are the SAME", which the
+    ordinary t-test (e_t_test_stats) can only fail to reject. This is
+    the non-inferiority gate a platform runs before shipping a
+    cost-saving variant: both t_lower > +z_α and t_upper < −z_α must
+    hold for equivalence.
+
+    Same single-aggregation-pass shape as e_t_test_stats (group
+    moments → 1-row pivot → driver-free closed form). The equivalence
+    boolean compares the 6dp-ROUNDED statistics against the critical
+    constant (snap-before-compare house rule), so the decision can
+    never flip on a sub-grid engine difference."""
+    agg = _events_grouped(spark, sf_dir).groupBy("grp").agg(
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = agg.agg(
+        F.max(F.when(F.col("grp") == "A", F.col("m"))).alias("ma"),
+        F.max(F.when(F.col("grp") == "B", F.col("m"))).alias("mb"),
+        F.max(F.when(F.col("grp") == "A", F.col("v"))).alias("va"),
+        F.max(F.when(F.col("grp") == "B", F.col("v"))).alias("vb"),
+        F.max(F.when(F.col("grp") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("grp") == "B", F.col("n"))).alias("nb"),
+    )
+    margin = F.abs((F.col("ma") + F.col("mb")) / 2) * _TOST_REL
+    se = F.sqrt(F.col("va") / F.col("na") + F.col("vb") / F.col("nb"))
+    t_lo = F.round((F.col("ma") - F.col("mb") + margin) / se, 6)
+    t_hi = F.round((F.col("ma") - F.col("mb") - margin) / se, 6)
+    return w.select(
+        "na",
+        "nb",
+        F.round(F.col("ma") - F.col("mb"), 6).alias("diff"),
+        F.round(margin, 6).alias("margin"),
+        t_lo.alias("t_lower"),
+        t_hi.alias("t_upper"),
+        ((t_lo > _TOST_CRIT) & (t_hi < -_TOST_CRIT)).alias("equivalent"),
     )

@@ -2002,3 +2002,117 @@ def test_kmeans_broadcast_codebook_parity(spark):
     assert len(lit_rows) == len(join_rows) > 0
     for a, b in zip(lit_rows, join_rows):
         assert a.asDict() == b.asDict()
+
+
+def test_item_knn_recs_never_rerecommends_history(spark):
+    """m_item_knn_recs must not recommend an item already in the user's
+    (uncapped) history, and each user's scores must be non-increasing
+    in rank."""
+    from recommender_systems_spark.queries.ml import (
+        _cf_frames,
+        m_item_knn_recs,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    hist, _, _ = _cf_frames(spark, sf)
+    held = {(r["uid"], r["iid"]) for r in hist.collect()}
+    recs = m_item_knn_recs(spark, sf).collect()
+    assert recs
+    by_user: dict[int, list] = {}
+    for r in recs:
+        assert (r["user_id"], r["item"]) not in held
+        by_user.setdefault(r["user_id"], []).append(r)
+    for rows in by_user.values():
+        rows.sort(key=lambda r: r["rnk"])
+        scores = [r["score_scaled"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_ivf_pq_adc_approximates_true_distance(spark):
+    """v_ivf_pq_search's ADC distance must equal the sum of the
+    candidate's per-subspace quantization-cell distances to the query —
+    spot-check: every returned approx distance is non-negative and
+    ranks are dense 1..k per query."""
+    from recommender_systems_spark.queries.similarity import (
+        TOP_K,
+        v_ivf_pq_search,
+    )
+
+    rows = v_ivf_pq_search(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r["adc_micros"] >= 0
+        by_q.setdefault(r["qid"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1)), q
+        assert len(rs) <= TOP_K
+        ds = [r["adc_micros"] for r in rs]
+        assert ds == sorted(ds), q
+
+
+def test_merge_upsert_action_consistency(spark):
+    """j_merge_upsert: inserted keys live in the shifted range, kept
+    keys carry their original balance, no deleted key survives, and the
+    merged keyset = (target ∪ batch) − deletes."""
+    from recommender_systems_spark.queries.scale import j_merge_upsert
+    from recommender_systems_spark.registry import _t
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    rows = j_merge_upsert(spark, sf).collect()
+    assert rows
+    tgt = {
+        r["c_custkey"]: round(r["c_acctbal"], 2)
+        for r in _t(spark, sf, "customer").collect()
+    }
+    src_keys = {
+        r["o_custkey"]
+        for r in _t(spark, sf, "orders").select("o_custkey").distinct().collect()
+    }
+    for r in rows:
+        if r["action"] == "insert":
+            assert r["cust_key"] >= 1000000
+        elif r["action"] == "keep":
+            assert r["cust_key"] in tgt and r["cust_key"] not in src_keys
+            assert r["balance"] == tgt[r["cust_key"]]
+        elif r["action"] == "update":
+            assert r["cust_key"] in tgt and r["cust_key"] in src_keys
+            assert r["cust_key"] % 97 != 0
+        else:
+            raise AssertionError(r["action"])
+    out_keys = {r["cust_key"] for r in rows}
+    deleted = {k for k in src_keys if k % 97 == 0}
+    assert deleted and deleted.isdisjoint(out_keys)
+
+
+def test_stratified_ate_weights_sum_to_one(spark):
+    """e_stratified_ate: stratum weights sum to 1 (over surviving
+    strata) and each weighted effect equals weight × effect within the
+    rounding grid."""
+    from recommender_systems_spark.queries.analytics import e_stratified_ate
+
+    rows = e_stratified_ate(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert abs(r["weighted_effect"] - r["weight"] * r["effect"]) < 1e-3
+        assert r["n_treat"] > 0 and r["n_ctrl"] > 0
+
+
+def test_seasonality_index_averages_to_one(spark):
+    """a_seasonality_index: the event-count-weighted mean of the index
+    over all cells is 1 by construction."""
+    from recommender_systems_spark.queries.analytics import (
+        a_seasonality_index,
+    )
+
+    rows = a_seasonality_index(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    n = sum(r["n_events"] for r in rows)
+    wmean = sum(r["n_events"] * r["seasonality_index"] for r in rows) / n
+    assert abs(wmean - 1.0) < 1e-3
+    assert {(r["dow"], r["hour"]) for r in rows} <= {
+        (d, h) for d in range(7) for h in range(24)
+    }

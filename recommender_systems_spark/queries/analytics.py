@@ -1694,6 +1694,7 @@ def a_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("dow", "hour")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+        .localCheckpoint()  # 168 rows, two consumers: cells + global total
     )
     tot = cell.agg(F.sum("n").alias("gn"), F.sum("s").alias("gs"))
     return cell.crossJoin(F.broadcast(tot)).select(
@@ -1785,7 +1786,7 @@ def e_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int").alias("t"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
         F.count(F.lit(1)).alias("n_ev"),
-    )
+    ).localCheckpoint()  # user-sized; consumers: stratum cut, count, join
     dist = u.groupBy("n_ev").agg(F.count(F.lit(1)).alias("c"))
     cum = global_running_total(dist, "n_ev", "c", out_col="cumt")
     nn = u.agg(F.count(F.lit(1)).alias("n"))

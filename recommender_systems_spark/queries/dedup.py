@@ -371,3 +371,54 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cluster_id"),
         "cluster_size",
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_source_overlap — cross-source near-duplicate leakage matrix
+# ---------------------------------------------------------------------------
+
+_SRC_OVERLAP_SQL = f"""
+    WITH {_SIMHASH_CTES},
+    lab AS (
+        SELECT n.doc_a, n.doc_b, da.source AS sa, db.source AS sb
+        FROM near n
+        JOIN documents da ON da.doc_id = n.doc_a
+        JOIN documents db ON db.doc_id = n.doc_b
+    )
+    SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM lab GROUP BY 1, 2
+"""
+
+
+@register("dedup_source_overlap", _SRC_OVERLAP_SQL)
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplicate leakage matrix: the SimHash near-dup
+    pairs grouped by (source, source) — the report a corpus curator
+    reads to find which feeds mirror each other (same-source rows are
+    internal redundancy; off-diagonal cells are scrape overlap, the
+    thing that silently double-weights a domain in training mixture
+    math and leaks test sets across "independent" sources).
+
+    Scale shape: rides the banded SimHash candidate generator
+    unchanged (no new all-pairs work); the source labels come from two
+    id-equi-joins against the documents table projected to (doc_id,
+    source), and the matrix aggregate is |sources|²-keyed — tiny.
+    least/greatest on the ASCII source names orders each pair
+    identically in both engines."""
+    near = dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
+    src = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    lab = near.join(
+        src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+        "doc_a",
+    ).join(
+        src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+        "doc_b",
+    )
+    return (
+        lab.groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )

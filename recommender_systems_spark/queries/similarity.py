@@ -1757,7 +1757,7 @@ def v_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "cell")
     )
     cand = (
-        probes.join(assign, "cell")
+        assign.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id")
     )

@@ -630,8 +630,10 @@ _NDCG_K = 10
 _NDCG_DISC = [round(1_000_000 / math.log2(i + 1)) for i in range(1, _NDCG_K + 1)]
 _NDCG_IDCG = [sum(_NDCG_DISC[: i + 1]) for i in range(_NDCG_K)]
 
-_NDCG_SQL = f"""
-    WITH q AS (
+# q → scored → ranked: the shared query-vs-catalog ranking chain behind
+# e_ndcg_at_k, e_mrr_map, and v_ild_diversity.
+_RANKED_CTES = """
+    q AS (
         SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
         FROM embeddings WHERE vec_id < 20
     ),
@@ -644,11 +646,15 @@ _NDCG_SQL = f"""
         FROM embeddings e JOIN q ON e.vec_id <> q.qid
     ),
     ranked AS (
-        SELECT qid, qlabel, label,
+        SELECT qid, qlabel, label, vec_id,
                row_number() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id)
                    AS rnk
         FROM scored
-    ),
+    )
+"""
+
+_NDCG_SQL = f"""
+    WITH {_RANKED_CTES},
     rel AS (
         SELECT q.qid, count(*) AS n_relevant
         FROM q JOIN embeddings e
@@ -747,24 +753,7 @@ _MRR_K = 10
 _MRR_RR = [round(1_000_000 / r) for r in range(1, _MRR_K + 1)]
 
 _MRR_SQL = f"""
-    WITH q AS (
-        SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
-        FROM embeddings WHERE vec_id < 20
-    ),
-    scored AS (
-        SELECT q.qid, q.qlabel, e.vec_id, e.label,
-               round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
-                     / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
-                                              CAST(e.embedding AS DOUBLE[])))
-                        * sqrt(list_dot_product(q.qv, q.qv))), 5) AS cs
-        FROM embeddings e JOIN q ON e.vec_id <> q.qid
-    ),
-    ranked AS (
-        SELECT qid, qlabel, label,
-               row_number() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id)
-                   AS rnk
-        FROM scored
-    ),
+    WITH {_RANKED_CTES},
     cums AS (
         SELECT qid, rnk,
                CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel,
@@ -2059,3 +2048,89 @@ def e_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         t_hi.alias("t_upper"),
         ((t_lo > _TOST_CRIT) & (t_hi < -_TOST_CRIT)).alias("equivalent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# v_ild_diversity — intra-list diversity of the served top-k
+# ---------------------------------------------------------------------------
+
+_ILD_K = 10
+
+_ILD_SQL = f"""
+    WITH {_RANKED_CTES},
+    top AS (SELECT qid, vec_id FROM ranked WHERE rnk <= {_ILD_K}),
+    ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pv AS (SELECT t.qid, t.vec_id, ev.v FROM top t JOIN ev USING (vec_id)),
+    pairs AS (
+        SELECT a.qid,
+               CAST(round((1 - round(
+                   list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))), 5)) * 100000)
+                   AS BIGINT) AS d
+        FROM pv a JOIN pv b ON a.qid = b.qid AND a.vec_id < b.vec_id
+    )
+    SELECT qid AS vec_id, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(SUM(d) / (100000.0 * count(*)), 6) AS ild
+    FROM pairs GROUP BY qid
+"""
+
+
+@register("v_ild_diversity", _ILD_SQL)
+def v_ild_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-list diversity of each query's served top-{_ILD_K}: mean
+    pairwise cosine DISTANCE within the list — the beyond-accuracy
+    metric that separates a filter-bubble ranker from a diverse one
+    (complements e_rec_novelty's popularity angle and v_mmr_rerank,
+    which OPTIMISES this quantity; here it is MEASURED on the plain
+    relevance ranking).
+
+    Scale shape: the ranking chain is the shared broadcast-queries ×
+    catalog scan; the pairwise stage is k²-bounded PER LIST (≤
+    {_ILD_K * (_ILD_K - 1) // 2} pairs per query — list-bounded
+    quadratic, the SemDeDup rule), joined qid-local so only list
+    members ever pair. Parity: each pair distance snaps to integer
+    hundred-thousandths of (1 − 5dp-rounded cosine), so per-list sums
+    are exact integers and the final ild is one exact-operand
+    division."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    ev = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    scored = ev.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        "vec_id",
+        F.round(cosine_similarity(F.col("v"), F.col("qv")), 5).alias("cs"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cs").desc(), F.col("vec_id"))
+    top = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _ILD_K)
+        .select("qid", "vec_id")
+    )
+    pv = top.join(ev, "vec_id")
+    d = (
+        F.round(
+            (1 - F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 5))
+            * 100000
+        )
+        .cast("long")
+        .alias("d")
+    )
+    pairs = (
+        pv.alias("a")
+        .join(
+            pv.alias("b"),
+            (F.col("a.qid") == F.col("b.qid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.qid").alias("qid"), d)
+    )
+    return pairs.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.sum("d") / (100000.0 * F.count(F.lit(1))), 6).alias("ild"),
+    ).select(F.col("qid").alias("vec_id"), "n_pairs", "ild")

@@ -1855,3 +1855,82 @@ def t_curation_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# t_perplexity_buckets — CCNet-style per-language perplexity terciles
+# ---------------------------------------------------------------------------
+
+_PPLB_SQL = f"""
+    WITH scored AS (SELECT doc_id, avg_bits FROM ({_BG_SQL}) s),
+    ld AS (
+        SELECT d.lang, s.doc_id, s.avg_bits
+        FROM scored s JOIN documents d USING (doc_id)
+    ),
+    dist AS (SELECT lang, avg_bits, count(*) AS c FROM ld GROUP BY 1, 2),
+    cum AS (
+        SELECT lang, avg_bits,
+               SUM(c) OVER (PARTITION BY lang ORDER BY avg_bits) AS cumt
+        FROM dist
+    ),
+    nl AS (SELECT lang, count(*) AS n FROM ld GROUP BY 1),
+    bucket AS (
+        SELECT c.lang, c.avg_bits,
+               least(CAST(ceil(3.0 * cumt / n) AS INT), 3) AS bucket
+        FROM cum c JOIN nl USING (lang)
+    ),
+    lb AS (
+        SELECT ld.lang, ld.doc_id, ld.avg_bits, b.bucket
+        FROM ld JOIN bucket b
+          ON b.lang = ld.lang AND b.avg_bits = ld.avg_bits
+    )
+    SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           round(min(avg_bits), 4) AS min_bits,
+           round(max(avg_bits), 4) AS max_bits
+    FROM lb GROUP BY 1, 2
+"""
+
+
+@register("t_perplexity_buckets", _PPLB_SQL)
+def t_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's perplexity bucketing (Wenzek et al. 2020): score every
+    document with the bigram-LM cross-entropy (t_bigram_surprisal's
+    integer-exact avg_bits) and cut each LANGUAGE into head/middle/tail
+    terciles — bucket 1 (lowest bits) is the fluent slice kept for
+    training, 3 the tail a curator samples for manual review. Reports
+    per-(lang, bucket) document counts and the bits cutoffs.
+
+    Scale shape: the LM scoring reuses t_bigram_surprisal's plan
+    unchanged; the tercile cut runs on the DISTINCT (lang, avg_bits)
+    value table (4dp grid — far smaller than the corpus) with a
+    per-language ordered window over those values only, then one
+    broadcast-back bucket join. Parity: avg_bits is already snapped to
+    the 4dp grid before the cut (snap-before-reuse rule), and the
+    ceil(3·cum/n) boundary is an exact-operand IEEE division of
+    integers in both engines."""
+    scored = t_bigram_surprisal(spark, sf_dir).select("doc_id", "avg_bits")
+    ld = scored.join(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang"), "doc_id"
+    )
+    dist = ld.groupBy("lang", "avg_bits").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy("avg_bits")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dist.withColumn("cumt", F.sum("c").over(wcum))
+    nl = ld.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    bucket = cum.join(F.broadcast(nl), "lang").select(
+        "lang",
+        "avg_bits",
+        F.least(
+            F.ceil(F.lit(3.0) * F.col("cumt") / F.col("n")).cast("int"),
+            F.lit(3),
+        ).alias("bucket"),
+    )
+    lb = ld.join(F.broadcast(bucket), ["lang", "avg_bits"])
+    return lb.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.min("avg_bits"), 4).alias("min_bits"),
+        F.round(F.max("avg_bits"), 4).alias("max_bits"),
+    )

@@ -192,3 +192,64 @@ def test_ols_single_aggregation_pass(spark):
     assert _count(p, r"Scan parquet") == 1
     assert _count(p, r"Join") == 0
     assert _count(p, r"Window") == 0
+
+
+_NO_CARTESIAN_R6 = [
+    "m_item_knn_recs",
+    "e_mrr_map",
+    "g_adamic_adar",
+    "j_merge_upsert",
+    "a_seasonality_index",
+    "e_stratified_ate",
+    "dedup_source_overlap",
+    "v_ild_diversity",
+    "a_column_profiler",
+]
+
+
+@pytest.mark.parametrize("name", _NO_CARTESIAN_R6)
+def test_no_cartesian_product_r6(spark, name):
+    assert _count(_plan(spark, name), r"CartesianProduct") == 0, name
+
+
+def test_item_knn_broadcasts_neighbor_table(spark):
+    """The item-dimension-sized neighbour table must broadcast into the
+    history join (the docstring's central scale claim); the per-user
+    aggregation is the only data-sized exchange family."""
+    p = _plan(spark, "m_item_knn_recs")
+    assert _count(p, r"BroadcastHashJoin") >= 1
+
+
+def test_ivf_pq_lut_broadcasts(spark):
+    """v_ivf_pq_search: the ADC lookup table and probe lists broadcast;
+    no nested-loop pair enumeration anywhere (1-row/scalar builds
+    excepted by the bounded count)."""
+    p = _plan(spark, "v_ivf_pq_search")
+    assert _count(p, r"CartesianProduct") == 0
+    assert _count(p, r"BroadcastHashJoin") >= 2
+
+
+def test_merge_upsert_single_join(spark):
+    """MERGE plans exactly one full-outer join on the merge key and no
+    broadcast (both sides are table-sized — a broadcast would OOM at
+    scale)."""
+    p = _plan(spark, "j_merge_upsert")
+    assert _count(p, r"SortMergeJoin .*FullOuter|ShuffledHashJoin .*FullOuter") == 1
+
+
+def test_seasonality_single_scan_two_exchanges(spark):
+    """168-cell profile: the events scan runs once (the cell aggregate
+    is checkpointed, so the final plan reads the 168-row RDD twice —
+    zero residual parquet scans), and nothing else moves."""
+    p = _plan(spark, "a_seasonality_index")
+    assert _count(p, r"Scan parquet") == 0
+    assert _count(p, r"Scan ExistingRDD") == 2
+    assert _count(p, r"Exchange hashpartitioning") == 0
+
+
+def test_column_profiler_single_scan(spark):
+    """The whole multi-column profile must come from ONE orders scan
+    (the oracle unions one aggregate per column; the Spark plan must
+    not)."""
+    p = _plan(spark, "a_column_profiler")
+    assert _count(p, r"Scan parquet") == 1

@@ -1894,3 +1894,494 @@ def a_column_profiler(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# a_assoc_rules — market-basket association rules (support/confidence/lift)
+# ---------------------------------------------------------------------------
+
+_AR_MIN_COOC = 3
+_AR_TOPK = 20
+
+_AR_SQL = f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem
+    ),
+    cnt AS (SELECT i, COUNT(*) AS c FROM items GROUP BY 1),
+    nn AS (SELECT COUNT(DISTINCT o) AS n FROM items),
+    pairs AS (
+        SELECT a.i AS ia, b.i AS ib, COUNT(*) AS cab
+        FROM items a JOIN items b ON a.o = b.o AND a.i < b.i
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_AR_MIN_COOC}
+    ),
+    rules AS (
+        SELECT p.ia, p.ib, p.cab, ca.c AS ca, cb.c AS cb, nn.n AS n,
+               CAST(round(1000000.0 * p.cab * nn.n / (ca.c * cb.c))
+                    AS BIGINT) AS lift_micros
+        FROM pairs p
+        JOIN cnt ca ON ca.i = p.ia
+        JOIN cnt cb ON cb.i = p.ib
+        CROSS JOIN nn
+    )
+    SELECT CAST(ia AS BIGINT) AS item_a, CAST(ib AS BIGINT) AS item_b,
+           CAST(cab AS BIGINT) AS n_cooc,
+           round(CAST(cab AS DOUBLE) / n, 6) AS support,
+           round(CAST(cab AS DOUBLE) / ca, 6) AS confidence,
+           round(lift_micros / 1000000.0, 6) AS lift,
+           CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, row_number() OVER (ORDER BY lift_micros DESC, ia, ib)
+                 AS rnk
+          FROM rules)
+    WHERE rnk <= {_AR_TOPK}
+"""
+
+
+@register("a_assoc_rules", _AR_SQL)
+def a_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: for part
+    pairs co-bought in ≥{_AR_MIN_COOC} orders, support / confidence /
+    lift, top-{_AR_TOPK} by lift — the classical affinity miner behind
+    "frequently bought together", and the complement of
+    m_item_item_cooc (which ranks by Jaccard within a capped history;
+    lift normalises by BOTH marginals against the basket count).
+
+    Scale shape: baskets come from one DISTINCT projection of
+    lineitem; pair enumeration is the basket-bounded self-join (TPC-H
+    baskets hold ≤7 items, so ≤21 pairs per basket — the SemDeDup
+    cluster-bounded-quadratic rule), and the HAVING support floor
+    prunes before the dimension-sized marginal joins (item counts are
+    |parts|-sized → broadcast). Parity: counts are exact integers;
+    lift ranks on integer micros of an exact-operand IEEE division, so
+    the global top-k never flips on sub-ulp drift."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("i")
+    ).distinct()
+    cnt = items.groupBy("i").agg(F.count(F.lit(1)).alias("c"))
+    nn = items.agg(F.count_distinct("o").alias("n"))
+    pairs = (
+        items.alias("a")
+        .join(
+            items.alias("b"),
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.i") < F.col("b.i")),
+        )
+        .groupBy(F.col("a.i").alias("ia"), F.col("b.i").alias("ib"))
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= _AR_MIN_COOC)
+    )
+    rules = (
+        pairs.join(
+            F.broadcast(cnt.select(F.col("i").alias("ia"), F.col("c").alias("ca"))),
+            "ia",
+        )
+        .join(
+            F.broadcast(cnt.select(F.col("i").alias("ib"), F.col("c").alias("cb"))),
+            "ib",
+        )
+        .crossJoin(F.broadcast(nn))
+        .withColumn(
+            "lift_micros",
+            F.round(
+                1000000.0 * F.col("cab") * F.col("n") / (F.col("ca") * F.col("cb"))
+            ).cast("long"),
+        )
+    )
+    wr = Window.orderBy(F.col("lift_micros").desc(), F.col("ia"), F.col("ib"))
+    return (
+        rules.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= _AR_TOPK)
+        .select(
+            F.col("ia").cast("long").alias("item_a"),
+            F.col("ib").cast("long").alias("item_b"),
+            F.col("cab").cast("long").alias("n_cooc"),
+            F.round(F.col("cab").cast("double") / F.col("n"), 6).alias("support"),
+            F.round(F.col("cab").cast("double") / F.col("ca"), 6).alias(
+                "confidence"
+            ),
+            F.round(F.col("lift_micros") / 1000000.0, 6).alias("lift"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# e_mann_kendall — Mann-Kendall trend test on monthly revenue series
+# ---------------------------------------------------------------------------
+
+_MK_SQL = """
+    WITH cell AS (
+        SELECT n.n_name AS nation,
+               CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) * 12
+                   + CAST(strftime(o.o_orderdate, '%m') AS BIGINT) AS m,
+               SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT a.nation, SUM(CAST(sign(b.cents - a.cents) AS BIGINT)) AS s_stat
+        FROM cell a JOIN cell b ON a.nation = b.nation AND a.m < b.m
+        GROUP BY 1
+    ),
+    n AS (SELECT nation, COUNT(*) AS n_months FROM cell GROUP BY 1),
+    ties AS (
+        SELECT nation,
+               COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS tie_term
+        FROM (SELECT nation, COUNT(*) AS t FROM cell
+              GROUP BY nation, cents HAVING COUNT(*) > 1)
+        GROUP BY 1
+    )
+    SELECT n.nation, CAST(n.n_months AS BIGINT) AS n_months,
+           CAST(s.s_stat AS BIGINT) AS s_stat,
+           CAST(n.n_months * (n.n_months - 1) * (2 * n.n_months + 5)
+                - COALESCE(ties.tie_term, 0) AS BIGINT) AS var18,
+           round(CASE
+               WHEN s.s_stat > 0 THEN (s.s_stat - 1) / sqrt(
+                   (n.n_months * (n.n_months - 1) * (2 * n.n_months + 5)
+                    - COALESCE(ties.tie_term, 0)) / 18.0)
+               WHEN s.s_stat < 0 THEN (s.s_stat + 1) / sqrt(
+                   (n.n_months * (n.n_months - 1) * (2 * n.n_months + 5)
+                    - COALESCE(ties.tie_term, 0)) / 18.0)
+               ELSE 0.0 END, 6) AS z
+    FROM n JOIN s ON n.nation = s.nation
+    LEFT JOIN ties ON ties.nation = n.nation
+"""
+
+
+@register("e_mann_kendall", _MK_SQL)
+def e_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per nation over the monthly revenue
+    series: S = Σ_{i<j} sgn(x_j − x_i), tie-corrected variance
+    18·Var = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5), continuity-corrected
+    z — the standard nonparametric "is this metric drifting" monitor
+    (no normality assumption, robust to outliers), complementing
+    a_runs_test (randomness) and s_changepoint (level shifts).
+
+    Scale shape: the pair enumeration is over the MONTHLY aggregate,
+    not raw rows — the series length is calendar-bounded (~80 months
+    regardless of SF), so pairs are O(nations · months²) constant in
+    data size and the only data-sized work is the first groupBy scan.
+    Parity: monthly cents are exact integer sums, sgn sums are exact
+    integers, 18·Var stays integer, and z is one exact-integer
+    division by a correctly-rounded IEEE sqrt, rounded on the 6dp
+    grid."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    cell = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (
+                F.year("o_orderdate").cast("long") * 12
+                + F.month("o_orderdate").cast("long")
+            ).alias("m"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+        )
+        .localCheckpoint()  # calendar-bounded; consumers: s, n, ties
+    )
+    s = (
+        cell.alias("a")
+        .join(
+            cell.alias("b"),
+            (F.col("a.nation") == F.col("b.nation")) & (F.col("a.m") < F.col("b.m")),
+        )
+        .groupBy(F.col("a.nation").alias("nation"))
+        .agg(
+            F.sum(F.signum(F.col("b.cents") - F.col("a.cents")).cast("long")).alias(
+                "s_stat"
+            )
+        )
+    )
+    nm = cell.groupBy("nation").agg(F.count(F.lit(1)).alias("n_months"))
+    ties = (
+        cell.groupBy("nation", "cents")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy("nation")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term")
+        )
+    )
+    var18 = (
+        F.col("n_months")
+        * (F.col("n_months") - 1)
+        * (2 * F.col("n_months") + 5)
+        - F.coalesce(F.col("tie_term"), F.lit(0))
+    ).cast("long")
+    z = F.round(
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1) / F.sqrt(F.col("var18") / 18.0),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1) / F.sqrt(F.col("var18") / 18.0),
+        )
+        .otherwise(F.lit(0.0)),
+        6,
+    )
+    return (
+        nm.join(s, "nation")
+        .join(ties, "nation", "left")
+        .withColumn("var18", var18)
+        .select(
+            "nation",
+            F.col("n_months").cast("long").alias("n_months"),
+            F.col("s_stat").cast("long").alias("s_stat"),
+            "var18",
+            z.alias("z"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# a_entropy — Shannon entropy of the event-type mix per day-of-week
+# ---------------------------------------------------------------------------
+
+_ENT_SQL = """
+    WITH cnts AS (
+        SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow, event_type,
+               COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    per AS (
+        SELECT dow, COUNT(*) AS n_types, SUM(c) AS n,
+               SUM(c * CAST(round(ln(c) * 1000000) AS BIGINT)) AS s_micros
+        FROM cnts GROUP BY 1
+    )
+    SELECT dow, CAST(n_types AS BIGINT) AS n_types, CAST(n AS BIGINT) AS n,
+           round((CAST(round(ln(n) * 1000000) AS BIGINT)
+                  - CAST(s_micros AS DOUBLE) / n) / 1000000.0, 6)
+               AS entropy_nats
+    FROM per
+"""
+
+
+@register("a_entropy", _ENT_SQL)
+def a_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of the event-type distribution per
+    day-of-week: H = ln N − (Σ_i n_i·ln n_i)/N — the mix-diversity
+    monitor a pipeline alerts on when one event type starts swamping a
+    time slot (low entropy = concentration; pairs with a_psi_drift,
+    which needs a reference window, while entropy is absolute).
+
+    Scale shape: one (dow, event_type) count aggregation — map-side
+    partial combine, |dow|×|types| result. Parity: per-count logs snap
+    to the integer-micros grid (the t_surprisal convention) so
+    Σ n_i·ln n_i is an exact integer in both engines; the final H is
+    one exact-operand division and subtraction on the 6dp grid.
+    dayofweek: both engines number Sunday=1..Saturday=7."""
+    ev = _t(spark, sf_dir, "events")
+    cnts = ev.groupBy(
+        F.dayofweek("ts").cast("int").alias("dow"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    per = cnts.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("c").alias("n"),
+        F.sum(
+            F.col("c") * F.round(F.log(F.col("c")) * 1000000).cast("long")
+        ).alias("s_micros"),
+    )
+    return per.select(
+        "dow",
+        F.col("n_types").cast("long").alias("n_types"),
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            (
+                F.round(F.log(F.col("n")) * 1000000).cast("long")
+                - F.col("s_micros").cast("double") / F.col("n")
+            )
+            / 1000000.0,
+            6,
+        ).alias("entropy_nats"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# e_gini_coefficient — spend-concentration Gini over customer totals
+# ---------------------------------------------------------------------------
+
+_GINI_SQL = """
+    WITH spend AS (
+        SELECT o_custkey,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1
+    ),
+    dist AS (SELECT cents, COUNT(*) AS c FROM spend GROUP BY 1),
+    cum AS (
+        SELECT cents, c,
+               SUM(c) OVER (ORDER BY cents) AS cumt
+        FROM dist
+    ),
+    terms AS (
+        SELECT CAST(cents AS DECIMAL(38, 0))
+               * CAST(c * (cumt - c) + c * (c + 1) // 2 AS BIGINT) AS ix,
+               CAST(cents AS DECIMAL(38, 0)) * c AS vx, c
+        FROM cum
+    )
+    SELECT CAST(SUM(c) AS BIGINT) AS n_customers,
+           CAST(SUM(vx) AS BIGINT) AS total_cents,
+           round((2.0 * CAST(SUM(ix) AS DOUBLE)
+                  - (SUM(c) + 1.0) * CAST(SUM(vx) AS DOUBLE))
+                 / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(vx) AS DOUBLE)), 6)
+               AS gini
+    FROM terms
+"""
+
+
+@register("e_gini_coefficient", _GINI_SQL)
+def e_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend concentration:
+    G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over rank-ordered customer
+    totals — the classical inequality measure a marketplace tracks for
+    revenue concentration risk (and e_rec_coverage's catalog-side
+    sibling on the demand side).
+
+    Scale shape: the rank sum is computed WITHOUT a global sort of
+    customers — group totals to the DISTINCT-value table (bounded by
+    value cardinality), then one cumulative count over values gives
+    each value block's rank range in closed form:
+    Σ_{i∈block} i = c·cum_before + c(c+1)/2 (ties are provably
+    order-invariant, equal x multiplies the whole coefficient block).
+    The Spark side reuses the two-phase running-total operator, so no
+    single-partition window anywhere. Parity: every term is exact
+    integer arithmetic in DECIMAL(38,0) (Σ i·x ≈ x̄n²/2 overflows int64
+    past ~10⁵ customers at these price scales); the final G is one
+    division of identically-converted doubles on the 6dp grid."""
+    spend = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+        )
+    )
+    dist = spend.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+    cum = global_running_total(dist, "cents", "c", out_col="cumt")
+    terms = cum.select(
+        (
+            F.col("cents").cast("decimal(38,0)")
+            * (
+                F.col("c") * (F.col("cumt") - F.col("c"))
+                + F.expr("c * (c + 1) div 2")
+            ).cast("long")
+        ).alias("ix"),
+        (F.col("cents").cast("decimal(38,0)") * F.col("c")).alias("vx"),
+        "c",
+    )
+    return terms.agg(
+        F.sum("c").cast("long").alias("n_customers"),
+        F.sum("vx").cast("long").alias("total_cents"),
+        F.round(
+            (
+                2.0 * F.sum("ix").cast("double")
+                - (F.sum("c") + 1.0) * F.sum("vx").cast("double")
+            )
+            / (F.sum("c").cast("double") * F.sum("vx").cast("double")),
+            6,
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a_attribution — first-/last-touch conversion attribution
+# ---------------------------------------------------------------------------
+
+_ATTR_TOUCHES = ("view", "click", "signup")
+_ATTR_CONV = "purchase"
+
+_ATTR_SQL = f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN event_type IN {_ATTR_TOUCHES}
+                    THEN event_type END AS touch
+        FROM events
+    ),
+    carried AS (
+        SELECT user_id, event_id, event_type,
+               last_value(touch IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS last_touch,
+               first_value(touch IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS first_touch
+        FROM ordered
+    ),
+    conv AS (
+        SELECT * FROM carried WHERE event_type = '{_ATTR_CONV}'
+    ),
+    lt AS (
+        SELECT COALESCE(last_touch, 'none') AS channel,
+               COUNT(*) AS n FROM conv GROUP BY 1
+    ),
+    ft AS (
+        SELECT COALESCE(first_touch, 'none') AS channel,
+               COUNT(*) AS n FROM conv GROUP BY 1
+    )
+    SELECT 'last_touch' AS model, channel, CAST(n AS BIGINT) AS conversions
+    FROM lt
+    UNION ALL
+    SELECT 'first_touch' AS model, channel, CAST(n AS BIGINT) AS conversions
+    FROM ft
+"""
+
+
+@register("a_attribution", _ATTR_SQL)
+def a_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch vs last-touch conversion attribution: each purchase
+    is credited to the earliest / most recent preceding touch event
+    ({', '.join(_ATTR_TOUCHES)}) in the user's history — the marketing
+    analytics staple that decides channel budgets, and the
+    window-carry sibling of s_funnel (which checks ORDER of a fixed
+    sequence; attribution asks WHICH channel preceded the
+    conversion).
+
+    Scale shape: ONE shuffle on user_id serves both carries
+    (first/last over the same running frame — Spark plans a single
+    Window node), then the conversion projection and two
+    |channels|-sized aggregates. Parity: (ts, event_id) is a total
+    order within user, both engines implement IGNORE NULLS
+    first/last_value identically over the 1-PRECEDING frame, and
+    counts are exact integers."""
+    ev = _t(spark, sf_dir, "events")
+    touch = F.when(
+        F.col("event_type").isin(*_ATTR_TOUCHES), F.col("event_type")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    conv = (
+        ev.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "ts",
+            touch.alias("touch"),
+        )
+        .withColumn("last_touch", F.last("touch", ignorenulls=True).over(w))
+        .withColumn("first_touch", F.first("touch", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == _ATTR_CONV)
+        .localCheckpoint()  # conversion-sized; consumers: both models
+    )
+    lt = conv.groupBy(
+        F.coalesce(F.col("last_touch"), F.lit("none")).alias("channel")
+    ).agg(F.count(F.lit(1)).cast("long").alias("conversions"))
+    ft = conv.groupBy(
+        F.coalesce(F.col("first_touch"), F.lit("none")).alias("channel")
+    ).agg(F.count(F.lit(1)).cast("long").alias("conversions"))
+    return lt.select(
+        F.lit("last_touch").alias("model"), "channel", "conversions"
+    ).unionAll(
+        ft.select(F.lit("first_touch").alias("model"), "channel", "conversions")
+    )

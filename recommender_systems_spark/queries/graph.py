@@ -462,3 +462,185 @@ def g_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# g_jaccard_neighbors — structural similarity by neighbourhood overlap
+# ---------------------------------------------------------------------------
+
+JN_TOPK = 50
+
+_JN_SQL = f"""
+    WITH {_EDGES_SQL},
+    wedges AS (
+        SELECT e1.dst AS u, e2.dst AS w
+        FROM edges e1 JOIN edges e2
+          ON e1.src = e2.src AND e1.dst < e2.dst
+    ),
+    common AS (
+        SELECT u, w, COUNT(*) AS n_common FROM wedges GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    ),
+    scored AS (
+        SELECT c.u, c.w, c.n_common, du.d AS deg_u, dw.d AS deg_w,
+               CAST(round(1000000.0 * c.n_common
+                          / (du.d + dw.d - c.n_common)) AS BIGINT)
+                   AS jac_micros
+        FROM common c
+        JOIN deg du ON du.src = c.u
+        JOIN deg dw ON dw.src = c.w
+    )
+    SELECT CAST(u AS BIGINT) AS item_a, CAST(w AS BIGINT) AS item_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(deg_u AS BIGINT) AS deg_a, CAST(deg_w AS BIGINT) AS deg_b,
+           round(jac_micros / 1000000.0, 6) AS jaccard,
+           CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, row_number() OVER (ORDER BY jac_micros DESC, u, w)
+                 AS rnk
+          FROM scored)
+    WHERE rnk <= {JN_TOPK}
+"""
+
+
+@register("g_jaccard_neighbors", _JN_SQL)
+def g_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbourhood-Jaccard structural similarity over the item
+    co-occurrence graph: J(u,w) = |N(u)∩N(w)| / |N(u)∪N(w)| for pairs
+    sharing ≥2 neighbours, global top-{JN_TOPK} — the
+    structural-equivalence score (role similarity: two items whose
+    NEIGHBOURHOODS agree, whether or not they co-occur themselves),
+    complementing g_adamic_adar's rarity-weighted sum with a
+    degree-normalised measure that hubs can't dominate.
+
+    Scale shape: the same wedge enumeration as g_adamic_adar (edges ⋈
+    edges on the centre, O(Σ deg²) bounded by the capped-history edge
+    build); the ≥2-common floor prunes before the dimension-sized
+    degree joins (|items|-sized → broadcast). Parity: intersection and
+    union sizes are exact integers, the score ranks on integer micros
+    of an exact-operand division, and (jac desc, u, w) is total."""
+    from pyspark.sql import Window
+
+    pairs = _cooc_pairs(spark, sf_dir).localCheckpoint()
+    edges = pairs.select(
+        F.col("ia").alias("src"), F.col("ib").alias("dst")
+    ).unionAll(pairs.select(F.col("ib").alias("src"), F.col("ia").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    common = (
+        edges.alias("e1")
+        .join(
+            edges.alias("e2"),
+            (F.col("e1.src") == F.col("e2.src"))
+            & (F.col("e1.dst") < F.col("e2.dst")),
+        )
+        .groupBy(F.col("e1.dst").alias("u"), F.col("e2.dst").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= 2)
+    )
+    scored = (
+        common.join(
+            F.broadcast(deg.select(F.col("src").alias("u"), F.col("d").alias("deg_u"))),
+            "u",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("src").alias("w"), F.col("d").alias("deg_w"))),
+            "w",
+        )
+        .withColumn(
+            "jac_micros",
+            F.round(
+                1000000.0
+                * F.col("n_common")
+                / (F.col("deg_u") + F.col("deg_w") - F.col("n_common"))
+            ).cast("long"),
+        )
+    )
+    wr = Window.orderBy(F.col("jac_micros").desc(), F.col("u"), F.col("w"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= JN_TOPK)
+        .select(
+            F.col("u").cast("long").alias("item_a"),
+            F.col("w").cast("long").alias("item_b"),
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("deg_u").cast("long").alias("deg_a"),
+            F.col("deg_w").cast("long").alias("deg_b"),
+            F.round(F.col("jac_micros") / 1000000.0, 6).alias("jaccard"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# g_kcore — fixed-round k-core peeling
+# ---------------------------------------------------------------------------
+
+KCORE_K = 3
+KCORE_ROUNDS = 4
+
+
+def _kcore_round(prev: str, cur: str) -> str:
+    return f"""
+    d{cur} AS (SELECT src, COUNT(*) AS d FROM e{prev} GROUP BY 1),
+    k{cur} AS (SELECT src FROM d{cur} WHERE d >= {KCORE_K}),
+    e{cur} AS (
+        SELECT e.src, e.dst FROM e{prev} e
+        JOIN k{cur} a ON e.src = a.src
+        JOIN k{cur} b ON e.dst = b.src
+    )"""
+
+
+_KCORE_SQL = (
+    "WITH "
+    + _EDGES_SQL
+    + ", e0 AS (SELECT src, dst FROM edges),"
+    + ",".join(_kcore_round(str(i), str(i + 1)) for i in range(KCORE_ROUNDS))
+    + f"""
+    SELECT CAST(src AS BIGINT) AS item, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM e{KCORE_ROUNDS} GROUP BY 1
+"""
+)
+
+
+@register("g_kcore", _KCORE_SQL)
+def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (k={KCORE_K}, {KCORE_ROUNDS} fixed rounds) over
+    the item co-occurrence graph: repeatedly drop nodes with degree <
+    k and the edges touching them; what survives is the dense backbone
+    — the standard graph-curation filter (spam/fringe nodes peel away,
+    cohesive communities survive) and the densest-region preselector a
+    pipeline runs before expensive per-node analytics.
+
+    The round count is FIXED so the whole peel unrolls into the DuckDB
+    oracle (the g_pagerank pattern for oracle-backed iterative
+    algorithms); at this graph's size the peel converges within the
+    fixed rounds, so the output IS the true {KCORE_K}-core.
+
+    Scale shape per round: one degree aggregate (map-side combine) and
+    one semi-join of edges against surviving nodes on each endpoint —
+    (id)-pairs only ever shuffle, and each round's edge frame is
+    checkpointed so lineage stays flat. Parity: degrees and the
+    surviving edge set are exact; output is the surviving nodes with
+    their core degrees (integer counts)."""
+    cooc = _cooc_pairs(spark, sf_dir)
+    edges = (
+        cooc.select(F.col("ia").alias("src"), F.col("ib").alias("dst"))
+        .unionAll(cooc.select(F.col("ib").alias("src"), F.col("ia").alias("dst")))
+        .localCheckpoint()
+    )
+    e = edges
+    for _ in range(KCORE_ROUNDS):
+        keep = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= KCORE_K)
+            .select("src")
+        )
+        e = (
+            e.join(keep, "src")
+            .join(keep.withColumnRenamed("src", "dst"), "dst")
+            .select("src", "dst")
+            .localCheckpoint()  # flat lineage per peel round
+        )
+    return e.groupBy(F.col("src").alias("item")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )

@@ -1917,3 +1917,97 @@ def v_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         correct.alias("n_correct"),
         F.round(correct.cast("double") / F.count(F.lit(1)), 6).alias("accuracy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# v_cluster_purity — label purity of the coarse-quantizer cells
+# ---------------------------------------------------------------------------
+
+_PURITY_SQL = f"""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e
+          WHERE vec_id % {CENTROID_MOD} = 0),
+    asg AS (
+        SELECT vec_id, label, cid, row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY {_COS.format(a='v', b='cv')} DESC, cid
+               ) AS rnk
+        FROM e CROSS JOIN c
+    ),
+    cells AS (SELECT vec_id, label, cid AS cell FROM asg WHERE rnk = 1),
+    cl AS (SELECT cell, label, COUNT(*) AS c FROM cells GROUP BY 1, 2),
+    tot AS (SELECT cell, SUM(c) AS n FROM cl GROUP BY 1),
+    maj AS (
+        SELECT cell, label AS majority_label, c AS n_majority
+        FROM (SELECT *, row_number() OVER (PARTITION BY cell
+                                           ORDER BY c DESC, label) AS rn
+              FROM cl)
+        WHERE rn = 1
+    )
+    SELECT CAST(t.cell AS BIGINT) AS cell,
+           CAST(t.n AS BIGINT) AS n_members,
+           CAST(m.majority_label AS INT) AS majority_label,
+           CAST(m.n_majority AS BIGINT) AS n_majority,
+           round(CAST(m.n_majority AS DOUBLE) / t.n, 6) AS purity
+    FROM tot t JOIN maj m ON m.cell = t.cell
+"""
+
+
+@register("v_cluster_purity", _PURITY_SQL)
+def v_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label purity of each coarse-quantizer cell (the IVF Voronoi
+    assignment sim_ivf_topk serves from): majority-label share per
+    cell — the standard external cluster-quality check ("do the
+    partitioner's cells respect semantic labels?") that decides
+    whether a cell-restricted search can also serve label-filtered
+    queries, and the unsupervised sibling of v_centroid_classify's
+    accuracy.
+
+    Scale shape: the assignment is the same narrow broadcast-codebook
+    map as the IVF index build (no vector shuffle); after it only
+    (cell, label) count rows move — two dimension-sized aggregates and
+    a |cells|-sized join. Parity: counts are exact integers, the
+    majority resolves by the total (count desc, label) order, purity
+    is one exact-operand division on the 6dp grid."""
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .localCheckpoint()  # consumers: codebook + assignment
+    )
+    cents = e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    w_asg = Window.partitionBy("vec_id").orderBy(
+        F.round(cosine_similarity("v", "cv"), 5).desc(), F.col("cid")
+    )
+    cells = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("rnk", F.row_number().over(w_asg))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "label", F.col("cid").alias("cell"))
+    )
+    cl = cells.groupBy("cell", "label").agg(F.count(F.lit(1)).alias("c"))
+    tot = cl.groupBy("cell").agg(F.sum("c").alias("n"))
+    wm = Window.partitionBy("cell").orderBy(F.col("c").desc(), F.col("label"))
+    maj = (
+        cl.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cell",
+            F.col("label").alias("majority_label"),
+            F.col("c").alias("n_majority"),
+        )
+    )
+    return tot.join(maj, "cell").select(
+        F.col("cell").cast("long").alias("cell"),
+        F.col("n").cast("long").alias("n_members"),
+        F.col("majority_label").cast("int").alias("majority_label"),
+        F.col("n_majority").cast("long").alias("n_majority"),
+        F.round(F.col("n_majority").cast("double") / F.col("n"), 6).alias(
+            "purity"
+        ),
+    )

@@ -2134,3 +2134,83 @@ def v_ild_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.round(F.sum("d") / (100000.0 * F.count(F.lit(1))), 6).alias("ild"),
     ).select(F.col("qid").alias("vec_id"), "n_pairs", "ild")
+
+
+# ---------------------------------------------------------------------------
+# v_knn_classify — k-nearest-neighbour majority-vote classification
+# ---------------------------------------------------------------------------
+
+_KNN_K = 15
+
+_KNN_SQL = f"""
+    WITH {_RANKED_CTES},
+    votes AS (
+        SELECT qid, qlabel, label, COUNT(*) AS v
+        FROM ranked WHERE rnk <= {_KNN_K}
+        GROUP BY 1, 2, 3
+    ),
+    win AS (
+        SELECT qid, qlabel, label AS predicted, v,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY v DESC, label) AS rn
+        FROM votes
+    )
+    SELECT CAST(qid AS BIGINT) AS vec_id, CAST(qlabel AS INT) AS actual,
+           CAST(predicted AS INT) AS predicted, CAST(v AS BIGINT) AS votes,
+           predicted = qlabel AS correct
+    FROM win WHERE rn = 1
+"""
+
+
+@register("v_knn_classify", _KNN_SQL)
+def v_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classification of each query embedding
+    (k={_KNN_K}, leave-one-out against the full catalog): the lazy
+    classifier that needs NO training pass — the standard baseline a
+    team runs before fitting v_centroid_classify's parametric rival,
+    and the label-quality audit ("does this doc's label agree with its
+    neighbourhood?") a curation pipeline runs at scale.
+
+    Scale shape: identical to the NDCG/MRR chain — broadcast queries ×
+    one catalog scan, per-query top-k window, then the vote aggregate
+    is k-bounded per query. Parity: votes are exact integer counts and
+    the winner resolves by the total (votes desc, label) order, so the
+    argmax never flips across engines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        emb.select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("ev")
+        )
+        .join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "vec_id",
+            "label",
+            F.round(cosine_similarity(F.col("ev"), F.col("qv")), 5).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cs").desc(), F.col("vec_id"))
+    votes = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _KNN_K)
+        .groupBy("qid", "qlabel", "label")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    wv = Window.partitionBy("qid").orderBy(F.col("v").desc(), F.col("label"))
+    return (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("qid").cast("long").alias("vec_id"),
+            F.col("qlabel").cast("int").alias("actual"),
+            F.col("label").cast("int").alias("predicted"),
+            F.col("v").cast("long").alias("votes"),
+            (F.col("label") == F.col("qlabel")).alias("correct"),
+        )
+    )

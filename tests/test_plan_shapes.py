@@ -253,3 +253,85 @@ def test_column_profiler_single_scan(spark):
     not)."""
     p = _plan(spark, "a_column_profiler")
     assert _count(p, r"Scan parquet") == 1
+
+
+_NO_CARTESIAN_R6B = [
+    "dedup_fuzzy_match",
+    "a_assoc_rules",
+    "e_mann_kendall",
+    "a_entropy",
+    "v_knn_classify",
+    "g_jaccard_neighbors",
+]
+
+
+@pytest.mark.parametrize("name", _NO_CARTESIAN_R6B)
+def test_no_cartesian_product_r6b(spark, name):
+    assert _count(_plan(spark, name), r"CartesianProduct") == 0, name
+
+
+def test_fuzzy_match_blocked_equi_join(spark):
+    """dedup_fuzzy_match must plan the block join as an EQUI-join on
+    the (lang, w1, band) key — Levenshtein must stay OUT of the join
+    keys (a theta-join on edit distance would be the quadratic
+    scale-killer the blocking exists to avoid)."""
+    p = _plan(spark, "dedup_fuzzy_match")
+    assert _count(p, r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin") >= 1
+    assert _count(p, r"CartesianProduct|BroadcastNestedLoopJoin") == 0
+
+
+def test_assoc_rules_broadcasts_marginals(spark):
+    """a_assoc_rules: the |parts|-sized marginal-count and 1-row basket
+    total joins must broadcast; the only data-sized exchanges are the
+    basket self-join and the pair aggregate."""
+    p = _plan(spark, "a_assoc_rules")
+    assert _count(p, r"BroadcastHashJoin") >= 2
+
+
+def test_entropy_single_scan_no_join(spark):
+    """a_entropy is one scan + two aggregations — any join or window
+    would mean the mix profile stopped being a pure rollup."""
+    p = _plan(spark, "a_entropy")
+    assert _count(p, r"Scan parquet") == 1
+    assert _count(p, r"Join") == 0
+    assert _count(p, r"Window") == 0
+
+
+def test_jaccard_neighbors_broadcasts_degrees(spark):
+    """g_jaccard_neighbors: both degree-table joins are
+    item-dimension-sized and must broadcast."""
+    p = _plan(spark, "g_jaccard_neighbors")
+    assert _count(p, r"BroadcastHashJoin") >= 2
+
+
+def test_gini_no_global_sort_window(spark):
+    """e_gini_coefficient computes rank sums from the distinct-value
+    running total: the only Window is the two-phase helper's
+    partition-LOCAL cumsum — never a single-partition global sort."""
+    p = _plan(spark, "e_gini_coefficient")
+    assert _count(p, r"windowspecdefinition\(") == _count(
+        p, r"windowspecdefinition\(__pid"
+    )
+
+
+def test_attribution_single_window_pass(spark):
+    """Both attribution carries ride ONE window pass over one events
+    scan (first/last share the frame); checkpointing leaves the final
+    plan reading the conversion RDD, not parquet."""
+    p = _plan(spark, "a_attribution")
+    assert _count(p, r"Scan parquet") == 0
+    assert _count(p, r"Scan ExistingRDD") == 2
+
+
+def test_kcore_no_cartesian(spark):
+    assert _count(_plan(spark, "g_kcore"), r"CartesianProduct") == 0
+
+
+def test_cluster_purity_broadcast_codebook(spark):
+    """v_cluster_purity's assignment must be the narrow
+    broadcast-codebook map (corpus × tiny codebook) — broadcast
+    nested-loop is the intended shape; a shuffled CartesianProduct is
+    not."""
+    p = _plan(spark, "v_cluster_purity")
+    assert _count(p, r"CartesianProduct") == 0
+    assert _count(p, r"BroadcastNestedLoopJoin") >= 1

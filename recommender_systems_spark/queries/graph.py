@@ -575,14 +575,20 @@ def g_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 KCORE_K = 3
-KCORE_ROUNDS = 4
+KCORE_ROUNDS = 7
 
 
 def _kcore_round(prev: str, cur: str) -> str:
+    # AS MATERIALIZED is load-bearing: each round references the prior
+    # edge CTE three times (degree, keep x2); DuckDB inlines plain CTEs,
+    # so an un-materialized unroll re-evaluates round r-1 three times ->
+    # 3^ROUNDS blowup. Materializing pins each round to one evaluation
+    # (the CTE-chain analogue of the Spark side's localCheckpoint).
     return f"""
-    d{cur} AS (SELECT src, COUNT(*) AS d FROM e{prev} GROUP BY 1),
-    k{cur} AS (SELECT src FROM d{cur} WHERE d >= {KCORE_K}),
-    e{cur} AS (
+    k{cur} AS MATERIALIZED (
+        SELECT src FROM (SELECT src, COUNT(*) AS d FROM e{prev} GROUP BY 1)
+        WHERE d >= {KCORE_K}),
+    e{cur} AS MATERIALIZED (
         SELECT e.src, e.dst FROM e{prev} e
         JOIN k{cur} a ON e.src = a.src
         JOIN k{cur} b ON e.dst = b.src
@@ -592,7 +598,7 @@ def _kcore_round(prev: str, cur: str) -> str:
 _KCORE_SQL = (
     "WITH "
     + _EDGES_SQL
-    + ", e0 AS (SELECT src, dst FROM edges),"
+    + ", e0 AS MATERIALIZED (SELECT src, dst FROM edges),"
     + ",".join(_kcore_round(str(i), str(i + 1)) for i in range(KCORE_ROUNDS))
     + f"""
     SELECT CAST(src AS BIGINT) AS item, CAST(COUNT(*) AS BIGINT) AS degree
@@ -612,8 +618,11 @@ def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The round count is FIXED so the whole peel unrolls into the DuckDB
     oracle (the g_pagerank pattern for oracle-backed iterative
-    algorithms); at this graph's size the peel converges within the
-    fixed rounds, so the output IS the true {KCORE_K}-core.
+    algorithms); {KCORE_ROUNDS} rounds are enough for the peel to
+    converge at every validation scale (a no-op final round — verified
+    by the min-degree invariant test), so the output IS the true
+    {KCORE_K}-core (at sf0.1 that core is legitimately empty: capped
+    histories spread over 10× more parts thin the ≥2-support edges).
 
     Scale shape per round: one degree aggregate (map-side combine) and
     one semi-join of edges against surviving nodes on each endpoint —

@@ -2116,3 +2116,36 @@ def test_seasonality_index_averages_to_one(spark):
     assert {(r["dow"], r["hour"]) for r in rows} <= {
         (d, h) for d in range(7) for h in range(24)
     }
+
+
+def test_kcore_converged_and_valid(spark):
+    """g_kcore's fixed {ROUNDS} rounds must actually CONVERGE at test
+    scale (the docstring's claim, which oracle parity cannot check —
+    both engines unroll the same rounds): every surviving node keeps
+    degree ≥ K within the surviving subgraph, which holds iff one more
+    peel round is a no-op."""
+    from recommender_systems_spark.queries.graph import KCORE_K, g_kcore
+
+    rows = g_kcore(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    assert min(r["degree"] for r in rows) >= KCORE_K
+
+
+def test_gini_bounds_and_attribution_conservation(spark):
+    """e_gini_coefficient lands in [0, 1); a_attribution conserves
+    conversions — both models' channel counts sum to the same total
+    purchase count."""
+    from recommender_systems_spark.queries.analytics import (
+        a_attribution,
+        e_gini_coefficient,
+    )
+
+    g = e_gini_coefficient(spark, "/root/testdata/sf0.01").collect()[0]
+    assert 0.0 <= g["gini"] < 1.0
+
+    rows = a_attribution(spark, "/root/testdata/sf0.01").collect()
+    by_model = {}
+    for r in rows:
+        by_model.setdefault(r["model"], 0)
+        by_model[r["model"]] += r["conversions"]
+    assert by_model["first_touch"] == by_model["last_touch"] > 0

@@ -2385,3 +2385,567 @@ def a_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(
         ft.select(F.lit("first_touch").alias("model"), "channel", "conversions")
     )
+
+
+# ---------------------------------------------------------------------------
+# e_psm_att — propensity-score matching (1-NN with replacement, caliper)
+# ---------------------------------------------------------------------------
+
+_PSM_CALIPER = 2
+
+_PSM_SQL = f"""
+    WITH u AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    > SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS INT) AS t,
+               SUM(CAST(round(value * 100) AS BIGINT)) AS cents,
+               COUNT(*) AS n_ev
+        FROM events GROUP BY 1
+    ),
+    treated AS (SELECT user_id, cents, n_ev FROM u WHERE t = 1),
+    control AS (SELECT user_id, cents, n_ev FROM u WHERE t = 0),
+    band AS (
+        SELECT t.user_id AS tid, t.cents AS t_cents,
+               c.user_id AS cid, c.cents AS c_cents,
+               abs(d.d) AS adiff
+        FROM treated t
+        JOIN (SELECT unnest(range(-{_PSM_CALIPER}, {_PSM_CALIPER} + 1)) AS d)
+             d ON TRUE
+        JOIN control c ON c.n_ev = t.n_ev + d.d
+    ),
+    matched AS (
+        SELECT tid, t_cents, cid, c_cents
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY tid ORDER BY adiff, cid) AS rn
+              FROM band)
+        WHERE rn = 1
+    )
+    SELECT CAST((SELECT COUNT(*) FROM treated) AS BIGINT) AS n_treated,
+           CAST(COUNT(*) AS BIGINT) AS n_matched,
+           round(SUM(t_cents - c_cents) / (100.0 * COUNT(*)), 6) AS att
+    FROM matched
+"""
+
+
+@register("e_psm_att", _PSM_SQL)
+def e_psm_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Propensity-score matching ATT: each treated user (same
+    treatment/outcome/confounder definitions as e_stratified_ate)
+    matches its nearest control on the activity covariate within a
+    ±{_PSM_CALIPER} caliper, 1-NN WITH replacement; ATT = mean matched
+    outcome difference. Completes the propensity-adjustment family:
+    stratification (e_stratified_ate), inverse weighting (m_ips_eval),
+    and now matching — the estimator of choice when treated units are
+    rare and controls plentiful.
+
+    Scale shape: nearest-within-caliper on an INTEGER covariate needs
+    no inequality join — the caliper unrolls into {2 * _PSM_CALIPER + 1}
+    exact keys (treated × offsets equi-join control), the classic band
+    join; the 1-NN pick is a per-treated top-1 window over a
+    caliper-bounded candidate set. Parity: outcomes are integer cents,
+    the match resolves on the total (|Δ|, control id) order, ATT is
+    one exact-operand division on the 6dp grid."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            > F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        ).cast("int").alias("t"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        F.count(F.lit(1)).alias("n_ev"),
+    ).localCheckpoint()  # user-sized; consumers: treated, control, count
+    treated = u.filter(F.col("t") == 1).select(
+        F.col("user_id").alias("tid"),
+        F.col("cents").alias("t_cents"),
+        "n_ev",
+    )
+    control = u.filter(F.col("t") == 0).select(
+        F.col("user_id").alias("cid"),
+        F.col("cents").alias("c_cents"),
+        F.col("n_ev").alias("c_n_ev"),
+    )
+    offsets = F.broadcast(
+        spark.range(-_PSM_CALIPER, _PSM_CALIPER + 1).select(
+            F.col("id").cast("int").alias("d")
+        )
+    )
+    band = (
+        treated.crossJoin(offsets)
+        .withColumn("key", F.col("n_ev") + F.col("d"))
+        .join(control, F.col("key") == F.col("c_n_ev"))
+        .select("tid", "t_cents", "cid", "c_cents", F.abs("d").alias("adiff"))
+    )
+    wm = Window.partitionBy("tid").orderBy(F.col("adiff"), F.col("cid"))
+    matched = (
+        band.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+    )
+    n_treated = treated.agg(F.count(F.lit(1)).alias("n_treated"))
+    return matched.agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        F.round(
+            F.sum(F.col("t_cents") - F.col("c_cents"))
+            / (100.0 * F.count(F.lit(1))),
+            6,
+        ).alias("att"),
+    ).crossJoin(F.broadcast(n_treated)).select(
+        F.col("n_treated").cast("long").alias("n_treated"),
+        "n_matched",
+        "att",
+    )
+
+
+# ---------------------------------------------------------------------------
+# e_regression_discontinuity — sharp RDD at an activity cutoff
+# ---------------------------------------------------------------------------
+
+_RDD_CUTOFF = 66
+_RDD_BANDWIDTH = 15
+
+_RDD_SQL = f"""
+    WITH u AS (
+        SELECT user_id,
+               SUM(CAST(round(value * 100) AS BIGINT)) AS cents,
+               COUNT(*) AS n_ev
+        FROM events GROUP BY 1
+    ),
+    win AS (
+        SELECT CAST(n_ev - {_RDD_CUTOFF} AS BIGINT) AS x, cents,
+               CASE WHEN n_ev >= {_RDD_CUTOFF} THEN 'right'
+                    ELSE 'left' END AS side
+        FROM u
+        WHERE n_ev >= {_RDD_CUTOFF} - {_RDD_BANDWIDTH}
+          AND n_ev < {_RDD_CUTOFF} + {_RDD_BANDWIDTH}
+    ),
+    fit AS (
+        SELECT side, COUNT(*) AS n,
+               SUM(x) AS sx, SUM(cents) AS sy,
+               SUM(x * cents) AS sxy, SUM(x * x) AS sxx
+        FROM win GROUP BY 1
+    )
+    SELECT side, CAST(n AS BIGINT) AS n,
+           round((CAST(sy AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sxy)
+                 / (100.0 * (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)),
+                 6) AS intercept_at_cutoff,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / (100.0 * (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)),
+                 6) AS slope
+    FROM fit
+"""
+
+
+@register("e_regression_discontinuity", _RDD_SQL)
+def e_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression discontinuity at an activity cutoff
+    (x = n_ev − {_RDD_CUTOFF}, bandwidth ±{_RDD_BANDWIDTH}): fit a
+    local linear regression of outcome on the centered running
+    variable on EACH side; the causal jump is the difference of the
+    two intercepts at the cutoff — the quasi-experimental design for
+    threshold-assigned treatments (loyalty tiers, eligibility rules),
+    completing the causal suite next to diff-in-diff (parallel
+    trends), CUPED (covariate adjustment), stratified ATE / PSM / IPS
+    (selection on observables), and the QTE deciles.
+
+    Scale shape: one user rollup, one bandwidth filter, then a 2-key
+    aggregate of the five OLS sufficient statistics (n, Σx, Σy, Σxy,
+    Σx²) — the m_ols_regression closed form, nothing user-sized moves
+    after the filter. Parity: x and cents are integers so every
+    sufficient statistic is exact; intercept and slope are single
+    exact-operand divisions on the 6dp grid (output in currency
+    units)."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        F.count(F.lit(1)).alias("n_ev"),
+    )
+    win = u.filter(
+        (F.col("n_ev") >= _RDD_CUTOFF - _RDD_BANDWIDTH)
+        & (F.col("n_ev") < _RDD_CUTOFF + _RDD_BANDWIDTH)
+    ).select(
+        (F.col("n_ev") - _RDD_CUTOFF).cast("long").alias("x"),
+        "cents",
+        F.when(F.col("n_ev") >= _RDD_CUTOFF, F.lit("right"))
+        .otherwise(F.lit("left"))
+        .alias("side"),
+    )
+    fit = win.groupBy("side").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("cents").alias("sy"),
+        F.sum(F.col("x") * F.col("cents")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    det = F.col("n") * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx")
+    return fit.select(
+        "side",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            (
+                F.col("sy").cast("double") * F.col("sxx")
+                - F.col("sx").cast("double") * F.col("sxy")
+            )
+            / (100.0 * det),
+            6,
+        ).alias("intercept_at_cutoff"),
+        F.round(
+            (
+                F.col("n") * F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy")
+            )
+            / (100.0 * det),
+            6,
+        ).alias("slope"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a_theil_sen — robust trend magnitude (median of pairwise slopes)
+# ---------------------------------------------------------------------------
+
+_TS_SQL = """
+    WITH cell AS (
+        SELECT n.n_name AS nation,
+               CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) * 12
+                   + CAST(strftime(o.o_orderdate, '%m') AS BIGINT) AS m,
+               SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    ),
+    slopes AS (
+        SELECT a.nation,
+               CAST(round(100.0 * (b.cents - a.cents) / (b.m - a.m))
+                    AS BIGINT) AS slope_cc
+        FROM cell a JOIN cell b ON a.nation = b.nation AND a.m < b.m
+    )
+    SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(quantile_cont(slope_cc, 0.5) / 10000.0, 6)
+               AS ts_slope_dollars
+    FROM slopes GROUP BY 1
+"""
+
+
+@register("a_theil_sen", _TS_SQL)
+def a_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator per nation: the median of all
+    pairwise slopes (x_j−x_i)/(t_j−t_i) over the monthly revenue
+    series — Mann-Kendall's standard companion (e_mann_kendall TESTS
+    for a trend; this ESTIMATES its magnitude, with a 29% breakdown
+    point where OLS has zero).
+
+    Scale shape: identical to e_mann_kendall — pairs enumerate over
+    the calendar-bounded MONTHLY aggregate (~80 points at any SF, so
+    O(nations · months²) constant in data size); the only data-sized
+    work is the first scan. Parity: each pairwise slope snaps to
+    integer centi-cents/month (one exact-operand IEEE division,
+    rounded), so the per-nation median interpolates between two
+    INTEGERS — exact in both engines regardless of interpolation
+    formula shape."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    cell = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (
+                F.year("o_orderdate").cast("long") * 12
+                + F.month("o_orderdate").cast("long")
+            ).alias("m"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+        )
+    )
+    slopes = (
+        cell.alias("a")
+        .join(
+            cell.alias("b"),
+            (F.col("a.nation") == F.col("b.nation")) & (F.col("a.m") < F.col("b.m")),
+        )
+        .select(
+            F.col("a.nation").alias("nation"),
+            F.round(
+                100.0
+                * (F.col("b.cents") - F.col("a.cents"))
+                / (F.col("b.m") - F.col("a.m"))
+            )
+            .cast("long")
+            .alias("slope_cc"),
+        )
+    )
+    return slopes.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.percentile(F.col("slope_cc"), F.lit(0.5)) / 10000.0, 6).alias(
+            "ts_slope_dollars"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a_lorenz_curve — decile concentration curve (Gini's plotting data)
+# ---------------------------------------------------------------------------
+
+_LORENZ_SQL = """
+    WITH spend AS (
+        SELECT o_custkey,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1
+    ),
+    dist AS (SELECT cents, COUNT(*) AS c FROM spend GROUP BY 1),
+    cum AS (
+        SELECT cents, c, SUM(c) OVER (ORDER BY cents) AS cumt
+        FROM dist
+    ),
+    nn AS (SELECT COUNT(*) AS n, SUM(cents) AS tot FROM spend),
+    binned AS (
+        SELECT CAST((10 * cum.cumt + nn.n - 1) // nn.n AS INT) AS decile,
+               SUM(cum.c) AS n_customers, SUM(cum.cents * cum.c) AS cents
+        FROM cum CROSS JOIN nn
+        GROUP BY 1
+    )
+    SELECT decile,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           CAST(SUM(cents) OVER w AS BIGINT) AS cum_cents,
+           round(CAST(SUM(cents) OVER w AS DOUBLE)
+                 / (SELECT tot FROM nn), 6) AS cum_share
+    FROM binned
+    WINDOW w AS (ORDER BY decile)
+"""
+
+
+@register("a_lorenz_curve", _LORENZ_SQL)
+def a_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve deciles of customer spend: cumulative spend share
+    by ascending-spend decile — e_gini_coefficient's plotting data
+    (the Gini is twice the area between this curve and the diagonal),
+    the concentration read-out a marketplace actually looks at
+    ("the top decile is X% of revenue").
+
+    Scale shape: the same no-global-sort trick as the Gini — deciles
+    cut on the DISTINCT-value cumulative count (each value block lands
+    in the decile of its last unit, ceil(10·cum/n)); the final running
+    share is a ≤10-row window. Parity: block-to-decile assignment is
+    pure integer arithmetic, cumulative cents are exact integer sums,
+    and the share is one exact-operand division on the 6dp grid."""
+    spend = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+        )
+    )
+    dist = spend.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+    cum = global_running_total(dist, "cents", "c", out_col="cumt")
+    nn = spend.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("tot")
+    )
+    binned = (
+        cum.crossJoin(F.broadcast(nn))
+        .select(
+            F.expr("CAST((10 * cumt + n - 1) div n AS INT)").alias("decile"),
+            "c",
+            (F.col("cents") * F.col("c")).alias("vx"),
+            "tot",
+        )
+        .groupBy("decile", "tot")
+        .agg(
+            F.sum("c").cast("long").alias("n_customers"),
+            F.sum("vx").alias("cents"),
+        )
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return binned.select(
+        "decile",
+        "n_customers",
+        F.sum("cents").over(w).cast("long").alias("cum_cents"),
+        F.round(
+            F.sum("cents").over(w).cast("double") / F.col("tot"), 6
+        ).alias("cum_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# w_rolling_regression — trailing 12-month OLS slope per series
+# ---------------------------------------------------------------------------
+
+_RR_WIN = 12
+
+_RR_SQL = f"""
+    WITH cell AS (
+        SELECT n.n_name AS nation,
+               CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) * 12
+                   + CAST(strftime(o.o_orderdate, '%m') AS BIGINT) AS m,
+               SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    ),
+    framed AS (
+        SELECT nation, m,
+               COUNT(*) OVER w AS n,
+               SUM(m) OVER w AS sx,
+               SUM(CAST(cents AS DECIMAL(38, 0))) OVER w AS sy,
+               SUM(CAST(m AS DECIMAL(38, 0)) * cents) OVER w AS sxy,
+               SUM(m * m) OVER w AS sxx
+        FROM cell
+        WINDOW w AS (PARTITION BY nation ORDER BY m
+                     ROWS BETWEEN {_RR_WIN - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT nation, CAST(m AS BIGINT) AS m,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n * sxx - sx * sx AS DOUBLE) * 100.0), 6)
+               AS slope_dollars
+    FROM framed
+    WHERE n = {_RR_WIN}
+"""
+
+
+@register("w_rolling_regression", _RR_SQL)
+def w_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing {_RR_WIN}-month rolling OLS slope of monthly revenue
+    per nation — the windowed version of m_ols_regression's closed
+    form, i.e. the "current local trend" series a dashboard overlays
+    on the raw metric (a_theil_sen gives ONE robust slope per series;
+    this gives the slope's evolution).
+
+    Scale shape: the five OLS sufficient statistics (n, Σx, Σy, Σxy,
+    Σx²) all ride ONE window frame over the calendar-sized monthly
+    aggregate — one nation-keyed shuffle, one Window node, nothing
+    data-sized after the first scan. Parity: x is the integer month
+    index and y integer cents; Σx·y products ride DECIMAL(38,0)
+    (n·Σxy overflows int64 once monthly cents pass ~10¹³), so both
+    numerator and denominator are exact integers and the slope is one
+    identically-converted double division on the 6dp grid."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    cell = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (
+                F.year("o_orderdate").cast("long") * 12
+                + F.month("o_orderdate").cast("long")
+            ).alias("m"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+        )
+    )
+    w = (
+        Window.partitionBy("nation")
+        .orderBy("m")
+        .rowsBetween(-(_RR_WIN - 1), 0)
+    )
+    framed = cell.select(
+        "nation",
+        "m",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("m").over(w).alias("sx"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).over(w).alias("sy"),
+        F.sum(F.col("m").cast("decimal(38,0)") * F.col("cents"))
+        .over(w)
+        .alias("sxy"),
+        F.sum(F.col("m") * F.col("m")).over(w).alias("sxx"),
+    )
+    return framed.filter(F.col("n") == _RR_WIN).select(
+        "nation",
+        F.col("m").cast("long").alias("m"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+                * 100.0
+            ),
+            6,
+        ).alias("slope_dollars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a_cvar — value-at-risk and expected shortfall (nearest-rank, exact)
+# ---------------------------------------------------------------------------
+
+_CVAR_Q = 0.95
+
+_CVAR_SQL = f"""
+    WITH val AS (
+        SELECT o_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    dist AS (SELECT cents, COUNT(*) AS c FROM val GROUP BY 1),
+    cum AS (
+        SELECT cents, c, SUM(c) OVER (ORDER BY cents) AS cumt
+        FROM dist
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM val),
+    var_pick AS (
+        SELECT MIN(cents) AS var_cents
+        FROM cum CROSS JOIN nn
+        WHERE cumt >= CAST(ceil({_CVAR_Q} * n) AS BIGINT)
+    ),
+    tail AS (
+        SELECT COUNT(*) AS n_tail, SUM(CAST(cents AS BIGINT)) AS s_tail
+        FROM val CROSS JOIN var_pick
+        WHERE cents >= var_cents
+    )
+    SELECT round(var_pick.var_cents / 100.0, 6) AS var_95,
+           CAST(tail.n_tail AS BIGINT) AS n_tail,
+           round(tail.s_tail / (100.0 * tail.n_tail), 6) AS cvar_95
+    FROM var_pick CROSS JOIN tail
+"""
+
+
+@register("a_cvar", _CVAR_SQL)
+def a_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-at-risk (P{int(_CVAR_Q * 100)}) and conditional VaR /
+    expected shortfall of order values — the tail-risk pair finance
+    and capacity planning read together (VaR: "the threshold"; CVaR:
+    "how bad is it past the threshold", the coherent one). VaR uses
+    the NEAREST-RANK order statistic, deliberately not interpolation:
+    a selected data value is exact in both engines, where
+    interpolated-percentile arithmetic is formula-shape-dependent (the
+    a_runs_test lesson) — and the threshold is REUSED in the tail
+    comparison, exactly where a 1-ulp drift would flip rows.
+
+    Scale shape: the rank pick rides the distinct-value cumulative
+    count (two-phase running total on Spark — no global sort of raw
+    rows); the 1-row threshold broadcasts into the tail filter-
+    aggregate. Parity: cents are integers, the order statistic is
+    exact, tail sums are exact integers, two 6dp-grid divisions."""
+    val = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    dist = val.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+    cum = global_running_total(dist, "cents", "c", out_col="cumt")
+    nn = val.agg(F.count(F.lit(1)).alias("n"))
+    var_pick = (
+        cum.crossJoin(F.broadcast(nn))
+        .filter(F.col("cumt") >= F.ceil(_CVAR_Q * F.col("n")).cast("long"))
+        .agg(F.min("cents").alias("var_cents"))
+    )
+    tail = (
+        val.crossJoin(F.broadcast(var_pick))
+        .filter(F.col("cents") >= F.col("var_cents"))
+        .agg(
+            F.count(F.lit(1)).alias("n_tail"),
+            F.sum("cents").alias("s_tail"),
+            F.first("var_cents").alias("var_cents"),
+        )
+    )
+    return tail.select(
+        F.round(F.col("var_cents") / 100.0, 6).alias("var_95"),
+        F.col("n_tail").cast("long").alias("n_tail"),
+        F.round(F.col("s_tail") / (100.0 * F.col("n_tail")), 6).alias("cvar_95"),
+    )

@@ -1402,3 +1402,144 @@ def e_rec_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("b").cast("double") / F.count(F.lit(1)) / _NOV_SCALE, 4
         ).alias("avg_novelty_bits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m_slope_one — Slope One collaborative filtering (Lemire & Maclachlan 2005)
+# ---------------------------------------------------------------------------
+
+_SO_MIN_CORATE = 2
+_SO_TOPK = 5
+_SO_USERS = 30
+
+_SLOPE_ONE_SQL = f"""
+    WITH hist AS (
+        SELECT l_suppkey AS uid, l_partkey AS iid,
+               CAST(SUM(l_quantity) AS BIGINT) AS w
+        FROM lineitem GROUP BY 1, 2
+    ),
+    capped AS (
+        SELECT uid, iid, w FROM (
+            SELECT uid, iid, w,
+                   row_number() OVER (PARTITION BY uid
+                                      ORDER BY w DESC, iid) AS rn
+            FROM hist)
+        WHERE rn <= {_CF_CAP}
+    ),
+    devs AS (
+        SELECT a.iid AS ia, b.iid AS ib,
+               COUNT(*) AS n, SUM(a.w - b.w) AS sd
+        FROM capped a JOIN capped b
+          ON a.uid = b.uid AND a.iid <> b.iid
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_SO_MIN_CORATE}
+    ),
+    sample_hist AS (SELECT * FROM capped WHERE uid < {_SO_USERS}),
+    cand AS (
+        SELECT h.uid, d.ia AS iid,
+               SUM(h.w * d.n + d.sd) AS num, SUM(d.n) AS den
+        FROM sample_hist h JOIN devs d ON d.ib = h.iid
+        GROUP BY 1, 2
+    ),
+    fresh AS (
+        SELECT c.uid, c.iid, c.num, c.den
+        FROM cand c
+        LEFT JOIN sample_hist h ON h.uid = c.uid AND h.iid = c.iid
+        WHERE h.iid IS NULL
+    ),
+    scored AS (
+        SELECT uid, iid,
+               CAST(round(1000000.0 * num / den) AS BIGINT) AS pred_micros,
+               den AS support
+        FROM fresh
+    )
+    SELECT CAST(uid AS BIGINT) AS uid, CAST(iid AS BIGINT) AS item,
+           round(pred_micros / 1000000.0, 6) AS pred,
+           CAST(support AS BIGINT) AS support, CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY uid
+                                       ORDER BY pred_micros DESC, iid) AS rnk
+          FROM scored)
+    WHERE rnk <= {_SO_TOPK}
+"""
+
+
+@register("m_slope_one", _SLOPE_ONE_SQL)
+def m_slope_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Slope One collaborative filtering (Lemire & Maclachlan
+    2005): precompute per-item-pair average rating deviations
+    dev(i,j) = Σ(wᵢ−wⱼ)/n over co-raters, then predict
+    pred(u,i) = Σⱼ(w_uj·n_ij + sd_ij) / Σⱼ n_ij over the user's
+    history — the classic "model is an aggregation" recommender (the
+    deviation TABLE is the model), complementing the latent-factor
+    trainers (ALS/BPR) and the similarity-ranked m_item_knn_recs with
+    the third classical CF family.
+
+    Scale shape: the deviation build is the capped-history pair
+    self-join (≤{_CF_CAP}² pairs per user — the m_item_item_cooc
+    bound) with a co-rate support floor; serving joins the sampled
+    histories against the item-keyed deviation table and aggregates
+    k-bounded candidate groups; seen items drop via one anti-join.
+    Parity: quantities are integral, so n, sd, num and den are exact
+    integers; predictions rank on integer micros of one exact-operand
+    division with total (pred, iid) tie-break."""
+    li = _t(spark, sf_dir, "lineitem")
+    hist = li.groupBy(
+        F.col("l_suppkey").alias("uid"), F.col("l_partkey").alias("iid")
+    ).agg(F.sum("l_quantity").cast("long").alias("w"))
+    wcap = Window.partitionBy("uid").orderBy(F.col("w").desc(), F.col("iid"))
+    capped = (
+        hist.withColumn("rn", F.row_number().over(wcap))
+        .filter(F.col("rn") <= _CF_CAP)
+        .select("uid", "iid", "w")
+        .localCheckpoint()  # consumers: devs self-join ×2, sample, anti-join
+    )
+    devs = (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.uid") == F.col("b.uid"))
+            & (F.col("a.iid") != F.col("b.iid")),
+        )
+        .groupBy(F.col("a.iid").alias("ia"), F.col("b.iid").alias("ib"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("a.w") - F.col("b.w")).alias("sd"),
+        )
+        .filter(F.col("n") >= _SO_MIN_CORATE)
+    )
+    sample_hist = capped.filter(F.col("uid") < _SO_USERS)
+    cand = (
+        sample_hist.join(devs, sample_hist["iid"] == devs["ib"])
+        .groupBy("uid", F.col("ia").alias("cand_iid"))
+        .agg(
+            F.sum(F.col("w") * F.col("n") + F.col("sd")).alias("num"),
+            F.sum("n").alias("den"),
+        )
+    )
+    fresh = cand.join(
+        sample_hist.select("uid", F.col("iid").alias("cand_iid")),
+        ["uid", "cand_iid"],
+        "left_anti",
+    )
+    scored = fresh.select(
+        "uid",
+        F.col("cand_iid").alias("item"),
+        F.round(1000000.0 * F.col("num") / F.col("den"))
+        .cast("long")
+        .alias("pred_micros"),
+        F.col("den").alias("support"),
+    )
+    wr = Window.partitionBy("uid").orderBy(
+        F.col("pred_micros").desc(), F.col("item")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= _SO_TOPK)
+        .select(
+            F.col("uid").cast("long").alias("uid"),
+            F.col("item").cast("long").alias("item"),
+            F.round(F.col("pred_micros") / 1000000.0, 6).alias("pred"),
+            F.col("support").cast("long").alias("support"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

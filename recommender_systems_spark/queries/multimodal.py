@@ -435,3 +435,46 @@ def s_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = f"stream_join_{abs(hash(sf_dir)) % 10**8}"
     return run_stream_join_available_now(spark, _stream_dir(sf_dir), name)
+
+
+@register(
+    "s_stream_cdc_apply",
+    """
+    WITH ranked AS (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+        FROM events
+    )
+    SELECT user_id, CAST(n_changes AS BIGINT) AS n_changes,
+           round(value, 5) AS last_value
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def s_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming extension: INCREMENTAL CDC apply — the sixth core
+    streaming pattern (after windowed agg, enrichment, dedup,
+    sessionization, stream-stream join): foreachBatch reduces each
+    micro-batch to an associative per-key summary and MERGEs it into a
+    versioned parquet state table; the final snapshot (minus 'error'
+    tombstones) carries s_cdc_snapshot's batch oracle, so the
+    value-hash match proves the incremental apply equals the batch
+    recompute for ANY micro-batch split (associativity argument in
+    streaming.events.run_cdc_apply_available_now)."""
+    import tempfile
+
+    from recommender_systems_spark.streaming.events import (
+        run_cdc_apply_available_now,
+    )
+
+    cache_root = os.path.join(os.path.dirname(os.path.dirname(__file__)), "..",
+                              ".data_cache")
+    cache_root = os.path.abspath(cache_root)
+    os.makedirs(cache_root, exist_ok=True)
+    state_root = tempfile.mkdtemp(prefix="cdc_state_", dir=cache_root)
+    name = f"stream_cdc_{abs(hash(state_root)) % 10**8}"
+    return run_cdc_apply_available_now(
+        spark, _stream_dir(sf_dir), name, state_root
+    )

@@ -2214,3 +2214,184 @@ def v_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("label") == F.col("qlabel")).alias("correct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# e_meta_analysis — fixed-effect inverse-variance pooling across segments
+# ---------------------------------------------------------------------------
+
+_META_SQL = """
+    WITH ev AS (
+        SELECT n.n_name AS segment,
+               CASE WHEN e.user_id % 2 = 0 THEN 'A' ELSE 'B' END AS grp,
+               CAST(round(e.value * 100) AS BIGINT) AS cents
+        FROM events e
+        JOIN customer c ON e.user_id = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    arm AS (
+        SELECT segment, grp, COUNT(*) AS n,
+               SUM(cents) AS s1, SUM(cents * cents) AS s2
+        FROM ev GROUP BY 1, 2
+    ),
+    seg AS (
+        SELECT a.segment,
+               round((b.s1 / CAST(b.n AS DOUBLE)
+                      - a.s1 / CAST(a.n AS DOUBLE)) / 100.0, 6) AS d,
+               round(((b.s2 - b.s1 * (b.s1 / CAST(b.n AS DOUBLE)))
+                          / (b.n - 1.0) / b.n
+                      + (a.s2 - a.s1 * (a.s1 / CAST(a.n AS DOUBLE)))
+                          / (a.n - 1.0) / a.n) / 10000.0, 6) AS se2
+        FROM (SELECT * FROM arm WHERE grp = 'A') a
+        JOIN (SELECT * FROM arm WHERE grp = 'B') b ON a.segment = b.segment
+        WHERE a.n > 1 AND b.n > 1
+    ),
+    scaled AS (
+        SELECT segment,
+               CAST(round(1000000.0 / se2) AS BIGINT) AS w_micros,
+               CAST(round(1000000.0 * d / se2) AS BIGINT) AS wd_micros,
+               d, se2
+        FROM seg
+    ),
+    pool AS (
+        SELECT COUNT(*) AS k, SUM(w_micros) AS sw, SUM(wd_micros) AS swd,
+               round(SUM(wd_micros) / CAST(SUM(w_micros) AS DOUBLE), 6)
+                   AS pooled
+        FROM scaled
+    )
+    SELECT CAST(pool.k AS BIGINT) AS n_segments,
+           pool.pooled AS pooled_effect,
+           round(1.0 / sqrt(pool.sw / 1000000.0), 6) AS pooled_se,
+           round(SUM(CAST(round((s.d - pool.pooled) * (s.d - pool.pooled)
+                                * 1000000.0 / s.se2) AS BIGINT))
+                 / 1000000.0, 6) AS q_stat
+    FROM scaled s CROSS JOIN pool
+    GROUP BY 1, 2, 3
+"""
+
+
+@register("e_meta_analysis", _META_SQL)
+def e_meta_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-effect meta-analysis of the A/B effect across nation
+    segments: per-segment Welch effect d and variance se², pooled by
+    inverse-variance weights, with Cochran's Q heterogeneity statistic
+    — how an experimentation platform combines one experiment's
+    segment-level reads (or many small experiments) into a single
+    estimate, and the aggregation half of e_hte_segments (which
+    REPORTS the per-segment effects this query POOLS; Q answers
+    "is the segment variation more than noise?").
+
+    Scale shape: one fact scan with a broadcast dim join → a
+    (segment, arm)-keyed aggregate of exact integer moments;
+    everything after is |segments|-sized. Parity: d and se² snap to
+    the 6dp grid BEFORE reuse (the house snap-before-cross-engine-
+    reuse rule), weights and weighted effects ride integer micros so
+    the pooled sums are exact, the pooled mean is snapped before the
+    Q pass, and each Q term is an integer-micros round of
+    exact-operand arithmetic."""
+    ev = (
+        _events_grouped(spark, sf_dir)
+        .join(
+            _t(spark, sf_dir, "customer"),
+            F.col("user_id") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("segment"),
+            "grp",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    arm = ev.groupBy("segment", "grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    a = arm.filter(F.col("grp") == "A").select(
+        "segment",
+        F.col("n").alias("na"),
+        F.col("s1").alias("s1a"),
+        F.col("s2").alias("s2a"),
+    )
+    b = arm.filter(F.col("grp") == "B").select(
+        "segment",
+        F.col("n").alias("nb"),
+        F.col("s1").alias("s1b"),
+        F.col("s2").alias("s2b"),
+    )
+    seg = (
+        a.join(b, "segment")
+        .filter((F.col("na") > 1) & (F.col("nb") > 1))
+        .select(
+            "segment",
+            F.round(
+                (
+                    F.col("s1b") / F.col("nb").cast("double")
+                    - F.col("s1a") / F.col("na").cast("double")
+                )
+                / 100.0,
+                6,
+            ).alias("d"),
+            F.round(
+                (
+                    (
+                        F.col("s2b")
+                        - F.col("s1b") * (F.col("s1b") / F.col("nb").cast("double"))
+                    )
+                    / (F.col("nb") - 1.0)
+                    / F.col("nb")
+                    + (
+                        F.col("s2a")
+                        - F.col("s1a") * (F.col("s1a") / F.col("na").cast("double"))
+                    )
+                    / (F.col("na") - 1.0)
+                    / F.col("na")
+                )
+                / 10000.0,
+                6,
+            ).alias("se2"),
+        )
+    )
+    scaled = seg.select(
+        "segment",
+        "d",
+        "se2",
+        F.round(1000000.0 / F.col("se2")).cast("long").alias("w_micros"),
+        F.round(1000000.0 * F.col("d") / F.col("se2"))
+        .cast("long")
+        .alias("wd_micros"),
+    ).localCheckpoint()  # |segments|-sized; consumers: pool + Q pass
+    pool = scaled.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("w_micros").alias("sw"),
+        F.round(
+            F.sum("wd_micros") / F.sum("w_micros").cast("double"), 6
+        ).alias("pooled"),
+    )
+    return (
+        scaled.crossJoin(F.broadcast(pool))
+        .groupBy("k", "pooled", "sw")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(
+                        (F.col("d") - F.col("pooled"))
+                        * (F.col("d") - F.col("pooled"))
+                        * 1000000.0
+                        / F.col("se2")
+                    ).cast("long")
+                )
+                / 1000000.0,
+                6,
+            ).alias("q_stat")
+        )
+        .select(
+            F.col("k").cast("long").alias("n_segments"),
+            F.col("pooled").alias("pooled_effect"),
+            F.round(1.0 / F.sqrt(F.col("sw") / 1000000.0), 6).alias("pooled_se"),
+            "q_stat",
+        )
+    )

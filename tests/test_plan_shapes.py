@@ -335,3 +335,69 @@ def test_cluster_purity_broadcast_codebook(spark):
     p = _plan(spark, "v_cluster_purity")
     assert _count(p, r"CartesianProduct") == 0
     assert _count(p, r"BroadcastNestedLoopJoin") >= 1
+
+
+_NO_CARTESIAN_R6C = [
+    "m_slope_one",
+    "e_psm_att",
+    "e_regression_discontinuity",
+]
+
+
+@pytest.mark.parametrize("name", _NO_CARTESIAN_R6C)
+def test_no_cartesian_product_r6c(spark, name):
+    assert _count(_plan(spark, name), r"CartesianProduct") == 0, name
+
+
+def test_psm_caliper_is_equi_join(spark):
+    """e_psm_att: nearest-within-caliper must plan as the unrolled
+    integer band EQUI-join (treated × offsets vs control) — an
+    inequality theta-join on |Δn_ev| would be the quadratic
+    scale-killer the unroll exists to avoid."""
+    p = _plan(spark, "e_psm_att")
+    assert _count(p, r"CartesianProduct") == 0
+    assert _count(p, r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin") >= 1
+
+
+def test_rdd_single_scan_no_join(spark):
+    """e_regression_discontinuity: one events scan, one rollup, one
+    2-key sufficient-statistics aggregate — no join, no window."""
+    p = _plan(spark, "e_regression_discontinuity")
+    assert _count(p, r"Scan parquet") == 1
+    assert _count(p, r"Join") == 0
+    assert _count(p, r"Window") == 0
+
+
+def test_theil_sen_no_cartesian(spark):
+    assert _count(_plan(spark, "a_theil_sen"), r"CartesianProduct") == 0
+
+
+def test_meta_analysis_single_fact_scan(spark):
+    """e_meta_analysis: the events fact table is scanned ONCE (the Q
+    pass reuses the checkpointed segment frame, not the fact table);
+    the nation dim broadcasts."""
+    p = _plan(spark, "e_meta_analysis")
+    assert _count(p, r"Scan parquet .*events") <= 1
+    assert _count(p, r"BroadcastHashJoin|BroadcastNestedLoopJoin") >= 1
+
+
+def test_lorenz_pid_local_windows_only_small_global(spark):
+    """a_lorenz_curve: the only non-__pid window is the ≤10-row decile
+    running sum — the raw-value cumsum must stay two-phase."""
+    p = _plan(spark, "a_lorenz_curve")
+    assert _count(p, r"windowspecdefinition\(cents") == 0
+
+
+def test_rolling_regression_one_window_node(spark):
+    """All five OLS sufficient statistics share ONE window frame — one
+    nation shuffle, one Window node."""
+    p = _plan(spark, "w_rolling_regression")
+    assert _count(p, r"\bWindow \[") == 1
+
+
+def test_cvar_no_global_sort(spark):
+    """a_cvar's rank pick rides the two-phase cumsum; the threshold
+    broadcast-joins into the tail scan (no sort of raw rows)."""
+    p = _plan(spark, "a_cvar")
+    assert _count(p, r"windowspecdefinition\(cents") == 0
+    assert _count(p, r"BroadcastNestedLoopJoin|BroadcastHashJoin") >= 1

@@ -653,3 +653,106 @@ def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy(F.col("src").alias("item")).agg(
         F.count(F.lit(1)).cast("long").alias("degree")
     )
+
+
+# ---------------------------------------------------------------------------
+# g_khop_reach — sampled multi-hop reach (influence footprint)
+# ---------------------------------------------------------------------------
+
+KHOP_SAMPLE_MOD = 50
+
+_KHOP_SQL = (
+    "WITH "
+    + _EDGES_SQL
+    + f""",
+    srcs AS MATERIALIZED (
+        SELECT id AS s FROM nodes WHERE id % {KHOP_SAMPLE_MOD} = 0),
+    r1 AS MATERIALIZED (
+        SELECT DISTINCT srcs.s, e.dst AS u
+        FROM srcs JOIN edges e ON e.src = srcs.s),
+    r2 AS MATERIALIZED (
+        SELECT DISTINCT s, u FROM (
+            SELECT s, u FROM r1
+            UNION ALL
+            SELECT r1.s, e.dst AS u FROM r1 JOIN edges e ON e.src = r1.u)),
+    r3 AS MATERIALIZED (
+        SELECT DISTINCT s, u FROM (
+            SELECT s, u FROM r2
+            UNION ALL
+            SELECT r2.s, e.dst AS u FROM r2 JOIN edges e ON e.src = r2.u))
+    SELECT CAST(n1.s AS BIGINT) AS item,
+           CAST(n1.c AS BIGINT) AS reach_1,
+           CAST(n2.c AS BIGINT) AS reach_2,
+           CAST(n3.c AS BIGINT) AS reach_3
+    FROM (SELECT s, COUNT(*) AS c FROM r1 WHERE u <> s GROUP BY 1) n1
+    JOIN (SELECT s, COUNT(*) AS c FROM r2 WHERE u <> s GROUP BY 1) n2
+      ON n1.s = n2.s
+    JOIN (SELECT s, COUNT(*) AS c FROM r3 WHERE u <> s GROUP BY 1) n3
+      ON n1.s = n3.s
+"""
+)
+
+
+@register("g_khop_reach", _KHOP_SQL)
+def g_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled k-hop reach over the item co-occurrence graph: for a
+    deterministic source sample (id % {KHOP_SAMPLE_MOD} = 0), the
+    number of DISTINCT items reachable within 1, 2 and 3 hops
+    (excluding the source) — the influence-footprint measure behind
+    "how far does a trend/contamination spread from this item", and
+    the node-local expansion profile that complements the global
+    g_pagerank/g_kcore views.
+
+    Scale shape per hop: one frontier ⋈ edges equi-join + one DISTINCT
+    on (source, reached) id pairs — O(sample × reach) rows, never the
+    full all-pairs closure (the SAMPLE is the scale control: reach is
+    computed for a dimension-scaled subset, the production shape for
+    influence dashboards). Spark checkpoints each hop (flat lineage);
+    the oracle MATERIALIZEs each hop CTE — both sides pin one
+    evaluation per hop (the g_kcore 3^rounds lesson). Parity: reach
+    counts are exact distinct-integer counts."""
+    cooc = _cooc_pairs(spark, sf_dir)
+    edges = (
+        cooc.select(F.col("ia").alias("src"), F.col("ib").alias("dst"))
+        .unionAll(cooc.select(F.col("ib").alias("src"), F.col("ia").alias("dst")))
+        .localCheckpoint()
+    )
+    srcs = (
+        edges.select(F.col("src").alias("s"))
+        .distinct()
+        .filter(F.col("s") % KHOP_SAMPLE_MOD == 0)
+    )
+    r = (
+        srcs.join(edges, srcs["s"] == edges["src"])
+        .select("s", F.col("dst").alias("u"))
+        .distinct()
+        .localCheckpoint()
+    )
+    hops = [r]
+    for _ in range(2):
+        nxt = (
+            hops[-1]
+            .join(edges, hops[-1]["u"] == edges["src"])
+            .select("s", F.col("dst").alias("u"))
+            .unionAll(hops[-1])
+            .distinct()
+            .localCheckpoint()  # flat lineage per hop
+        )
+        hops.append(nxt)
+    counts = [
+        h.filter(F.col("u") != F.col("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias(f"reach_{i + 1}"))
+        for i, h in enumerate(hops)
+    ]
+    return (
+        counts[0]
+        .join(counts[1], "s")
+        .join(counts[2], "s")
+        .select(
+            F.col("s").cast("long").alias("item"),
+            F.col("reach_1").cast("long").alias("reach_1"),
+            F.col("reach_2").cast("long").alias("reach_2"),
+            F.col("reach_3").cast("long").alias("reach_3"),
+        )
+    )

@@ -2011,3 +2011,155 @@ def v_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purity"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# v_rrf_fusion — reciprocal-rank fusion of two rankers (hybrid retrieval)
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_LIST = 20
+_RRF_TOPK = 10
+
+_RRF_SQL = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127
+                     AS sc
+          FROM e),
+    q AS (SELECT vec_id, v,
+                 CAST(list_transform(v, x -> CAST(round(x / sc) AS INTEGER))
+                      AS DOUBLE[]) AS qv
+          FROM s),
+    pairs AS (
+        SELECT a.vec_id AS qid, b.vec_id,
+               round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 5) AS cos_x,
+               round(list_dot_product(a.qv, b.qv)
+                     / (sqrt(list_dot_product(a.qv, a.qv))
+                        * sqrt(list_dot_product(b.qv, b.qv))), 5) AS cos_q
+        FROM q a JOIN q b ON a.vec_id < {_QC_QUERIES} AND b.vec_id <> a.vec_id
+    ),
+    rx AS (
+        SELECT qid, vec_id, rnk FROM (
+            SELECT qid, vec_id, row_number() OVER (
+                       PARTITION BY qid ORDER BY cos_x DESC, vec_id) AS rnk
+            FROM pairs) WHERE rnk <= {_RRF_LIST}
+    ),
+    rq AS (
+        SELECT qid, vec_id, rnk FROM (
+            SELECT qid, vec_id, row_number() OVER (
+                       PARTITION BY qid ORDER BY cos_q DESC, vec_id) AS rnk
+            FROM pairs) WHERE rnk <= {_RRF_LIST}
+    ),
+    fused AS (
+        SELECT COALESCE(rx.qid, rq.qid) AS qid,
+               COALESCE(rx.vec_id, rq.vec_id) AS vec_id,
+               COALESCE(CAST(round(1000000.0 / ({_RRF_K} + rx.rnk))
+                             AS BIGINT), 0)
+               + COALESCE(CAST(round(1000000.0 / ({_RRF_K} + rq.rnk))
+                               AS BIGINT), 0) AS rrf_micros,
+               rx.rnk AS rank_exact, rq.rnk AS rank_quantized
+        FROM rx FULL OUTER JOIN rq
+          ON rx.qid = rq.qid AND rx.vec_id = rq.vec_id
+    )
+    SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
+           round(rrf_micros / 1000000.0, 6) AS rrf_score,
+           CAST(rank_exact AS INT) AS rank_exact,
+           CAST(rank_quantized AS INT) AS rank_quantized,
+           CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY rrf_micros DESC, vec_id) AS rnk
+          FROM fused)
+    WHERE rnk <= {_RRF_TOPK}
+"""
+
+
+@register("v_rrf_fusion", _RRF_SQL)
+def v_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval lists (exact-cosine and
+    int8-quantized cosine, top-{_RRF_LIST} each):
+    RRF(d) = Σ_lists 1/({_RRF_K} + rank) — the standard hybrid-search
+    fuser (dense + sparse, or here full-precision + compressed) that
+    needs NO score calibration because it consumes only RANKS; the
+    serving-side composition of v_quantized_cosine's accuracy
+    contract.
+
+    Scale shape: both rankings ride the same broadcast-queries ×
+    catalog scan (one pass computes both similarity columns); the
+    fusion is a list-bounded full-outer join on (qid, vec_id)
+    (≤{_RRF_LIST} rows per query per side). Parity: ranks are
+    integers, each reciprocal contribution snaps to integer micros,
+    fused scores are exact integer sums, total (score, vec_id)
+    tie-break."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sc = (
+        F.greatest(
+            F.array_max(F.transform("v", lambda x: F.abs(x))), F.lit(1e-30)
+        )
+        / 127
+    )
+    q = emb.withColumn("sc", sc).select(
+        "vec_id",
+        "v",
+        F.transform("v", lambda x: F.round(x / F.col("sc")).cast("int"))
+        .cast("array<double>")
+        .alias("qv"),
+    )
+    a = q.filter(F.col("vec_id") < _QC_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("av"),
+        F.col("qv").alias("aq"),
+    )
+    pairs = (
+        q.join(F.broadcast(a), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine_similarity(F.col("av"), F.col("v")), 5).alias("cos_x"),
+            F.round(cosine_similarity(F.col("aq"), F.col("qv")), 5).alias("cos_q"),
+        )
+        .localCheckpoint()  # one scoring pass feeds both rankings
+    )
+    wx = Window.partitionBy("qid").orderBy(F.col("cos_x").desc(), F.col("vec_id"))
+    wq = Window.partitionBy("qid").orderBy(F.col("cos_q").desc(), F.col("vec_id"))
+    rx = (
+        pairs.withColumn("rnk", F.row_number().over(wx))
+        .filter(F.col("rnk") <= _RRF_LIST)
+        .select("qid", "vec_id", F.col("rnk").alias("rank_exact"))
+    )
+    rq = (
+        pairs.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= _RRF_LIST)
+        .select("qid", "vec_id", F.col("rnk").alias("rank_quantized"))
+    )
+    contrib = lambda c: F.coalesce(  # noqa: E731
+        F.round(1000000.0 / (_RRF_K + c)).cast("long"), F.lit(0)
+    )
+    fused = rx.join(rq, ["qid", "vec_id"], "full_outer").select(
+        "qid",
+        "vec_id",
+        (contrib(F.col("rank_exact")) + contrib(F.col("rank_quantized"))).alias(
+            "rrf_micros"
+        ),
+        "rank_exact",
+        "rank_quantized",
+    )
+    wr = Window.partitionBy("qid").orderBy(
+        F.col("rrf_micros").desc(), F.col("vec_id")
+    )
+    return (
+        fused.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= _RRF_TOPK)
+        .select(
+            F.col("qid").cast("long").alias("qid"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.round(F.col("rrf_micros") / 1000000.0, 6).alias("rrf_score"),
+            F.col("rank_exact").cast("int").alias("rank_exact"),
+            F.col("rank_quantized").cast("int").alias("rank_quantized"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

@@ -401,3 +401,16 @@ def test_cvar_no_global_sort(spark):
     p = _plan(spark, "a_cvar")
     assert _count(p, r"windowspecdefinition\(cents") == 0
     assert _count(p, r"BroadcastNestedLoopJoin|BroadcastHashJoin") >= 1
+
+
+def test_rrf_single_scoring_pass(spark):
+    """v_rrf_fusion: both rankings read the checkpointed scoring pass
+    (one broadcast-queries × catalog scan), and the fusion join is
+    list-bounded — no cartesian anywhere."""
+    p = _plan(spark, "v_rrf_fusion")
+    assert _count(p, r"CartesianProduct") == 0
+    assert _count(p, r"Scan parquet") == 0  # reads the checkpointed RDD
+
+
+def test_khop_no_cartesian(spark):
+    assert _count(_plan(spark, "g_khop_reach"), r"CartesianProduct") == 0

@@ -84,6 +84,48 @@ def popularity_pool_distributed(
     return np.array(sorted(int(r["__i"]) for r in rows), dtype=np.int64)
 
 
+def popularity_pools_distributed(
+    positives: DataFrame, item_col: str, size: int, seeds: list[int]
+) -> list[np.ndarray]:
+    """Multi-epoch variant of ``popularity_pool_distributed``: one pool
+    PER SEED from a SINGLE Spark job (each event replicates once per
+    pool via an in-plan explode, then the same per-(pool, slot) min_by
+    reduction). Used by the sync_every > 1 training schedule, where one
+    sync block needs one independent pool per local epoch — one job
+    instead of ``len(seeds)``, driver traffic O(len(seeds)·size)."""
+    from pyspark.sql import functions as F
+
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(e).alias("__e"),
+                F.floor(F.rand(s) * size).cast("int").alias("__s"),
+                F.rand(s + 1).alias("__r"),
+            )
+            for e, s in enumerate(seeds)
+        ]
+    )
+    rows = (
+        positives.select(F.col(item_col).alias("__i"), F.explode(arr).alias("x"))
+        .select(
+            "__i",
+            F.col("x.__e").alias("__e"),
+            F.col("x.__s").alias("__s"),
+            F.col("x.__r").alias("__r"),
+        )
+        .groupBy("__e", "__s")
+        .agg(F.min_by("__i", "__r").alias("__i"))
+        .collect()
+    )
+    return [
+        np.array(
+            sorted(int(r["__i"]) for r in rows if r["__e"] == e),
+            dtype=np.int64,
+        )
+        for e in range(len(seeds))
+    ]
+
+
 def popularity_pool(positives: DataFrame, item_col: str, size: int, seed: int):
     """M8: with-replacement popularity sample as a driver-side pool.
     Inverse-CDF samples ``size`` ids with a NumPy generator — the
@@ -197,7 +239,12 @@ def _sgd_sample_bucket(
 
     rng_k = range(k)
     zeros = [0.0] * k
-    pool_n = len(pool)
+    # ``pool`` may be a list of per-local-epoch pools (sync_every > 1:
+    # the worker runs one full pass per pool between V syncs — local
+    # SGD with reduced sync frequency). A single array is one epoch,
+    # and the draw sequence for pools[0] is bit-identical to the
+    # unbatched call.
+    pools = list(pool) if isinstance(pool, (list, tuple)) else [pool]
     rows: list[dict] = []
     i_all = pdf["i"].to_numpy()
     row_mode = v_map is None
@@ -208,7 +255,6 @@ def _sgd_sample_bucket(
         watched = {int(i_all[p]) for p in idx}
         deltas: dict[int, list[float]] = {}
         rng = np.random.default_rng([int(seed), int(u_id)])
-        draws = rng.integers(0, pool_n, size=attempts * len(idx))
         if row_mode:
             i_row = {int(i_all[p]): p for p in idx}
 
@@ -238,32 +284,36 @@ def _sgd_sample_bucket(
         def genres_of_neg(item: int):
             return (pool_genres if row_mode else genre_map).get(item)
 
-        for pos_no, i in enumerate(sorted(int(i_all[p]) for p in idx)):
-            j = None
-            g_pos = genres_of_pos(i)
-            for a in range(attempts):
-                cand = int(pool[draws[pos_no * attempts + a]])
-                if cand in watched:
-                    continue
-                if g_pos is not None:
-                    g_neg = genres_of_neg(cand)
-                    if g_neg is not None and not g_pos.isdisjoint(g_neg):
+        pos_sorted = sorted(int(i_all[p]) for p in idx)
+        for pool_e in pools:
+            pool_n = len(pool_e)
+            draws = rng.integers(0, pool_n, size=attempts * len(idx))
+            for pos_no, i in enumerate(pos_sorted):
+                j = None
+                g_pos = genres_of_pos(i)
+                for a in range(attempts):
+                    cand = int(pool_e[draws[pos_no * attempts + a]])
+                    if cand in watched:
                         continue
-                j = cand
-                break
-            if j is None:
-                continue
-            v_i, v_j = v_of(i), v_of(j)
-            x_uij = sum(u_vec[t] * (v_i[t] - v_j[t]) for t in rng_k)
-            e = math.exp(-x_uij)
-            coef = e / (1.0 + e)
-            di = deltas.setdefault(i, list(zeros))
-            dj = deltas.setdefault(j, list(zeros))
-            for t in rng_k:
-                u_t = u_vec[t]
-                di[t] += lr * (coef * u_t + reg * v_i[t])
-                dj[t] += lr * (-coef * u_t + reg * v_j[t])
-                u_vec[t] = u_t + lr * (coef * (v_i[t] - v_j[t]) + reg * u_t)
+                    if g_pos is not None:
+                        g_neg = genres_of_neg(cand)
+                        if g_neg is not None and not g_pos.isdisjoint(g_neg):
+                            continue
+                    j = cand
+                    break
+                if j is None:
+                    continue
+                v_i, v_j = v_of(i), v_of(j)
+                x_uij = sum(u_vec[t] * (v_i[t] - v_j[t]) for t in rng_k)
+                e = math.exp(-x_uij)
+                coef = e / (1.0 + e)
+                di = deltas.setdefault(i, list(zeros))
+                dj = deltas.setdefault(j, list(zeros))
+                for t in rng_k:
+                    u_t = u_vec[t]
+                    di[t] += lr * (coef * u_t + reg * v_i[t])
+                    dj[t] += lr * (-coef * u_t + reg * v_j[t])
+                    u_vec[t] = u_t + lr * (coef * (v_i[t] - v_j[t]) + reg * u_t)
 
         rows.append(
             {"kind": "u", "id": int(u_id), **{f"d{t}": u_vec[t] for t in rng_k}}
@@ -297,6 +347,7 @@ def train_bpr(
     eval_user_mod: int | None = None,
     catalog_broadcast_threshold: int = 1_000_000,
     eval_block_size: int = 200_000,
+    sync_every: int = 1,
 ) -> BprModel:
     """The prac_2.py training loop re-contracted for Spark: per epoch,
     user-partitioned fused sampling + SGD (``_sgd_sample_bucket``) →
@@ -313,7 +364,19 @@ def train_bpr(
     paths draw the per-epoch negative pool DISTRIBUTED
     (``popularity_pool_distributed`` — O(POOL_SIZE) driver traffic),
     and produce bit-identical factors given the same inputs: the modes
-    differ only in how the same snapshot floats reach the workers."""
+    differ only in how the same snapshot floats reach the workers.
+
+    ``sync_every``: local epochs per V sync. 1 (default) is classic
+    per-epoch-sync parallel SGD and stays bit-identical to earlier
+    schedules. >1 batches that many full passes into ONE
+    ``applyInPandas`` invocation — each worker applies its own
+    accumulated deltas between local passes (local SGD with reduced
+    sync frequency; Stich 2019) and cross-worker V sync happens once
+    per block. That divides the per-epoch Spark fixed cost (shuffle +
+    Arrow stage + snapshot collect + delta reduction) by the block
+    length; metric evals land on sync boundaries. Broadcast and
+    blocked catalog modes stay bit-identical to EACH OTHER for any
+    ``sync_every``."""
     pos = positives.select(
         F.col(user_col).cast("long").alias("u"),
         F.col(item_col).cast("long").alias("i"),
@@ -375,16 +438,31 @@ def train_bpr(
                 )
         return src.withColumn("__b", F.pmod(F.col("u"), F.lit(SGD_BUCKETS)))
 
-    for epoch in range(epochs):
+    epoch = 0
+    while epoch < epochs:
+        n_local = min(max(1, sync_every), epochs - epoch)
         ep_seed = seed + 100 + epoch
-        pool = popularity_pool_distributed(pos, "i", POOL_SIZE, ep_seed)
+        if n_local == 1:
+            pools = [popularity_pool_distributed(pos, "i", POOL_SIZE, ep_seed)]
+        else:
+            # One job draws the whole block's pools (same per-seed
+            # reduction, replicated in-plan).
+            pools = popularity_pools_distributed(
+                pos, "i", POOL_SIZE,
+                [seed + 100 + epoch + e for e in range(n_local)],
+            )
         if blocked:
             # Negative-side lookups are bounded by the pool, not the
             # catalog: join V (and genres) against the distinct pool
             # ids and broadcast only those.
             pool_df = F.broadcast(
                 spark.createDataFrame(
-                    [(int(x),) for x in sorted(set(int(i) for i in pool))],
+                    [
+                        (int(x),)
+                        for x in sorted(
+                            {int(i) for p in pools for i in p}
+                        )
+                    ],
                     "id long",
                 )
             )
@@ -415,7 +493,7 @@ def train_bpr(
             return _sgd_sample_bucket(
                 pdf,
                 bc_vm.value if bc_vm is not None else None,
-                pool,
+                pools if len(pools) > 1 else pools[0],
                 bc_g.value,
                 rank,
                 lr,
@@ -453,7 +531,8 @@ def train_bpr(
             )
             .localCheckpoint()
         )
-        if eval_k and (eval_every_epoch or epoch == epochs - 1):
+        epoch += n_local
+        if eval_k and (eval_every_epoch or epoch >= epochs):
             # The E1 eval is a |U|×|I| scoring product; ``eval_user_mod``
             # restricts it to a deterministic user sample (id % mod == 0)
             # — standard practice when the full sweep is the cost driver.

@@ -510,7 +510,13 @@ def e_ab_simulation(
     # the threshold, the blocked tile cogroup (nothing catalog-sized
     # ever reaches the driver) ------------------------------------------
     ug = uvecs.join(F.broadcast(users.select("user_id", "grp")), "user_id")
-    if catalog.count() > catalog_broadcast_threshold:
+    # The catalog is the part dimension minus inner-join pruning, so the
+    # part row count is a cheap upper bound (parquet-footer metadata
+    # count — no scan of the derived catalog): conservative in the safe
+    # direction (switches to the blocked path no later than the exact
+    # count would) and one catalog-sized job fewer per run.
+    n_items_bound = _t(spark, sf_dir, "part").count()
+    if n_items_bound > catalog_broadcast_threshold:
         recs = _ab_topn_blocked(ug, catalog, N_REC, BIAS_W)
         return _ab_log(spark, sf_dir, recs, users)
 

@@ -1987,10 +1987,16 @@ def a_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         )
     )
+    # orderBy().limit() plans TakeOrderedAndProject (per-partition
+    # heaps + driver merge) — no single-partition window over the
+    # pruned-but-unbounded rule set; the rank window then runs over
+    # the k-row result only.
     wr = Window.orderBy(F.col("lift_micros").desc(), F.col("ia"), F.col("ib"))
+    top = rules.orderBy(
+        F.col("lift_micros").desc(), F.col("ia"), F.col("ib")
+    ).limit(_AR_TOPK)
     return (
-        rules.withColumn("rnk", F.row_number().over(wr))
-        .filter(F.col("rnk") <= _AR_TOPK)
+        top.withColumn("rnk", F.row_number().over(wr))
         .select(
             F.col("ia").cast("long").alias("item_a"),
             F.col("ib").cast("long").alias("item_b"),

@@ -449,10 +449,14 @@ def g_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["u", "w"],
         "left_anti",
     )
+    # TakeOrderedAndProject top-k, then rank the k-row frame — no
+    # single-partition window over the unbounded candidate set.
     wr = Window.orderBy(F.col("aa").desc(), F.col("u"), F.col("w"))
+    top = nonadj.orderBy(
+        F.col("aa").desc(), F.col("u"), F.col("w")
+    ).limit(AA_TOPK)
     return (
-        nonadj.withColumn("rnk", F.row_number().over(wr))
-        .filter(F.col("rnk") <= AA_TOPK)
+        top.withColumn("rnk", F.row_number().over(wr))
         .select(
             F.col("u").cast("long").alias("item_a"),
             F.col("w").cast("long").alias("item_b"),
@@ -554,10 +558,14 @@ def g_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         )
     )
+    # TakeOrderedAndProject top-k, then rank the k-row frame — no
+    # single-partition window over the unbounded scored-pair set.
     wr = Window.orderBy(F.col("jac_micros").desc(), F.col("u"), F.col("w"))
+    top = scored.orderBy(
+        F.col("jac_micros").desc(), F.col("u"), F.col("w")
+    ).limit(JN_TOPK)
     return (
-        scored.withColumn("rnk", F.row_number().over(wr))
-        .filter(F.col("rnk") <= JN_TOPK)
+        top.withColumn("rnk", F.row_number().over(wr))
         .select(
             F.col("u").cast("long").alias("item_a"),
             F.col("w").cast("long").alias("item_b"),

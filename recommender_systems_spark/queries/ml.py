@@ -410,9 +410,11 @@ def m_bpr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_name words (M9 disjointness constraint), 2 epochs of
     user-partitioned fused sampling+SGD (negatives drawn in-worker from
     the broadcast popularity pool, rejected against the group's own
-    positive set — ml.bpr._sgd_sample_bucket), final mean P@20/R@20
-    (E1). Rows-only driver check; the golden test asserts the metrics
-    improve over training."""
+    positive set — ml.bpr._sgd_sample_bucket) batched into ONE worker
+    invocation (sync_every=2: local SGD, one V sync — halves the
+    per-epoch Spark fixed cost; per-epoch-sync curves live in the
+    golden tests), final mean P@20/R@20 (E1). Rows-only driver check;
+    the golden test asserts the metrics improve over training."""
     from recommender_systems_spark.ml.bpr import train_bpr
     from recommender_systems_spark.operators.relational import (
         anti_join_below_threshold,
@@ -435,6 +437,7 @@ def m_bpr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         pos, "u", "i", rank=8, epochs=2, seed=42, genres=genres, eval_k=20,
         eval_every_epoch=False,  # final eval only — per-epoch curves in tests
         eval_user_mod=5,  # deterministic 20% user sample for the E1 sweep
+        sync_every=2,  # one sgd invocation + one V sync for the 2 epochs
     )
     p, r = model.metrics_history[-1]
     return spark.createDataFrame(

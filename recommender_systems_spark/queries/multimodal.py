@@ -458,8 +458,11 @@ def s_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming pattern (after windowed agg, enrichment, dedup,
     sessionization, stream-stream join): foreachBatch reduces each
     micro-batch to an associative per-key summary and MERGEs it into a
-    versioned parquet state table; the final snapshot (minus 'error'
-    tombstones) carries s_cdc_snapshot's batch oracle, so the
+    hash-bucketed parquet state table, rewriting ONLY the buckets
+    containing touched keys (dynamic partition overwrite — per-batch
+    cost is touched-bucket-sized, not total-key-sized); the final
+    snapshot (minus 'error' tombstones) carries s_cdc_snapshot's batch
+    oracle, so the
     value-hash match proves the incremental apply equals the batch
     recompute for ANY micro-batch split (associativity argument in
     streaming.events.run_cdc_apply_available_now)."""

@@ -13,7 +13,7 @@ oracle-comparable against the batch plan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -235,61 +235,110 @@ def _cdc_reduce(df: DataFrame) -> DataFrame:
     )
 
 
-def run_cdc_apply_available_now(
-    spark: SparkSession, source_dir: str, query_name: str, state_root: str
-) -> DataFrame:
-    """Streaming CDC apply via foreachBatch: each micro-batch reduces
-    to its per-key summary (latest change + count), MERGEs into a
-    versioned parquet state table (latest-wins on the same total
-    order, counts additive), and the final snapshot drops
-    tombstoned keys ('error' = delete marker, the s_cdc_snapshot
-    contract). Because the per-batch summary is ASSOCIATIVE, the final
-    state is identical for any micro-batch split — which is what lets
-    a streaming apply carry the batch compaction's value-hash oracle.
+def _cdc_bucket(key: Column, n_buckets: int) -> Column:
+    """Stable state-table bucket for a key: pmod(xxhash64(key), B).
+    xxhash64 is deterministic across sessions/executors, so the same
+    key always lands in the same directory partition."""
+    return F.pmod(F.xxhash64(key), F.lit(n_buckets)).cast("int")
 
-    Production shape: foreachBatch + MERGE INTO a Delta/Iceberg table
-    (this versioned-directory swap is the dependency-free stand-in);
-    state is key-sized, per-batch work is batch-sized + one state
-    rewrite (at 100 TB: partition the state table and rewrite only
-    touched partitions — the j_merge_upsert full-outer shape per
-    partition)."""
+
+def cdc_apply_batch(
+    batch_df: DataFrame, state_root: str, n_buckets: int = 16
+) -> list[int]:
+    """MERGE one change micro-batch into the hash-bucketed CDC state
+    table at ``state_root`` (directory partitions ``bucket=0..B-1``),
+    rewriting ONLY the buckets containing touched keys. Returns the
+    sorted touched-bucket list (for observability/tests).
+
+    Scale shape: per-batch work is O(batch) + O(state in touched
+    buckets) — NOT O(total keys). A batch touching k of B buckets
+    reads k partitions (partition pruning on the ``bucket`` filter)
+    and dynamic partition overwrite rewrites exactly those k
+    directories; the other B−k buckets' files are left physically
+    untouched (byte-identical — asserted in
+    tests/test_streaming_sessions.py). At billions of keys, size B so
+    a bucket fits an executor; production swaps the dynamic-overwrite
+    parquet commit for MERGE INTO a Delta/Iceberg table with the same
+    bucketing. ``localCheckpoint`` breaks the read→overwrite lineage
+    on the same path (the stand-in for the transactional commit)."""
     import os
 
     from pyspark.sql import functions as F
 
-    def _versions() -> list[int]:
-        return sorted(
-            int(d[1:]) for d in os.listdir(state_root)
-            if d.startswith("v") and d[1:].isdigit()
-        )
-
-    def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        reduced = _cdc_reduce(
-            batch_df.withColumn("n_changes", F.lit(1).cast("long"))
-        )
-        vs = _versions()
-        if vs:
-            cur = batch_df.sparkSession.read.parquet(
-                os.path.join(state_root, f"v{vs[-1]}")
-            )
-            reduced = _cdc_reduce(cur.unionByName(reduced))
-        nxt = (vs[-1] + 1) if vs else 0
-        reduced.write.mode("overwrite").parquet(
-            os.path.join(state_root, f"v{nxt}")
-        )
-
-    q = (
-        read_events_stream(spark, source_dir)
-        .writeStream.foreachBatch(_apply)
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
+    reduced = _cdc_reduce(
+        batch_df.withColumn("n_changes", F.lit(1).cast("long"))
+    ).withColumn("bucket", _cdc_bucket(F.col("user_id"), n_buckets))
+    touched = sorted(
+        r["bucket"] for r in reduced.select("bucket").distinct().collect()
     )
-    q.awaitTermination()
-    vs = _versions()
-    final = spark.read.parquet(os.path.join(state_root, f"v{vs[-1]}"))
+    has_state = any(
+        d.startswith("bucket=") for d in os.listdir(state_root)
+    )
+    if has_state:
+        cur = (
+            batch_df.sparkSession.read.parquet(state_root)
+            # Partition pruning: only the touched bucket directories
+            # are listed/read.
+            .filter(F.col("bucket").isin(touched))
+            .drop("bucket")
+        )
+        reduced = _cdc_reduce(
+            cur.unionByName(reduced.drop("bucket"))
+        ).withColumn("bucket", _cdc_bucket(F.col("user_id"), n_buckets))
+    merged = reduced.localCheckpoint(eager=True)
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(state_root)
+    )
+    return touched
+
+
+def cdc_state_snapshot(spark: SparkSession, state_root: str) -> DataFrame:
+    """Final CDC snapshot from the bucketed state table: drop
+    tombstoned keys ('error' = delete marker — the s_cdc_snapshot
+    contract) and project the oracle columns."""
+    from pyspark.sql import functions as F
+
+    final = spark.read.parquet(state_root)
     return final.filter(F.col("event_type") != "error").select(
         "user_id",
         F.col("n_changes").cast("long").alias("n_changes"),
         F.round("value", 5).alias("last_value"),
     )
+
+
+def run_cdc_apply_available_now(
+    spark: SparkSession,
+    source_dir: str,
+    query_name: str,
+    state_root: str,
+    n_buckets: int = 16,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming CDC apply via foreachBatch: each micro-batch reduces
+    to its per-key summary (latest change + count) and MERGEs into the
+    hash-bucketed parquet state table (latest-wins on the same total
+    order, counts additive — ``cdc_apply_batch``), and the final
+    snapshot drops tombstoned keys. Because the per-batch summary is
+    ASSOCIATIVE, the final state is identical for any micro-batch
+    split — which is what lets a streaming apply carry the batch
+    compaction's value-hash oracle. Per-batch cost is bounded by the
+    touched buckets, not the total key count (see cdc_apply_batch)."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        stream = stream.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        stream.parquet(source_dir)
+        .writeStream.foreachBatch(
+            lambda batch_df, _id: cdc_apply_batch(
+                batch_df, state_root, n_buckets
+            )
+        )
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return cdc_state_snapshot(spark, state_root)

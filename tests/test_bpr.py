@@ -100,6 +100,43 @@ def test_blocked_catalog_path_with_genres(spark):
     assert a == b
 
 
+def test_sync_every_blocked_matches_broadcast(spark):
+    """The sync_every=2 batched schedule (one worker invocation runs
+    both local passes, one V sync) must keep the broadcast and blocked
+    catalog modes bit-identical to each other — the same contract as
+    the per-epoch-sync schedule."""
+    from recommender_systems_spark.ml.bpr import train_bpr
+
+    pos = _positives(spark).localCheckpoint()
+    kwargs = dict(rank=8, epochs=2, seed=42, eval_k=10, sync_every=2)
+    wide = train_bpr(pos, "u", "i", **kwargs)
+    blocked = train_bpr(
+        pos, "u", "i", catalog_broadcast_threshold=0, eval_block_size=50,
+        **kwargs,
+    )
+    assert blocked.metrics_history == wide.metrics_history
+    a = {r["id"]: list(r["features"]) for r in wide.item_factors.collect()}
+    b = {r["id"]: list(r["features"]) for r in blocked.item_factors.collect()}
+    assert a == b
+
+
+def test_sync_every_one_is_unbatched_schedule(spark):
+    """sync_every=1 must be byte-for-byte the classic per-epoch-sync
+    schedule (the default path): identical factors and metrics with
+    the parameter present or absent."""
+    from recommender_systems_spark.ml.bpr import train_bpr
+
+    pos = _positives(spark).localCheckpoint()
+    base = train_bpr(pos, "u", "i", rank=8, epochs=2, seed=42, eval_k=10)
+    explicit = train_bpr(
+        pos, "u", "i", rank=8, epochs=2, seed=42, eval_k=10, sync_every=1
+    )
+    assert base.metrics_history == explicit.metrics_history
+    a = {r["id"]: list(r["features"]) for r in base.item_factors.collect()}
+    b = {r["id"]: list(r["features"]) for r in explicit.item_factors.collect()}
+    assert a == b
+
+
 def test_precision_recall_blocked_matches(spark):
     """_topk_blocked: blocked-GEMM scoring + window merge must equal
     the broadcast GEMM for every k in a multi-k sweep."""

@@ -110,6 +110,16 @@ def test_global_topk_no_shuffle(spark):
     assert _count(p, r"\bSort\b.*global=true") == 0
 
 
+def test_assoc_rules_topk_is_take_ordered(spark):
+    """The final lift ranking must be TakeOrderedAndProject over the
+    support-floored rule set (round-6 verdict #4) — a single-partition
+    global-rank window here would collapse the unbounded candidate set
+    onto one task. The rank window that remains runs over the k-row
+    limit result only."""
+    p = _plan(spark, "a_assoc_rules")
+    assert _count(p, r"TakeOrderedAndProject") == 1
+
+
 def test_surprisal_vocab_joins_broadcast(spark):
     """The scoring join against the vocab-sized surprisal table must
     be a broadcast hash join, never a shuffle join on tokens."""

@@ -42,8 +42,9 @@ def test_stateful_sessionize_matches_batch(spark):
 def test_cdc_apply_multi_batch_equals_batch(spark, tmp_path):
     """The incremental CDC apply's central claim: the final state is
     IDENTICAL for any micro-batch split. Split the events log into 3
-    files, drain with maxFilesPerTrigger=1 (3 real micro-batches), and
-    compare against the single-pass batch compaction."""
+    files, drain with maxFilesPerTrigger=1 (3 real micro-batches)
+    through the REAL runner, and compare against the single-pass batch
+    compaction."""
     import os
 
     from recommender_systems_spark.queries.multimodal import _stream_dir
@@ -59,47 +60,94 @@ def test_cdc_apply_multi_batch_equals_batch(spark, tmp_path):
 
     state_root = str(tmp_path / "state")
     os.makedirs(state_root)
-    stream = (
-        spark.readStream.schema(spark.read.parquet(multi).schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(multi)
-    )
-    from pyspark.sql import functions as F2
-
-    from recommender_systems_spark.streaming.events import _cdc_reduce
-
-    def _apply(batch_df, batch_id):
-        reduced = _cdc_reduce(
-            batch_df.withColumn("n_changes", F2.lit(1).cast("long"))
-        )
-        vs = sorted(
-            int(d[1:]) for d in os.listdir(state_root) if d.startswith("v")
-        )
-        if vs:
-            cur = batch_df.sparkSession.read.parquet(
-                os.path.join(state_root, f"v{vs[-1]}")
-            )
-            reduced = _cdc_reduce(cur.unionByName(reduced))
-        nxt = (vs[-1] + 1) if vs else 0
-        reduced.write.mode("overwrite").parquet(
-            os.path.join(state_root, f"v{nxt}")
-        )
-
-    q = (
-        stream.writeStream.foreachBatch(_apply)
-        .queryName("cdc_multi_batch_test")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    vs = sorted(int(d[1:]) for d in os.listdir(state_root) if d.startswith("v"))
-    assert len(vs) >= 3, "expected >= 3 micro-batches"
-    final = (
-        spark.read.parquet(os.path.join(state_root, f"v{vs[-1]}"))
-        .filter(F2.col("event_type") != "error")
-        .select("user_id", "n_changes", F2.round("value", 5).alias("last_value"))
+    final = run_cdc_apply_available_now(
+        spark,
+        multi,
+        "cdc_multi_batch_test",
+        state_root,
+        max_files_per_trigger=1,
     )
     batch = s_cdc_snapshot(spark, SF_SMALL)
     got = {tuple(r) for r in final.collect()}
     want = {tuple(r) for r in batch.collect()}
+    assert got == want
+    assert len(got) > 0
+
+
+def _bucket_files(state_root):
+    """{bucket_dir: {relpath: md5}} fingerprint of the state table."""
+    import hashlib
+    import os
+
+    out = {}
+    for d in sorted(os.listdir(state_root)):
+        if not d.startswith("bucket="):
+            continue
+        files = {}
+        bdir = os.path.join(state_root, d)
+        for root, _, names in os.walk(bdir):
+            for n in names:
+                p = os.path.join(root, n)
+                with open(p, "rb") as fh:
+                    files[os.path.relpath(p, bdir)] = hashlib.md5(
+                        fh.read()
+                    ).hexdigest()
+        out[d] = files
+    return out
+
+
+def test_cdc_apply_rewrites_only_touched_buckets(spark, tmp_path):
+    """The 100-TB contract of the bucketed CDC state table: a
+    micro-batch rewrites ONLY the buckets containing its keys; every
+    other bucket's files are byte-identical before and after the
+    batch. Drives cdc_apply_batch (the exact function foreachBatch
+    runs) batch-by-batch so the filesystem can be fingerprinted
+    between batches, then checks the final snapshot against the batch
+    compaction oracle."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from recommender_systems_spark.queries.multimodal import _stream_dir
+    from recommender_systems_spark.queries.sessions import s_cdc_snapshot
+    from recommender_systems_spark.streaming.events import (
+        cdc_apply_batch,
+        cdc_state_snapshot,
+    )
+
+    n_buckets = 8
+    src = _stream_dir(SF_SMALL)
+    events = spark.read.parquet(src)
+    # Batch 1: the bulk of the log. Batches 2 and 3: narrow slices of
+    # users, so most buckets are guaranteed untouched.
+    splits = [
+        events.filter(
+            (F.col("user_id") % 17 != 0) | F.col("user_id").isNull()
+        ),
+        events.filter((F.col("user_id") % 17 == 0) & (F.col("user_id") % 2 == 0)),
+        events.filter((F.col("user_id") % 17 == 0) & (F.col("user_id") % 2 == 1)),
+    ]
+    state_root = str(tmp_path / "state")
+    os.makedirs(state_root)
+
+    cdc_apply_batch(splits[0], state_root, n_buckets=n_buckets)
+    saw_untouched = False
+    for part in splits[1:]:
+        before = _bucket_files(state_root)
+        touched = cdc_apply_batch(part, state_root, n_buckets=n_buckets)
+        after = _bucket_files(state_root)
+        untouched = [
+            d for d in before
+            if int(d.split("=")[1]) not in touched
+        ]
+        assert untouched, "split produced no untouched buckets"
+        saw_untouched = True
+        for d in untouched:
+            assert after[d] == before[d], (
+                f"untouched bucket {d} was rewritten"
+            )
+    assert saw_untouched
+
+    got = {tuple(r) for r in cdc_state_snapshot(spark, state_root).collect()}
+    want = {tuple(r) for r in s_cdc_snapshot(spark, SF_SMALL).collect()}
     assert got == want

@@ -2955,3 +2955,152 @@ def a_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tail").cast("long").alias("n_tail"),
         F.round(F.col("s_tail") / (100.0 * F.col("n_tail")), 6).alias("cvar_95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e_bh_fdr — Benjamini-Hochberg FDR control over a segment scan
+# ---------------------------------------------------------------------------
+
+_BH_Q = 0.10  # target false-discovery rate
+
+_BH_SQL = f"""
+    WITH g AS ({{grp_sql}}),
+    seg AS (
+        SELECT event_type || '#' || CAST(dayofweek(ts) + 1 AS VARCHAR)
+                   AS segment,
+               grp, value
+        FROM g
+    ),
+    agg AS (
+        SELECT segment, grp, avg(value) AS m, var_samp(value) AS v,
+               CAST(count(*) AS BIGINT) AS n
+        FROM seg GROUP BY segment, grp
+    ),
+    w AS (
+        SELECT segment,
+               max(CASE WHEN grp = 'A' THEN m END) AS ma,
+               max(CASE WHEN grp = 'B' THEN m END) AS mb,
+               max(CASE WHEN grp = 'A' THEN v END) AS va,
+               max(CASE WHEN grp = 'B' THEN v END) AS vb,
+               max(CASE WHEN grp = 'A' THEN n END) AS na,
+               max(CASE WHEN grp = 'B' THEN n END) AS nb
+        FROM agg GROUP BY segment
+        HAVING max(CASE WHEN grp = 'A' THEN n END) >= 2
+           AND max(CASE WHEN grp = 'B' THEN n END) >= 2
+    ),
+    z AS (
+        SELECT segment, na, nb,
+               round((ma - mb) / sqrt(va / na + vb / nb), 6) AS z6
+        FROM w
+    ),
+    p AS (
+        SELECT segment, na, nb, z6,
+               round(1.0 - abs(z6) / sqrt(2.0 + z6 * z6), 6) AS p6
+        FROM z
+    ),
+    ranked AS (
+        SELECT segment, na, nb, z6, p6,
+               row_number() OVER (ORDER BY p6, segment) AS i,
+               count(*) OVER () AS m
+        FROM p
+    ),
+    cut AS (
+        SELECT *,
+               max(CASE WHEN p6 <= i * {_BH_Q} / m THEN i ELSE 0 END)
+                   OVER () AS k
+        FROM ranked
+    )
+    SELECT segment, na, nb, z6 AS z, p6 AS p,
+           CAST(i AS INT) AS rnk, CAST(m AS BIGINT) AS n_tests,
+           CAST(CASE WHEN i <= k THEN 1 ELSE 0 END AS INT) AS discovery
+    FROM cut
+""".format(grp_sql=_GRP_SQL)
+
+
+@register("e_bh_fdr", _BH_SQL)
+def e_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over a per-segment treatment-
+    effect scan: Welch z per (event_type × weekday) segment, p-values
+    under the closed-form t₂ reference sf(z) = (1 − z/√(2+z²))/2
+    (two-sided ⇒ 1 − |z|/√(2+z²)), then the step-up procedure — rank
+    p ascending, find the largest i with p(i) ≤ i·q/m, reject ranks
+    ≤ i. The multiple-testing guard e_hte_segments needs before
+    shipping per-segment 'winners' (at q={_BH_Q}, ~{_BH_Q:.0%} of
+    discoveries are false by design, instead of the per-test α
+    compounding across m segments).
+
+    The t₂ CDF is chosen deliberately: it is EXACT in +,×,÷,√ (IEEE
+    correctly-rounded on both engines — no libm exp/erf whose last
+    ulp differs cross-engine), heavy-tailed (conservative p's), and
+    the BH procedure is reference-distribution-agnostic. z snaps to
+    the 6dp grid BEFORE p (the house learned-value rule), p snaps
+    before ranking.
+
+    Scale shape: one hash aggregation over (segment, arm) reduces the
+    events to a segment-dimension-sized stats table; every window
+    after it (rank, count, step-up max) runs on that bounded frame —
+    the k×k rule, not a data-sized single-partition stage."""
+    g = _events_grouped(spark, sf_dir)
+    seg = g.select(
+        F.concat_ws(
+            "#", F.col("event_type"), F.dayofweek("ts").cast("string")
+        ).alias("segment"),
+        "grp",
+        "value",
+    )
+    agg = seg.groupBy("segment", "grp").agg(
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = (
+        agg.groupBy("segment")
+        .agg(
+            F.max(F.when(F.col("grp") == "A", F.col("m"))).alias("ma"),
+            F.max(F.when(F.col("grp") == "B", F.col("m"))).alias("mb"),
+            F.max(F.when(F.col("grp") == "A", F.col("v"))).alias("va"),
+            F.max(F.when(F.col("grp") == "B", F.col("v"))).alias("vb"),
+            F.max(F.when(F.col("grp") == "A", F.col("n"))).alias("na"),
+            F.max(F.when(F.col("grp") == "B", F.col("n"))).alias("nb"),
+        )
+        .filter((F.col("na") >= 2) & (F.col("nb") >= 2))
+    )
+    z6 = F.round(
+        (F.col("ma") - F.col("mb"))
+        / F.sqrt(F.col("va") / F.col("na") + F.col("vb") / F.col("nb")),
+        6,
+    )
+    p = w.select(
+        "segment", "na", "nb", z6.alias("z6")
+    ).withColumn(
+        "p6",
+        F.round(
+            1.0 - F.abs(F.col("z6")) / F.sqrt(2.0 + F.col("z6") * F.col("z6")),
+            6,
+        ),
+    )
+    # Bounded frame from here on: one row per segment.
+    w_rank = Window.orderBy("p6", "segment")
+    w_all = Window.partitionBy(F.lit(1))
+    ranked = (
+        p.withColumn("i", F.row_number().over(w_rank))
+        .withColumn("m", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "k",
+            F.max(
+                F.when(
+                    F.col("p6") <= F.col("i") * _BH_Q / F.col("m"), F.col("i")
+                ).otherwise(0)
+            ).over(w_all),
+        )
+    )
+    return ranked.select(
+        "segment",
+        F.col("na").cast("long").alias("na"),
+        F.col("nb").cast("long").alias("nb"),
+        F.col("z6").alias("z"),
+        F.col("p6").alias("p"),
+        F.col("i").cast("int").alias("rnk"),
+        F.col("m").cast("long").alias("n_tests"),
+        (F.col("i") <= F.col("k")).cast("int").alias("discovery"),
+    )

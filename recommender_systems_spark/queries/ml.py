@@ -1546,3 +1546,194 @@ def m_slope_one(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PR-curve threshold sweep (operating-point selection in one pass)
+# ---------------------------------------------------------------------------
+
+_TS_K = 9  # decile thresholds between min and max score
+
+_TS_SQL = f"""
+    WITH {_ML_CTE},
+    lab AS (
+        SELECT uv, CASE WHEN r >= {_AUC_POS} THEN 1 ELSE 0 END AS pos FROM j
+    ),
+    b AS (SELECT min(uv) AS lo, max(uv) AS hi FROM lab),
+    ks AS (SELECT * FROM (VALUES {", ".join(f"({k})" for k in range(1, _TS_K + 1))}) t(k)),
+    m AS (
+        SELECT k,
+               round(min(lo + k * (hi - lo) / 10.0), 6) AS thr,
+               sum(CASE WHEN uv >= lo + k * (hi - lo) / 10.0
+                        THEN pos ELSE 0 END) AS tp,
+               sum(CASE WHEN uv >= lo + k * (hi - lo) / 10.0
+                        THEN 1 - pos ELSE 0 END) AS fp,
+               sum(CASE WHEN uv < lo + k * (hi - lo) / 10.0
+                        THEN pos ELSE 0 END) AS fn
+        FROM lab, b, ks GROUP BY k
+    )
+    SELECT CAST(k AS INT) AS k, thr,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           CASE WHEN tp + fp > 0
+                THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS prec,
+           CASE WHEN tp + fn > 0
+                THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS rec,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
+    FROM m
+"""
+
+
+@register("e_threshold_sweep", _TS_SQL)
+def e_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PR-curve data: precision/recall/F1 at {_TS_K} decile thresholds
+    between the min and max model score — the operating-point sweep
+    between e_auc (threshold-free ranking) and e_confusion_matrix (one
+    fixed threshold). F1 uses the direct 2tp/(2tp+fp+fn) form so the
+    guard is a single integer condition.
+
+    Scale shape: ONE scan computes all {_TS_K}×3 counters as
+    conditional aggregates (map-side partials — no per-threshold pass,
+    no row replication; the oracle's cross-join form is the same math
+    at 9× rows), after the (min, max) scalar broadcast; the sweep
+    table is unpivoted from the single 1-row aggregate with stack().
+    Scores are exact IEEE dot products on both engines (the e_auc
+    contract), so threshold comparisons need no pre-rounding."""
+    sc = _scored(spark, sf_dir).select(
+        "uv", (F.col("r") >= _AUC_POS).cast("int").alias("pos")
+    )
+    b = sc.agg(F.min("uv").alias("lo"), F.max("uv").alias("hi"))
+    j = sc.crossJoin(F.broadcast(b))
+    aggs = []
+    for k in range(1, _TS_K + 1):
+        thr = F.col("lo") + k * (F.col("hi") - F.col("lo")) / 10.0
+        ge = F.col("uv") >= thr
+        aggs += [
+            F.round(F.min(thr), 6).alias(f"thr{k}"),
+            F.sum(F.when(ge, F.col("pos")).otherwise(0)).alias(f"tp{k}"),
+            F.sum(F.when(ge, 1 - F.col("pos")).otherwise(0)).alias(f"fp{k}"),
+            F.sum(F.when(~ge, F.col("pos")).otherwise(0)).alias(f"fn{k}"),
+        ]
+    row = j.agg(*aggs)
+    cells = ", ".join(
+        f"{k}, thr{k}, tp{k}, fp{k}, fn{k}" for k in range(1, _TS_K + 1)
+    )
+    m = row.selectExpr(f"stack({_TS_K}, {cells}) AS (k, thr, tp, fp, fn)")
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return m.select(
+        F.col("k").cast("int").alias("k"),
+        "thr",
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        F.when(tp + fp > 0, F.round(tp.cast("double") / (tp + fp), 6)).alias(
+            "prec"
+        ),
+        F.when(tp + fn > 0, F.round(tp.cast("double") / (tp + fn), 6)).alias(
+            "rec"
+        ),
+        F.when(
+            2 * tp + fp + fn > 0,
+            F.round(2.0 * tp / (2 * tp + fp + fn), 6),
+        ).alias("f1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skip-gram (center, context) pair extraction — item2vec training prep
+# ---------------------------------------------------------------------------
+
+_SG_WINDOW = 2    # context window ± positions
+_SG_MAXPOS = 64   # per-customer sequence cap (bounds skew AND pairs)
+_SG_TOPK = 100
+
+_SG_SQL = f"""
+    WITH seq AS (
+        SELECT o.o_custkey AS c, l.l_partkey AS item,
+               row_number() OVER (
+                   PARTITION BY o.o_custkey
+                   ORDER BY o.o_orderdate, o.o_orderkey, l.l_linenumber,
+                            l.l_partkey
+               ) AS pos
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    capped AS (SELECT * FROM seq WHERE pos <= {_SG_MAXPOS}),
+    offs AS (SELECT * FROM (VALUES {", ".join(f"({d})" for d in range(-_SG_WINDOW, _SG_WINDOW + 1) if d)}) t(d)),
+    pairs AS (
+        SELECT a.item AS center, b.item AS context
+        FROM capped a CROSS JOIN offs
+        JOIN capped b ON b.c = a.c AND b.pos = a.pos + offs.d
+    ),
+    counted AS (
+        SELECT center, context, count(*) AS n FROM pairs
+        GROUP BY center, context
+    )
+    SELECT CAST(center AS BIGINT) AS center,
+           CAST(context AS BIGINT) AS context,
+           CAST(n AS BIGINT) AS n,
+           CAST(row_number() OVER (ORDER BY n DESC, center, context) AS INT)
+               AS rnk
+    FROM counted
+    ORDER BY n DESC, center, context LIMIT {_SG_TOPK}
+"""
+
+
+@register("m_skipgram_pairs", _SG_SQL)
+def m_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) pair extraction — the training-data
+    prep for item2vec/SGNS embeddings (Mikolov-style windowed pairs
+    over each customer's chronological item sequence, the sequence
+    analogue of m_item_item_cooc's unordered baskets). Sequence order
+    is the total (o_orderdate, o_orderkey, l_linenumber); the ±
+    {_SG_WINDOW} context window becomes an offset EXPLODE + EQUI-join
+    on (customer, position) — never an inequality join.
+
+    Scale shape: the per-customer row_number window is bounded by the
+    {_SG_MAXPOS}-position sequence cap (also bounding pair growth to
+    2w·cap per customer — the standard long-tail guard a production
+    item2vec pipeline applies before pair generation); pair counting
+    is one hash aggregate on (center, context) and the final ranking
+    is orderBy().limit() → TakeOrderedAndProject."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c"), "o_orderkey", "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_partkey", "l_linenumber"
+    )
+    # (orderkey, linenumber) is NOT unique in the synthetic data —
+    # l_partkey completes the total order (further ties share the same
+    # item, so the sequence is unaffected).
+    w = Window.partitionBy("c").orderBy(
+        "o_orderdate", "o_orderkey", "l_linenumber", "l_partkey"
+    )
+    capped = (
+        orders.join(li, "o_orderkey")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= _SG_MAXPOS)
+        .select("c", F.col("l_partkey").alias("item"), "pos")
+    )
+    offs = [d for d in range(-_SG_WINDOW, _SG_WINDOW + 1) if d]
+    a = (
+        capped.withColumn(
+            "d", F.explode(F.array(*[F.lit(d) for d in offs]))
+        )
+        .withColumn("ctx_pos", F.col("pos") + F.col("d"))
+        .select("c", F.col("item").alias("center"), "ctx_pos")
+    )
+    b = capped.select("c", F.col("item").alias("context"), F.col("pos").alias("ctx_pos"))
+    counted = (
+        a.join(b, ["c", "ctx_pos"])
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wr = Window.orderBy(F.col("n").desc(), F.col("center"), F.col("context"))
+    top = counted.orderBy(
+        F.col("n").desc(), F.col("center"), F.col("context")
+    ).limit(_SG_TOPK)
+    return top.withColumn("rnk", F.row_number().over(wr)).select(
+        F.col("center").cast("long").alias("center"),
+        F.col("context").cast("long").alias("context"),
+        F.col("n").cast("long").alias("n"),
+        F.col("rnk").cast("int").alias("rnk"),
+    )

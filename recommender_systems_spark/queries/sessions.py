@@ -1292,3 +1292,226 @@ def s_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cum_v", 2).alias("cum_value"),
         F.round(F.col("cum_v") / F.col("cohort_size"), 4).alias("ltv_per_user"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval coalescing (gaps-and-islands): merge overlapping activity spans
+# ---------------------------------------------------------------------------
+
+_MI_HOLD_MIN = 30  # each event holds an activity interval open this long
+
+_MERGE_IV_SQL = f"""
+    WITH iv AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS s_us,
+               epoch_us(CAST(ts AS TIMESTAMP))
+                   + {_MI_HOLD_MIN} * 60000000 AS e_us
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, s_us, e_us, event_id,
+               CASE WHEN s_us > coalesce(max(e_us) OVER (
+                        PARTITION BY user_id ORDER BY s_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), -1) THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ),
+    isl AS (
+        SELECT user_id, s_us, e_us,
+               sum(new_island) OVER (
+                   PARTITION BY user_id ORDER BY s_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island
+        FROM marked
+    ),
+    islands AS (
+        SELECT user_id, island,
+               min(s_us) AS a, max(e_us) AS b, count(*) AS n_events
+        FROM isl GROUP BY user_id, island
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(b - a) AS BIGINT) AS coverage_us,
+           CAST(max(b - a) AS BIGINT) AS max_island_us,
+           CAST(max(n_events) AS BIGINT) AS max_island_events,
+           round(CAST(sum(b - a) AS DOUBLE) / count(*) / 1000000.0, 6)
+               AS avg_island_sec
+    FROM islands
+"""
+
+
+@register("s_merge_intervals", _MERGE_IV_SQL)
+def s_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval coalescing: each event opens a
+    {_MI_HOLD_MIN}-minute activity span; overlapping/touching spans per
+    user merge into islands (running max of interval-end strictly
+    before the current row decides island breaks), then one summary
+    row profiles the merged coverage. The island primitive under
+    uptime/SLA accounting, ad-break detection, and GPU-utilisation
+    rollups — sessionization's interval-typed sibling (s_sessionize
+    breaks on event GAPS; this merges span OVERLAP).
+
+    Scale shape: both windows partition by user_id — ONE shuffle, no
+    single-partition stage; all island arithmetic is exact integer
+    microseconds (the s_sessionize µs convention), and the final
+    profile is a scalar aggregate with map-side partials. The average
+    divides exact integer sums (never a streamed double mean — the
+    cross-engine float rule)."""
+    ev = _t(spark, sf_dir, "events")
+    s_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        s_us.alias("s_us"),
+        (s_us + _MI_HOLD_MIN * 60_000_000).alias("e_us"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = iv.withColumn(
+        "new_island",
+        F.when(
+            F.col("s_us") > F.coalesce(F.max("e_us").over(w_prev), F.lit(-1)),
+            1,
+        ).otherwise(0),
+    )
+    isl = marked.withColumn("island", F.sum("new_island").over(w_run))
+    islands = isl.groupBy("user_id", "island").agg(
+        F.min("s_us").alias("a"),
+        F.max("e_us").alias("b"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return islands.agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum(F.col("b") - F.col("a")).cast("long").alias("coverage_us"),
+        F.max(F.col("b") - F.col("a")).cast("long").alias("max_island_us"),
+        F.max("n_events").cast("long").alias("max_island_events"),
+        F.round(
+            F.sum(F.col("b") - F.col("a")).cast("double")
+            / F.count(F.lit(1))
+            / 1_000_000.0,
+            6,
+        ).alias("avg_island_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top session paths (ordered event-type journeys)
+# ---------------------------------------------------------------------------
+
+_PATH_LEN = 5    # first N events of each session define its path
+_PATH_TOPK = 50
+
+_TOP_PATHS_SQL = f"""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_ts
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN prev_ts IS NULL
+                         OR date_diff('microsecond', prev_ts, ts)
+                            > {SESSION_GAP_MIN} * 60000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ordered
+    ),
+    sess AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_no
+        FROM marked
+    ),
+    numbered AS (
+        SELECT user_id, session_no, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id, session_no ORDER BY ts, event_id
+               ) AS rn
+        FROM sess
+    ),
+    paths AS (
+        SELECT user_id, session_no,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM numbered WHERE rn <= {_PATH_LEN}
+        GROUP BY user_id, session_no
+    ),
+    counted AS (SELECT path, count(*) AS n FROM paths GROUP BY path)
+    SELECT path, CAST(n AS BIGINT) AS n,
+           CAST(row_number() OVER (ORDER BY n DESC, path) AS INT) AS rnk
+    FROM counted
+    ORDER BY n DESC, path LIMIT {_PATH_TOPK}
+"""
+
+
+@register("s_top_paths", _TOP_PATHS_SQL)
+def s_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: sessionize (s_sessionize's exact gap logic on
+    the (ts, event_id) total order), take each session's first
+    {_PATH_LEN} event types in order, join them into a 'view>click>…'
+    path string, and rank paths by frequency — the path-mining rollup
+    behind funnel discovery (s_funnel checks ONE fixed path; this
+    surfaces which paths exist).
+
+    Scale shape: every window partitions by user_id (one shuffle);
+    the ordered per-session concatenation is
+    array_join(transform(array_sort(collect_list(struct(rn, type)))))
+    — Spark's collect_list is unordered, so the sort key RIDES the
+    struct (never a sort-within-window collect); path strings are
+    bounded at {_PATH_LEN} event types, the path-frequency aggregate
+    is path-dimension-sized, and the final top-{_PATH_TOPK} is
+    TakeOrderedAndProject."""
+    ev = _t(spark, sf_dir, "events")
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("prev_ts").cast("timestamp")
+    )
+    sess = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w_lag))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (gap_us > SESSION_GAP_MIN * 60_000_000),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_no", F.sum("new_session").over(w_run))
+    )
+    w_rn = Window.partitionBy("user_id", "session_no").orderBy(
+        "ts", "event_id"
+    )
+    numbered = sess.withColumn("rn", F.row_number().over(w_rn)).filter(
+        F.col("rn") <= _PATH_LEN
+    )
+    paths = numbered.groupBy("user_id", "session_no").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.orderBy(F.col("n").desc(), F.col("path"))
+    top = counted.orderBy(F.col("n").desc(), F.col("path")).limit(_PATH_TOPK)
+    return top.withColumn("rnk", F.row_number().over(wr)).select(
+        "path", F.col("n").cast("long").alias("n"),
+        F.col("rnk").cast("int").alias("rnk"),
+    )

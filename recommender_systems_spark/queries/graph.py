@@ -764,3 +764,186 @@ def g_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("reach_3").cast("long").alias("reach_3"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank from a deterministic seed set
+# ---------------------------------------------------------------------------
+
+PPR_ITERS = 3
+PPR_DAMPING = 0.85
+PPR_SEEDS = 5  # lowest item ids in the node set
+
+
+def _ppr_iter(prev: str, cur: str) -> str:
+    return f"""
+    {cur} AS (
+        SELECT coalesce(c.id, s.id) AS id,
+               coalesce(c.m, 0)
+               + CASE WHEN s.id IS NOT NULL
+                      THEN (1.0 - {PPR_DAMPING}) / {PPR_SEEDS} ELSE 0 END AS r
+        FROM (
+            SELECT e.dst AS id, {PPR_DAMPING} * SUM({prev}.r / deg.d) AS m
+            FROM edges e
+            JOIN {prev} ON {prev}.id = e.src
+            JOIN deg ON deg.src = e.src
+            GROUP BY e.dst
+        ) c
+        FULL OUTER JOIN seeds s ON s.id = c.id
+    )"""
+
+
+_PPR_SQL = (
+    "WITH "
+    + _EDGES_SQL
+    + f""",
+    seeds AS (SELECT id FROM nodes ORDER BY id LIMIT {PPR_SEEDS}),
+    p0 AS (SELECT id, 1.0 / {PPR_SEEDS} AS r FROM seeds),"""
+    + ",".join(_ppr_iter(f"p{i}", f"p{i + 1}") for i in range(PPR_ITERS))
+    + f"""
+    SELECT CAST(id AS BIGINT) AS item, round(r, 6) AS ppr
+    FROM p{PPR_ITERS}
+"""
+)
+
+
+@register("g_personalized_pagerank", _PPR_SQL)
+def g_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank: {PPR_ITERS} power iterations with damping
+    {PPR_DAMPING} where the teleport mass restarts to a fixed
+    {PPR_SEEDS}-seed set (the {PPR_SEEDS} lowest item ids — a stand-in
+    for "this user's recent items"), over the same undirected item
+    co-occurrence graph as g_pagerank. This is the query-time half of
+    graph-based recommendation (RecWalk / Pixie style): global PageRank
+    ranks the catalog once, PPR ranks it RELATIVE to a seed context.
+
+    Scale shape per iteration: the identical ONE equi-join + ONE hash
+    aggregate as g_pagerank (degree rides the checkpointed edge frame),
+    plus a full-outer join against the {PPR_SEEDS}-row broadcast seed
+    frame to re-inject restart mass — the rank state only carries nodes
+    actually reached, so early iterations touch the seed neighbourhood,
+    not the whole graph (the property that makes PPR cheap at catalog
+    scale). Reference: SURVEY §2 graph family; iteration count fixed so
+    the oracle unrolls (the g_pagerank/m_kmeans pattern)."""
+    cooc = _cooc_pairs(spark, sf_dir)
+    edges = (
+        cooc.select(F.col("ia").alias("src"), F.col("ib").alias("dst"))
+        .unionAll(cooc.select(F.col("ib").alias("src"), F.col("ia").alias("dst")))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    edges_d = edges.join(deg, "src").localCheckpoint()
+    seeds = (
+        edges_d.select(F.col("src").alias("id"))
+        .distinct()
+        .orderBy("id")
+        .limit(PPR_SEEDS)
+        .localCheckpoint()
+    )
+    restart = (1.0 - PPR_DAMPING) / PPR_SEEDS
+    r = seeds.withColumn("r", F.lit(1.0 / PPR_SEEDS))
+    for _ in range(PPR_ITERS):
+        contrib = (
+            edges_d.join(r.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg((F.lit(PPR_DAMPING) * F.sum(F.col("r") / F.col("d"))).alias("m"))
+        )
+        r = (
+            contrib.join(F.broadcast(seeds.withColumn("__s", F.lit(1))), "id", "full_outer")
+            .select(
+                "id",
+                (
+                    F.coalesce(F.col("m"), F.lit(0.0))
+                    + F.when(F.col("__s").isNotNull(), F.lit(restart)).otherwise(0.0)
+                ).alias("r"),
+            )
+            .localCheckpoint()  # flat lineage: one join+agg per iteration
+        )
+    return r.select(
+        F.col("id").cast("long").alias("item"), F.round("r", 6).alias("ppr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (Pearson r of endpoint degrees)
+# ---------------------------------------------------------------------------
+
+_ASSORT_SQL = (
+    "WITH "
+    + _EDGES_SQL
+    + """,
+    p AS (
+        SELECT CAST(d1.d AS DOUBLE) AS x, CAST(d2.d AS DOUBLE) AS y
+        FROM edges e
+        JOIN deg d1 ON d1.src = e.src
+        JOIN deg d2 ON d2.src = e.dst
+    ),
+    s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(x * y) AS DOUBLE) AS sxy,
+               CAST(sum(x * x) AS DOUBLE) AS sxx,
+               CAST(sum(y * y) AS DOUBLE) AS syy
+        FROM p
+    )
+    SELECT CAST(n AS BIGINT) AS n_edges,
+           round(sx / n, 6) AS mean_deg,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                 6) AS assortativity
+    FROM s
+"""
+)
+
+
+@register("g_degree_assortativity", _ASSORT_SQL)
+def g_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the item co-occurrence graph: the
+    Pearson correlation of endpoint degrees over the symmetrised edge
+    list (Newman 2002) — positive means hubs link to hubs (a head-heavy
+    catalog where popular items co-sell together), negative means
+    hub-and-spoke. A one-number topology probe that decides whether the
+    co-occurrence joins need skew handling (hub-hub edge lists are the
+    skewed-join case j_salted_skew exists for).
+
+    Scale shape: two broadcast-able joins of the edge list against the
+    degree table (degree is node-dimension-sized), then ONE scalar
+    aggregate with map-side partials. Degree products are exact
+    integers in double (< 2^53 at any realistic degree cap), so the
+    Pearson combination is the identical IEEE expression on both
+    engines — no pre-rounding needed."""
+    cooc = _cooc_pairs(spark, sf_dir)
+    edges = (
+        cooc.select(F.col("ia").alias("src"), F.col("ib").alias("dst"))
+        .unionAll(cooc.select(F.col("ib").alias("src"), F.col("ia").alias("dst")))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    p = (
+        edges.join(deg.withColumnRenamed("d", "dx"), "src")
+        .join(
+            deg.select(F.col("src").alias("dst"), F.col("d").alias("dy")),
+            "dst",
+        )
+        .select(
+            F.col("dx").cast("double").alias("x"),
+            F.col("dy").cast("double").alias("y"),
+        )
+    )
+    s = p.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return s.select(
+        n.cast("long").alias("n_edges"),
+        F.round(sx / n, 6).alias("mean_deg"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("assortativity"),
+    )

@@ -1737,3 +1737,117 @@ def m_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.col("rnk").cast("int").alias("rnk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Decile gains / lift table (campaign-targeting operating curve)
+# ---------------------------------------------------------------------------
+
+_LIFT_SQL = f"""
+    WITH {_ML_CTE},
+    lab AS (
+        SELECT uv, CASE WHEN r >= {_AUC_POS} THEN 1 ELSE 0 END AS pos FROM j
+    ),
+    per AS (SELECT uv, count(*) AS c, sum(pos) AS np FROM lab GROUP BY uv),
+    tot AS (SELECT sum(c) AS n, sum(np) AS np_t FROM per),
+    rk AS (
+        SELECT uv, c, np,
+               coalesce(sum(c) OVER (ORDER BY uv DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS bef
+        FROM per
+    ),
+    dec AS (
+        SELECT CAST(floor(bef * 10.0 / tot.n) AS INT) AS decile, c, np
+        FROM rk, tot
+    ),
+    g AS (SELECT decile, sum(c) AS n_rows, sum(np) AS n_pos
+          FROM dec GROUP BY decile)
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           round(CAST(n_pos AS DOUBLE) / n_rows, 6) AS resp_rate,
+           CASE WHEN tot.np_t > 0
+                THEN round((CAST(n_pos AS DOUBLE) / n_rows)
+                           / (CAST(tot.np_t AS DOUBLE) / tot.n), 6)
+           END AS lift,
+           CASE WHEN tot.np_t > 0
+                THEN round(CAST(sum(n_pos) OVER (ORDER BY decile
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS DOUBLE) / tot.np_t, 6)
+           END AS cum_gain
+    FROM g, tot
+"""
+
+
+@register("e_lift_curve", _LIFT_SQL)
+def e_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gains/lift table: rows ranked by model score (descending),
+    cut into 10 population deciles, each reporting response rate, lift
+    over the base rate, and cumulative gain — the campaign-targeting
+    curve between e_auc (one number) and e_threshold_sweep (score-axis
+    operating points); deciles cut the POPULATION axis, which is what a
+    fixed-budget targeting decision consumes.
+
+    Scale shape: scores pre-aggregate per DISTINCT value (hash agg),
+    ``two_phase_midrank`` ranks the distinct-value table with range
+    partitions + per-partition offsets — no single-partition window
+    over data at any size (the e_auc shape); each value group lands in
+    the decile of its FIRST row (exact integer boundary arithmetic, so
+    ties never straddle engines). The final cumulative window runs on
+    the 10-row decile frame. All rates divide exact integer sums."""
+    from recommender_systems_spark.operators.relational import two_phase_midrank
+
+    lab = _scored(spark, sf_dir).select(
+        "uv", (F.col("r") >= _AUC_POS).cast("int").alias("pos")
+    )
+    per = lab.groupBy("uv").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("pos").alias("np")
+    )
+    tot = F.broadcast(
+        per.agg(F.sum("c").alias("n"), F.sum("np").alias("np_t"))
+    )
+    ranked = two_phase_midrank(per, "uv", "c").crossJoin(tot)
+    # midrank = asc_before + (c+1)/2  →  rows strictly ABOVE this value
+    # (descending rank start) = n − asc_before − c, all exact integers.
+    asc_before = (
+        F.col("midrank") - (F.col("c").cast("double") + 1) / 2
+    ).cast("long")
+    bef = F.col("n") - asc_before - F.col("c")
+    dec = ranked.select(
+        F.floor(bef * 10.0 / F.col("n")).cast("int").alias("decile"),
+        "c",
+        "np",
+    )
+    g = dec.groupBy("decile").agg(
+        F.sum("c").alias("n_rows"), F.sum("np").alias("n_pos")
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )  # 10-row decile frame — bounded by construction
+    np_t, n_t = F.col("np_t"), F.col("n")
+    return (
+        g.crossJoin(tot)
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.round(F.col("n_pos").cast("double") / F.col("n_rows"), 6).alias(
+                "resp_rate"
+            ),
+            F.when(
+                np_t > 0,
+                F.round(
+                    (F.col("n_pos").cast("double") / F.col("n_rows"))
+                    / (np_t.cast("double") / n_t),
+                    6,
+                ),
+            ).alias("lift"),
+            F.when(
+                np_t > 0,
+                F.round(
+                    F.sum("n_pos").over(w_cum).cast("double") / np_t, 6
+                ),
+            ).alias("cum_gain"),
+        )
+    )

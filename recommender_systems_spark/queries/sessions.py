@@ -1515,3 +1515,115 @@ def s_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         "path", F.col("n").cast("long").alias("n"),
         F.col("rnk").cast("int").alias("rnk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weekly growth accounting: new / retained / resurrected / churned
+# ---------------------------------------------------------------------------
+
+_LIFECYCLE_SQL = """
+    WITH wk AS (
+        SELECT DISTINCT user_id AS u,
+               CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(CAST(ts AS TIMESTAMP) AS DATE)) // 7
+                    AS BIGINT) AS w
+        FROM events
+    ),
+    lagd AS (
+        SELECT u, w, lag(w) OVER (PARTITION BY u ORDER BY w) AS pw
+        FROM wk
+    ),
+    st AS (
+        SELECT w,
+               sum(CASE WHEN pw IS NULL THEN 1 ELSE 0 END) AS new_users,
+               sum(CASE WHEN pw = w - 1 THEN 1 ELSE 0 END) AS retained,
+               sum(CASE WHEN pw IS NOT NULL AND pw < w - 1
+                        THEN 1 ELSE 0 END) AS resurrected,
+               count(*) AS active
+        FROM lagd GROUP BY w
+    )
+    SELECT CAST(w AS BIGINT) AS week,
+           CAST(active AS BIGINT) AS active,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(retained AS BIGINT) AS retained,
+           CAST(resurrected AS BIGINT) AS resurrected,
+           CAST(coalesce(lag(active) OVER (ORDER BY w), 0) - retained
+                AS BIGINT) AS churned,
+           CASE WHEN coalesce(lag(active) OVER (ORDER BY w), 0) - retained > 0
+                THEN round(CAST(new_users + resurrected AS DOUBLE)
+                           / (coalesce(lag(active) OVER (ORDER BY w), 0)
+                              - retained), 6)
+           END AS quick_ratio
+    FROM st
+"""
+
+
+@register("s_user_lifecycle", _LIFECYCLE_SQL)
+def s_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting over the event stream: each active
+    (user, week) is classified new (first-ever week), retained (also
+    active the previous week), or resurrected (returning after a gap),
+    and churn for week w is last week's actives minus this week's
+    retained — the standard growth-accounting identity, with the quick
+    ratio (new+resurrected)/churned as the headline. The
+    lifecycle-state machine every consumer analytics stack runs weekly;
+    complements s_retention (fixed cohort triangles) with per-week
+    flow accounting.
+
+    Scale shape: ONE shuffle on user_id for the per-user lag window
+    (weeks-per-user frames are calendar-bounded), then a hash aggregate
+    to the week grain; the trailing lag over the week-dimension frame
+    is a single-partition window over a calendar-sized (~10^2 rows)
+    table — bounded by construction. Week ids are integer epoch-day
+    divisions (exact on both engines — no locale week-of-year
+    functions, the cross-engine date rule)."""
+    wk = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.col("user_id").alias("u"),
+            F.floor(
+                F.datediff(
+                    F.col("ts").cast("timestamp").cast("date"),
+                    F.lit("1970-01-01").cast("date"),
+                )
+                / 7
+            ).alias("w"),
+        )
+        .distinct()
+    )
+    lagd = wk.withColumn(
+        "pw", F.lag("w").over(Window.partitionBy("u").orderBy("w"))
+    )
+    st = lagd.groupBy("w").agg(
+        F.sum(F.when(F.col("pw").isNull(), 1).otherwise(0)).alias("new_users"),
+        F.sum(F.when(F.col("pw") == F.col("w") - 1, 1).otherwise(0)).alias(
+            "retained"
+        ),
+        F.sum(
+            F.when(
+                F.col("pw").isNotNull() & (F.col("pw") < F.col("w") - 1), 1
+            ).otherwise(0)
+        ).alias("resurrected"),
+        F.count(F.lit(1)).alias("active"),
+    )
+    # Week-dimension trailing lag: calendar-sized frame, bounded.
+    prev_active = F.coalesce(
+        F.lag("active").over(Window.orderBy("w")), F.lit(0)
+    )
+    churned = (prev_active - F.col("retained")).alias("churned")
+    return st.select(
+        F.col("w").cast("long").alias("week"),
+        F.col("active").cast("long").alias("active"),
+        F.col("new_users").cast("long").alias("new_users"),
+        F.col("retained").cast("long").alias("retained"),
+        F.col("resurrected").cast("long").alias("resurrected"),
+        (prev_active - F.col("retained")).cast("long").alias("churned"),
+        F.when(
+            prev_active - F.col("retained") > 0,
+            F.round(
+                (F.col("new_users") + F.col("resurrected")).cast("double")
+                / (prev_active - F.col("retained")),
+                6,
+            ),
+        ).alias("quick_ratio"),
+    )

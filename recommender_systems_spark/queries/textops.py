@@ -1934,3 +1934,104 @@ def t_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("avg_bits"), 4).alias("min_bits"),
         F.round(F.max("avg_bits"), 4).alias("max_bits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Readability profile (Flesch reading ease from corpus-exact counts)
+# ---------------------------------------------------------------------------
+
+_READ_SQL = """
+    WITH m AS (
+        SELECT source, lang,
+               CAST(len(regexp_extract_all(lower(text), '[a-z]+'))
+                    AS BIGINT) AS words,
+               CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                    AS BIGINT) AS sents,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                    AS BIGINT) AS sylls
+        FROM documents
+    ),
+    d AS (
+        SELECT source, lang, words, sents, sylls,
+               206.835 - 1.015 * (CAST(words AS DOUBLE) / sents)
+                       - 84.6 * (CAST(sylls AS DOUBLE) / words) AS flesch
+        FROM m WHERE words > 0
+    )
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(words) AS BIGINT) AS words,
+           round(CAST(sum(words) AS DOUBLE) / sum(sents), 6)
+               AS words_per_sent,
+           round(CAST(sum(sylls) AS DOUBLE) / sum(words), 6)
+               AS sylls_per_word,
+           round(206.835 - 1.015 * (CAST(sum(words) AS DOUBLE) / sum(sents))
+                         - 84.6 * (CAST(sum(sylls) AS DOUBLE) / sum(words)),
+                 6) AS flesch_pooled,
+           CAST(sum(CASE WHEN flesch >= 70.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_easy,
+           CAST(sum(CASE WHEN flesch < 50.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hard
+    FROM d
+    GROUP BY source, lang
+"""
+
+
+@register("t_readability", _READ_SQL)
+def t_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability profile per (source, lang): Flesch reading ease from
+    syllable-group / word / sentence counts (syllables ≈ vowel-group
+    runs, the standard dictionary-free approximation), pooled at the
+    group level plus easy (≥70) / hard (<50) per-document buckets — the
+    curation signal that separates encyclopedic prose from boilerplate
+    and OCR noise, complementing t_quality_score's surface ratios with
+    a sentence-structure axis.
+
+    Scale shape: ONE scan, all counts from the same
+    ``regexp_extract_all`` tokenise the rest of the text family uses
+    (JVM regexp built-ins, codegen'd), one hash aggregate on the
+    (source, lang) dimension. The pooled Flesch divides EXACT integer
+    sums (never an order-dependent double mean — the cross-engine float
+    rule); the per-doc bucket cut-offs compare deterministic scalar
+    expressions, so no pre-rounding is needed anywhere."""
+    low = F.lower(F.col("text"))
+    m = _t(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        F.size(F.regexp_extract_all(low, F.lit("[a-z]+"), 0))
+        .cast("long")
+        .alias("words"),
+        F.greatest(
+            F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0)),
+            F.lit(1),
+        )
+        .cast("long")
+        .alias("sents"),
+        F.size(F.regexp_extract_all(low, F.lit("[aeiouy]+"), 0))
+        .cast("long")
+        .alias("sylls"),
+    )
+    d = m.filter(F.col("words") > 0).withColumn(
+        "flesch",
+        F.lit(206.835)
+        - 1.015 * (F.col("words").cast("double") / F.col("sents"))
+        - 84.6 * (F.col("sylls").cast("double") / F.col("words")),
+    )
+    sw, ss, sy = F.sum("words"), F.sum("sents"), F.sum("sylls")
+    return d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        sw.cast("long").alias("words"),
+        F.round(sw.cast("double") / ss, 6).alias("words_per_sent"),
+        F.round(sy.cast("double") / sw, 6).alias("sylls_per_word"),
+        F.round(
+            F.lit(206.835)
+            - 1.015 * (sw.cast("double") / ss)
+            - 84.6 * (sy.cast("double") / sw),
+            6,
+        ).alias("flesch_pooled"),
+        F.sum(F.when(F.col("flesch") >= 70.0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_easy"),
+        F.sum(F.when(F.col("flesch") < 50.0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hard"),
+    )

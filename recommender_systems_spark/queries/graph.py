@@ -947,3 +947,123 @@ def g_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient (per-node transitivity)
+# ---------------------------------------------------------------------------
+
+_LCC_SQL = (
+    "WITH "
+    + _EDGES_SQL
+    + f""",
+    und AS (SELECT ia AS a, ib AS b FROM cooc WHERE c >= {_CF_MIN_COOC}),
+    degu AS (
+        SELECT id, COUNT(*) AS d FROM (
+            SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
+        GROUP BY 1
+    ),
+    orient AS (
+        SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND und.a < und.b)
+                    THEN und.a ELSE und.b END AS u,
+               CASE WHEN (da.d < db.d) OR (da.d = db.d AND und.a < und.b)
+                    THEN und.b ELSE und.a END AS v
+        FROM und
+        JOIN degu da ON da.id = und.a
+        JOIN degu db ON db.id = und.b
+    ),
+    wedge AS (
+        SELECT e1.u AS u, e1.v AS x, e2.v AS y
+        FROM orient e1 JOIN orient e2
+          ON e1.u = e2.u AND e1.v < e2.v
+    ),
+    tri AS (
+        SELECT u, x, y
+        FROM wedge w JOIN und
+          ON und.a = least(w.x, w.y) AND und.b = greatest(w.x, w.y)
+    ),
+    pern AS (
+        SELECT id, count(*) AS t FROM (
+            SELECT u AS id FROM tri
+            UNION ALL SELECT x AS id FROM tri
+            UNION ALL SELECT y AS id FROM tri)
+        GROUP BY 1
+    )
+    SELECT CAST(degu.id AS BIGINT) AS item,
+           CAST(degu.d AS BIGINT) AS degree,
+           CAST(coalesce(pern.t, 0) AS BIGINT) AS triangles,
+           CASE WHEN degu.d >= 2
+                THEN round(2.0 * coalesce(pern.t, 0)
+                           / (degu.d * (degu.d - 1)), 6)
+           END AS local_cc
+    FROM degu LEFT JOIN pern ON pern.id = degu.id
+"""
+)
+
+
+@register("g_local_clustering", _LCC_SQL)
+def g_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient: each node's triangle
+    count over its possible wedge count 2t/(d(d−1)) — the node-level
+    companion to g_triangles' single global transitivity number,
+    separating clique-embedded items (tight genre clusters) from pure
+    hubs (bestsellers bridging unrelated neighbourhoods), which is the
+    signal community-aware recommenders and graph-sampling curation
+    use per node.
+
+    Scale shape: identical degree-ordered wedge orientation as
+    g_triangles (each triangle enumerated ONCE at its lowest-degree
+    apex — hubs generate zero apex wedges), then the closed triangle
+    set explodes into 3 node ids and one hash count per node; the
+    final LEFT join runs degree-table vs triangle-count-table, both
+    node-dimension-sized. All outputs exact integers except the
+    rounded coefficient."""
+    cooc = _cooc_pairs(spark, sf_dir)
+    und = cooc.select(F.col("ia").alias("a"), F.col("ib").alias("b"))
+    degu = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    und = und.localCheckpoint()  # reused by orient and the closure join
+    da = degu.withColumnRenamed("id", "a").withColumnRenamed("d", "da")
+    db = degu.withColumnRenamed("id", "b").withColumnRenamed("d", "db")
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    orient = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
+    e1 = orient.withColumnRenamed("v", "x")
+    e2 = orient.withColumnRenamed("v", "y")
+    wedge = e1.join(e2, "u").filter(F.col("x") < F.col("y"))
+    tri = wedge.join(
+        und,
+        (F.col("a") == F.least("x", "y")) & (F.col("b") == F.greatest("x", "y")),
+    ).select("u", "x", "y")
+    pern = (
+        tri.select(F.col("u").alias("id"))
+        .unionAll(tri.select(F.col("x").alias("id")))
+        .unionAll(tri.select(F.col("y").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    t = F.coalesce(F.col("t"), F.lit(0))
+    return (
+        degu.join(pern, "id", "left")
+        .select(
+            F.col("id").cast("long").alias("item"),
+            F.col("d").cast("long").alias("degree"),
+            t.cast("long").alias("triangles"),
+            F.when(
+                F.col("d") >= 2,
+                F.round(2.0 * t / (F.col("d") * (F.col("d") - 1)), 6),
+            ).alias("local_cc"),
+        )
+    )

@@ -1851,3 +1851,211 @@ def e_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_gain"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-based item kNN (cold-start recommendations from attributes)
+# ---------------------------------------------------------------------------
+
+_CB_TOPK = 5
+_CB_SIZE_TOL = 2
+_CB_PRICE_TOL = 50.0
+
+_CONTENT_SQL = f"""
+    WITH p AS (
+        SELECT p_partkey AS pk, p_brand AS brand, p_type AS typ,
+               split_part(p_type, ' ', 1) AS tw,
+               p_size AS sz, p_retailprice AS pr
+        FROM part
+    ),
+    pairs AS (
+        SELECT a.pk AS p1, b.pk AS p2,
+               (CASE WHEN a.typ = b.typ THEN 2 ELSE 0 END
+                + CASE WHEN abs(a.sz - b.sz) <= {_CB_SIZE_TOL}
+                       THEN 1 ELSE 0 END
+                + CASE WHEN abs(a.pr - b.pr) <= {_CB_PRICE_TOL}
+                       THEN 1 ELSE 0 END) AS sim
+        FROM p a JOIN p b
+          ON a.brand = b.brand AND a.tw = b.tw AND a.pk <> b.pk
+    ),
+    ranked AS (
+        SELECT p1, p2, sim,
+               row_number() OVER (PARTITION BY p1
+                                  ORDER BY sim DESC, p2) AS rnk
+        FROM pairs WHERE sim >= 2
+    )
+    SELECT CAST(p1 AS BIGINT) AS p1, CAST(p2 AS BIGINT) AS p2,
+           CAST(sim AS INT) AS sim, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {_CB_TOPK}
+"""
+
+
+@register("m_content_recs", _CONTENT_SQL)
+def m_content_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-based item kNN: top-{_CB_TOPK} neighbours per item from
+    catalog ATTRIBUTES alone (brand/type equality, size and price
+    bands) — the cold-start fallback that serves items with no
+    interaction history, complementing m_item_knn_recs (collaborative)
+    and m_content-free ALS factors. Similarity is an integer attribute
+    score; candidates with sim < 2 (attribute-noise matches) are
+    dropped before ranking.
+
+    Scale shape: the quadratic is BLOCKED on (brand, first type word) —
+    an equi-join, never an all-pairs cross; block sizes are
+    catalog-fraction-bounded, and at larger catalogs the blocking key
+    extends with the size band (the dedup_fuzzy_match multi-key
+    blocking pattern). Per-item ranking partitions by p1 — no global
+    window anywhere."""
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("typ"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("tw"),
+        F.col("p_size").alias("sz"),
+        F.col("p_retailprice").alias("pr"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    sim = (
+        F.when(F.col("a.typ") == F.col("b.typ"), 2).otherwise(0)
+        + F.when(
+            F.abs(F.col("a.sz") - F.col("b.sz")) <= _CB_SIZE_TOL, 1
+        ).otherwise(0)
+        + F.when(
+            F.abs(F.col("a.pr") - F.col("b.pr")) <= _CB_PRICE_TOL, 1
+        ).otherwise(0)
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.brand") == F.col("b.brand"))
+            & (F.col("a.tw") == F.col("b.tw"))
+            & (F.col("a.pk") != F.col("b.pk")),
+        )
+        .select(
+            F.col("a.pk").alias("p1"), F.col("b.pk").alias("p2"), sim.alias("sim")
+        )
+        .filter(F.col("sim") >= 2)
+    )
+    w = Window.partitionBy("p1").orderBy(F.col("sim").desc(), F.col("p2"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _CB_TOPK)
+        .select(
+            F.col("p1").cast("long").alias("p1"),
+            F.col("p2").cast("long").alias("p2"),
+            F.col("sim").cast("int").alias("sim"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leave-last-out evaluation of the popularity baseline
+# ---------------------------------------------------------------------------
+
+_LOO_K = 10
+
+_LOO_SQL = f"""
+    WITH inter AS (
+        SELECT o.o_custkey AS c, l.l_partkey AS item,
+               o.o_orderdate AS dt, o.o_orderkey AS ok, l.l_linenumber AS ln
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    marked AS (
+        SELECT c, item,
+               row_number() OVER (
+                   PARTITION BY c
+                   ORDER BY dt DESC, ok DESC, ln DESC, item DESC
+               ) AS rn
+        FROM inter
+    ),
+    test AS (SELECT c, item FROM marked WHERE rn = 1),
+    train AS (SELECT c, item FROM marked WHERE rn > 1),
+    pop AS (
+        SELECT item, count(*) AS n,
+               row_number() OVER (ORDER BY count(*) DESC, item) AS rnk
+        FROM train GROUP BY item
+    ),
+    topk AS (SELECT item, rnk FROM pop WHERE rnk <= {_LOO_K}),
+    hits AS (
+        SELECT t.c, k.rnk FROM test t JOIN topk k ON k.item = t.item
+    )
+    SELECT CAST((SELECT count(*) FROM test) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS hits,
+           round(CAST(count(*) AS DOUBLE)
+                 / (SELECT count(*) FROM test), 6) AS hit_rate,
+           round(CAST(coalesce(sum(CAST(round(1000000.0 / rnk) AS BIGINT)), 0)
+                      AS DOUBLE)
+                 / 1000000.0 / (SELECT count(*) FROM test), 6) AS mrr
+    FROM hits
+"""
+
+
+@register("m_loo_eval", _LOO_SQL)
+def m_loo_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-last-out evaluation protocol: each customer's
+    chronologically LAST interaction is held out as the test item, the
+    popularity baseline is fit on everything else, and the held-out
+    items are scored with hit-rate@{_LOO_K} and MRR@{_LOO_K} — the
+    standard offline recsys evaluation split (the protocol behind the
+    reference's train/test RMSE discipline, applied to ranking), and
+    the baseline every personalized model must beat.
+
+    Scale shape: the hold-out marker is ONE per-user window (user
+    shuffle, no global sort); popularity is a hash count + top-{_LOO_K}
+    TakeOrdered; the hit join runs the test set against a broadcast
+    {_LOO_K}-row list. Reciprocal ranks are integer micro-scaled before
+    summing (exact, order-free — the t_surprisal convention)."""
+    inter = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("c"), "o_orderkey", "o_orderdate")
+        .join(
+            _t(spark, sf_dir, "lineitem").select(
+                F.col("l_orderkey").alias("o_orderkey"),
+                "l_partkey",
+                "l_linenumber",
+            ),
+            "o_orderkey",
+        )
+        .select(
+            "c",
+            F.col("l_partkey").alias("item"),
+            F.col("o_orderdate").alias("dt"),
+            F.col("o_orderkey").alias("ok"),
+            F.col("l_linenumber").alias("ln"),
+        )
+    )
+    w = Window.partitionBy("c").orderBy(
+        F.col("dt").desc(), F.col("ok").desc(), F.col("ln").desc(),
+        F.col("item").desc(),
+    )
+    marked = inter.withColumn("rn", F.row_number().over(w)).localCheckpoint()
+    test = marked.filter(F.col("rn") == 1).select("c", "item")
+    train = marked.filter(F.col("rn") > 1).select("c", "item")
+    pop = train.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+    topk = (
+        pop.orderBy(F.col("n").desc(), F.col("item"))
+        .limit(_LOO_K)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("n").desc(), F.col("item"))
+            ),  # {_LOO_K}-row frame — bounded by construction
+        )
+        .select("item", "rnk")
+    )
+    n_users = test.count()
+    hits = test.join(F.broadcast(topk), "item")
+    return hits.agg(
+        F.lit(n_users).cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("hits"),
+        F.round(F.count(F.lit(1)).cast("double") / n_users, 6).alias("hit_rate"),
+        F.round(
+            F.coalesce(
+                F.sum(F.round(1000000.0 / F.col("rnk")).cast("long")), F.lit(0)
+            ).cast("double")
+            / 1000000.0
+            / n_users,
+            6,
+        ).alias("mrr"),
+    )

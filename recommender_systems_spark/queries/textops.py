@@ -2035,3 +2035,150 @@ def t_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_hard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (stopword-delimited phrase scoring)
+# ---------------------------------------------------------------------------
+
+_RAKE_MAXLEN = 4   # candidate phrases longer than this are noise
+_RAKE_TOPK = 50
+_RAKE_STOPS = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+_RAKE_SQL = f"""
+    WITH t AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, toks[i + 1] AS tok, i + 1 AS pos
+        FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM t)
+    ),
+    runs AS (
+        SELECT doc_id, tok, pos,
+               CASE WHEN tok IN ({_RAKE_STOPS}) THEN 1 ELSE 0 END AS is_stop,
+               sum(CASE WHEN tok IN ({_RAKE_STOPS}) THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS run_id
+        FROM tok
+    ),
+    phrases AS (
+        SELECT doc_id, run_id,
+               string_agg(tok, ' ' ORDER BY pos) AS phrase,
+               count(*) AS plen
+        FROM runs WHERE is_stop = 0
+        GROUP BY doc_id, run_id
+        HAVING count(*) <= {_RAKE_MAXLEN}
+    ),
+    pc AS (SELECT phrase, plen, count(*) AS pfreq FROM phrases
+           GROUP BY phrase, plen),
+    wx AS (SELECT unnest(string_split(phrase, ' ')) AS word, pfreq, plen
+           FROM pc),
+    wscore AS (
+        SELECT word,
+               CAST(round(CAST(sum(pfreq * plen) AS DOUBLE) * 1000000
+                          / sum(pfreq)) AS BIGINT) AS s_micro
+        FROM wx GROUP BY word
+    ),
+    px AS (SELECT phrase, pfreq,
+                  unnest(string_split(phrase, ' ')) AS word
+           FROM pc),
+    pscore AS (
+        SELECT px.phrase, px.pfreq, sum(ws.s_micro) AS score_micro
+        FROM px JOIN wscore ws ON ws.word = px.word
+        GROUP BY px.phrase, px.pfreq
+    )
+    SELECT phrase, CAST(pfreq AS BIGINT) AS pfreq,
+           CAST(score_micro AS BIGINT) AS score_micro
+    FROM pscore
+    ORDER BY score_micro DESC, phrase LIMIT {_RAKE_TOPK}
+"""
+
+
+@register("t_keyword_rake", _RAKE_SQL)
+def t_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free token runs (≤{_RAKE_MAXLEN} tokens), each word
+    scored deg/freq over the phrase corpus, each phrase scored by the
+    sum of its word scores — the classic unsupervised keyphrase
+    extractor, here as a corpus-level top-{_RAKE_TOPK} table (the
+    domain-vocabulary signal curation uses to label corpus slices).
+
+    Scale shape: tokenise once, phrase runs come from a per-doc
+    cumulative-stopword window (doc-length-bounded frames, one doc_id
+    shuffle); everything downstream operates on the DEDUPLICATED
+    (phrase, length, count) table, so word/phrase scoring joins are
+    vocabulary-sized, not corpus-sized. Word scores are integer
+    micro-scaled BEFORE the phrase sum (exact, order-free — the
+    t_surprisal convention); the final ranking is orderBy().limit() →
+    TakeOrderedAndProject."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("pos", "tok"),
+    )
+    is_stop = F.col("tok").isin(*STOPWORDS["en"]).cast("int")
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = tok.select(
+        "doc_id",
+        "tok",
+        "pos",
+        is_stop.alias("is_stop"),
+        F.sum(is_stop).over(w_run).alias("run_id"),
+    )
+    # Ordered phrase concat: the sort key rides the struct (s_top_paths).
+    phrases = (
+        runs.filter(F.col("is_stop") == 0)
+        .groupBy("doc_id", "run_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("plen"),
+        )
+        .filter(F.col("plen") <= _RAKE_MAXLEN)
+    )
+    pc = phrases.groupBy("phrase", "plen").agg(F.count(F.lit(1)).alias("pfreq"))
+    wx = pc.select(
+        F.explode(F.split(F.col("phrase"), " ")).alias("word"), "pfreq", "plen"
+    )
+    wscore = wx.groupBy("word").agg(
+        F.round(
+            F.sum(F.col("pfreq") * F.col("plen")).cast("double")
+            * 1000000
+            / F.sum("pfreq")
+        )
+        .cast("long")
+        .alias("s_micro")
+    )
+    pscore = (
+        pc.select(
+            "phrase",
+            "pfreq",
+            F.explode(F.split(F.col("phrase"), " ")).alias("word"),
+        )
+        .join(wscore, "word")
+        .groupBy("phrase", "pfreq")
+        .agg(F.sum("s_micro").alias("score_micro"))
+    )
+    return (
+        pscore.orderBy(F.col("score_micro").desc(), "phrase")
+        .limit(_RAKE_TOPK)
+        .select(
+            "phrase",
+            F.col("pfreq").cast("long").alias("pfreq"),
+            F.col("score_micro").cast("long").alias("score_micro"),
+        )
+    )

@@ -3104,3 +3104,163 @@ def e_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").cast("long").alias("n_tests"),
         (F.col("i") <= F.col("k")).cast("int").alias("discovery"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (quintile scores + canonical segments)
+# ---------------------------------------------------------------------------
+
+_RFM_Q = 5
+
+
+def _rfm_bucket_sql(col: str) -> str:
+    """Value-level quintile assignment: every customer in a
+    distinct-value group gets the bucket of the group's FIRST row
+    (exact integer boundary arithmetic — the e_lift_curve tie rule)."""
+    return f"""(
+        SELECT b.c, v.score
+        FROM base b JOIN (
+            SELECT {col},
+                   CAST(floor(bef * {_RFM_Q}.0 /
+                              (SELECT count(*) FROM base)) AS INT) + 1
+                       AS score
+            FROM (
+                SELECT {col},
+                       coalesce(sum(cnt) OVER (ORDER BY {col}
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS bef
+                FROM (SELECT {col}, count(*) AS cnt
+                      FROM base GROUP BY {col})
+            )
+        ) v USING ({col})
+    )"""
+
+
+_RFM_SQL = f"""
+    WITH base AS (
+        SELECT o_custkey AS c,
+               date_diff('day', CAST(max(o_orderdate) AS DATE),
+                         (SELECT CAST(max(o_orderdate) AS DATE)
+                          FROM orders)) AS rec_days,
+               count(*) AS freq,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS mon_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    r AS {_rfm_bucket_sql("rec_days")},
+    f AS {_rfm_bucket_sql("freq")},
+    m AS {_rfm_bucket_sql("mon_cents")},
+    scored AS (
+        SELECT r.c, r.score AS r_score, f.score AS f_score, m.score AS m_score,
+               base.mon_cents
+        FROM r JOIN f ON f.c = r.c JOIN m ON m.c = r.c
+        JOIN base ON base.c = r.c
+    )
+    SELECT CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CASE WHEN r_score <= 2 AND f_score >= 4 AND m_score >= 4
+                THEN 'champion'
+                WHEN r_score <= 2 AND f_score >= 3 THEN 'loyal'
+                WHEN r_score >= 4 AND f_score >= 4 THEN 'at_risk'
+                WHEN r_score >= 4 AND f_score <= 2 THEN 'hibernating'
+                ELSE 'regular' END AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(mon_cents) AS BIGINT) AS mon_cents
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+"""
+
+
+@register("a_rfm_segments", _RFM_SQL)
+def a_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order),
+    frequency (order count) and monetary (lifetime cents) each cut
+    into population quintiles, the (r,f,m) cells counted and labelled
+    with the canonical marketing segments (champion / loyal / at_risk
+    / hibernating) — the segmentation every CRM/retention stack
+    derives before targeting, and the categorical complement of
+    s_cohort_ltv's longitudinal value curves.
+
+    Scale shape: ONE hash aggregate builds all three metrics per
+    customer; each quintile assignment ranks the DISTINCT-value table
+    with ``two_phase_midrank`` (range partitions + offsets — no
+    single-partition window over customers; the e_lift_curve decile
+    machinery applied three ways) and joins back by value. Monetary
+    sums integer cents (exact, order-free — never a double sum feeding
+    a boundary)."""
+    from recommender_systems_spark.operators.relational import two_phase_midrank
+
+    orders = _t(spark, sf_dir, "orders")
+    gmax = F.broadcast(
+        orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("gmax"))
+    )
+    base = (
+        orders.groupBy(F.col("o_custkey").alias("c"))
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_dt"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "mon_cents"
+            ),
+        )
+        .crossJoin(gmax)
+        .select(
+            "c",
+            F.datediff(F.col("gmax"), F.col("last_dt")).alias("rec_days"),
+            "freq",
+            "mon_cents",
+        )
+        .localCheckpoint()  # consumed by three rank passes + final join
+    )
+    n = base.count()
+
+    def quintile(col: str) -> DataFrame:
+        per = base.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        ranked = two_phase_midrank(per, col, "cnt")
+        bef = (
+            F.col("midrank") - (F.col("cnt").cast("double") + 1) / 2
+        ).cast("long")
+        return ranked.select(
+            col,
+            (F.floor(bef * float(_RFM_Q) / n) + 1)
+            .cast("int")
+            .alias(f"{col}_score"),
+        )
+
+    scored = (
+        base.join(quintile("rec_days"), "rec_days")
+        .join(quintile("freq"), "freq")
+        .join(quintile("mon_cents"), "mon_cents")
+    )
+    return (
+        scored.groupBy(
+            F.col("rec_days_score").alias("r_score"),
+            F.col("freq_score").alias("f_score"),
+            F.col("mon_cents_score").alias("m_score"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("mon_cents").cast("long").alias("mon_cents"),
+        )
+        .select(
+            F.col("r_score").cast("int").alias("r_score"),
+            F.col("f_score").cast("int").alias("f_score"),
+            F.col("m_score").cast("int").alias("m_score"),
+            F.when(
+                (F.col("r_score") <= 2)
+                & (F.col("f_score") >= 4)
+                & (F.col("m_score") >= 4),
+                "champion",
+            )
+            .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3), "loyal")
+            .when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "at_risk")
+            .when(
+                (F.col("r_score") >= 4) & (F.col("f_score") <= 2),
+                "hibernating",
+            )
+            .otherwise("regular")
+            .alias("segment"),
+            "n_customers",
+            "mon_cents",
+        )
+    )

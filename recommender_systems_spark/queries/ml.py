@@ -1804,10 +1804,14 @@ def e_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = lab.groupBy("uv").agg(
         F.count(F.lit(1)).alias("c"), F.sum("pos").alias("np")
     )
+    ranked0 = two_phase_midrank(per, "uv", "c")
+    # Totals come from the midrank output (already checkpointed inside
+    # two_phase_midrank) — aggregating `per` directly would re-execute
+    # the full scoring join a second time (measured 9.1 s vs 4.6 s).
     tot = F.broadcast(
-        per.agg(F.sum("c").alias("n"), F.sum("np").alias("np_t"))
+        ranked0.agg(F.sum("c").alias("n"), F.sum("np").alias("np_t"))
     )
-    ranked = two_phase_midrank(per, "uv", "c").crossJoin(tot)
+    ranked = ranked0.crossJoin(tot)
     # midrank = asc_before + (c+1)/2  →  rows strictly ABOVE this value
     # (descending rank start) = n − asc_before − c, all exact integers.
     asc_before = (

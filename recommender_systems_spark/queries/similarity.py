@@ -2163,3 +2163,148 @@ def v_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF nprobe tuning curve (recall vs probe count, one plan)
+# ---------------------------------------------------------------------------
+
+_NPROBE_GRID = [1, 2, 3, 5]
+
+_NPROBE_CASE = (
+    "CASE nprobe "
+    + " ".join(f"WHEN {p} THEN h{p}" for p in _NPROBE_GRID)
+    + " END"
+)
+
+_NPROBE_CURVE_SQL = f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e
+          WHERE vec_id % {CENTROID_MOD} = 0),
+    cells AS (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT vec_id, cid, row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY {_COS.format(a='v', b='cv')} DESC, cid
+                   ) AS rnk
+            FROM e CROSS JOIN c
+        ) WHERE rnk = 1
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    probes AS (
+        SELECT qid, cid AS cell, rnk AS prnk FROM (
+            SELECT qid, cid, row_number() OVER (
+                       PARTITION BY qid
+                       ORDER BY {_COS.format(a='qv', b='cv')} DESC, cid
+                   ) AS rnk
+            FROM q CROSS JOIN c
+        ) WHERE rnk <= {max(_NPROBE_GRID)}
+    ),
+    exact AS (
+        SELECT qid, vec_id FROM (
+            SELECT q.qid, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY {_COS.format(a='e.v', b='q.qv')} DESC, e.vec_id
+                   ) AS rnk
+            FROM q JOIN e ON e.vec_id <> q.qid
+        ) WHERE rnk <= {TOP_K}
+    ),
+    flagged AS (
+        SELECT x.qid, p.prnk
+        FROM exact x
+        JOIN cells a ON a.vec_id = x.vec_id
+        LEFT JOIN probes p ON p.qid = x.qid AND p.cell = a.cell
+    ),
+    g AS (SELECT {", ".join(
+        f"sum(CASE WHEN prnk <= {p} THEN 1 ELSE 0 END) AS h{p}"
+        for p in _NPROBE_GRID)}
+          FROM flagged)
+    SELECT CAST(nprobe AS INT) AS nprobe,
+           CAST({_NPROBE_CASE} AS BIGINT) AS hits,
+           round(CAST({_NPROBE_CASE} AS DOUBLE)
+                 / ({N_QUERIES} * {TOP_K}), 6) AS recall
+    FROM (SELECT * FROM (VALUES {", ".join(f"({p})" for p in _NPROBE_GRID)})
+          t(nprobe)), g
+"""
+
+
+@register("v_ivf_nprobe_curve", _NPROBE_CURVE_SQL)
+def v_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF tuning curve: measured recall@{TOP_K} at nprobe ∈
+    {_NPROBE_GRID} from ONE plan — the operating curve an ANN deployment
+    reads to pick its latency/recall point (sim_ivf_recall measures the
+    single deployed nprobe; this sweeps the knob, the e_threshold_sweep
+    pattern applied to retrieval).
+
+    Scale shape: the exact ranking, cell assignment and probe ranking
+    are computed ONCE; each exact-top-{TOP_K} row carries the PROBE RANK
+    of its cell (left join against the ≤{max(_NPROBE_GRID)}-probe
+    broadcast), so every grid point is a conditional aggregate over the
+    same flagged frame — no per-nprobe pass, no re-scoring. Queries and
+    centroids stay broadcast (dimension-sized); the only corpus-sized
+    shuffle is the per-query exact window, shared by every grid point."""
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .localCheckpoint()
+    )
+    cents = e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    w_asg = Window.partitionBy("vec_id").orderBy(
+        F.round(cosine_similarity("v", "cv"), 5).desc(), F.col("cid")
+    )
+    cells = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("rnk", F.row_number().over(w_asg))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", F.col("cid").alias("cell"))
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    w_probe = Window.partitionBy("qid").orderBy(
+        F.round(cosine_similarity("qv", "cv"), 5).desc(), F.col("cid")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("prnk", F.row_number().over(w_probe))
+        .filter(F.col("prnk") <= max(_NPROBE_GRID))
+        .select("qid", F.col("cid").alias("cell"), "prnk")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    exact = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine_similarity("v", "qv"), 5).alias("cos_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("qid", "vec_id")
+    )
+    flagged = exact.join(cells, "vec_id").join(
+        F.broadcast(probes), ["qid", "cell"], "left"
+    )
+    g = flagged.agg(
+        *[
+            F.sum(F.when(F.col("prnk") <= p, 1).otherwise(0)).alias(f"h{p}")
+            for p in _NPROBE_GRID
+        ]
+    )
+    cells_expr = ", ".join(f"{p}, h{p}" for p in _NPROBE_GRID)
+    denom = float(N_QUERIES * TOP_K)
+    return (
+        g.selectExpr(
+            f"stack({len(_NPROBE_GRID)}, {cells_expr}) AS (nprobe, hits)"
+        )
+        .select(
+            F.col("nprobe").cast("int").alias("nprobe"),
+            F.col("hits").cast("long").alias("hits"),
+            F.round(F.col("hits").cast("double") / denom, 6).alias("recall"),
+        )
+    )

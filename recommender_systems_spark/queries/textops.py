@@ -2182,3 +2182,99 @@ def t_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("score_micro").cast("long").alias("score_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve (OOV rate vs vocab size)
+# ---------------------------------------------------------------------------
+
+_VC_SIZES = [100, 500, 2000]
+_VC_MAX = max(_VC_SIZES)
+
+_VC_SQL = f"""
+    WITH tok AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+        FROM documents
+    ),
+    counts AS (SELECT t, count(*) AS n FROM tok GROUP BY t),
+    vocab AS (
+        SELECT t, row_number() OVER (ORDER BY n DESC, t) AS rnk
+        FROM counts ORDER BY n DESC, t LIMIT {_VC_MAX}
+    ),
+    joined AS (
+        SELECT counts.n, vocab.rnk
+        FROM counts LEFT JOIN vocab ON vocab.t = counts.t
+    ),
+    g AS (
+        SELECT sum(n) AS total,
+               {", ".join(
+                   f"sum(CASE WHEN rnk <= {v} THEN n ELSE 0 END) AS c{v}"
+                   for v in _VC_SIZES)}
+        FROM joined
+    )
+    SELECT CAST(vocab_size AS INT) AS vocab_size,
+           CAST(CASE vocab_size {" ".join(
+               f"WHEN {v} THEN c{v}" for v in _VC_SIZES)} END
+               AS BIGINT) AS covered,
+           CAST(total AS BIGINT) AS total,
+           round(1.0 - CAST(CASE vocab_size {" ".join(
+               f"WHEN {v} THEN c{v}" for v in _VC_SIZES)} END
+               AS DOUBLE) / total, 6) AS oov_rate
+    FROM (SELECT * FROM (VALUES {", ".join(f"({v})" for v in _VC_SIZES)})
+          t(vocab_size)), g
+"""
+
+
+@register("t_vocab_coverage", _VC_SQL)
+def t_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the fraction of token OCCURRENCES
+    left out-of-vocabulary when the vocab is truncated to the top
+    {_VC_SIZES} tokens by corpus frequency — the sizing curve every
+    tokenizer/embedding-table design reads before fixing |V| (the
+    retrieval-side sibling of t_bpe_pairs' merge ranking).
+
+    Scale shape: tokenise once into a hash count (vocabulary-sized
+    from there on); the candidate vocab is ``orderBy().limit()`` over
+    the max grid size — TakeOrderedAndProject bounded by the CONSTANT
+    {_VC_MAX}, never a global sort of the vocabulary — then broadcast
+    back onto the counts table, and every grid point is a conditional
+    occurrence-weighted aggregate over that one joined frame (the
+    e_threshold_sweep one-pass pattern). Exact integer occurrence
+    sums feed the rounded rates."""
+    tok = _t(spark, sf_dir, "documents").select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("t")
+    )
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n")).localCheckpoint()
+    w = Window.orderBy(F.col("n").desc(), F.col("t"))  # post-limit frame
+    vocab = (
+        counts.orderBy(F.col("n").desc(), F.col("t"))
+        .limit(_VC_MAX)
+        .withColumn("rnk", F.row_number().over(w))
+        .select("t", "rnk")
+    )
+    joined = counts.join(F.broadcast(vocab), "t", "left")
+    g = joined.agg(
+        F.sum("n").alias("total"),
+        *[
+            F.sum(F.when(F.col("rnk") <= v, F.col("n")).otherwise(0)).alias(
+                f"c{v}"
+            )
+            for v in _VC_SIZES
+        ],
+    )
+    cells = ", ".join(f"{v}, c{v}, total" for v in _VC_SIZES)
+    return (
+        g.selectExpr(
+            f"stack({len(_VC_SIZES)}, {cells}) AS (vocab_size, covered, total)"
+        )
+        .select(
+            F.col("vocab_size").cast("int").alias("vocab_size"),
+            F.col("covered").cast("long").alias("covered"),
+            F.col("total").cast("long").alias("total"),
+            F.round(
+                1.0 - F.col("covered").cast("double") / F.col("total"), 6
+            ).alias("oov_rate"),
+        )
+    )

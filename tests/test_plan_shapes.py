@@ -487,3 +487,21 @@ def test_readability_single_scan_no_join(spark):
     p = _plan(spark, "t_readability")
     assert _count(p, r"Scan parquet|FileScan|BatchScan") == 1
     assert _count(p, r"Join") == 0
+
+
+def test_vocab_coverage_take_ordered_and_broadcast(spark):
+    """The candidate vocab must plan TakeOrderedAndProject (bounded by
+    the constant max grid size) and rejoin the counts table broadcast —
+    never a global sort of the vocabulary."""
+    p = _plan(spark, "t_vocab_coverage")
+    assert _count(p, r"TakeOrderedAndProject") >= 1
+    assert _count(p, r"BroadcastHashJoin") >= 1
+    assert _count(p, r"CartesianProduct") == 0
+
+
+def test_nprobe_curve_no_cartesian_single_exact_ranking(spark):
+    """All grid points share one exact ranking: exactly one per-query
+    rank window over the corpus-sized frame, probes/centroids stay
+    broadcast."""
+    p = _plan(spark, "v_ivf_nprobe_curve")
+    assert _count(p, r"CartesianProduct") == 0

@@ -493,3 +493,131 @@ def dedup_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(1.0 - dist / float(_FUZZY_PRE), 6).alias("sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH banding calibration: measured collision S-curve vs true Jaccard
+# ---------------------------------------------------------------------------
+
+_LSH_CAL_MOD = 10  # deterministic doc sample — the scale control
+
+_LSH_CAL_COLLIDE = " OR ".join(
+    f"({sql_band_key('siga', b)}) = ({sql_band_key('sigb', b)})"
+    for b in range(LSH_BANDS)
+)
+
+_LSH_CAL_SQL = f"""
+    WITH sh AS (
+        SELECT doc_id, {sql_shingles(sql_tokens('text'))} AS shingles
+        FROM documents WHERE doc_id % {_LSH_CAL_MOD} = 0
+    ),
+    hs AS (SELECT doc_id, shingles,
+                  {sql_shingle_hashes('shingles')} AS hs
+           FROM sh),
+    sig AS (SELECT doc_id, list_distinct(shingles) AS da,
+                   {sql_minhash_signature('hs')} AS sig
+            FROM hs),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.sig AS siga, b.sig AS sigb,
+               round(CAST(len(list_distinct(list_intersect(a.da, b.da)))
+                          AS DOUBLE)
+                     / (len(a.da) + len(b.da)
+                        - len(list_distinct(list_intersect(a.da, b.da)))),
+                     5) AS jac,
+               CASE WHEN {_LSH_CAL_COLLIDE} THEN 1 ELSE 0 END AS collide
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    ),
+    binned AS (
+        SELECT CAST(least(floor(jac * 10), 9) AS INT) AS bin,
+               collide
+        FROM pairs
+    )
+    SELECT bin,
+           round(bin / 10.0 + 0.05, 2) AS jac_mid,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(collide) AS BIGINT) AS n_collide,
+           round(CAST(sum(collide) AS DOUBLE) / count(*), 6) AS measured,
+           round(1.0 - (
+               (1.0 - ((bin / 10.0 + 0.05) * (bin / 10.0 + 0.05))
+                      * ((bin / 10.0 + 0.05) * (bin / 10.0 + 0.05)))
+               * (1.0 - ((bin / 10.0 + 0.05) * (bin / 10.0 + 0.05))
+                        * ((bin / 10.0 + 0.05) * (bin / 10.0 + 0.05)))
+           ) * (
+               (1.0 - ((bin / 10.0 + 0.05) * (bin / 10.0 + 0.05))
+                      * ((bin / 10.0 + 0.05) * (bin / 10.0 + 0.05)))
+               * (1.0 - ((bin / 10.0 + 0.05) * (bin / 10.0 + 0.05))
+                        * ((bin / 10.0 + 0.05) * (bin / 10.0 + 0.05)))
+           ), 6) AS theoretical
+    FROM binned
+    GROUP BY bin
+"""
+
+
+def _lsh_scurve_term(j):  # (1 - j^4)^4 in +,* only — no cross-engine libm pow
+    j2 = j * j
+    inner = 1.0 - j2 * j2
+    i2 = inner * inner
+    return i2 * i2
+
+
+@register("dedup_lsh_calibration", _LSH_CAL_SQL)
+def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding calibration: the MEASURED collision S-curve of the
+    4×4 banding against true shingle Jaccard, binned into Jaccard
+    deciles, next to the theoretical 1−(1−j^r)^b at each bin midpoint —
+    the validation every LSH deployment runs before trusting its
+    band/row choice (dedup_threshold_sweep tunes the VERIFY cutoff;
+    this validates the CANDIDATE stage's probability curve).
+
+    Scale shape: the all-pairs comparison runs ONLY inside a
+    deterministic doc_id-mod sample (the g_khop sample-bounded
+    pattern — the S-curve is a population estimate, so a fixed sample
+    measures it at any corpus size); signatures come from the shared
+    Arrow kernel computed once per sampled doc, and collision is an
+    in-row band-slice comparison on the already-joined pair — no bucket
+    explode, no second join. The theoretical column is +,×-only
+    arithmetic (no cross-engine libm)."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % _LSH_CAL_MOD == 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    sh = (
+        docs.select("doc_id", minhash_struct_pandas(F.col("text")).alias("s"))
+        .select("doc_id", F.col("s.da").alias("da"), F.col("s.sig").alias("sig"))
+        .localCheckpoint()
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("da").alias("da"),
+        F.col("sig").alias("siga"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("da").alias("db"),
+        F.col("sig").alias("sigb"),
+    )
+    collide = None
+    for band in range(LSH_BANDS):
+        eq = band_key(F.col("siga"), band) == band_key(F.col("sigb"), band)
+        collide = eq if collide is None else (collide | eq)
+    pairs = a.join(b, F.col("doc_a") < F.col("doc_b")).select(
+        F.round(jaccard(F.col("da"), F.col("db")), 5).alias("jac"),
+        F.when(collide, 1).otherwise(0).alias("collide"),
+    )
+    binned = pairs.select(
+        F.least(F.floor(F.col("jac") * 10), F.lit(9)).cast("int").alias("bin"),
+        "collide",
+    )
+    mid = F.col("bin") / 10.0 + 0.05
+    return binned.groupBy("bin").agg(
+        F.round(F.min(mid), 2).alias("jac_mid"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("collide").cast("long").alias("n_collide"),
+        F.round(F.sum("collide").cast("double") / F.count(F.lit(1)), 6).alias(
+            "measured"
+        ),
+        F.round(1.0 - _lsh_scurve_term(F.min(mid)), 6).alias("theoretical"),
+    )

@@ -1709,3 +1709,86 @@ def s_inter_event_times(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_us").cast("long").alias("max_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest (value(t) := value(t-7), MAE/sMAPE)
+# ---------------------------------------------------------------------------
+
+_SNB_LAG = 7  # weekly seasonality
+
+_SNB_SQL = f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(CAST(ts AS TIMESTAMP) AS DATE))
+                    AS BIGINT) AS day,
+               round(sum(value), 6) AS v
+        FROM events GROUP BY event_type, day
+    ),
+    pred AS (
+        SELECT event_type, day, v,
+               lag(v, {_SNB_LAG}) OVER (PARTITION BY event_type
+                                        ORDER BY day) AS p
+        FROM daily
+    ),
+    scored AS (
+        SELECT event_type, abs(v - p) AS ae,
+               CASE WHEN abs(v) + abs(p) > 0
+                    THEN 2.0 * abs(v - p) / (abs(v) + abs(p)) END AS sm
+        FROM pred WHERE p IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(sum(ae) / count(*), 4) AS mae,
+           round(sum(sm) / count(sm), 4) AS smape
+    FROM scored
+    GROUP BY event_type
+"""
+
+
+@register("s_seasonal_naive_backtest", _SNB_SQL)
+def s_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's metric with
+    the value {_SNB_LAG} days earlier and score MAE and sMAPE per
+    event type — the floor every real forecasting model must beat, and
+    the cheapest drift alarm (a rising seasonal-naive error means the
+    weekly shape itself changed; pairs with a_seasonality_index, which
+    measures the shape, and s_changepoint, which localises breaks).
+
+    Scale shape: one hash aggregate to the (event_type, day) grain,
+    then a per-type lag window over calendar-bounded frames — the only
+    shuffle is by event_type. Daily sums are rounded to the 6dp grid
+    BEFORE the lag/difference (the order-dependent-double rule), so
+    every error term is engine-identical; the gap-aware lag is row-
+    based on the dense daily grain (the driver's synthetic stream has
+    no missing days; a gapped deployment would join a calendar spine
+    first, as s_gap_fill builds)."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("timestamp").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            )
+            .cast("long")
+            .alias("day"),
+        )
+        .agg(F.round(F.sum("value"), 6).alias("v"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    pred = daily.withColumn("p", F.lag("v", _SNB_LAG).over(w)).filter(
+        F.col("p").isNotNull()
+    )
+    ae = F.abs(F.col("v") - F.col("p"))
+    sm = F.when(
+        F.abs(F.col("v")) + F.abs(F.col("p")) > 0,
+        2.0 * ae / (F.abs(F.col("v")) + F.abs(F.col("p"))),
+    )
+    scored = pred.select("event_type", ae.alias("ae"), sm.alias("sm"))
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.sum("ae") / F.count(F.lit(1)), 4).alias("mae"),
+        F.round(F.sum("sm") / F.count("sm"), 4).alias("smape"),
+    )

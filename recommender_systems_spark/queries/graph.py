@@ -1067,3 +1067,109 @@ def g_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("local_cc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sampled truncated harmonic centrality (integer-sixths exact)
+# ---------------------------------------------------------------------------
+
+_HARM_SQL = (
+    "WITH "
+    + _EDGES_SQL
+    + f""",
+    srcs AS MATERIALIZED (
+        SELECT id AS s FROM nodes WHERE id % {KHOP_SAMPLE_MOD} = 0),
+    r1 AS MATERIALIZED (
+        SELECT DISTINCT srcs.s, e.dst AS u
+        FROM srcs JOIN edges e ON e.src = srcs.s),
+    r2 AS MATERIALIZED (
+        SELECT DISTINCT s, u FROM (
+            SELECT s, u FROM r1
+            UNION ALL
+            SELECT r1.s, e.dst AS u FROM r1 JOIN edges e ON e.src = r1.u)),
+    r3 AS MATERIALIZED (
+        SELECT DISTINCT s, u FROM (
+            SELECT s, u FROM r2
+            UNION ALL
+            SELECT r2.s, e.dst AS u FROM r2 JOIN edges e ON e.src = r2.u)),
+    counts AS (
+        SELECT n1.s, n1.c AS c1, n2.c AS c2, n3.c AS c3
+        FROM (SELECT s, COUNT(*) AS c FROM r1 WHERE u <> s GROUP BY 1) n1
+        JOIN (SELECT s, COUNT(*) AS c FROM r2 WHERE u <> s GROUP BY 1) n2
+          ON n1.s = n2.s
+        JOIN (SELECT s, COUNT(*) AS c FROM r3 WHERE u <> s GROUP BY 1) n3
+          ON n1.s = n3.s
+    )
+    SELECT CAST(s AS BIGINT) AS item,
+           CAST(c3 AS BIGINT) AS reach_3,
+           CAST(6 * c1 + 3 * (c2 - c1) + 2 * (c3 - c2) AS BIGINT)
+               AS harmonic_sixths,
+           round((6 * c1 + 3 * (c2 - c1) + 2 * (c3 - c2)) / 6.0, 4)
+               AS harmonic
+    FROM counts
+"""
+)
+
+
+@register("g_harmonic_centrality", _HARM_SQL)
+def g_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled harmonic centrality, truncated at 3 hops: H(s) = Σ 1/d
+    over nodes within distance 3 = n₁ + (n₂−n₁)/2 + (n₃−n₂)/3 from the
+    same hop-reach counts g_khop_reach computes — the
+    disconnected-graph-safe closeness variant (Boldi-Vigna), ranking
+    items by how CLOSE their whole neighbourhood sits rather than how
+    many neighbours they have (degree) or how much flow passes through
+    (PageRank).
+
+    Scale shape: identical frontier ⋈ edges + DISTINCT per hop as
+    g_khop_reach (the deterministic id-mod sample is the scale
+    control; checkpoint/MATERIALIZED per hop both sides). The harmonic
+    sum is carried as EXACT INTEGER SIXTHS (6n₁+3(n₂−n₁)+2(n₃−n₂)) —
+    the t_surprisal integer-scaling convention applied to a rational
+    series, so parity needs no float tolerance at all."""
+    cooc = _cooc_pairs(spark, sf_dir)
+    edges = (
+        cooc.select(F.col("ia").alias("src"), F.col("ib").alias("dst"))
+        .unionAll(cooc.select(F.col("ib").alias("src"), F.col("ia").alias("dst")))
+        .localCheckpoint()
+    )
+    srcs = (
+        edges.select(F.col("src").alias("s"))
+        .distinct()
+        .filter(F.col("s") % KHOP_SAMPLE_MOD == 0)
+    )
+    r = (
+        srcs.join(edges, srcs["s"] == edges["src"])
+        .select("s", F.col("dst").alias("u"))
+        .distinct()
+        .localCheckpoint()
+    )
+    hops = [r]
+    for _ in range(2):
+        nxt = (
+            hops[-1]
+            .join(edges, hops[-1]["u"] == edges["src"])
+            .select("s", F.col("dst").alias("u"))
+            .unionAll(hops[-1])
+            .distinct()
+            .localCheckpoint()  # flat lineage per hop
+        )
+        hops.append(nxt)
+    counts = [
+        h.filter(F.col("u") != F.col("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias(f"c{i + 1}"))
+        for i, h in enumerate(hops)
+    ]
+    joined = counts[0].join(counts[1], "s").join(counts[2], "s")
+    sixths = (
+        6 * F.col("c1")
+        + 3 * (F.col("c2") - F.col("c1"))
+        + 2 * (F.col("c3") - F.col("c2"))
+    )
+    return joined.select(
+        F.col("s").cast("long").alias("item"),
+        F.col("c3").cast("long").alias("reach_3"),
+        sixths.cast("long").alias("harmonic_sixths"),
+        F.round(sixths / 6.0, 4).alias("harmonic"),
+    )

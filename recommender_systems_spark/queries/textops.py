@@ -2278,3 +2278,61 @@ def t_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hapax / lexical-richness profile per source
+# ---------------------------------------------------------------------------
+
+_HAPAX_SQL = """
+    WITH tok AS (
+        SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                   AS t
+        FROM documents
+    ),
+    tc AS (SELECT source, t, count(*) AS n FROM tok GROUP BY source, t)
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS hapax_ratio,
+           round(CAST(count(*) AS DOUBLE) / sum(n), 6) AS type_token_ratio
+    FROM tc
+    GROUP BY source
+"""
+
+
+@register("t_hapax_profile", _HAPAX_SQL)
+def t_hapax_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-richness profile per source: token/type/hapax counts,
+    hapax ratio, and type-token ratio — the vocabulary-health signal
+    that separates template/boilerplate sources (low TTR, few hapax)
+    from rich prose and from OCR noise (hapax-heavy garbage), feeding
+    the same curation gates as t_quality_score but at the SOURCE grain
+    (t_vocab_coverage sizes the global vocab; this profiles who
+    contributes the tail).
+
+    Scale shape: tokenise once, one (source, token) hash count with
+    map-side partials, then one source-grain aggregate — two
+    exchanges, both key-sized; all ratios divide exact integer
+    sums."""
+    tok = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("t"),
+    )
+    tc = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("n"))
+    hapax = F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+    return tc.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        hapax.cast("long").alias("n_hapax"),
+        F.round(hapax.cast("double") / F.count(F.lit(1)), 6).alias(
+            "hapax_ratio"
+        ),
+        F.round(F.count(F.lit(1)).cast("double") / F.sum("n"), 6).alias(
+            "type_token_ratio"
+        ),
+    )

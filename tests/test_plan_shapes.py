@@ -505,3 +505,19 @@ def test_nprobe_curve_no_cartesian_single_exact_ranking(spark):
     broadcast."""
     p = _plan(spark, "v_ivf_nprobe_curve")
     assert _count(p, r"CartesianProduct") == 0
+
+
+def test_hapax_single_scan_no_join(spark):
+    """Token/type/hapax counts all come from ONE documents scan through
+    two hash aggregates — no join, no second scan."""
+    p = _plan(spark, "t_hapax_profile")
+    assert _count(p, r"Scan parquet|FileScan|BatchScan") == 1
+    assert _count(p, r"Join") == 0
+
+
+def test_seasonal_naive_no_cartesian_one_type_shuffle(spark):
+    """The backtest plans one event_type-partitioned window over the
+    (type, day) grain — no cartesian, no global window."""
+    p = _plan(spark, "s_seasonal_naive_backtest")
+    assert _count(p, r"CartesianProduct") == 0
+    assert _count(p, r"Window") >= 1

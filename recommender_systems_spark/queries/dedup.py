@@ -499,7 +499,11 @@ def dedup_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LSH banding calibration: measured collision S-curve vs true Jaccard
 # ---------------------------------------------------------------------------
 
-_LSH_CAL_MOD = 10  # deterministic doc sample — the scale control
+# Fixed-COUNT deterministic doc sample — the scale control. md5-ordered
+# top-N (doc_id total tie-break) is identical in both engines and keeps
+# the all-pairs measurement at O(N²) = constant regardless of corpus
+# size (a doc_id-mod FRACTION would grow quadratically with the corpus).
+_LSH_CAL_N = 400
 
 _LSH_CAL_COLLIDE = " OR ".join(
     f"({sql_band_key('siga', b)}) = ({sql_band_key('sigb', b)})"
@@ -507,9 +511,14 @@ _LSH_CAL_COLLIDE = " OR ".join(
 )
 
 _LSH_CAL_SQL = f"""
-    WITH sh AS (
+    WITH samp AS (
+        SELECT doc_id, text FROM documents
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        LIMIT {_LSH_CAL_N}
+    ),
+    sh AS (
         SELECT doc_id, {sql_shingles(sql_tokens('text'))} AS shingles
-        FROM documents WHERE doc_id % {_LSH_CAL_MOD} = 0
+        FROM samp
     ),
     hs AS (SELECT doc_id, shingles,
                   {sql_shingle_hashes('shingles')} AS hs
@@ -571,9 +580,12 @@ def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     this validates the CANDIDATE stage's probability curve).
 
     Scale shape: the all-pairs comparison runs ONLY inside a
-    deterministic doc_id-mod sample (the g_khop sample-bounded
-    pattern — the S-curve is a population estimate, so a fixed sample
-    measures it at any corpus size); signatures come from the shared
+    deterministic FIXED-COUNT sample — the md5-ordered top-_LSH_CAL_N
+    docs (TakeOrderedAndProject: per-partition heap of N, no global
+    sort), so the pair count is N²/2 = constant at ANY corpus size (a
+    mod-fraction sample would grow quadratically with the corpus; the
+    S-curve is a population estimate, so a fixed sample suffices);
+    signatures come from the shared
     Arrow kernel computed once per sampled doc, and collision is an
     in-row band-slice comparison on the already-joined pair — no bucket
     explode, no second join. The theoretical column is +,×-only
@@ -581,7 +593,8 @@ def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .filter(F.col("doc_id") % _LSH_CAL_MOD == 0)
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .limit(_LSH_CAL_N)
         .repartition(spark.sparkContext.defaultParallelism)
     )
     sh = (

@@ -667,14 +667,20 @@ def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 # g_khop_reach — sampled multi-hop reach (influence footprint)
 # ---------------------------------------------------------------------------
 
-KHOP_SAMPLE_MOD = 50
+# Fixed-COUNT deterministic source sample (md5-ordered top-N with an id
+# tie-break — identical in both engines, TakeOrderedAndProject in Spark):
+# per-source hop cost is bounded, and a fixed COUNT of sources keeps the
+# total frontier work constant in the number of sources at any graph
+# size (a mod-FRACTION sample would grow the source set with the graph).
+KHOP_SAMPLE_N = 48
 
 _KHOP_SQL = (
     "WITH "
     + _EDGES_SQL
     + f""",
     srcs AS MATERIALIZED (
-        SELECT id AS s FROM nodes WHERE id % {KHOP_SAMPLE_MOD} = 0),
+        SELECT id AS s FROM nodes
+        ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT {KHOP_SAMPLE_N}),
     r1 AS MATERIALIZED (
         SELECT DISTINCT srcs.s, e.dst AS u
         FROM srcs JOIN edges e ON e.src = srcs.s),
@@ -704,7 +710,7 @@ _KHOP_SQL = (
 @register("g_khop_reach", _KHOP_SQL)
 def g_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled k-hop reach over the item co-occurrence graph: for a
-    deterministic source sample (id % {KHOP_SAMPLE_MOD} = 0), the
+    deterministic FIXED-COUNT source sample (md5-ordered top-KHOP_SAMPLE_N), the
     number of DISTINCT items reachable within 1, 2 and 3 hops
     (excluding the source) — the influence-footprint measure behind
     "how far does a trend/contamination spread from this item", and
@@ -713,9 +719,9 @@ def g_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape per hop: one frontier ⋈ edges equi-join + one DISTINCT
     on (source, reached) id pairs — O(sample × reach) rows, never the
-    full all-pairs closure (the SAMPLE is the scale control: reach is
-    computed for a dimension-scaled subset, the production shape for
-    influence dashboards). Spark checkpoints each hop (flat lineage);
+    full all-pairs closure (the fixed-COUNT sample is the scale
+    control: reach is computed for a constant number of sources at any
+    graph size, the production shape for influence dashboards). Spark checkpoints each hop (flat lineage);
     the oracle MATERIALIZEs each hop CTE — both sides pin one
     evaluation per hop (the g_kcore 3^rounds lesson). Parity: reach
     counts are exact distinct-integer counts."""
@@ -728,7 +734,8 @@ def g_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     srcs = (
         edges.select(F.col("src").alias("s"))
         .distinct()
-        .filter(F.col("s") % KHOP_SAMPLE_MOD == 0)
+        .orderBy(F.md5(F.col("s").cast("string")), "s")
+        .limit(KHOP_SAMPLE_N)
     )
     r = (
         srcs.join(edges, srcs["s"] == edges["src"])
@@ -1078,7 +1085,8 @@ _HARM_SQL = (
     + _EDGES_SQL
     + f""",
     srcs AS MATERIALIZED (
-        SELECT id AS s FROM nodes WHERE id % {KHOP_SAMPLE_MOD} = 0),
+        SELECT id AS s FROM nodes
+        ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT {KHOP_SAMPLE_N}),
     r1 AS MATERIALIZED (
         SELECT DISTINCT srcs.s, e.dst AS u
         FROM srcs JOIN edges e ON e.src = srcs.s),
@@ -1122,8 +1130,8 @@ def g_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     (PageRank).
 
     Scale shape: identical frontier ⋈ edges + DISTINCT per hop as
-    g_khop_reach (the deterministic id-mod sample is the scale
-    control; checkpoint/MATERIALIZED per hop both sides). The harmonic
+    g_khop_reach (the deterministic fixed-count md5-top-N sample is
+    the scale control; checkpoint/MATERIALIZED per hop both sides). The harmonic
     sum is carried as EXACT INTEGER SIXTHS (6n₁+3(n₂−n₁)+2(n₃−n₂)) —
     the t_surprisal integer-scaling convention applied to a rational
     series, so parity needs no float tolerance at all."""
@@ -1136,7 +1144,8 @@ def g_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     srcs = (
         edges.select(F.col("src").alias("s"))
         .distinct()
-        .filter(F.col("s") % KHOP_SAMPLE_MOD == 0)
+        .orderBy(F.md5(F.col("s").cast("string")), "s")
+        .limit(KHOP_SAMPLE_N)
     )
     r = (
         srcs.join(edges, srcs["s"] == edges["src"])

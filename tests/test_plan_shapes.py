@@ -521,3 +521,68 @@ def test_seasonal_naive_no_cartesian_one_type_shuffle(spark):
     p = _plan(spark, "s_seasonal_naive_backtest")
     assert _count(p, r"CartesianProduct") == 0
     assert _count(p, r"Window") >= 1
+
+
+# --- round 8: bound/plan tests for the sampled-quadratic queries -----------
+
+
+def test_lsh_calibration_pair_join_input_is_capped(spark):
+    """The all-pairs S-curve measurement must stay O(N²) for the FIXED
+    cap N regardless of corpus size: the binned pair counts sum to
+    exactly C(min(|docs|, _LSH_CAL_N), 2) — if a refactor silently
+    widened the sample (e.g. back to a corpus fraction), the sum would
+    blow past the cap bound."""
+    from recommender_systems_spark.queries.dedup import (
+        _LSH_CAL_N,
+        dedup_lsh_calibration,
+    )
+
+    n_docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    n = min(n_docs, _LSH_CAL_N)
+    rows = dedup_lsh_calibration(spark, SF_SMALL).collect()
+    total_pairs = sum(r["n_pairs"] for r in rows)
+    assert total_pairs == n * (n - 1) // 2
+    cap = _LSH_CAL_N * (_LSH_CAL_N - 1) // 2
+    assert total_pairs <= cap
+
+
+def test_lsh_calibration_single_kernel_no_rescan(spark):
+    """Signatures are computed ONCE per sampled doc by the shared Arrow
+    kernel before the checkpoint: the pair-join plan must contain no
+    Python eval node and no parquet re-scan (both sides read the
+    checkpointed signature frame)."""
+    p = _plan(spark, "dedup_lsh_calibration")
+    assert _count(p, r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas") == 0
+    assert _count(p, r"Scan parquet") == 0
+
+
+def test_khop_and_harmonic_source_sample_is_capped(spark):
+    """Both sampled hop queries draw their sources from the md5-ordered
+    fixed-COUNT top-N — one output row per source, so the result can
+    never exceed KHOP_SAMPLE_N rows at any graph size."""
+    from recommender_systems_spark.queries.graph import KHOP_SAMPLE_N
+
+    for name in ("g_khop_reach", "g_harmonic_centrality"):
+        n = registry.QUERIES[name](spark, SF_SMALL).count()
+        assert 0 < n <= KHOP_SAMPLE_N, name
+
+
+def test_harmonic_no_cartesian(spark):
+    assert _count(_plan(spark, "g_harmonic_centrality"), r"CartesianProduct") == 0
+
+
+def test_bh_fdr_windows_after_aggregation_single_scan(spark):
+    """e_bh_fdr's rank/step-up windows must run on the segment-sized
+    stats frame (post-aggregation), never on raw events: one events
+    scan, no cartesian, and every Window node sits above the hash
+    aggregate in the plan text (aggregate appears below/after the last
+    window in executedPlan's top-down print)."""
+    p = _plan(spark, "e_bh_fdr")
+    assert _count(p, r"CartesianProduct") == 0
+    assert _count(p, r"Scan parquet .*events") <= 1
+    assert _count(p, r"\bWindow \[") >= 1
+    last_window = max(m.start() for m in re.finditer(r"\bWindow \[", p))
+    first_agg = min(m.start() for m in re.finditer(r"HashAggregate", p))
+    assert last_window < first_agg, (
+        "a Window node plans below the aggregation (raw-data window)"
+    )

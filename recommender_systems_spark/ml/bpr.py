@@ -70,12 +70,16 @@ def popularity_pool_distributed(
     Slots left empty by the hash (P ≈ e^(−N/size), negligible when
     |events| ≫ size) simply shrink the pool. Driver traffic is O(size)
     regardless of catalog or event count."""
-    slot = F.floor(F.rand(seed) * size).cast("int")
+    # 2s / 2s+1: slot and tiebreak streams never share a seed across
+    # CONSECUTIVE pool seeds (callers pass s, s+1, ... per epoch; with
+    # rand(s)/rand(s+1) pool e's tiebreak column would equal pool e+1's
+    # slot column row-for-row, correlating consecutive epochs' pools).
+    slot = F.floor(F.rand(2 * seed) * size).cast("int")
     rows = (
         positives.select(
             F.col(item_col).alias("__i"),
             slot.alias("__s"),
-            F.rand(seed + 1).alias("__r"),
+            F.rand(2 * seed + 1).alias("__r"),
         )
         .groupBy("__s")
         .agg(F.min_by("__i", "__r").alias("__i"))
@@ -99,8 +103,11 @@ def popularity_pools_distributed(
         *[
             F.struct(
                 F.lit(e).alias("__e"),
-                F.floor(F.rand(s) * size).cast("int").alias("__s"),
-                F.rand(s + 1).alias("__r"),
+                # 2s / 2s+1 — see popularity_pool_distributed: keeps the
+                # slot/tiebreak streams disjoint across consecutive seeds
+                # AND byte-identical to the single-pool variant per seed.
+                F.floor(F.rand(2 * s) * size).cast("int").alias("__s"),
+                F.rand(2 * s + 1).alias("__r"),
             )
             for e, s in enumerate(seeds)
         ]
@@ -329,7 +336,7 @@ def _sgd_sample_bucket(
 class BprModel:
     user_factors: DataFrame  # (id, features)
     item_factors: DataFrame  # (id, features)
-    metrics_history: list[tuple[float, float]]  # (P@k, R@k) per epoch
+    metrics_history: list[tuple[float, float]]  # (P@k, R@k) per eval point (sync-block boundaries when sync_every > 1)
 
 
 def train_bpr(

@@ -243,12 +243,23 @@ def _cdc_bucket(key: Column, n_buckets: int) -> Column:
 
 
 def cdc_apply_batch(
-    batch_df: DataFrame, state_root: str, n_buckets: int = 16
+    batch_df: DataFrame,
+    state_root: str,
+    n_buckets: int = 16,
+    batch_id: int | None = None,
 ) -> list[int]:
     """MERGE one change micro-batch into the hash-bucketed CDC state
     table at ``state_root`` (directory partitions ``bucket=0..B-1``),
     rewriting ONLY the buckets containing touched keys. Returns the
     sorted touched-bucket list (for observability/tests).
+
+    Idempotent under at-least-once redelivery: when ``batch_id`` is
+    given (foreachBatch passes it), a ``_last_batch`` marker persisted
+    NEXT TO the state records the highest applied id, and a replayed
+    batch (id ≤ marker) is skipped — latest-wins is naturally
+    idempotent but the additive ``n_changes`` count is not, so without
+    the marker a post-failure replay would double-count. This is the
+    same dedup a production MERGE INTO keys on the batch id.
 
     Scale shape: per-batch work is O(batch) + O(state in touched
     buckets) — NOT O(total keys). A batch touching k of B buckets
@@ -265,6 +276,12 @@ def cdc_apply_batch(
 
     from pyspark.sql import functions as F
 
+    marker = os.path.join(state_root, "_last_batch")
+    if batch_id is not None and os.path.exists(marker):
+        with open(marker) as fh:
+            applied = int(fh.read().strip() or "-1")
+        if batch_id <= applied:
+            return []  # at-least-once replay of an applied batch — skip
     reduced = _cdc_reduce(
         batch_df.withColumn("n_changes", F.lit(1).cast("long"))
     ).withColumn("bucket", _cdc_bucket(F.col("user_id"), n_buckets))
@@ -292,6 +309,12 @@ def cdc_apply_batch(
         .partitionBy("bucket")
         .parquet(state_root)
     )
+    if batch_id is not None:
+        # Write-then-rename so a crash mid-write leaves the old marker.
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(batch_id))
+        os.replace(tmp, marker)
     return touched
 
 
@@ -332,8 +355,8 @@ def run_cdc_apply_available_now(
     q = (
         stream.parquet(source_dir)
         .writeStream.foreachBatch(
-            lambda batch_df, _id: cdc_apply_batch(
-                batch_df, state_root, n_buckets
+            lambda batch_df, bid: cdc_apply_batch(
+                batch_df, state_root, n_buckets, batch_id=bid
             )
         )
         .queryName(query_name)

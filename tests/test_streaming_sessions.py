@@ -151,3 +151,37 @@ def test_cdc_apply_rewrites_only_touched_buckets(spark, tmp_path):
     got = {tuple(r) for r in cdc_state_snapshot(spark, state_root).collect()}
     want = {tuple(r) for r in s_cdc_snapshot(spark, SF_SMALL).collect()}
     assert got == want
+
+
+def test_cdc_apply_batch_replay_is_idempotent(spark, tmp_path):
+    """At-least-once redelivery: replaying an already-applied
+    micro-batch (same foreachBatch batch_id) must be a no-op —
+    latest-wins is naturally idempotent but the additive n_changes
+    count is not, so the _last_batch marker has to dedup the replay.
+    A NEW batch id with new data must still apply."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from recommender_systems_spark.queries.multimodal import _stream_dir
+    from recommender_systems_spark.streaming.events import (
+        cdc_apply_batch,
+        cdc_state_snapshot,
+    )
+
+    events = spark.read.parquet(_stream_dir(SF_SMALL))
+    b0 = events.filter(F.col("user_id") % 2 == 0)
+    b1 = events.filter((F.col("user_id") % 2 == 1) | F.col("user_id").isNull())
+    state_root = str(tmp_path / "state")
+    os.makedirs(state_root)
+
+    assert cdc_apply_batch(b0, state_root, batch_id=0) != []
+    snap = {tuple(r) for r in cdc_state_snapshot(spark, state_root).collect()}
+    # Replay of batch 0 (crash-recovery redelivery): skipped entirely.
+    assert cdc_apply_batch(b0, state_root, batch_id=0) == []
+    replay = {tuple(r) for r in cdc_state_snapshot(spark, state_root).collect()}
+    assert replay == snap, "replayed batch changed state (double count)"
+    # A genuinely new batch still applies and advances the marker.
+    assert cdc_apply_batch(b1, state_root, batch_id=1) != []
+    with open(os.path.join(state_root, "_last_batch")) as fh:
+        assert fh.read() == "1"

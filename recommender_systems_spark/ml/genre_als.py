@@ -79,43 +79,21 @@ def genre_pull(
     )
 
 
-def genre_feature_stats(
-    item_factors: DataFrame, genres: DataFrame, n_genres: int, rank: int
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """One distributed pass building the A (G×k), B (G), C (G×G)
-    aggregates over the item dimension."""
-    base = genres.select(
-        F.col("item").cast("long").alias("id"),
-        "genre_values",
-        F.col("genre_count").cast("double").alias("c"),
-    ).join(item_factors.select("id", "features"), "id")
-    # One distributed pass: double-explode to (g, f) granularity, fold
-    # ALL THREE aggregates into a single groupBy(g, f) — the A terms sum
-    # only over the f==g diagonal rows (each item appears exactly once
-    # per containing genre there), B is the diagonal of the C weights.
-    # G² result rows regardless of item count; halves the per-sweep
-    # driver round-trips vs separate A/B and C collections.
-    pairs = base.select(
+def genre_weight_grid(
+    genres: DataFrame, n_genres: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """The B (G) and C (G×G) aggregates: Σ_items 1/|g_n| over genre
+    co-membership. These depend ONLY on the static genre dimension —
+    never on the factors — so a training run computes them ONCE, not
+    once per sweep (the double-explode to (g, f) granularity, the
+    expensive part of the old fused stats pass, leaves the per-sweep
+    loop entirely)."""
+    pairs = genres.select(
         F.explode("genre_values").alias("g"),
         "genre_values",
-        "c",
-        "features",
-    ).select("g", F.explode("genre_values").alias("f"), "c", "features")
-    diag = F.col("f") == F.col("g")
-    rows = (
-        pairs.groupBy("g", "f")
-        .agg(
-            F.sum(1.0 / F.col("c")).alias("w"),
-            *[
-                F.sum(
-                    F.when(diag, F.element_at("features", i + 1) / F.sqrt("c"))
-                ).alias(f"a_{i}")
-                for i in range(rank)
-            ],
-        )
-        .collect()
-    )
-    a_mat = np.zeros((n_genres, rank))
+        (1.0 / F.col("genre_count").cast("double")).alias("ic"),
+    ).select("g", F.explode("genre_values").alias("f"), "ic")
+    rows = pairs.groupBy("g", "f").agg(F.sum("ic").alias("w")).collect()
     b_vec = np.zeros(n_genres)
     c_mat = np.zeros((n_genres, n_genres))
     for r in rows:
@@ -123,7 +101,49 @@ def genre_feature_stats(
         c_mat[g, f] = r["w"]
         if g == f:
             b_vec[g] = r["w"]
-            a_mat[g] = [r[f"a_{i}"] for i in range(rank)]
+    return b_vec, c_mat
+
+
+def genre_a_stats(
+    item_factors: DataFrame, genres: DataFrame, n_genres: int, rank: int
+) -> np.ndarray:
+    """The per-sweep A (G×k) aggregate — the ONLY factor-dependent
+    genre statistic: Σ_items v_n/√|g_n| per containing genre. A single
+    explode to (g, item) granularity + one groupBy(g) with k sums — G·k
+    result rows regardless of item count (no (g, f) grid here; B/C come
+    from ``genre_weight_grid`` once per run)."""
+    base = genres.select(
+        F.col("item").cast("long").alias("id"),
+        "genre_values",
+        F.sqrt(F.col("genre_count").cast("double")).alias("sc"),
+    ).join(item_factors.select("id", "features"), "id")
+    rows = (
+        base.select(F.explode("genre_values").alias("g"), "sc", "features")
+        .groupBy("g")
+        .agg(
+            *[
+                F.sum(F.element_at("features", i + 1) / F.col("sc")).alias(
+                    f"a_{i}"
+                )
+                for i in range(rank)
+            ]
+        )
+        .collect()
+    )
+    a_mat = np.zeros((n_genres, rank))
+    for r in rows:
+        a_mat[int(r["g"])] = [r[f"a_{i}"] for i in range(rank)]
+    return a_mat
+
+
+def genre_feature_stats(
+    item_factors: DataFrame, genres: DataFrame, n_genres: int, rank: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """A (G×k), B (G), C (G×G) aggregates over the item dimension —
+    one-shot convenience wrapper over ``genre_a_stats`` (factor-
+    dependent) + ``genre_weight_grid`` (static)."""
+    a_mat = genre_a_stats(item_factors, genres, n_genres, rank)
+    b_vec, c_mat = genre_weight_grid(genres, n_genres)
     return a_mat, b_vec, c_mat
 
 
@@ -190,6 +210,10 @@ def train_als_genre(
         r.select("i").distinct(), "i", rank, seed + 1
     ).localCheckpoint()
     f_state = np.zeros((n_genres, rank))
+    # B/C genre co-membership weights are factor-independent: one
+    # distributed pass per RUN; the per-sweep stats job shrinks to the
+    # single-explode A pass (genre_a_stats).
+    b_vec, c_mat = genre_weight_grid(genres, n_genres)
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -205,7 +229,7 @@ def train_als_genre(
                 r, "i", "u", "r", v_f, new_u, lmd, tau, alpha, rank, rhs_pull=pull
             ).localCheckpoint()
             u_f, v_f = new_u, new_v
-            a_mat, b_vec, c_mat = genre_feature_stats(v_f, genres, n_genres, rank)
+            a_mat = genre_a_stats(v_f, genres, n_genres, rank)
             f_state = update_genre_features(f_state, a_mat, b_vec, c_mat, tau, beta)
             if rmse_every_iter or it == max_iter - 1:
                 rmse_futures.append(

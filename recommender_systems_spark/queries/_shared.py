@@ -67,3 +67,62 @@ LANG_SQL = f"""
            CASE {LANG_CASE} ELSE 'und' END AS lang_guess
     FROM b
 """
+
+# ---------------------------------------------------------------------------
+# md5-derived uniform U(0,1] — the cross-engine replacement for
+# rand(seed) (identical doubles in Spark and DuckDB, stable under
+# re-partitioning/retries), shared by sampling.py and abtest.py.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as _F
+
+HEX13 = 16 ** 13
+
+
+def u01_col(col, salt: str):
+    """Spark Column: U(0,1] from the first 13 hex chars of
+    md5(f"{col}_{salt}")."""
+    return (
+        _F.conv(
+            _F.substring(_F.md5(_F.concat_ws("_", col, _F.lit(salt))), 1, 13),
+            16,
+            10,
+        ).cast("double")
+        + 1.0
+    ) / float(HEX13 + 1)
+
+
+def u01_sql(expr: str, salt: str) -> str:
+    """DuckDB twin of ``u01_col`` — byte-identical doubles."""
+    return (
+        f"(CAST('0x' || substring(md5(CAST({expr} AS VARCHAR) || '_{salt}'), 1, 13)"
+        f" AS BIGINT) + 1.0) / {float(HEX13 + 1)!r}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Genre dimension (p_name words → genre ids) — owned by queries.genre,
+# SQL fragment hosted here so sibling oracles (abtest) can embed it.
+# ---------------------------------------------------------------------------
+
+GENRE_WORDS = [
+    "anvil", "blue", "bolt", "cold", "gear", "gizmo", "hot", "large",
+    "new", "old", "plate", "red", "ring", "rod", "small", "widget",
+]
+GENRE_IDS = {w: i for i, w in enumerate(GENRE_WORDS)}
+
+_MAP_CASE = "CASE x " + " ".join(
+    f"WHEN '{w}' THEN {i}" for w, i in GENRE_IDS.items()
+) + " END"
+
+GENRE_CTE = f"""
+    m AS (
+        SELECT p_partkey,
+               list_transform(string_split(p_name, ' '), x -> {_MAP_CASE})
+                   AS genre_values,
+               CAST(len(string_split(p_name, ' ')) AS INT) AS genre_count
+        FROM part
+    ),
+    x AS (SELECT p_partkey, genre_count, unnest(genre_values) AS genre_id
+          FROM m)
+"""

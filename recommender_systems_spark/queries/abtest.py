@@ -14,6 +14,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from recommender_systems_spark.queries._shared import (
+    GENRE_CTE as _AB_GENRE_CTE,
+    GENRE_WORDS as _AB_GENRE_WORDS,
+    u01_col,
+    u01_sql,
+)
 from recommender_systems_spark.registry import _t, register
 
 # Acklam's inverse-normal-CDF rational approximation coefficients
@@ -277,6 +283,224 @@ def e_boxplot_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tile shape below, which broadcasts nothing catalog-sized.
 AB_CATALOG_BROADCAST_THRESHOLD = 500_000
 
+# --- deterministic A/B simulation population (shared by e_ab_simulation
+# and its oracle-backed sub-frame twins below) ---------------------------
+_AB_G = len(_AB_GENRE_WORDS)
+_AB_N_USERS = 200
+_AB_MIN_RATERS = 2
+# M11 fold-in constants (= ml/als.py DEFAULT_LMD / DEFAULT_ALPHA).
+_AB_LMD, _AB_ALPHA = 0.1, 0.01
+
+
+def _ab_sim_users(spark: SparkSession) -> DataFrame:
+    """Simulated experiment users (ab_test.py:87-97: preferred genre
+    pair, history size U(5,10), Bernoulli(1/2) arm) on md5-derived
+    uniforms — the IDENTICAL population in Spark and DuckDB, so the
+    simulation's deterministic sub-frames carry full value-hash
+    oracles (round-5 m_simulate_users convention; rand(seed) would be
+    engine-local ⇒ rows-only)."""
+    base = spark.range(_AB_N_USERS).select(
+        F.col("id").alias("user_id"),
+        F.floor(u01_col(F.col("id"), "abg1") * _AB_G).cast("int").alias("g1"),
+        F.floor(u01_col(F.col("id"), "abg2") * (_AB_G - 1))
+        .cast("int")
+        .alias("__o"),
+        (5 + F.floor(u01_col(F.col("id"), "abh") * 6))
+        .cast("int")
+        .alias("n_history"),
+        F.when(u01_col(F.col("id"), "aba") < 0.5, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("grp"),
+    )
+    return base.withColumn(  # distinct second genre
+        "g2", F.pmod(F.col("g1") + 1 + F.col("__o"), F.lit(_AB_G)).cast("int")
+    ).drop("__o")
+
+
+_AB_USERS_CTE = f"""
+    ub0 AS (
+        SELECT t.user_id,
+               CAST(floor({u01_sql('t.user_id', 'abg1')} * {_AB_G}) AS INT)
+                   AS g1,
+               CAST(floor({u01_sql('t.user_id', 'abg2')} * {_AB_G - 1}) AS INT)
+                   AS o,
+               CAST(5 + floor({u01_sql('t.user_id', 'abh')} * 6) AS INT)
+                   AS n_history,
+               CASE WHEN {u01_sql('t.user_id', 'aba')} < 0.5
+                    THEN 'A' ELSE 'B' END AS grp
+        FROM range(0, {_AB_N_USERS}) t(user_id)
+    ),
+    users AS (
+        SELECT user_id, g1, CAST((g1 + 1 + o) % {_AB_G} AS INT) AS g2,
+               n_history, grp
+        FROM ub0
+    )
+"""
+
+
+def _ab_hist(users: DataFrame, parts_g: DataFrame) -> DataFrame:
+    """Every simulated user's rating history from ONE genre-keyed join:
+    candidate items share a genre with the user's preferred pair, the
+    md5 race key picks the top n_history deterministically, and the
+    rating derives from the same hash — (user_id, item, r). Shared by
+    e_ab_simulation and the fold-in bias twin."""
+    ug = users.select(
+        "user_id", "n_history", F.explode(F.array("g1", "g2")).alias("g")
+    )
+    pg = parts_g.select(
+        F.col("p_partkey").alias("item"), F.explode("genre_values").alias("g")
+    )
+    h_col = F.conv(
+        F.substring(F.md5(F.concat_ws("_", "user_id", "item")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        ug.join(pg, "g")
+        .select("user_id", "n_history", "item")
+        .distinct()
+        .withColumn("__h", h_col)
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy("__h", "item")
+            ),
+        )
+        .filter(F.col("__rk") <= F.col("n_history"))
+        .withColumn("r", F.pmod(F.col("__h"), F.lit(9)) * 0.5 + 1.0)
+        .select("user_id", "item", "r")
+    )
+
+
+@register(
+    "e_ab_arm_sizes_hash",
+    f"""
+    WITH {_AB_USERS_CTE}
+    SELECT grp, CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n_history) AS BIGINT) AS sum_history,
+           CAST(count(DISTINCT g1) AS BIGINT) AS n_genres_g1
+    FROM users GROUP BY grp
+    """,
+)
+def e_ab_arm_sizes_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/A-B step 1, oracle-backed: the simulated population's arm
+    composition (size, total history budget, genre coverage per arm) —
+    the deterministic sub-frame of e_ab_simulation that the two-arm
+    guard (ab_test.py:240-246) inspects, value-hashed cross-engine via
+    the shared md5-uniform population (``_ab_sim_users``). The
+    e_ab_simulation run itself stays rows-only (per-user ridge solves),
+    but its population is now PROVEN identical to the oracle's."""
+    return _ab_sim_users(spark).groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n_history").cast("long").alias("sum_history"),
+        F.countDistinct("g1").cast("long").alias("n_genres_g1"),
+    )
+
+
+_AB_FOLDIN_SQL = f"""
+    WITH {_AB_GENRE_CTE},
+    {_AB_USERS_CTE},
+    ug AS (
+        SELECT user_id, n_history, g1 AS g FROM users
+        UNION ALL
+        SELECT user_id, n_history, g2 FROM users
+    ),
+    pg AS (SELECT p_partkey AS item, genre_id AS g FROM x),
+    cand AS (
+        SELECT DISTINCT u.user_id, u.n_history, p.item
+        FROM ug u JOIN pg p ON u.g = p.g
+    ),
+    h AS (
+        SELECT user_id, n_history, item,
+               CAST('0x' || substring(md5(CAST(user_id AS VARCHAR) || '_'
+                    || CAST(item AS VARCHAR)), 1, 8) AS BIGINT) AS hh
+        FROM cand
+    ),
+    rk AS (
+        SELECT user_id, item, hh, n_history,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY hh, item) AS rk
+        FROM h
+    ),
+    hist AS (
+        SELECT user_id, item, (hh % 9) * 0.5 + 1.0 AS r
+        FROM rk WHERE rk <= n_history
+    ),
+    cat AS (
+        SELECT m.p_partkey AS item,
+               ((m.p_partkey * 29) % 11) * 0.04 - 0.2 AS ba,
+               ((m.p_partkey * 31) % 13) * 0.03 - 0.18 AS bb
+        FROM m
+        JOIN (SELECT l_partkey AS ritem, count(*) AS c
+              FROM lineitem GROUP BY 1) rt
+          ON rt.ritem = m.p_partkey AND rt.c >= {_AB_MIN_RATERS}
+    ),
+    hm AS (
+        SELECT h.user_id, h.r,
+               CASE WHEN u.grp = 'A' THEN c.ba ELSE c.bb END AS bn
+        FROM hist h
+        JOIN users u ON u.user_id = h.user_id
+        JOIN cat c ON c.item = h.item
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_hist,
+           round({_AB_LMD} * sum(r - bn)
+                 / ({_AB_ALPHA} + {_AB_LMD} * count(*)), 6) AS ub
+    FROM hm GROUP BY user_id
+"""
+
+
+@register("e_ab_foldin_bias_hash", _AB_FOLDIN_SQL)
+def e_ab_foldin_bias_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11/A-B step 4, oracle-backed: every simulated user's fold-in
+    bias λ·Σ(r−b_n)/(α+λ·|hist|) (functions.py:527-548) over the md5
+    histories and the arm-dependent item-bias table — the deterministic
+    half of e_ab_simulation's fold-in, value-hashed cross-engine (only
+    the k×k ridge solves stay rows-only). The item biases replicate
+    e_ab_simulation's catalog arithmetic exactly; the embeddings join
+    there never filters (vec_id covers 0..EMB_MOD−1 at every SF), so
+    this twin's catalog membership — the rarely-rated cut — is the
+    same set. Scale shape: one genre equi-join, one per-user window
+    over history-bounded candidates, one aggregation; the 6dp round on
+    the order-dependent double sum is the house parity rule."""
+    from recommender_systems_spark.queries.genre import _parts_with_genres
+
+    parts_g = _parts_with_genres(spark, sf_dir)
+    users = _ab_sim_users(spark).localCheckpoint()
+    hist = _ab_hist(users, parts_g)
+    raters = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("item"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= _AB_MIN_RATERS)
+        .select("item")
+    )
+    cat = parts_g.select(F.col("p_partkey").alias("item")).join(
+        raters, "item"
+    ).select(
+        "item",
+        (F.pmod(F.col("item") * 29, F.lit(11)) * 0.04 - 0.2).alias("ba"),
+        (F.pmod(F.col("item") * 31, F.lit(13)) * 0.03 - 0.18).alias("bb"),
+    )
+    hm = (
+        hist.join(F.broadcast(users.select("user_id", "grp")), "user_id")
+        .join(F.broadcast(cat), "item")
+        .select(
+            "user_id",
+            "r",
+            F.when(F.col("grp") == "A", F.col("ba"))
+            .otherwise(F.col("bb"))
+            .alias("bn"),
+        )
+    )
+    return hm.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hist"),
+        F.round(
+            F.lit(_AB_LMD)
+            * F.sum(F.col("r") - F.col("bn"))
+            / (F.lit(_AB_ALPHA) + F.lit(_AB_LMD) * F.count(F.lit(1))),
+            6,
+        ).alias("ub"),
+    )
+
 
 def _ab_topn_blocked(
     users_grp: DataFrame,
@@ -373,34 +597,22 @@ def e_ab_simulation(
     (ab_test.py:73-86 .npy files) are deterministic constructions over
     the embeddings table — arm A and arm B differ in factor lookup and
     bias formula, like the reference's 25-iter vs 30-iter+genre
-    checkpoints. Rows-only: seeded simulation + Cholesky solves are not
-    SQL-expressible."""
+    checkpoints. Rows-only: the per-user Cholesky ridge solves are not
+    SQL-expressible — but the population and fold-in-bias sub-frames
+    ARE value-hashed via the e_ab_arm_sizes_hash /
+    e_ab_foldin_bias_hash twins (md5-uniform simulation)."""
     import numpy as np
     import pandas as pd
 
-    from recommender_systems_spark.queries.genre import GENRE_WORDS, _parts_with_genres
+    from recommender_systems_spark.queries.genre import _parts_with_genres
     from recommender_systems_spark.queries.ml import ALPHA, EMB_MOD, LMD, TAU
 
-    K, N_USERS, N_REC, MIN_RATERS, BIAS_W = 8, 200, 20, 2, 0.05
-    G = len(GENRE_WORDS)
+    K, N_REC, MIN_RATERS, BIAS_W = 8, 20, _AB_MIN_RATERS, 0.05
 
-    # --- simulate users (ab_test.py:87-97: genre pair, history size,
-    # Bernoulli arm) ---------------------------------------------------
-    users = (
-        spark.range(N_USERS)
-        .select(
-            F.col("id").alias("user_id"),
-            F.floor(F.rand(21) * G).cast("int").alias("g1"),
-            F.floor(F.rand(22) * (G - 1)).cast("int").alias("__o"),
-            (F.floor(F.rand(24) * 6) + 5).cast("int").alias("n_history"),
-            F.when(F.rand(23) < 0.5, F.lit("A")).otherwise(F.lit("B")).alias("grp"),
-        )
-        .withColumn(  # distinct second genre
-            "g2", F.pmod(F.col("g1") + 1 + F.col("__o"), F.lit(G)).cast("int")
-        )
-        .drop("__o")
-        .localCheckpoint()
-    )
+    # --- simulate users (ab_test.py:87-97) on md5 uniforms — shared
+    # with the oracle-backed e_ab_arm_sizes_hash / e_ab_foldin_bias_hash
+    # twins, which value-check this run's deterministic sub-frames ------
+    users = _ab_sim_users(spark).localCheckpoint()
     # P8 two-arm guard (ab_test.py:240-246) before any serving work.
     arms = sorted(r["grp"] for r in users.select("grp").distinct().collect())
     if arms != ["A", "B"]:
@@ -442,30 +654,7 @@ def e_ab_simulation(
 
     # --- all histories from ONE genre-keyed join (simulate_user's
     # genre-constrained draw, made deterministic via md5 order) ---------
-    ug = users.select(
-        "user_id", "n_history", F.explode(F.array("g1", "g2")).alias("g")
-    )
-    pg = parts_g.select(
-        F.col("p_partkey").alias("item"), F.explode("genre_values").alias("g")
-    )
-    h_col = F.conv(
-        F.substring(F.md5(F.concat_ws("_", "user_id", "item")), 1, 8), 16, 10
-    ).cast("long")
-    hist = (
-        ug.join(pg, "g")
-        .select("user_id", "n_history", "item")
-        .distinct()
-        .withColumn("__h", h_col)
-        .withColumn(
-            "__rk",
-            F.row_number().over(
-                Window.partitionBy("user_id").orderBy("__h", "item")
-            ),
-        )
-        .filter(F.col("__rk") <= F.col("n_history"))
-        .withColumn("r", F.pmod(F.col("__h"), F.lit(9)) * 0.5 + 1.0)
-        .select("user_id", "item", "r")
-    )
+    hist = _ab_hist(users, parts_g)
 
     # --- fold-in: M11 bias for every user in one aggregation, M12 ridge
     # solve for every user in one applyInPandas pass --------------------

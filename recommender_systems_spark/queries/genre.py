@@ -22,34 +22,24 @@ from recommender_systems_spark.registry import _t, register
 
 # The name→id dict (reference incl_genre.py:25-46 hardcodes the 20
 # MovieLens genres the same way). Sorted ⇒ ids are rank-stable.
-GENRE_WORDS = [
-    "anvil", "blue", "bolt", "cold", "gear", "gizmo", "hot", "large",
-    "new", "old", "plate", "red", "ring", "rod", "small", "widget",
-]
-GENRE_IDS = {w: i for i, w in enumerate(GENRE_WORDS)}
+# Single source of truth lives in queries._shared (dependency-free) so
+# sibling oracles (abtest) can embed the same fragment without a
+# module-level cross-import; re-exported here as the public home.
+from recommender_systems_spark.queries._shared import (  # noqa: F401
+    GENRE_CTE as _SHARED_GENRE_CTE,
+    GENRE_IDS,
+    GENRE_WORDS,
+)
 
 TAU, BETA = 0.01, 0.01  # incl_genre.py regularisers
 EMB_MOD = 500
 EMB_DIM = 64
 
-_MAP_CASE = "CASE x " + " ".join(
-    f"WHEN '{w}' THEN {i}" for w, i in GENRE_IDS.items()
-) + " END"
 _REV_CASE = "CASE genre_id " + " ".join(
     f"WHEN {i} THEN '{w}'" for w, i in GENRE_IDS.items()
 ) + " END"
 
-_GENRE_CTE = f"""
-    m AS (
-        SELECT p_partkey,
-               list_transform(string_split(p_name, ' '), x -> {_MAP_CASE})
-                   AS genre_values,
-               CAST(len(string_split(p_name, ' ')) AS INT) AS genre_count
-        FROM part
-    ),
-    x AS (SELECT p_partkey, genre_count, unnest(genre_values) AS genre_id
-          FROM m)
-"""
+_GENRE_CTE = _SHARED_GENRE_CTE
 
 
 def _genre_map_col() -> F.Column:

@@ -202,22 +202,17 @@ def m_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash, exactly representable; +1 keeps log() off u=0.
 # ---------------------------------------------------------------------------
 
-_HEX13 = 16 ** 13
+from recommender_systems_spark.queries._shared import (
+    HEX13 as _HEX13,
+    u01_col,
+    u01_sql,
+)
 
 
-def _u01(col: F.Column, salt: str) -> F.Column:
-    return (
-        F.conv(F.substring(F.md5(F.concat_ws("_", col, F.lit(salt))), 1, 13), 16, 10)
-        .cast("double")
-        + 1.0
-    ) / float(_HEX13 + 1)
-
-
-def _u01_sql(expr: str, salt: str) -> str:
-    return (
-        f"(CAST('0x' || substring(md5(CAST({expr} AS VARCHAR) || '_{salt}'), 1, 13)"
-        f" AS BIGINT) + 1.0) / {float(_HEX13 + 1)!r}"
-    )
+# _u01/_u01_sql moved to queries._shared (u01_col/u01_sql) so abtest
+# oracles can embed them; aliased here for existing importers.
+_u01 = u01_col
+_u01_sql = u01_sql
 
 
 @register(

@@ -352,6 +352,7 @@ def train_bpr(
     eval_k: int | None = None,
     eval_every_epoch: bool = True,
     eval_user_mod: int | None = None,
+    eval_user_count: int | None = None,
     catalog_broadcast_threshold: int = 1_000_000,
     eval_block_size: int = 200_000,
     sync_every: int = 1,
@@ -540,14 +541,21 @@ def train_bpr(
         )
         epoch += n_local
         if eval_k and (eval_every_epoch or epoch >= epochs):
-            # The E1 eval is a |U|×|I| scoring product; ``eval_user_mod``
-            # restricts it to a deterministic user sample (id % mod == 0)
-            # — standard practice when the full sweep is the cost driver.
-            eval_users = (
-                u_f.filter(F.col("id") % eval_user_mod == 0)
-                if eval_user_mod
-                else u_f
-            )
+            # The E1 eval is a |U|×|I| scoring product, so the user
+            # sample is the scale control. ``eval_user_count`` takes a
+            # FIXED-COUNT md5-ordered sample (eval cost N×|I| — linear
+            # in the catalog at any user count); ``eval_user_mod`` keeps
+            # the legacy fraction (U/mod users — eval work grows
+            # quadratically under joint user+catalog scale-up, measured
+            # 14.9x at a 10x tiling; prefer the count form).
+            if eval_user_count:
+                eval_users = u_f.orderBy(
+                    F.md5(F.col("id").cast("string")), "id"
+                ).limit(eval_user_count)
+            elif eval_user_mod:
+                eval_users = u_f.filter(F.col("id") % eval_user_mod == 0)
+            else:
+                eval_users = u_f
             metrics.append(
                 precision_recall_at_k(
                     pos, eval_users, v_f, eval_k, rank=rank, n_blocks=eval_blocks

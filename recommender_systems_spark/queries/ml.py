@@ -436,7 +436,7 @@ def m_bpr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = train_bpr(
         pos, "u", "i", rank=8, epochs=2, seed=42, genres=genres, eval_k=20,
         eval_every_epoch=False,  # final eval only — per-epoch curves in tests
-        eval_user_mod=5,  # deterministic 20% user sample for the E1 sweep
+        eval_user_count=200,  # FIXED-COUNT user sample: eval stays N x |catalog| at any scale
         sync_every=2,  # one sgd invocation + one V sync for the 2 epochs
     )
     p, r = model.metrics_history[-1]

@@ -149,3 +149,25 @@ def test_precision_recall_blocked_matches(spark):
     wide = precision_recall_at_k(pos, u0, v0, [5, 10, 20])
     blocked = precision_recall_at_k(pos, u0, v0, [5, 10, 20], n_blocks=4)
     assert wide == blocked
+
+
+def test_eval_user_count_fixed_sample_mode_invariant(spark):
+    """The fixed-COUNT E1 eval sample (md5-ordered top-N users — the
+    scale-safe replacement for the fraction-based eval_user_mod) must
+    pick the identical user set in the broadcast and blocked catalog
+    modes: identical metrics histories, and factors stay bit-identical
+    as before."""
+    from recommender_systems_spark.ml.bpr import train_bpr
+
+    pos = _positives(spark).localCheckpoint()
+    kwargs = dict(rank=8, epochs=1, seed=11, eval_k=10, eval_user_count=20)
+    wide = train_bpr(pos, "u", "i", **kwargs)
+    blocked = train_bpr(
+        pos, "u", "i", catalog_broadcast_threshold=0, eval_block_size=50,
+        **kwargs,
+    )
+    assert wide.metrics_history == blocked.metrics_history
+    assert len(wide.metrics_history) == 1
+    a = {r["id"]: list(r["features"]) for r in wide.user_factors.collect()}
+    b = {r["id"]: list(r["features"]) for r in blocked.user_factors.collect()}
+    assert a == b

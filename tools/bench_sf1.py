@@ -19,6 +19,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from recommender_systems_spark import registry
 from recommender_systems_spark.session import get_spark
 

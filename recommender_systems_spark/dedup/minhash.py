@@ -350,20 +350,68 @@ def _np_shingle_hashes(text: str, n: int):
     else:
         sh = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
     dsh = list(dict.fromkeys(sh))
-    lens = np.array([len(s) for s in dsh], dtype=np.int64)
-    lmax = int(lens.max()) if len(dsh) else 0
-    mat = np.zeros((len(dsh), lmax), dtype=np.int64)
-    for i, s in enumerate(dsh):
+    return dsh, _np_hash_strings(dsh)
+
+
+def _np_hash_strings(strs: list) -> "np.ndarray":
+    """Vectorised base-31 rolling hashes of a list of ASCII strings.
+
+    Step-wise Horner with mod per character — the exact fold both the
+    HOF and the oracle run (vectorised across strings, looped over the
+    ≤ max-length character positions)."""
+    import numpy as np
+
+    lens = np.array([len(s) for s in strs], dtype=np.int64)
+    lmax = int(lens.max()) if len(strs) else 0
+    mat = np.zeros((len(strs), lmax), dtype=np.int64)
+    for i, s in enumerate(strs):
         b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
         mat[i, : len(b)] = b
-    # Step-wise Horner with mod per character — the exact fold both the
-    # HOF and the oracle run (vectorised across shingles, looped over
-    # the ≤ max-shingle-length character positions).
-    acc = np.zeros(len(dsh), dtype=np.int64)
+    acc = np.zeros(len(strs), dtype=np.int64)
     for j in range(lmax):
         live = j < lens
         acc = np.where(live, (acc * 31 + mat[:, j]) % FINGERPRINT_MOD, acc)
-    return dsh, acc
+    return acc
+
+
+def winnow_fingerprints_pandas(col: Column, n: int, w: int) -> Column:
+    """Arrow-vectorised winnowing fingerprints (Schleimer, Wilkerson &
+    Aiken 2003, the MOSS local document fingerprinting): positional
+    word-n-shingle rolling hashes (WITH multiplicity — winnowing is a
+    positional scheme, unlike the MinHash set kernels), then the min of
+    every length-``w`` window of consecutive hashes, distinct values.
+    Guarantees every run of w consecutive shingles contributes a
+    fingerprint while keeping the stored set ~2/(w+1) of the hashes —
+    the density/recall trade every plagiarism & contamination detector
+    built on MOSS relies on. Oracle twin: the same window-min over
+    ``sql_shingle_hashes`` WITHOUT list_distinct (positional), see
+    queries.neardup."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    def one(t: str) -> list:
+        import re
+
+        toks = re.findall(r"[a-z0-9]+", t.lower())
+        if len(toks) <= n - 1:
+            sh = [" ".join(toks)]
+        else:
+            sh = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        hs = _np_hash_strings(sh)
+        m = len(hs)
+        if m == 0:
+            return []
+        wlen = min(w, m)
+        k = m - wlen + 1  # number of windows
+        stack = np.stack([hs[j : j + k] for j in range(wlen)])
+        return np.unique(stack.min(axis=0)).tolist()
+
+    @pandas_udf("array<long>")
+    def _wf(texts):
+        return texts.map(one)
+
+    return _wf(col)
 
 
 def minhash_struct_pandas(

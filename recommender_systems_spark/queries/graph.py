@@ -83,10 +83,9 @@ _PR_SQL = (
 )
 
 
-def _cooc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The capped-history item co-occurrence pair list (ia < ib,
-    support ≥ CF_MIN_COOC) — the shared edge build behind
-    m_item_item_cooc, g_pagerank, and g_triangles."""
+def _capped_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user capped (uid, iid) interaction list — the bipartite
+    graph behind the co-occurrence build and g_hits_scores."""
     from pyspark.sql import Window
 
     hist = (
@@ -97,11 +96,18 @@ def _cooc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("l_quantity").cast("double")).alias("w"))
     )
     wcap = Window.partitionBy("uid").orderBy(F.col("w").desc(), F.col("iid"))
-    capped = (
+    return (
         hist.withColumn("rn", F.row_number().over(wcap))
         .filter(F.col("rn") <= _CF_CAP)
         .select("uid", "iid")
     )
+
+
+def _cooc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capped-history item co-occurrence pair list (ia < ib,
+    support ≥ CF_MIN_COOC) — the shared edge build behind
+    m_item_item_cooc, g_pagerank, and g_triangles."""
+    capped = _capped_history(spark, sf_dir)
     return (
         capped.alias("a")
         .join(
@@ -1181,4 +1187,90 @@ def g_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c3").cast("long").alias("reach_3"),
         sixths.cast("long").alias("harmonic_sixths"),
         F.round(sixths / 6.0, 4).alias("harmonic"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities on the bipartite interaction graph
+# ---------------------------------------------------------------------------
+
+_HITS_SQL = f"""
+    WITH hist AS (
+        SELECT l_suppkey AS uid, l_partkey AS iid,
+               SUM(CAST(l_quantity AS DOUBLE)) AS w
+        FROM lineitem GROUP BY 1, 2
+    ),
+    capped AS (
+        SELECT uid, iid FROM (
+            SELECT uid, iid,
+                   row_number() OVER (PARTITION BY uid
+                                      ORDER BY w DESC, iid) AS rn
+            FROM hist)
+        WHERE rn <= {_CF_CAP}
+    ),
+    h1 AS (SELECT uid, CAST(count(*) AS BIGINT) AS h FROM capped GROUP BY uid),
+    a1 AS (SELECT c.iid, CAST(SUM(h1.h) AS BIGINT) AS a
+           FROM capped c JOIN h1 USING (uid) GROUP BY c.iid),
+    h2 AS (SELECT c.uid, CAST(SUM(a1.a) AS BIGINT) AS h
+           FROM capped c JOIN a1 USING (iid) GROUP BY c.uid),
+    a2 AS (SELECT c.iid, CAST(SUM(h2.h) AS BIGINT) AS a
+           FROM capped c JOIN h2 USING (uid) GROUP BY c.iid),
+    deg AS (SELECT iid, CAST(count(*) AS BIGINT) AS nr FROM capped GROUP BY iid)
+    SELECT a2.iid AS item, deg.nr AS n_raters,
+           a1.a AS auth_1, a2.a AS auth_2
+    FROM a2 JOIN a1 ON a1.iid = a2.iid JOIN deg ON deg.iid = a2.iid
+    ORDER BY a2.a DESC, a2.iid
+    LIMIT 100
+"""
+
+
+@register("g_hits_scores", _HITS_SQL)
+def g_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) run directly on the
+    BIPARTITE user→item interaction graph — two mutual-reinforcement
+    sweeps: hub(u) = Σ auth(i) over u's items, auth(i) = Σ hub(u) over
+    i's raters. Complements g_pagerank (flow importance on the derived
+    item-item graph): authority rewards items endorsed by BROAD hubs,
+    the classic curation signal for seed-quality ranking. Top-100
+    items by second-sweep authority.
+
+    Parity/scale design: the two sweeps run UNNORMALISED from
+    auth₀ = 1, so every score is an exact INTEGER (hub₁ = capped
+    degree, auth₁ = Σ degrees, ...) — the t_surprisal integer
+    convention applied to power iteration, no cross-engine float sums
+    at all (a₂ ≤ U²·cap³ stays far inside int64 at any realistic
+    scale; the usual L2 normalisation is a monotone per-sweep rescale,
+    so rankings are identical). Each sweep is one equi-join + one hash
+    aggregation on the capped bipartite list — per-user caps bound the
+    fan-out exactly like the co-occurrence build; final ranking is
+    TakeOrderedAndProject."""
+    capped = _capped_history(spark, sf_dir).localCheckpoint()
+    h1 = capped.groupBy("uid").agg(F.count(F.lit(1)).alias("h"))
+    a1 = (
+        capped.join(h1, "uid")
+        .groupBy("iid")
+        .agg(F.sum("h").cast("long").alias("a1"))
+    )
+    h2 = (
+        capped.join(a1, "iid")
+        .groupBy("uid")
+        .agg(F.sum("a1").cast("long").alias("h"))
+    )
+    a2 = (
+        capped.join(h2, "uid")
+        .groupBy("iid")
+        .agg(F.sum("h").cast("long").alias("a2"))
+    )
+    deg = capped.groupBy("iid").agg(F.count(F.lit(1)).cast("long").alias("nr"))
+    return (
+        a2.join(a1, "iid")
+        .join(deg, "iid")
+        .select(
+            F.col("iid").alias("item"),
+            F.col("nr").alias("n_raters"),
+            F.col("a1").alias("auth_1"),
+            F.col("a2").alias("auth_2"),
+        )
+        .orderBy(F.col("auth_2").desc(), "item")
+        .limit(100)
     )

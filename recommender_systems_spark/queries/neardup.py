@@ -559,3 +559,126 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sims.groupBy(
         (F.floor(F.col("cos") * 10) / 10).cast("double").alias("threshold_bin")
     ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprint overlap (MOSS local fingerprinting)
+# ---------------------------------------------------------------------------
+
+WINNOW_W = 5       # window width: density ~2/(w+1), guarantee length w
+WINNOW_FP_CAP = 64  # boilerplate cap: fingerprints in more docs don't pair
+WINNOW_TOPK = 100
+
+_WINNOW_SQL = f"""
+    WITH hs AS (
+        SELECT doc_id,
+               {sql_shingle_hashes(sql_shingles('t', SPAN_N))} AS h
+        FROM (SELECT doc_id, {sql_tokens('text')} AS t FROM documents)
+    ),
+    fp AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(h) - {WINNOW_W - 1}, 1) + 1),
+                   j -> list_min(h[j:j+{WINNOW_W - 1}]))) AS fps
+        FROM hs
+    ),
+    e AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+    freq AS (SELECT f FROM e GROUP BY f
+             HAVING count(*) >= 2 AND count(*) <= {WINNOW_FP_CAP}),
+    shared AS (SELECT e.doc_id, e.f FROM e JOIN freq USING (f)),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS shared_fps
+        FROM shared a JOIN shared b
+          ON a.f = b.f AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, CAST(len(fps) AS BIGINT) AS nf FROM fp)
+    SELECT p.doc_a, p.doc_b, p.shared_fps,
+           round(CAST(p.shared_fps AS DOUBLE) / least(sa.nf, sb.nf), 5)
+               AS overlap
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    ORDER BY p.shared_fps DESC, p.doc_a, p.doc_b
+    LIMIT {WINNOW_TOPK}
+"""
+
+
+@register("t_winnowing", _WINNOW_SQL)
+def t_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint overlap (Schleimer-Wilkerson-Aiken 2003 —
+    the MOSS plagiarism/contamination detector): each document keeps
+    the DISTINCT minima of every {WINNOW_W}-window of consecutive
+    word-{SPAN_N}-gram rolling hashes (~2/(w+1) of positions, with the
+    guarantee that any shared run of w consecutive grams produces a
+    shared fingerprint), then document pairs are ranked by shared
+    fingerprint count with the overlap coefficient against the smaller
+    set. Positional scheme — the complement to MinHash (random
+    signature, whole-doc similarity) and dedup_spans (ALL grams,
+    per-doc counts): winnowing finds LOCAL copied passages at a
+    sublinear stored-fingerprint budget.
+
+    Scale shape: one Arrow kernel pass computes the fingerprint set
+    per doc (checkpointed — two consumers: sizes + explode); pairs
+    come from an equi-join on fingerprint value with boilerplate caps
+    (a fingerprint in > {WINNOW_FP_CAP} docs — a license header —
+    never pairs), so candidate work is Σ c_f² over capped frequencies,
+    not N². Final ranking is TakeOrderedAndProject with a total
+    tie-break."""
+    from recommender_systems_spark.dedup.minhash import (
+        winnow_fingerprints_pandas,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            winnow_fingerprints_pandas(
+                F.col("text"), SPAN_N, WINNOW_W
+            ).alias("fps"),
+        )
+        .localCheckpoint()
+    )
+    e = docs.select("doc_id", F.explode("fps").alias("f"))
+    freq = (
+        e.groupBy("f")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter((F.col("c") >= 2) & (F.col("c") <= WINNOW_FP_CAP))
+        .select("f")
+    )
+    shared = e.join(freq, "f")
+    pairs = (
+        shared.alias("a")
+        .join(
+            shared.alias("b"),
+            (F.col("a.f") == F.col("b.f"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+    )
+    sizes = docs.select("doc_id", F.size("fps").cast("long").alias("nf"))
+    return (
+        pairs.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("nf").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("nf").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_fps",
+            F.round(
+                F.col("shared_fps").cast("double") / F.least("na", "nb"), 5
+            ).alias("overlap"),
+        )
+        .orderBy(F.col("shared_fps").desc(), "doc_a", "doc_b")
+        .limit(WINNOW_TOPK)
+    )

@@ -1792,3 +1792,89 @@ def s_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("ae") / F.count(F.lit(1)), 4).alias("mae"),
         F.round(F.sum("sm") / F.count("sm"), 4).alias("smape"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-moments certification (parallel variance via Chan merge)
+# ---------------------------------------------------------------------------
+
+_VAR_BUCKETS = 32
+
+_VAR_SQL = f"""
+    WITH part AS (
+        SELECT event_type, user_id % {_VAR_BUCKETS} AS b,
+               CAST(count(*) AS BIGINT) AS nb,
+               avg(value) AS mb,
+               coalesce(var_samp(value) * (count(*) - 1), 0.0) AS m2b
+        FROM events GROUP BY 1, 2
+    ),
+    merged AS (
+        SELECT event_type,
+               SUM(nb) AS n,
+               SUM(nb * mb) / SUM(nb) AS mean,
+               SUM(m2b) + SUM(nb * mb * mb)
+                 - SUM(nb) * (SUM(nb * mb) / SUM(nb))
+                          * (SUM(nb * mb) / SUM(nb)) AS m2
+        FROM part GROUP BY event_type
+    ),
+    direct AS (
+        SELECT event_type, var_samp(value) AS v FROM events GROUP BY 1
+    )
+    SELECT m.event_type,
+           CAST(m.n AS BIGINT) AS n,
+           round(m.m2 / (m.n - 1), 6) AS var_merged,
+           round(d.v, 6) AS var_direct,
+           CAST(abs(round(m.m2 / (m.n - 1), 6) - round(d.v, 6)) <= 1e-6
+                AS INT) AS certified
+    FROM merged m JOIN direct d USING (event_type)
+"""
+
+
+@register("s_incremental_variance", _VAR_SQL)
+def s_incremental_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-moments certification: per-bucket (n, mean, M2)
+    variance partials merged with Chan et al.'s parallel formula
+    (M2 = ΣM2_b + Σn_b·mean_b² − N·mean²) must equal the direct
+    single-pass var_samp — the invariant that lets a 100-TB pipeline
+    maintain per-shard moment sketches (one tiny row per shard) and
+    combine them at read time instead of rescanning history. The
+    count/sum cousin is s_incremental_agg; second moments are where
+    naive merging actually breaks (mean shifts between shards), so
+    this is the certification worth running.
+
+    Scale shape: one hash aggregation to {_VAR_BUCKETS} buckets per
+    type (map-side partials), one bucket-dimension-sized merge, one
+    direct aggregate for the check — no window, no driver math.
+    Parity: both sides round to 6dp before the certified comparison
+    (bucket-merge double sums are order-dependent across engines)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.pmod(F.col("user_id"), F.lit(_VAR_BUCKETS)).alias("b"),
+        "value",
+    )
+    part = ev.groupBy("event_type", "b").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.avg("value").alias("mb"),
+        F.coalesce(
+            F.var_samp("value") * (F.count(F.lit(1)) - 1), F.lit(0.0)
+        ).alias("m2b"),
+    )
+    sn = F.sum("nb")
+    smean = F.sum(F.col("nb") * F.col("mb")) / sn
+    merged = part.groupBy("event_type").agg(
+        sn.alias("n"),
+        (
+            F.sum("m2b")
+            + F.sum(F.col("nb") * F.col("mb") * F.col("mb"))
+            - sn * smean * smean
+        ).alias("m2"),
+    )
+    direct = ev.groupBy("event_type").agg(F.var_samp("value").alias("v"))
+    vm = F.round(F.col("m2") / (F.col("n") - 1), 6)
+    vd = F.round(F.col("v"), 6)
+    return merged.join(direct, "event_type").select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        vm.alias("var_merged"),
+        vd.alias("var_direct"),
+        (F.abs(vm - vd) <= 1e-6).cast("int").alias("certified"),
+    )

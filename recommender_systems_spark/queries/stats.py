@@ -2395,3 +2395,84 @@ def e_meta_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_stat",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded exponentially-weighted rolling mean (EWMA-16) per user
+# ---------------------------------------------------------------------------
+
+EWMA_DEPTH = 16
+# Exact binary weights 0.5^k, k = 0..15 (most-recent first): every
+# value is exactly representable, so the literal arrays embedded in
+# both engines are bit-identical — no cross-engine pow() in the loop.
+EWMA_WEIGHTS = [0.5**k for k in range(EWMA_DEPTH)]
+
+_EWMA_W_SQL = "[" + ", ".join(repr(w) for w in EWMA_WEIGHTS) + "]"
+
+_EWMA_SQL = f"""
+    WITH l AS (
+        SELECT event_id, user_id,
+               list(value) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN {EWMA_DEPTH - 1} PRECEDING
+                                          AND CURRENT ROW) AS vs
+        FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(len(vs) AS INT) AS n_window,
+           round(
+             list_sum(list_transform(range(1, len(vs) + 1),
+                 i -> vs[i] * ({_EWMA_W_SQL})[len(vs) - i + 1]))
+             / list_sum(list_transform(range(1, len(vs) + 1),
+                 i -> ({_EWMA_W_SQL})[len(vs) - i + 1])),
+             6) AS ewma
+    FROM l
+"""
+
+
+@register("w_ewma", _EWMA_SQL)
+def w_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded exponentially-weighted rolling mean per user: at every
+    event, the last-{EWMA_DEPTH}-events weighted mean with weight
+    0.5^age (normalised over the actual frame) — the recency-decayed
+    velocity feature (spend trend, engagement momentum) that feature
+    stores serve next to the unweighted w_trailing_24h frame. The
+    finite frame makes the classic infinite-history EWMA recursion
+    shuffle-free AND numerically bounded: (1-α)^-j rescaling tricks
+    overflow on long histories; a 16-deep frame never does.
+
+    Scale shape: ONE user-keyed exchange; collect_list over a ROWS
+    frame is maintained incrementally per partition (16-element cap =
+    O(1) state per row); the weighted fold is a 16-term in-row array
+    aggregate inside codegen. Parity: both engines fold i = 1..n in
+    list order with the identical literal weight array, so the only
+    rounding is the final 6dp."""
+    ev = _t(spark, sf_dir, "events")
+    warr = F.array(*[F.lit(w) for w in EWMA_WEIGHTS])
+    fw = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_DEPTH - 1), 0)
+    )
+    vs = F.collect_list("value").over(fw)
+    n = F.size(F.col("vs"))
+    num = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(F.col("vs"), i) * F.element_at(warr, n - i + 1),
+    )
+    den = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0.0),
+        lambda acc, i: acc + F.element_at(warr, n - i + 1),
+    )
+    return (
+        ev.select("event_id", "user_id", vs.alias("vs"))
+        .select(
+            "event_id",
+            "user_id",
+            n.cast("int").alias("n_window"),
+            F.round(num / den, 6).alias("ewma"),
+        )
+    )

@@ -586,3 +586,45 @@ def test_bh_fdr_windows_after_aggregation_single_scan(spark):
     assert last_window < first_agg, (
         "a Window node plans below the aggregation (raw-data window)"
     )
+
+
+# --- round 8: new-query plan shapes -----------------------------------------
+
+
+_NO_CARTESIAN_R8 = [
+    "w_ewma",
+    "s_incremental_variance",
+    "g_hits_scores",
+    "e_ab_arm_sizes_hash",
+    "e_ab_foldin_bias_hash",
+]
+
+
+@pytest.mark.parametrize("name", _NO_CARTESIAN_R8)
+def test_no_cartesian_product_r8(spark, name):
+    assert _count(_plan(spark, name), r"CartesianProduct") == 0, name
+
+
+def test_hits_topk_take_ordered(spark):
+    """The authority ranking must plan TakeOrderedAndProject, not a
+    global-rank window over the item dimension."""
+    p = _plan(spark, "g_hits_scores")
+    assert _count(p, r"TakeOrderedAndProject") >= 1
+
+
+def test_winnowing_pairs_from_equi_join(spark):
+    """Winnowing candidate pairs must come from the fingerprint
+    equi-join (hash or sort-merge), never a nested loop over docs; the
+    kernel runs once pre-checkpoint so the final plan has no Python
+    eval and no parquet re-scan."""
+    p = _plan(spark, "t_winnowing")
+    assert _count(p, r"CartesianProduct") == 0
+    assert _count(p, r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas") == 0
+    assert _count(p, r"Scan parquet") == 0
+
+
+def test_ewma_single_window_node(spark):
+    """One user-keyed window carries the 16-row frame; the weighted
+    fold is in-row array arithmetic (no second exchange)."""
+    p = _plan(spark, "w_ewma")
+    assert _count(p, r"\bWindow \[") == 1

@@ -2336,3 +2336,134 @@ def t_hapax_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_token_ratio"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-rule training (the iterative tokenizer-training loop)
+# ---------------------------------------------------------------------------
+
+BPE_ROUNDS = 6
+
+
+def _bpe_round_sql(k: int) -> str:
+    prev = f"words_r{k - 1}"
+    return f"""
+    pairs_r{k} AS (
+        SELECT t[i] AS l, t[i + 1] AS r, SUM(cnt) AS c
+        FROM (SELECT cnt, string_split(s, '|') AS t,
+                     unnest(range(1, len(string_split(s, '|')))) AS i
+              FROM {prev})
+        GROUP BY 1, 2
+    ),
+    top_r{k} AS (
+        SELECT l, r, l || r AS m, c FROM pairs_r{k}
+        ORDER BY c DESC, l, r LIMIT 1
+    ),
+    words_r{k} AS (
+        SELECT cnt,
+               substr(list_reduce(list_prepend('', string_split(p.s, '|')),
+                   (acc, x) -> CASE
+                       WHEN string_split(acc, '|')[len(string_split(acc, '|'))]
+                                = tp.l
+                            AND x = tp.r
+                       THEN substr(acc, 1, length(acc) - length(tp.l) - 1)
+                            || '|' || tp.m
+                       ELSE acc || '|' || x END), 2) AS s
+        FROM {prev} p, top_r{k} tp
+    )"""
+
+
+_BPE_SQL = (
+    """
+    WITH wf AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+              FROM documents)
+        GROUP BY w
+    ),
+    words_r0 AS (
+        SELECT cnt, array_to_string(regexp_split_to_array(w, ''), '|') AS s
+        FROM wf
+    ),"""
+    + ",".join(_bpe_round_sql(k) for k in range(1, BPE_ROUNDS + 1))
+    + "\n    "
+    + "\n    UNION ALL ".join(
+        f"SELECT {k} AS round, l AS left_sym, r AS right_sym, m AS merged,"
+        f" CAST(c AS BIGINT) AS pair_count FROM top_r{k}"
+        for k in range(1, BPE_ROUNDS + 1)
+    )
+)
+
+
+@register("t_bpe_train", _BPE_SQL)
+def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-rule TRAINING — the iterative tokenizer-training loop
+    itself ({BPE_ROUNDS} greedy merges), not just one pair count
+    (t_bpe_pairs is the single-round profile): per round, count
+    adjacent symbol pairs weighted by word frequency, adopt the most
+    frequent pair (total tie-break: count desc, then lexicographic) as
+    a merge rule, and re-segment. Returns the learned merge table —
+    the artifact a tokenizer ships.
+
+    Spark-first shape (and why it scales): the corpus is scanned ONCE
+    into the word-frequency table (the classic BPE-trainer move — at
+    100 TB the corpus scan is the entire cost), and all training
+    rounds run on the VOCABULARY-sized frame, each round one explode +
+    hash aggregation + a 1-row top + an in-row fold applying the merge
+    greedily left-to-right. Both engines apply the merge with the
+    identical string fold (overlap-safe: 'abab' under (a,b) → ab|ab),
+    so the pair counts stay exact integers end-to-end — no floats
+    anywhere in the loop."""
+    from recommender_systems_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    words = wf.select(
+        "cnt", F.concat_ws("|", F.split("w", "")).alias("s")
+    ).localCheckpoint()
+    rows = []
+    for k in range(1, BPE_ROUNDS + 1):
+        t = F.split(F.col("s"), r"\|")
+        idx = F.when(
+            F.size(t) > 1, F.sequence(F.lit(1), F.size(t) - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = words.select(
+            "cnt",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at(t, i).alias("l"),
+                        F.element_at(t, i + 1).alias("r"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), "l", "r")
+            .limit(1)
+            .collect()[0]
+        )
+        left, right = top["l"], top["r"]
+        merged = left + right
+        rows.append((k, left, right, merged, int(top["c"])))
+        fold = (
+            "substring(aggregate(split(s, '\\\\|'), '', (acc, x) -> "
+            f"CASE WHEN element_at(split(acc, '\\\\|'), -1) = '{left}' "
+            f"AND x = '{right}' "
+            f"THEN concat(substring(acc, 1, length(acc) - {len(left)} - 1), "
+            f"'|', '{merged}') "
+            "ELSE concat(acc, '|', x) END), 2)"
+        )
+        words = words.select("cnt", F.expr(fold).alias("s")).localCheckpoint()
+    return spark.createDataFrame(
+        rows,
+        "round int, left_sym string, right_sym string, merged string,"
+        " pair_count long",
+    )

@@ -2202,3 +2202,57 @@ def test_loo_eval_bounds(spark):
     r = m_loo_eval(spark, SF_MED).collect()[0]
     assert 0 <= r["hits"] <= r["n_users"]
     assert 0.0 <= r["mrr"] <= r["hit_rate"] <= 1.0
+
+
+def test_bpe_train_greedy_invariants(spark):
+    """t_bpe_train: the merge table must satisfy the greedy-BPE
+    invariants — merged = left||right, pair counts non-increasing
+    across rounds (a newly-creatable pair's count is bounded by the
+    count of the pair just merged), all counts positive, and at least
+    one later merge may build on an earlier merged symbol (the loop
+    genuinely re-segments — a single-round pair profile can't produce
+    multi-char constituents)."""
+    from recommender_systems_spark.queries.textops import t_bpe_train
+
+    rows = sorted(
+        t_bpe_train(spark, SF_MED).collect(), key=lambda r: r["round"]
+    )
+    assert [r["round"] for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r["merged"] == r["left_sym"] + r["right_sym"]
+        assert r["pair_count"] > 0
+    counts = [r["pair_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    merged_syms = {r["merged"] for r in rows}
+    assert any(
+        r["left_sym"] in merged_syms or r["right_sym"] in merged_syms
+        for r in rows
+    ), "no merge built on an earlier merge — loop not re-segmenting"
+
+
+def test_winnowing_guarantee_on_shared_run(spark):
+    """Winnowing's core guarantee: two documents sharing a run of
+    w + n - 1 consecutive tokens (w windows of n-gram hashes) share at
+    least one selected fingerprint. Checked directly on the kernel
+    with a constructed pair."""
+    from pyspark.sql import functions as F
+
+    from recommender_systems_spark.dedup.minhash import (
+        winnow_fingerprints_pandas,
+    )
+    from recommender_systems_spark.queries.neardup import SPAN_N, WINNOW_W
+
+    shared = " ".join(f"tok{i}" for i in range(WINNOW_W + SPAN_N - 1))
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " + shared + " delta epsilon"),
+            (2, "zeta eta theta iota " + shared + " kappa"),
+        ],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id",
+        winnow_fingerprints_pandas(F.col("text"), SPAN_N, WINNOW_W).alias("f"),
+    ).collect()
+    sets = {r["doc_id"]: set(r["f"]) for r in out}
+    assert sets[1] & sets[2], "shared w-run produced no shared fingerprint"

@@ -12,13 +12,19 @@ the owning dimension's stride, so each tile is a self-consistent
 shard — per-user history sizes, per-part rater counts, and events/sec
 density scale exactly as the driver's generator does.
 
-Documents get a TILE-DEPENDENT text transform (word rotation + every
-5th word replaced by a tile marker) instead of a verbatim copy: a
-verbatim 10x copy would hand every doc 9 exact/near duplicates, which
-inflates near-dup candidate pairs ~100x instead of 10x and poisons the
-dedup slope. The transform is identical for all docs WITHIN a tile, so
-planted within-tile near-dup pairs keep their similarity, while
-cross-tile shingle overlap drops far below the LSH threshold.
+Documents get a TILE-DEPENDENT vocabulary permutation instead of a
+verbatim copy: a verbatim 10x copy would hand every doc 9 exact/near
+duplicates, which inflates near-dup candidate pairs ~100x instead of
+10x and poisons the dedup slope. The corpus has a CLOSED 31-word
+vocabulary, so tile i remaps every word by a cyclic shift of 7*i
+positions (gcd(7,31)=1: a permutation with NO fixed points for i>0).
+The same bijection applies to every doc within a tile, so planted
+within-tile near-dup pairs keep their exact similarity structure,
+while cross-tile copies share ZERO shingles and a fully remapped word
+bag — both sequence-based (MinHash/winnowing) and bag-based (SimHash)
+sketches see them as unrelated, which an earlier rotation+marker
+transform did not achieve (bag overlap stayed ~80% and SimHash paired
+cross-tile copies ~100x).
 
 Output: $OUT (default /root/repo/.data_cache/sf1/), gitignored.
 Deterministic — no RNG anywhere, pure key arithmetic.
@@ -100,9 +106,7 @@ def main() -> None:
         "embeddings": tiled(
             con, "embeddings", {"vec_id": f"vec_id + {{i}} * {S_VEC}"}
         ),
-        # documents: rotate word order by 7*i and replace every 5th word
-        # with the tile marker — identical transform within a tile, so
-        # within-tile near-dup pairs survive; cross-tile Jaccard dies.
+        # documents: per-tile cyclic vocabulary shift (see module doc).
         "documents": tiled(
             con,
             "documents",
@@ -110,19 +114,22 @@ def main() -> None:
                 "doc_id": f"doc_id + {{i}} * {S_DOC}",
                 "text": (
                     "CASE WHEN {i} = 0 THEN text ELSE array_to_string("
-                    " list_transform(range(len(w)),"
-                    "  r -> CASE WHEN r % 5 = 0 THEN 'tile{i}mark'"
-                    "       ELSE w[1 + ((r + 7 * {i}) % len(w))] END),"
+                    " list_transform(string_split(text, ' '),"
+                    "  x -> CASE WHEN list_position(vlist, x) IS NULL THEN x"
+                    "       ELSE vlist[1 + (list_position(vlist, x) - 1"
+                    "                       + 7 * {i}) % len(vlist)] END),"
                     " ' ') END"
                 ),
             },
         ),
     }
-    # documents needs the split words available as `w`.
+    # documents needs the sorted corpus vocabulary available as `vlist`.
     jobs["documents"] = jobs["documents"].replace(
         f"FROM '{SRC}/documents.parquet'",
-        f"FROM (SELECT *, string_split(text, ' ') AS w"
-        f"      FROM '{SRC}/documents.parquet')",
+        f"FROM (SELECT d.*, v.vlist FROM '{SRC}/documents.parquet' d, "
+        f"(SELECT list_sort(list(DISTINCT w)) AS vlist FROM ("
+        f"SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w "
+        f"FROM '{SRC}/documents.parquet')) v)",
     )
 
     for name, sql in jobs.items():

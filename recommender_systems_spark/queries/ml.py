@@ -1869,16 +1869,15 @@ _CONTENT_SQL = f"""
     WITH p AS (
         SELECT p_partkey AS pk, p_brand AS brand, p_type AS typ,
                split_part(p_type, ' ', 1) AS tw,
-               p_size AS sz, p_retailprice AS pr
+               CAST(floor(p_size / {_CB_SIZE_TOL}) AS BIGINT) AS szb,
+               CAST(floor(p_retailprice / {_CB_PRICE_TOL}) AS BIGINT) AS prb
         FROM part
     ),
     pairs AS (
         SELECT a.pk AS p1, b.pk AS p2,
                (CASE WHEN a.typ = b.typ THEN 2 ELSE 0 END
-                + CASE WHEN abs(a.sz - b.sz) <= {_CB_SIZE_TOL}
-                       THEN 1 ELSE 0 END
-                + CASE WHEN abs(a.pr - b.pr) <= {_CB_PRICE_TOL}
-                       THEN 1 ELSE 0 END) AS sim
+                + CASE WHEN a.szb = b.szb THEN 1 ELSE 0 END
+                + CASE WHEN a.prb = b.prb THEN 1 ELSE 0 END) AS sim
         FROM p a JOIN p b
           ON a.brand = b.brand AND a.tw = b.tw AND a.pk <> b.pk
     ),
@@ -1904,45 +1903,77 @@ def m_content_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     score; candidates with sim < 2 (attribute-noise matches) are
     dropped before ranking.
 
-    Scale shape: the quadratic is BLOCKED on (brand, first type word) —
-    an equi-join, never an all-pairs cross; block sizes are
-    catalog-fraction-bounded, and at larger catalogs the blocking key
-    extends with the size band (the dedup_fuzzy_match multi-key
-    blocking pattern). Per-item ranking partitions by p1 — no global
-    window anywhere."""
+    Scale shape — TUPLE-level candidate enumeration: similarity is a
+    function of the banded attribute tuple (brand, type word, type,
+    size band, price band) alone, and items sharing a tuple are
+    interchangeable as candidates. So pair work runs on the DISTINCT
+    tuple frame (bounded by the attribute space, NOT the catalog —
+    7,132 tuples at both sf0.1 and sf1): tuple pairs equi-join on
+    (brand, type word); per SOURCE tuple, the top-(k+1) candidates by
+    (sim desc, p2) expand from each candidate tuple's k+1
+    SMALLEST-pk members (sufficient for any member's global top-k:
+    within a tuple every member has the same sim to any source, so
+    only the smallest p2s can rank, +1 for self-exclusion); items then
+    join their source tuple's capped candidate list — k+1 rows per
+    item. Any item-level attribute-blocked join is quadratic on a
+    saturated attribute space (the original shape measured 93× at a
+    10× tiling; this one is ~constant pair work + O(N) expansion).
+    Per-item ranking partitions by p1 — no global window anywhere."""
+    attrs = ["brand", "tw", "typ", "szb", "prb"]
     p = _t(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("pk"),
         F.col("p_brand").alias("brand"),
         F.col("p_type").alias("typ"),
         F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("tw"),
-        F.col("p_size").alias("sz"),
-        F.col("p_retailprice").alias("pr"),
+        F.floor(F.col("p_size") / _CB_SIZE_TOL).cast("long").alias("szb"),
+        F.floor(F.col("p_retailprice") / _CB_PRICE_TOL).cast("long").alias("prb"),
+    )  # three consumers re-derive this cheap projection from the scan
+    wm = Window.partitionBy(*attrs).orderBy("pk")
+    mem = (
+        p.withColumn("rm", F.row_number().over(wm))
+        .filter(F.col("rm") <= _CB_TOPK + 1)
+        .select(*attrs, F.col("pk").alias("p2"))
     )
-    a, b = p.alias("a"), p.alias("b")
+    tup = p.select(*attrs).distinct()
+    ta, tb = tup.alias("a"), tup.alias("b")
     sim = (
         F.when(F.col("a.typ") == F.col("b.typ"), 2).otherwise(0)
-        + F.when(
-            F.abs(F.col("a.sz") - F.col("b.sz")) <= _CB_SIZE_TOL, 1
-        ).otherwise(0)
-        + F.when(
-            F.abs(F.col("a.pr") - F.col("b.pr")) <= _CB_PRICE_TOL, 1
-        ).otherwise(0)
+        + F.when(F.col("a.szb") == F.col("b.szb"), 1).otherwise(0)
+        + F.when(F.col("a.prb") == F.col("b.prb"), 1).otherwise(0)
     )
-    pairs = (
-        a.join(
-            b,
+    tpairs = (
+        ta.join(
+            tb,
             (F.col("a.brand") == F.col("b.brand"))
-            & (F.col("a.tw") == F.col("b.tw"))
-            & (F.col("a.pk") != F.col("b.pk")),
+            & (F.col("a.tw") == F.col("b.tw")),
         )
         .select(
-            F.col("a.pk").alias("p1"), F.col("b.pk").alias("p2"), sim.alias("sim")
+            *[F.col(f"a.{c}").alias(c) for c in attrs],
+            *[F.col(f"b.{c}").alias(f"b_{c}") for c in attrs],
+            sim.alias("sim"),
         )
         .filter(F.col("sim") >= 2)
     )
+    cand = tpairs.join(
+        mem.select(
+            *[F.col(c).alias(f"b_{c}") for c in attrs], "p2"
+        ),
+        [f"b_{c}" for c in attrs],
+    ).select(*attrs, "p2", "sim")
+    wt = Window.partitionBy(*attrs).orderBy(F.col("sim").desc(), F.col("p2"))
+    cand6 = (
+        cand.withColumn("rc", F.row_number().over(wt))
+        .filter(F.col("rc") <= _CB_TOPK + 1)
+        .drop("rc")
+    )
+    out = (
+        p.join(cand6, attrs)
+        .filter(F.col("pk") != F.col("p2"))
+        .select(F.col("pk").alias("p1"), "p2", "sim")
+    )
     w = Window.partitionBy("p1").orderBy(F.col("sim").desc(), F.col("p2"))
     return (
-        pairs.withColumn("rnk", F.row_number().over(w))
+        out.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _CB_TOPK)
         .select(
             F.col("p1").cast("long").alias("p1"),

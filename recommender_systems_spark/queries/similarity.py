@@ -27,13 +27,26 @@ from recommender_systems_spark.similarity.ann import (
 
 N_QUERIES = 10
 TOP_K = 5
-# IVF geometry: centroids are the vectors with vec_id % CENTROID_MOD
-# == 0 (deterministic "training-free" codebook — in production swap in
-# k-means centroids; every plan below is unchanged). The cell count
-# scales with the corpus (10 cells at sf0.01, 40 at sf0.1) the way a
-# real IVF index grows its codebook with N.
-CENTROID_MOD = 50
+# IVF geometry: the codebook is a FIXED-COUNT deterministic sample —
+# the md5-ordered top-N_CENTROIDS vectors (deterministic
+# "training-free" codebook; in production swap in k-means centroids,
+# every plan below is unchanged). Fixed count is the SCALE CONTROL:
+# with fixed probe/query budgets, assignment is N x K (linear) and
+# per-query candidates are NPROBE x N/K (linear). The previous
+# mod-fraction codebook (vec_id % 50) grew K linearly with the corpus,
+# making the assignment cross product N^2/50 — measured 32x-48x at a
+# 10x tiling.
+N_CENTROIDS = 40
 NPROBE = 3
+
+
+def _codebook(e):
+    """Fixed-COUNT deterministic IVF codebook: md5-ordered
+    top-N_CENTROIDS vectors (TakeOrderedAndProject; identical rows in
+    the DuckDB oracles)."""
+    return e.orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    ).limit(N_CENTROIDS)
 
 _ANN_SQL = f"""
     WITH e AS (
@@ -146,8 +159,9 @@ _IVF_SQL = f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
-    c AS (SELECT vec_id AS cid, v AS cv FROM e
-          WHERE vec_id % {CENTROID_MOD} = 0),
+    c AS (SELECT vec_id AS cid, v AS cv FROM (SELECT * FROM e
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                LIMIT {N_CENTROIDS})),
     asg AS (
         SELECT vec_id, cid, row_number() OVER (
                    PARTITION BY vec_id
@@ -189,8 +203,8 @@ _IVF_SQL = f"""
 @register("sim_ivf_topk", _IVF_SQL)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN extension, IVF flavour: partition the corpus into Voronoi
-    cells around a deterministic codebook (vec_id % CENTROID_MOD —
-    k-means in production, identical plans), assign each vector to its
+    cells around a deterministic fixed-count codebook (md5-ordered
+    top-N_CENTROIDS — k-means in production, identical plans), assign each vector to its
     nearest-cosine centroid, probe the NPROBE nearest cells per query,
     exact cosine re-rank inside the probed cells only.
 
@@ -208,7 +222,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .localCheckpoint()  # consumers: codebook, assignment, queries, re-rank
     )
-    cents = e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+    cents = _codebook(e).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
     w_asg = Window.partitionBy("vec_id").orderBy(
@@ -256,8 +270,9 @@ _IVF_RECALL_SQL = f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
-    c AS (SELECT vec_id AS cid, v AS cv FROM e
-          WHERE vec_id % {CENTROID_MOD} = 0),
+    c AS (SELECT vec_id AS cid, v AS cv FROM (SELECT * FROM e
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                LIMIT {N_CENTROIDS})),
     cells AS (
         SELECT vec_id, cid AS cell FROM (
             SELECT vec_id, cid, row_number() OVER (
@@ -312,7 +327,7 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .localCheckpoint()
     )
-    cents = e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+    cents = _codebook(e).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
     w_asg = Window.partitionBy("vec_id").orderBy(
@@ -411,7 +426,9 @@ def sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivf_index_path(sf_dir: str) -> str:
     from recommender_systems_spark.io import cache_path
 
-    return cache_path("ivf_index", sf_dir, "embeddings")
+    # Key carries the codebook scheme so a codebook change invalidates
+    # previously materialised assignments.
+    return cache_path(f"ivf_index_md5c{N_CENTROIDS}", sf_dir, "embeddings")
 
 
 def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
@@ -432,7 +449,7 @@ def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .localCheckpoint()  # two consumers: codebook filter + assignment
     )
-    cents = e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+    cents = _codebook(e).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
     w_asg = Window.partitionBy("vec_id").orderBy(
@@ -467,7 +484,7 @@ def sim_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cents = e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+    cents = _codebook(e).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
@@ -590,7 +607,7 @@ def m_kmeans(
     codebook_literal_budget: int = KM_LITERAL_BUDGET,
 ) -> DataFrame:
     """Lloyd's k-means over the embedding corpus — the codebook trainer
-    for the IVF index above (its CENTROID_MOD codebook documents
+    for the IVF index above (its fixed-count codebook documents
     "swap in k-means centroids"; this is that training step, also the
     backbone of semantic/cluster-balanced dedup sampling). Deterministic
     init (vec_id < K) + {KM_ITERS} fixed iterations, so the whole loop
@@ -1665,8 +1682,9 @@ _IVFPQ_COS_Q = (
 _IVFPQ_SQL = f"""
     WITH {_PQ_CTES},
     q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
-    cents AS (SELECT vec_id AS cell, v AS cv FROM e
-              WHERE vec_id % {CENTROID_MOD} = 0),
+    cents AS (SELECT vec_id AS cell, v AS cv FROM (SELECT * FROM e
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                    LIMIT {N_CENTROIDS})),
     assign AS (
         SELECT vec_id, cell FROM (
             SELECT e.vec_id, c.cell,
@@ -1735,7 +1753,7 @@ def v_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
     )
-    cents = e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+    cents = _codebook(e).select(
         F.col("vec_id").alias("cell"), F.col("v").alias("cv")
     )
     w_a = Window.partitionBy("vec_id").orderBy(
@@ -1927,8 +1945,9 @@ _PURITY_SQL = f"""
     WITH e AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
-    c AS (SELECT vec_id AS cid, v AS cv FROM e
-          WHERE vec_id % {CENTROID_MOD} = 0),
+    c AS (SELECT vec_id AS cid, v AS cv FROM (SELECT * FROM e
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                LIMIT {N_CENTROIDS})),
     asg AS (
         SELECT vec_id, label, cid, row_number() OVER (
                    PARTITION BY vec_id
@@ -1978,7 +1997,7 @@ def v_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()  # consumers: codebook + assignment
     )
-    cents = e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+    cents = _codebook(e).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
     w_asg = Window.partitionBy("vec_id").orderBy(
@@ -2181,8 +2200,9 @@ _NPROBE_CURVE_SQL = f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
-    c AS (SELECT vec_id AS cid, v AS cv FROM e
-          WHERE vec_id % {CENTROID_MOD} = 0),
+    c AS (SELECT vec_id AS cid, v AS cv FROM (SELECT * FROM e
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                LIMIT {N_CENTROIDS})),
     cells AS (
         SELECT vec_id, cid AS cell FROM (
             SELECT vec_id, cid, row_number() OVER (
@@ -2251,7 +2271,7 @@ def v_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .localCheckpoint()
     )
-    cents = e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+    cents = _codebook(e).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
     w_asg = Window.partitionBy("vec_id").orderBy(

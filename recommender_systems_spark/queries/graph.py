@@ -1274,3 +1274,141 @@ def g_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("auth_2").desc(), "item")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# g_random_walks — deterministic random-walk corpus (embedding training data)
+# ---------------------------------------------------------------------------
+
+# Fixed-COUNT walk set (the g_khop_reach sample pattern): total frontier
+# work per step is WALK_N rows at any graph size. Walk length is fixed
+# so the recursion unrolls into the DuckDB oracle.
+WALK_N = 48
+WALK_LEN = 4
+
+
+def _walk_u01_sql(step: int) -> str:
+    from recommender_systems_spark.queries._shared import u01_sql
+
+    return u01_sql(
+        f"CAST(walk_id AS VARCHAR) || '_' || '{step}' || '_' "
+        f"|| CAST(node AS VARCHAR)",
+        "walk",
+    )
+
+
+def _walk_step_sql(prev: str, step: int) -> str:
+    return f"""
+    w{step} AS (
+        SELECT walk_id, {step} AS step, a.dst AS node
+        FROM (SELECT p.walk_id, p.node,
+                     CAST(ceil({_walk_u01_sql(step)} * d.d) AS BIGINT) AS pick
+              FROM {prev} p JOIN deg d ON d.src = p.node) j
+        JOIN adj a ON a.src = j.node AND a.rk = j.pick
+    )"""
+
+
+_WALK_SQL = (
+    "WITH "
+    + _EDGES_SQL
+    + f""",
+    adj AS (
+        SELECT src, dst, row_number() OVER (PARTITION BY src
+                                            ORDER BY dst) AS rk
+        FROM edges),
+    w0 AS (
+        SELECT id AS walk_id, 0 AS step, id AS node FROM nodes
+        ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT {WALK_N}),"""
+    + ",".join(_walk_step_sql(f"w{s - 1}", s) for s in range(1, WALK_LEN + 1))
+    + f"""
+    SELECT walk_id, step, node FROM (
+        {" UNION ALL ".join(f"SELECT * FROM w{s}" for s in range(WALK_LEN + 1))}
+    )
+"""
+)
+
+
+@register("g_random_walks", _WALK_SQL)
+def g_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-walk corpus generation over the item co-occurrence graph
+    — the DeepWalk/node2vec data-production step (Perozzi et al. 2014):
+    fixed-length walks whose node sequences become skip-gram training
+    windows (m_skipgram_pairs is the consumer shape). Walks are
+    DETERMINISTIC: the next hop from node u at step t of walk w is
+    neighbor rank ceil(u01(w, t, u) · deg(u)) in u's dst-sorted
+    adjacency — the md5-uniform convention, so both engines take
+    byte-identical paths and the corpus value-hashes.
+
+    Scale shape: a fixed COUNT of walks ({WALK_N} md5-ordered sources —
+    the g_khop_reach sample rule), so the frontier is {WALK_N} rows at
+    every step at ANY graph size; each step is two equi-joins (degree
+    lookup, then (node, rank) adjacency lookup — rank picked BEFORE the
+    adjacency join, so no join-then-filter fanout) against the
+    once-built, checkpointed ranked adjacency. Walks never dead-end:
+    the edge set is symmetric, so every reachable node has degree ≥ 1.
+    In production the walk set is user-count-sized but still
+    corpus-independent per step — the per-step cost stays
+    walks × (2 shuffled id-pair joins)."""
+    from pyspark.sql import Window
+
+    from recommender_systems_spark.queries._shared import u01_col
+
+    cooc = _cooc_pairs(spark, sf_dir)
+    edges = cooc.select(
+        F.col("ia").alias("src"), F.col("ib").alias("dst")
+    ).unionAll(
+        cooc.select(F.col("ib").alias("src"), F.col("ia").alias("dst"))
+    )
+    adj = (
+        edges.withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("src").orderBy("dst")),
+        )
+        .localCheckpoint()  # reused every step (+ degree build)
+    )
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    srcs = (
+        adj.select(F.col("src").alias("id"))
+        .distinct()
+        .orderBy(F.md5(F.col("id").cast("string")), "id")
+        .limit(WALK_N)
+    )
+    cur = srcs.select(
+        F.col("id").alias("walk_id"),
+        F.lit(0).alias("step"),
+        F.col("id").alias("node"),
+    )
+    out = cur
+    for step in range(1, WALK_LEN + 1):
+        u = u01_col(
+            F.concat_ws(
+                "_",
+                F.col("walk_id"),
+                F.lit(str(step)),
+                F.col("node"),
+            ),
+            "walk",
+        )
+        picked = (
+            F.broadcast(cur)
+            .join(deg, deg["src"] == F.col("node"))
+            .select(
+                "walk_id",
+                "node",
+                F.ceil(u * F.col("d")).cast("long").alias("pick"),
+            )
+        )
+        cur = (
+            F.broadcast(picked)
+            .join(
+                adj,
+                (adj["src"] == picked["node"]) & (adj["rk"] == picked["pick"]),
+            )
+            .select(
+                "walk_id",
+                F.lit(step).alias("step"),
+                F.col("dst").alias("node"),
+            )
+        )
+        out = out.unionAll(cur)
+    return out

@@ -2094,3 +2094,132 @@ def m_loo_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mrr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m_decision_stump — exhaustive best-split search (tree-model family)
+# ---------------------------------------------------------------------------
+
+# Feature binning widths — splits are searched on the binned grid, the
+# standard scale move (XGBoost/LightGBM histogram method): candidate
+# thresholds are bin boundaries, so split search cost is bounded by the
+# BIN space, never the row count.
+_STUMP_PRICE_BAND = 1000
+
+_STUMP_SQL = f"""
+    WITH base AS (
+        SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS y,
+               CAST(floor(o_totalprice / {_STUMP_PRICE_BAND}) AS BIGINT) AS pb,
+               CAST(month(o_orderdate) AS BIGINT) AS mn,
+               CAST(day(o_orderdate) AS BIGINT) AS dy
+        FROM orders
+    ),
+    m AS (
+        SELECT 'price_band' AS feature, pb AS bin, y FROM base
+        UNION ALL SELECT 'order_month', mn, y FROM base
+        UNION ALL SELECT 'order_day', dy, y FROM base
+    ),
+    g AS (SELECT feature, bin, COUNT(*) AS n, SUM(y) AS pos
+          FROM m GROUP BY 1, 2),
+    c AS (SELECT feature, bin,
+                 SUM(n) OVER w AS cn, SUM(pos) OVER w AS cp,
+                 SUM(n) OVER (PARTITION BY feature) AS nt,
+                 SUM(pos) OVER (PARTITION BY feature) AS pt
+          FROM g
+          WINDOW w AS (PARTITION BY feature ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    s AS (SELECT feature, bin AS threshold, nt,
+                 least(cp, cn - cp)
+                 + least(pt - cp, (nt - cn) - (pt - cp)) AS errors
+          FROM c WHERE cn < nt),
+    b AS (SELECT feature, threshold, errors, nt,
+                 row_number() OVER (PARTITION BY feature
+                                    ORDER BY errors, threshold) AS rn
+          FROM s)
+    SELECT feature, threshold, CAST(errors AS BIGINT) AS errors,
+           CAST(nt AS BIGINT) AS n,
+           round(1.0 - errors / CAST(nt AS DOUBLE), 6) AS acc
+    FROM b WHERE rn = 1
+"""
+
+
+@register("m_decision_stump", _STUMP_SQL)
+def m_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive decision-stump training — the best axis-aligned split
+    per feature for predicting urgent orders (y = o_orderpriority in
+    {1-URGENT, 2-HIGH}), i.e. one boosting round of a tree ensemble
+    and the missing tree-model family next to the linear/NB/kNN
+    trainers. Features are histogram-binned (the XGBoost/LightGBM
+    scale move): price band, order month, order day-of-month;
+    candidate thresholds are bin boundaries ("bin <= t" splits).
+
+    The split criterion is MISCLASSIFICATION COUNT — an integer, so
+    the argmin is exact in both engines (no FP-tie hazard a gini/
+    entropy double would carry) with a total (errors, threshold)
+    tie-break. Output: per feature its best threshold, error count,
+    and accuracy.
+
+    Scale shape: ONE orders scan; the 3-way feature unpivot is a
+    narrow stack; per-(feature, bin) counts aggregate with map-side
+    combine, after which every window/rank runs on the BIN-space frame
+    (bounded by value ranges — price bands, 12 months — never the row
+    count). The cumulative-count trick turns 'evaluate every
+    threshold' into one pass over sorted bins, exactly the histogram
+    split search a distributed GBDT does per node."""
+    base = _t(spark, sf_dir, "orders").select(
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("y"),
+        F.floor(F.col("o_totalprice") / _STUMP_PRICE_BAND).alias("pb"),
+        F.month("o_orderdate").cast("long").alias("mn"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dy"),
+    )
+    m = base.selectExpr(
+        "stack(3, 'price_band', pb, 'order_month', mn, 'order_day', dy)"
+        " AS (feature, bin)",
+        "y",
+    )
+    g = m.groupBy("feature", "bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    wc = (
+        Window.partitionBy("feature")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("feature")
+    c = g.select(
+        "feature",
+        "bin",
+        F.sum("n").over(wc).alias("cn"),
+        F.sum("pos").over(wc).alias("cp"),
+        F.sum("n").over(wt).alias("nt"),
+        F.sum("pos").over(wt).alias("pt"),
+    )
+    s = c.filter(F.col("cn") < F.col("nt")).select(
+        "feature",
+        F.col("bin").alias("threshold"),
+        "nt",
+        (
+            F.least("cp", F.col("cn") - F.col("cp"))
+            + F.least(
+                F.col("pt") - F.col("cp"),
+                (F.col("nt") - F.col("cn")) - (F.col("pt") - F.col("cp")),
+            )
+        ).alias("errors"),
+    )
+    wb = Window.partitionBy("feature").orderBy("errors", "threshold")
+    return (
+        s.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select(
+            "feature",
+            "threshold",
+            F.col("errors").cast("long").alias("errors"),
+            F.col("nt").cast("long").alias("n"),
+            F.round(
+                1.0 - F.col("errors") / F.col("nt").cast("double"), 6
+            ).alias("acc"),
+        )
+    )

@@ -2256,3 +2256,66 @@ def test_winnowing_guarantee_on_shared_run(spark):
     ).collect()
     sets = {r["doc_id"]: set(r["f"]) for r in out}
     assert sets[1] & sets[2], "shared w-run produced no shared fingerprint"
+
+
+# ---------------------------------------------------------------------------
+# round-8: decision stump + random walks
+# ---------------------------------------------------------------------------
+
+
+def test_decision_stump_beats_majority_and_is_global_min(spark):
+    """The stump invariant oracle parity can't see: each feature's best
+    split must have errors <= the majority-class error count (threshold
+    splits can only help), and re-scoring the winning (feature,
+    threshold) against the raw table must reproduce its error count."""
+    from recommender_systems_spark.queries.ml import m_decision_stump
+
+    rows = {r["feature"]: r for r in m_decision_stump(spark, SF_MED).collect()}
+    assert set(rows) == {"price_band", "order_month", "order_day"}
+    orders = spark.read.parquet(SF_MED + "/orders.parquet")
+    n = orders.count()
+    pos = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).count()
+    majority_err = min(pos, n - pos)
+    for r in rows.values():
+        assert r["n"] == n
+        assert 0 <= r["errors"] <= majority_err, r
+        assert abs(r["acc"] - round(1 - r["errors"] / n, 6)) < 1e-9
+    # Re-score the price-band winner directly against the raw rows.
+    r = rows["price_band"]
+    left = orders.filter(F.floor(F.col("o_totalprice") / 1000) <= r["threshold"])
+    lp = left.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).count()
+    ln = left.count()
+    errs = min(lp, ln - lp) + min(pos - lp, (n - ln) - (pos - lp))
+    assert errs == r["errors"]
+
+
+def test_random_walks_are_edge_consistent_paths(spark):
+    """Every walk must be a path in the symmetric co-occurrence graph:
+    WALK_N walks, each with steps 0..WALK_LEN exactly once, and every
+    consecutive (node, next) pair an actual edge."""
+    from recommender_systems_spark.queries.graph import (
+        WALK_LEN,
+        WALK_N,
+        _cooc_pairs,
+        g_random_walks,
+    )
+
+    out = g_random_walks(spark, SF_MED).collect()
+    walks = {}
+    for r in out:
+        walks.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    assert len(walks) == WALK_N
+    cooc = _cooc_pairs(spark, SF_MED).collect()
+    edges = set()
+    for r in cooc:
+        edges.add((r["ia"], r["ib"]))
+        edges.add((r["ib"], r["ia"]))
+    for wid, steps in walks.items():
+        assert sorted(steps) == list(range(WALK_LEN + 1)), wid
+        assert steps[0] == wid  # walk starts at its source
+        for s in range(WALK_LEN):
+            assert (steps[s], steps[s + 1]) in edges, (wid, s)

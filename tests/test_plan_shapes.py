@@ -628,3 +628,31 @@ def test_ewma_single_window_node(spark):
     fold is in-row array arithmetic (no second exchange)."""
     p = _plan(spark, "w_ewma")
     assert _count(p, r"\bWindow \[") == 1
+
+
+def test_decision_stump_windows_on_bin_space_single_scan(spark):
+    """The stump's split search must scan orders ONCE (the 3-feature
+    unpivot is a narrow stack, not 3 scans) and every Window node must
+    plan ABOVE the (feature, bin) aggregation — windows run on the
+    bin-space frame, never the row space."""
+    p = _plan(spark, "m_decision_stump")
+    assert _count(p, r"CartesianProduct") == 0
+    assert _count(p, r"Scan parquet .*orders") == 1
+    last_window = max(m.start() for m in re.finditer(r"\bWindow \[", p))
+    first_agg = min(m.start() for m in re.finditer(r"HashAggregate", p))
+    assert last_window < first_agg, (
+        "a Window node plans below the aggregation (raw-data window)"
+    )
+
+
+def test_random_walks_steps_are_broadcast_equi_joins(spark):
+    """Each walk step is two BROADCAST equi-joins (fixed-count frontier
+    against degree/adjacency) — never a shuffle join keyed on the
+    frontier, never a nested loop; the frontier source sample plans as
+    TakeOrderedAndProject (fixed COUNT, not a fraction filter)."""
+    from recommender_systems_spark.queries.graph import WALK_LEN
+
+    p = _plan(spark, "g_random_walks")
+    assert _count(p, r"CartesianProduct|BroadcastNestedLoopJoin") == 0
+    assert _count(p, r"BroadcastHashJoin") >= 2 * WALK_LEN
+    assert _count(p, r"TakeOrderedAndProject") >= 1

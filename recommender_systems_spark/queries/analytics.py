@@ -3264,3 +3264,104 @@ def a_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mon_cents",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# a_k_anonymity — privacy audit (k-anonymity + l-diversity profile)
+# ---------------------------------------------------------------------------
+
+_KA_BAND = 2000  # acctbal generalization band (the QI coarsening step)
+
+_KA_SQL = f"""
+    WITH cls AS (
+        SELECT c_nationkey AS nat, c_mktsegment AS seg,
+               CAST(floor(c_acctbal / {_KA_BAND}) AS BIGINT) AS band,
+               count(*) AS k,
+               count(DISTINCT c_acctbal) AS l
+        FROM customer GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT sum(k) AS n FROM cls),
+    b AS (
+        SELECT CASE WHEN k = 1 THEN '1'
+                    WHEN k = 2 THEN '2'
+                    WHEN k <= 5 THEN '3-5'
+                    WHEN k <= 10 THEN '6-10'
+                    ELSE '11+' END AS k_bucket,
+               k, l
+        FROM cls
+    )
+    SELECT k_bucket,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(k) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_homogeneous,
+           round(sum(k) / CAST(tot.n AS DOUBLE), 6) AS row_share
+    FROM b, tot GROUP BY k_bucket, tot.n
+"""
+
+
+@register("a_k_anonymity", _KA_SQL)
+def a_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity privacy audit — the release-readiness
+    check a training-data pipeline runs before publishing a table with
+    quasi-identifiers: group rows into equivalence classes on the
+    generalized QI tuple (nation, market segment, {_KA_BAND}-wide
+    account-balance band) and profile the class-size distribution.
+    Classes of size 1 are re-identifiable (k=1); classes whose
+    sensitive attribute (the exact balance) takes a single value are
+    homogeneous (l=1 — attribute disclosure even at k>1). Output: per
+    k-bucket, the class count, row count, homogeneous-class count,
+    and population share.
+
+    Scale shape: ONE customer scan into a (QI -> k, l) hash aggregate
+    (count-distinct is per-class, map-side partials), then the bucket
+    rollup runs on the CLASS frame (bounded by the QI value space,
+    never the row count); the grand total is a 1-row broadcast. All
+    counts integer; the only division is the final share."""
+    cls = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(
+            F.col("c_nationkey").alias("nat"),
+            F.col("c_mktsegment").alias("seg"),
+            F.floor(F.col("c_acctbal") / _KA_BAND).alias("band"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.countDistinct("c_acctbal").alias("l"),
+        )
+        # Class frame is QI-space-bounded (~nations x segments x bands);
+        # materialize once so the total and the bucket rollup don't
+        # each re-run the row-count-sized aggregation.
+        .localCheckpoint()
+    )
+    tot = F.broadcast(cls.agg(F.sum("k").alias("n")))
+    b = cls.select(
+        F.when(F.col("k") == 1, "1")
+        .when(F.col("k") == 2, "2")
+        .when(F.col("k") <= 5, "3-5")
+        .when(F.col("k") <= 10, "6-10")
+        .otherwise("11+")
+        .alias("k_bucket"),
+        "k",
+        "l",
+    )
+    return (
+        b.groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("k").alias("n_rows"),
+            F.sum(F.when(F.col("l") == 1, 1).otherwise(0)).alias(
+                "n_homogeneous"
+            ),
+        )
+        .crossJoin(tot)
+        .select(
+            "k_bucket",
+            F.col("n_classes").cast("long").alias("n_classes"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_homogeneous").cast("long").alias("n_homogeneous"),
+            F.round(
+                F.col("n_rows") / F.col("n").cast("double"), 6
+            ).alias("row_share"),
+        )
+    )

@@ -327,6 +327,16 @@ def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (≤ #distinct neighbour labels per node, never raw edges). State
     and shuffles carry id pairs only; the edge frame is checkpointed
     once and reused every iteration."""
+    _, labels = _lp_state(spark, sf_dir)
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+
+
+def _lp_state(spark: SparkSession, sf_dir: str):
+    """(edges, labels) after LP_ITERS label-propagation rounds —
+    shared by g_label_propagation (sizes) and g_modularity (quality).
+    Scale notes in g_label_propagation's docstring."""
     from pyspark.sql import Window
 
     cooc = _cooc_pairs(spark, sf_dir)
@@ -351,9 +361,7 @@ def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id", "label")
             .localCheckpoint()  # flat lineage per round
         )
-    return labels.groupBy(F.col("label").alias("community")).agg(
-        F.count(F.lit(1)).alias("n_members")
-    )
+    return edges, labels
 
 
 # ---------------------------------------------------------------------------
@@ -1412,3 +1420,96 @@ def g_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = out.unionAll(cur)
     return out
+
+
+# ---------------------------------------------------------------------------
+# g_modularity — community-quality score for the LP partition
+# ---------------------------------------------------------------------------
+
+_MOD_SQL = (
+    "WITH "
+    + _EDGES_SQL
+    + ", l0 AS (SELECT id, id AS label FROM nodes),"
+    + ",".join(_lp_iter(f"l{i}", f"l{i + 1}") for i in range(LP_ITERS))
+    + f""",
+    lab AS (SELECT id, label FROM l{LP_ITERS}),
+    intra AS (
+        SELECT count(*) AS x
+        FROM edges e
+        JOIN lab a ON a.id = e.src
+        JOIN lab b ON b.id = e.dst
+        WHERE a.label = b.label
+    ),
+    dc AS (SELECT l.label, sum(d) AS dsum
+           FROM deg JOIN lab l ON l.id = deg.src GROUP BY l.label),
+    st AS (SELECT count(*) AS n_comm, sum(dsum * dsum) AS s FROM dc),
+    mm AS (SELECT count(*) // 2 AS m FROM edges)
+    SELECT CAST(nn.c AS BIGINT) AS n_nodes,
+           CAST(st.n_comm AS BIGINT) AS n_communities,
+           CAST(mm.m AS BIGINT) AS n_edges,
+           CAST(intra.x // 2 AS BIGINT) AS intra_edges,
+           round((2 * mm.m * intra.x - st.s)
+                 / (4.0 * mm.m * mm.m), 6) AS modularity
+    FROM intra, st, mm, nn
+"""
+)
+
+
+@register("g_modularity", _MOD_SQL)
+def g_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the label-propagation partition — the
+    standard community-quality score (Q = sum_c[m_c/m - (d_c/2m)^2]),
+    closing the detect -> evaluate loop over g_label_propagation the
+    way e_rec_coverage scores m_top_n. Computed EXACTLY in integers:
+    with x = directed intra-community edge count and S = sum of
+    squared community degree sums, Q = (2mx - S) / (4m^2) — one
+    double division at the end, so the score value-hashes across
+    engines with no FP accumulation.
+
+    Scale shape: the LP rounds are the g_label_propagation shape
+    (state and shuffles carry id pairs only, checkpointed edges);
+    the quality pass adds two label equi-joins onto the edge list
+    (intra count), one degree aggregate, and a per-community degree
+    sum — every reduction map-side combined, final stats are 1-row
+    broadcasts."""
+    edges, labels = _lp_state(spark, sf_dir)
+    la = labels.select(
+        F.col("id").alias("src"), F.col("label").alias("la")
+    )
+    lb = labels.select(
+        F.col("id").alias("dst"), F.col("label").alias("lb")
+    )
+    intra = (
+        edges.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("la") == F.col("lb"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    dc = (
+        deg.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy("label")
+        .agg(F.sum("d").alias("dsum"))
+    )
+    st = dc.agg(
+        F.count(F.lit(1)).alias("n_comm"),
+        F.sum(F.col("dsum") * F.col("dsum")).alias("s"),
+    )
+    mm = edges.agg((F.count(F.lit(1)) / 2).cast("long").alias("m"))
+    nn = labels.agg(F.count(F.lit(1)).alias("n_nodes"))
+    return (
+        nn.crossJoin(F.broadcast(st))
+        .crossJoin(F.broadcast(mm))
+        .crossJoin(F.broadcast(intra))
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_comm").cast("long").alias("n_communities"),
+            F.col("m").cast("long").alias("n_edges"),
+            (F.col("x") / 2).cast("long").alias("intra_edges"),
+            F.round(
+                (2 * F.col("m") * F.col("x") - F.col("s"))
+                / (4.0 * F.col("m") * F.col("m")),
+                6,
+            ).alias("modularity"),
+        )
+    )

@@ -2106,14 +2106,32 @@ def m_loo_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BIN space, never the row count.
 _STUMP_PRICE_BAND = 1000
 
-_STUMP_SQL = f"""
-    WITH base AS (
+# Shared by m_decision_stump (root only) and m_tree_depth2 (two levels).
+_STUMP_BASE_SQL = f"""
         SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                     THEN 1 ELSE 0 END AS y,
                CAST(floor(o_totalprice / {_STUMP_PRICE_BAND}) AS BIGINT) AS pb,
                CAST(month(o_orderdate) AS BIGINT) AS mn,
                CAST(day(o_orderdate) AS BIGINT) AS dy
         FROM orders
+"""
+
+
+def _stump_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned (y, price-band, month, day) features — one orders scan."""
+    return _t(spark, sf_dir, "orders").select(
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("y"),
+        F.floor(F.col("o_totalprice") / _STUMP_PRICE_BAND).alias("pb"),
+        F.month("o_orderdate").cast("long").alias("mn"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dy"),
+    )
+
+
+_STUMP_SQL = f"""
+    WITH base AS (
+        {_STUMP_BASE_SQL}
     ),
     m AS (
         SELECT 'price_band' AS feature, pb AS bin, y FROM base
@@ -2167,14 +2185,7 @@ def m_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     count). The cumulative-count trick turns 'evaluate every
     threshold' into one pass over sorted bins, exactly the histogram
     split search a distributed GBDT does per node."""
-    base = _t(spark, sf_dir, "orders").select(
-        F.when(
-            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
-        ).otherwise(0).alias("y"),
-        F.floor(F.col("o_totalprice") / _STUMP_PRICE_BAND).alias("pb"),
-        F.month("o_orderdate").cast("long").alias("mn"),
-        F.dayofmonth("o_orderdate").cast("long").alias("dy"),
-    )
+    base = _stump_base(spark, sf_dir)
     m = base.selectExpr(
         "stack(3, 'price_band', pb, 'order_month', mn, 'order_day', dy)"
         " AS (feature, bin)",
@@ -2222,4 +2233,359 @@ def m_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
                 1.0 - F.col("errors") / F.col("nt").cast("double"), 6
             ).alias("acc"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# m_tree_depth2 — level-wise histogram tree growth (depth-2 tree)
+# ---------------------------------------------------------------------------
+
+_TREE_SQL = f"""
+    WITH base AS (
+        {_STUMP_BASE_SQL}
+    ),
+    m0 AS (
+        SELECT 'price_band' AS feature, pb AS bin, y FROM base
+        UNION ALL SELECT 'order_month', mn, y FROM base
+        UNION ALL SELECT 'order_day', dy, y FROM base
+    ),
+    g0 AS (SELECT feature, bin, COUNT(*) AS n, SUM(y) AS pos
+           FROM m0 GROUP BY 1, 2),
+    c0 AS (SELECT feature, bin,
+                  SUM(n) OVER w AS cn, SUM(pos) OVER w AS cp,
+                  SUM(n) OVER (PARTITION BY feature) AS nt,
+                  SUM(pos) OVER (PARTITION BY feature) AS pt
+           FROM g0
+           WINDOW w AS (PARTITION BY feature ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    s0 AS (SELECT feature, bin AS threshold, nt,
+                  least(cp, cn - cp)
+                  + least(pt - cp, (nt - cn) - (pt - cp)) AS errors
+           FROM c0 WHERE cn < nt),
+    root AS (SELECT feature, threshold, errors, nt FROM s0
+             ORDER BY errors, feature, threshold LIMIT 1),
+    sided AS (
+        SELECT CASE WHEN (CASE root.feature
+                          WHEN 'price_band' THEN base.pb
+                          WHEN 'order_month' THEN base.mn
+                          ELSE base.dy END) <= root.threshold
+                    THEN 'left' ELSE 'right' END AS side,
+               base.y, base.pb, base.mn, base.dy
+        FROM base, root
+    ),
+    m1 AS (
+        SELECT side, 'price_band' AS feature, pb AS bin, y FROM sided
+        UNION ALL SELECT side, 'order_month', mn, y FROM sided
+        UNION ALL SELECT side, 'order_day', dy, y FROM sided
+    ),
+    g1 AS (SELECT side, feature, bin, COUNT(*) AS n, SUM(y) AS pos
+           FROM m1 GROUP BY 1, 2, 3),
+    c1 AS (SELECT side, feature, bin,
+                  SUM(n) OVER w AS cn, SUM(pos) OVER w AS cp,
+                  SUM(n) OVER (PARTITION BY side, feature) AS nt,
+                  SUM(pos) OVER (PARTITION BY side, feature) AS pt
+           FROM g1
+           WINDOW w AS (PARTITION BY side, feature ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    s1 AS (SELECT side, feature, bin AS threshold, nt,
+                  least(cp, cn - cp)
+                  + least(pt - cp, (nt - cn) - (pt - cp)) AS errors
+           FROM c1),
+    b1 AS (SELECT side, feature, threshold, errors, nt,
+                  row_number() OVER (PARTITION BY side
+                                     ORDER BY errors, feature, threshold)
+                      AS rn
+           FROM s1)
+    SELECT 'root' AS node, feature, threshold,
+           CAST(errors AS BIGINT) AS errors, CAST(nt AS BIGINT) AS n,
+           round(1.0 - errors / CAST(nt AS DOUBLE), 6) AS acc
+    FROM root
+    UNION ALL
+    SELECT side, feature, threshold,
+           CAST(errors AS BIGINT), CAST(nt AS BIGINT),
+           round(1.0 - errors / CAST(nt AS DOUBLE), 6)
+    FROM b1 WHERE rn = 1
+"""
+
+
+@register("m_tree_depth2", _TREE_SQL)
+def m_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-wise depth-2 decision-tree growth — the second boosting
+    layer over m_decision_stump and the shape a distributed GBDT
+    (XGBoost/LightGBM histogram method) repeats per level: pick the
+    root split from global (feature, bin) histograms, partition rows
+    into left/right, then re-run the SAME histogram split search
+    per side. Objective is integer misclassification count with a
+    total (errors, feature, threshold) tie-break at every argmin, so
+    the grown tree is byte-identical across engines.
+
+    Child candidates INCLUDE the last bin ("<= max", right side
+    empty), which is exactly the no-split/leaf-majority option — so
+    each child's errors <= its side's majority count, and
+    left.errors + right.errors <= root.errors always holds (the
+    monotone-improvement invariant the unit test asserts).
+
+    Scale shape: one orders scan per LEVEL (how a level-wise GBDT
+    actually passes the data), each a narrow 3-feature stack into a
+    map-side-combined (side, feature, bin) count; every window and
+    rank runs on the bin-space frame (value-range-bounded, never row
+    count). The root winner is a TakeOrderedAndProject 1-row frame
+    broadcast into the side assignment — no driver round-trip between
+    levels."""
+    base = _stump_base(spark, sf_dir)
+
+    def hist_errors(m: DataFrame, keys: list[str]) -> DataFrame:
+        g = m.groupBy(*keys, "bin").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+        )
+        wc = (
+            Window.partitionBy(*keys)
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wt = Window.partitionBy(*keys)
+        c = g.select(
+            *keys,
+            "bin",
+            F.sum("n").over(wc).alias("cn"),
+            F.sum("pos").over(wc).alias("cp"),
+            F.sum("n").over(wt).alias("nt"),
+            F.sum("pos").over(wt).alias("pt"),
+        )
+        return c.select(
+            *keys,
+            F.col("bin").alias("threshold"),
+            "nt",
+            "cn",
+            (
+                F.least("cp", F.col("cn") - F.col("cp"))
+                + F.least(
+                    F.col("pt") - F.col("cp"),
+                    (F.col("nt") - F.col("cn")) - (F.col("pt") - F.col("cp")),
+                )
+            ).alias("errors"),
+        )
+
+    melt = "stack(3, 'price_band', pb, 'order_month', mn, 'order_day', dy)"
+    m0 = base.selectExpr(f"{melt} AS (feature, bin)", "y")
+    s0 = hist_errors(m0, ["feature"]).filter(F.col("cn") < F.col("nt"))
+    root = (
+        s0.orderBy("errors", "feature", "threshold")
+        .limit(1)
+        .select(
+            F.col("feature").alias("rfeature"),
+            F.col("threshold").alias("rthreshold"),
+            F.col("errors").alias("rerrors"),
+            F.col("nt").alias("rnt"),
+        )
+        # The level boundary: materialize the 1-row winner once so the
+        # level-1 scan runs exactly once (it otherwise plans twice —
+        # under the output row AND under the broadcast side-assign).
+        .localCheckpoint()
+    )
+    sided = base.crossJoin(F.broadcast(root)).select(
+        F.when(
+            F.when(F.col("rfeature") == "price_band", F.col("pb"))
+            .when(F.col("rfeature") == "order_month", F.col("mn"))
+            .otherwise(F.col("dy"))
+            <= F.col("rthreshold"),
+            "left",
+        )
+        .otherwise("right")
+        .alias("side"),
+        "y",
+        "pb",
+        "mn",
+        "dy",
+    )
+    m1 = sided.selectExpr("side", f"{melt} AS (feature, bin)", "y")
+    s1 = hist_errors(m1, ["side", "feature"])
+    wb = Window.partitionBy("side").orderBy("errors", "feature", "threshold")
+    children = (
+        s1.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("side").alias("node"),
+            "feature",
+            "threshold",
+            F.col("errors").cast("long").alias("errors"),
+            F.col("nt").cast("long").alias("n"),
+            F.round(
+                1.0 - F.col("errors") / F.col("nt").cast("double"), 6
+            ).alias("acc"),
+        )
+    )
+    root_row = root.select(
+        F.lit("root").alias("node"),
+        F.col("rfeature").alias("feature"),
+        F.col("rthreshold").alias("threshold"),
+        F.col("rerrors").cast("long").alias("errors"),
+        F.col("rnt").cast("long").alias("n"),
+        F.round(
+            1.0 - F.col("rerrors") / F.col("rnt").cast("double"), 6
+        ).alias("acc"),
+    )
+    return root_row.unionAll(children)
+
+
+# ---------------------------------------------------------------------------
+# e_qini_uplift — uplift/Qini decile curve (treatment-effect targeting)
+# ---------------------------------------------------------------------------
+
+from recommender_systems_spark.queries._shared import u01_col as _u01_col
+from recommender_systems_spark.queries._shared import u01_sql as _u01_sql
+
+_QINI_MIN_ORDERS = 12  # "heavy buyer" conversion (~30% base rate)
+
+_QINI_SQL = f"""
+    WITH cust AS (
+        SELECT c_custkey, c_acctbal AS score,
+               CASE WHEN {_u01_sql("c_custkey", "qini")} < 0.5
+                    THEN 1 ELSE 0 END AS tr
+        FROM customer
+    ),
+    conv AS (SELECT o_custkey FROM orders
+             GROUP BY o_custkey HAVING count(*) >= {_QINI_MIN_ORDERS}),
+    lab AS (
+        SELECT cust.score, cust.tr,
+               CASE WHEN conv.o_custkey IS NULL THEN 0 ELSE 1 END AS cv
+        FROM cust LEFT JOIN conv ON conv.o_custkey = cust.c_custkey
+    ),
+    per AS (
+        SELECT score, count(*) AS c,
+               sum(tr) AS n_t, sum(tr * cv) AS p_t,
+               sum(1 - tr) AS n_c, sum((1 - tr) * cv) AS p_c
+        FROM lab GROUP BY score
+    ),
+    tot AS (SELECT sum(c) AS n FROM per),
+    rk AS (
+        SELECT per.*,
+               coalesce(sum(c) OVER (ORDER BY score DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS bef
+        FROM per
+    ),
+    dec AS (
+        SELECT CAST(floor(bef * 10.0 / tot.n) AS INT) AS decile,
+               n_t, p_t, n_c, p_c
+        FROM rk, tot
+    ),
+    g AS (SELECT decile, sum(n_t) AS n_t, sum(p_t) AS p_t,
+                 sum(n_c) AS n_c, sum(p_c) AS p_c
+          FROM dec GROUP BY decile),
+    cumw AS (
+        SELECT decile, n_t, p_t, n_c, p_c,
+               sum(n_t) OVER w AS cnt, sum(p_t) OVER w AS cpt,
+               sum(n_c) OVER w AS cnc, sum(p_c) OVER w AS cpc
+        FROM g
+        WINDOW w AS (ORDER BY decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(n_t AS BIGINT) AS n_treated,
+           CAST(p_t AS BIGINT) AS pos_treated,
+           CAST(n_c AS BIGINT) AS n_control,
+           CAST(p_c AS BIGINT) AS pos_control,
+           CASE WHEN cnt > 0 AND cnc > 0
+                THEN round(CAST(cpt AS DOUBLE) / cnt
+                           - CAST(cpc AS DOUBLE) / cnc, 6) END AS cum_uplift,
+           CASE WHEN cnc > 0
+                THEN round(cpt - CAST(cpc AS DOUBLE) * cnt / cnc, 6)
+           END AS qini
+    FROM cumw
+"""
+
+
+@register("e_qini_uplift", _QINI_SQL)
+def e_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini/uplift decile curve — the treatment-effect analogue of
+    e_lift_curve (Radcliffe's Qini statistic): customers ranked by a
+    targeting score (account balance, descending), cut into 10
+    population deciles; each decile reports cumulative uplift
+    (treated conversion rate minus control conversion rate) and the
+    Qini value (incremental conversions vs a control scaled to the
+    treated volume). Treatment is the deterministic md5-uniform coin
+    (u01(c_custkey) < 0.5 — the A/B-sim arm rule), conversion is the
+    heavy-buyer event (>= {_QINI_MIN_ORDERS} orders) via an equi-join
+    against the aggregated order counts.
+
+    Scale shape: scores pre-aggregate per DISTINCT value carrying all
+    four (arm x outcome) integer counts in ONE pass; the population
+    ranking is ``two_phase_midrank`` (range partitions + offsets, no
+    single-partition window at any size — the e_lift_curve shape);
+    decile assignment is exact integer boundary arithmetic, and every
+    cumulative window runs on the 10-row decile frame. Rates divide
+    exact integer sums only at the end."""
+    from recommender_systems_spark.operators.relational import two_phase_midrank
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").alias("score"),
+        (_u01_col(F.col("c_custkey"), "qini") < 0.5).cast("int").alias("tr"),
+    )
+    conv = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= _QINI_MIN_ORDERS)
+        .select("o_custkey", F.lit(1).alias("cv"))
+    )
+    lab = (
+        cust.join(conv, cust["c_custkey"] == conv["o_custkey"], "left")
+        .select("score", "tr", F.coalesce("cv", F.lit(0)).alias("cv"))
+    )
+    per = lab.groupBy("score").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("tr").alias("n_t"),
+        F.sum(F.col("tr") * F.col("cv")).alias("p_t"),
+        F.sum(1 - F.col("tr")).alias("n_c"),
+        F.sum((1 - F.col("tr")) * F.col("cv")).alias("p_c"),
+    )
+    ranked0 = two_phase_midrank(per, "score", "c")
+    tot = F.broadcast(ranked0.agg(F.sum("c").alias("n")))
+    ranked = ranked0.crossJoin(tot)
+    asc_before = (
+        F.col("midrank") - (F.col("c").cast("double") + 1) / 2
+    ).cast("long")
+    bef = F.col("n") - asc_before - F.col("c")
+    dec = ranked.select(
+        F.floor(bef * 10.0 / F.col("n")).cast("int").alias("decile"),
+        "n_t", "p_t", "n_c", "p_c",
+    )
+    g = dec.groupBy("decile").agg(
+        F.sum("n_t").alias("n_t"), F.sum("p_t").alias("p_t"),
+        F.sum("n_c").alias("n_c"), F.sum("p_c").alias("p_c"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )  # 10-row decile frame — bounded by construction
+    cum = g.select(
+        "decile", "n_t", "p_t", "n_c", "p_c",
+        F.sum("n_t").over(w_cum).alias("cnt"),
+        F.sum("p_t").over(w_cum).alias("cpt"),
+        F.sum("n_c").over(w_cum).alias("cnc"),
+        F.sum("p_c").over(w_cum).alias("cpc"),
+    )
+    return cum.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("n_t").cast("long").alias("n_treated"),
+        F.col("p_t").cast("long").alias("pos_treated"),
+        F.col("n_c").cast("long").alias("n_control"),
+        F.col("p_c").cast("long").alias("pos_control"),
+        F.when(
+            (F.col("cnt") > 0) & (F.col("cnc") > 0),
+            F.round(
+                F.col("cpt").cast("double") / F.col("cnt")
+                - F.col("cpc").cast("double") / F.col("cnc"),
+                6,
+            ),
+        ).alias("cum_uplift"),
+        F.when(
+            F.col("cnc") > 0,
+            F.round(
+                F.col("cpt")
+                - F.col("cpc").cast("double") * F.col("cnt") / F.col("cnc"),
+                6,
+            ),
+        ).alias("qini"),
     )

@@ -2319,3 +2319,148 @@ def test_random_walks_are_edge_consistent_paths(spark):
         assert steps[0] == wid  # walk starts at its source
         for s in range(WALK_LEN):
             assert (steps[s], steps[s + 1]) in edges, (wid, s)
+
+
+# ---------------------------------------------------------------------------
+# round-8 batch 2: depth-2 tree, Qini uplift, Holt backtest
+# ---------------------------------------------------------------------------
+
+
+def test_tree_depth2_monotone_improvement(spark):
+    """Invariants oracle parity can't see: the root row must equal the
+    stump's global best split; children partition the root's rows; and
+    because child candidates include the no-split option,
+    left.errors + right.errors <= root.errors must hold."""
+    from recommender_systems_spark.queries.ml import (
+        m_decision_stump,
+        m_tree_depth2,
+    )
+
+    tree = {r["node"]: r for r in m_tree_depth2(spark, SF_MED).collect()}
+    assert set(tree) == {"root", "left", "right"}
+    stump = m_decision_stump(spark, SF_MED).collect()
+    best = min(stump, key=lambda r: (r["errors"], r["feature"], r["threshold"]))
+    root = tree["root"]
+    assert (root["feature"], root["threshold"], root["errors"]) == (
+        best["feature"], best["threshold"], best["errors"]
+    )
+    assert tree["left"]["n"] + tree["right"]["n"] == root["n"]
+    assert tree["left"]["errors"] + tree["right"]["errors"] <= root["errors"]
+    for r in tree.values():
+        assert abs(r["acc"] - round(1 - r["errors"] / r["n"], 6)) < 1e-9
+
+
+def test_qini_uplift_decile_accounting(spark):
+    """Deciles 0..9 partition the customer population; the last
+    decile's qini must reproduce Pt - Pc * Nt / Nc computed from the
+    column totals, and cum_uplift the rate difference."""
+    from recommender_systems_spark.queries.ml import e_qini_uplift
+
+    rows = sorted(
+        e_qini_uplift(spark, SF_MED).collect(), key=lambda r: r["decile"]
+    )
+    assert [r["decile"] for r in rows] == list(range(10))
+    n_cust = (
+        spark.read.parquet(SF_MED + "/customer.parquet").count()
+    )
+    assert sum(r["n_treated"] + r["n_control"] for r in rows) == n_cust
+    nt = sum(r["n_treated"] for r in rows)
+    nc = sum(r["n_control"] for r in rows)
+    pt = sum(r["pos_treated"] for r in rows)
+    pc = sum(r["pos_control"] for r in rows)
+    last = rows[-1]
+    assert abs(last["qini"] - round(pt - pc * nt / nc, 6)) < 1e-6
+    assert abs(last["cum_uplift"] - round(pt / nt - pc / nc, 6)) < 1e-6
+
+
+def test_holt_forecast_matches_pure_python_recursion(spark):
+    """Golden check: re-run the fixed-point Holt recursion in pure
+    Python over the monthly series and compare every output column."""
+    from recommender_systems_spark.queries.sessions import (
+        _HOLT_H,
+        s_holt_forecast,
+    )
+
+    got = {r["r_name"]: r for r in s_holt_forecast(spark, SF_MED).collect()}
+
+    orders = spark.read.parquet(SF_MED + "/orders.parquet")
+    cust = spark.read.parquet(SF_MED + "/customer.parquet")
+    nat = spark.read.parquet(SF_MED + "/nation.parquet")
+    reg = spark.read.parquet(SF_MED + "/region.parquet")
+    monthly = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(nat, cust["c_nationkey"] == nat["n_nationkey"])
+        .join(reg, nat["n_regionkey"] == reg["r_regionkey"])
+        .groupBy(
+            "r_name",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+        .collect()
+    )
+    series: dict[str, list[tuple[int, int]]] = {}
+    for r in monthly:
+        series.setdefault(r["r_name"], []).append((r["m"], r["cents"] * 10000))
+
+    def idiv(a: int, b: int) -> int:  # truncation toward zero (SQL div)
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    for name, pts in series.items():
+        ys = [yu for _, yu in sorted(pts)]
+        t_train = len(ys) - _HOLT_H
+        assert t_train >= 2
+        lv, tb = ys[0], ys[1] - ys[0]
+        for y in ys[1:t_train]:
+            lv2 = idiv(y + lv + tb, 2)
+            tb = idiv(lv2 - lv, 4) + idiv(3 * tb, 4)
+            lv = lv2
+        aes, ppms = [], []
+        for h in range(1, _HOLT_H + 1):
+            actual = ys[t_train + h - 1]
+            ae = abs(actual - (lv + h * tb))
+            aes.append(ae)
+            ppms.append(idiv(idiv(ae, 10000) * 1000000, idiv(actual, 10000)))
+        r = got[name]
+        assert r["n_train"] == t_train
+        assert r["level"] == round(lv / 1e6, 6)
+        assert r["trend"] == round(tb / 1e6, 6)
+        assert r["mae"] == round(sum(aes) / (_HOLT_H * 1e6), 4)
+        assert r["mape"] == round(sum(ppms) / (_HOLT_H * 1e6), 4)
+
+
+def test_k_anonymity_accounting(spark):
+    """Buckets partition the population: rows sum to the customer
+    count, shares to 1, and every k=1 class is trivially homogeneous
+    (l=1 when k=1)."""
+    from recommender_systems_spark.queries.analytics import a_k_anonymity
+
+    rows = {r["k_bucket"]: r for r in a_k_anonymity(spark, SF_MED).collect()}
+    n_cust = spark.read.parquet(SF_MED + "/customer.parquet").count()
+    assert sum(r["n_rows"] for r in rows.values()) == n_cust
+    assert abs(sum(r["row_share"] for r in rows.values()) - 1.0) < 1e-4
+    if "1" in rows:
+        assert rows["1"]["n_homogeneous"] == rows["1"]["n_classes"]
+    for r in rows.values():
+        assert 0 <= r["n_homogeneous"] <= r["n_classes"] <= r["n_rows"]
+
+
+def test_modularity_consistent_with_label_propagation(spark):
+    """The modularity row must agree with g_label_propagation's own
+    partition (community count, node count) and respect the Newman
+    bounds -0.5 <= Q <= 1."""
+    from recommender_systems_spark.queries.graph import (
+        g_label_propagation,
+        g_modularity,
+    )
+
+    q = g_modularity(spark, SF_MED).collect()[0]
+    comms = g_label_propagation(spark, SF_MED).collect()
+    assert q["n_communities"] == len(comms)
+    assert q["n_nodes"] == sum(r["n_members"] for r in comms)
+    assert 0 <= q["intra_edges"] <= q["n_edges"]
+    assert -0.5 <= q["modularity"] <= 1.0

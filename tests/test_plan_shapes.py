@@ -656,3 +656,52 @@ def test_random_walks_steps_are_broadcast_equi_joins(spark):
     assert _count(p, r"CartesianProduct|BroadcastNestedLoopJoin") == 0
     assert _count(p, r"BroadcastHashJoin") >= 2 * WALK_LEN
     assert _count(p, r"TakeOrderedAndProject") >= 1
+
+
+def test_tree_depth2_one_scan_per_level_no_cartesian(spark):
+    """Level-wise growth: exactly one orders scan per tree level (the
+    GBDT data-pass shape); the 1-row root winner broadcasts into the
+    side assignment (BroadcastNestedLoopJoin with a 1-row build side
+    is the scalar-broadcast plan, not a data cartesian). The level-1
+    scan runs inside the checkpointed root job, so the FINAL plan
+    carries only the level-2 scan."""
+    p = _plan(spark, "m_tree_depth2")
+    assert _count(p, r"CartesianProduct") == 0
+    assert _count(p, r"Scan parquet .*orders") == 1
+
+
+def test_qini_no_global_window_over_population(spark):
+    """Decile assignment rides two_phase_midrank (partitioned __pid
+    windows); the only partition-less window is the 10-row decile
+    cumulative frame."""
+    p = _plan(spark, "e_qini_uplift")
+    assert _count(p, r"CartesianProduct") == 0
+    assert _count(p, r"Window.*__pid"), "expected partitioned midrank windows"
+
+
+def test_holt_single_series_shuffle_broadcast_dims(spark):
+    """One orders scan to the (region, month) grain; nation/region
+    dims broadcast; the smoothing recursion is in-row array
+    arithmetic — no Window node and no Python eval anywhere."""
+    p = _plan(spark, "s_holt_forecast")
+    assert _count(p, r"CartesianProduct") == 0
+    assert _count(p, r"Scan parquet .*orders") == 1
+    assert _count(p, r"BroadcastHashJoin") >= 2
+    assert _count(p, r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas") == 0
+
+
+def test_k_anonymity_single_scan_bucket_rollup_on_class_frame(spark):
+    """One customer scan feeds the checkpointed class aggregate; the
+    bucket rollup and grand total both read the class frame, so the
+    final plan has no parquet scan at all and no cartesian."""
+    p = _plan(spark, "a_k_anonymity")
+    assert _count(p, r"CartesianProduct") == 0
+    assert _count(p, r"Scan parquet") == 0  # reads the checkpoint
+
+
+def test_modularity_joins_are_equi_no_cartesian(spark):
+    """Intra-community counting must be two hash equi-joins of labels
+    onto the checkpointed edge list; the three 1-row stat frames
+    broadcast (BNLJ with 1-row build side is the scalar pattern)."""
+    p = _plan(spark, "g_modularity")
+    assert _count(p, r"CartesianProduct") == 0

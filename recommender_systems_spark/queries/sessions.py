@@ -2039,3 +2039,121 @@ def s_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mape"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-histogram quantile certification (sketch mergeability)
+# ---------------------------------------------------------------------------
+
+_IQ_W = 5        # fixed bin width over events.value (range ~[0, 500])
+_IQ_SHARDS = 8   # simulated parallel partials
+
+_IQ_SQL = f"""
+    WITH h AS (
+        SELECT event_id % {_IQ_SHARDS} AS shard,
+               CAST(floor(value / {_IQ_W}) AS BIGINT) AS bin,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    merged AS (SELECT bin, sum(n) AS n FROM h GROUP BY bin),
+    direct AS (
+        SELECT CAST(floor(value / {_IQ_W}) AS BIGINT) AS bin,
+               count(*) AS n
+        FROM events GROUP BY 1
+    ),
+    q AS (SELECT * FROM (VALUES (0.5), (0.9), (0.99)) t(q)),
+    cm AS (SELECT bin, sum(n) OVER (ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                  sum(n) OVER () AS nt
+           FROM merged),
+    cd AS (SELECT bin, sum(n) OVER (ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                  sum(n) OVER () AS nt
+           FROM direct),
+    em AS (SELECT q.q, min(bin) AS bin_merged, max(nt) AS nt
+           FROM cm, q WHERE cum >= ceil(q.q * nt) GROUP BY q.q),
+    ed AS (SELECT q.q, min(bin) AS bin_direct
+           FROM cd, q WHERE cum >= ceil(q.q * nt) GROUP BY q.q)
+    SELECT em.q,
+           CAST(em.nt AS BIGINT) AS n_total,
+           em.bin_merged,
+           round((em.bin_merged + 1) * {_IQ_W}.0, 2) AS upper_merged,
+           ed.bin_direct,
+           CAST(CASE WHEN em.bin_merged = ed.bin_direct
+                     THEN 1 ELSE 0 END AS INT) AS certified
+    FROM em JOIN ed ON ed.q = em.q
+"""
+
+
+@register("s_incremental_quantiles", _IQ_SQL)
+def s_incremental_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-histogram quantile certification — the quantile
+    analogue of s_incremental_variance: build fixed-width value
+    histograms independently per shard (simulating per-partition /
+    per-micro-batch sketch partials), MERGE them by summing bin
+    counts, and certify that quantile estimates (p50/p90/p99 = first
+    bin whose cumulative count reaches ceil(q*N)) from the merged
+    sketch equal the single-pass direct histogram. Mergeability is
+    what lets a 1000-executor job (or a streaming accumulator)
+    maintain quantiles with a bins-sized state instead of a global
+    sort — the property this query proves end-to-end.
+
+    Scale shape: two hash aggregates over one scan each (shard
+    partials, direct), both map-side combined down to the BIN space
+    (value-range-bounded, ~100 bins — never the row count); every
+    window/cumsum runs on that bin frame. All counts integer; the
+    only floats are ceil(q*N) on identical doubles and the reported
+    bin upper edge."""
+    ev = _t(spark, sf_dir, "events")
+    binned = ev.select(
+        (F.col("event_id") % _IQ_SHARDS).alias("shard"),
+        F.floor(F.col("value") / _IQ_W).alias("bin"),
+    )
+    h = binned.groupBy("shard", "bin").agg(F.count(F.lit(1)).alias("n"))
+    merged = h.groupBy("bin").agg(F.sum("n").alias("n"))
+    direct = (
+        ev.select(F.floor(F.col("value") / _IQ_W).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    qs = F.broadcast(
+        ev.sparkSession.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+    )
+    w_cum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )  # bin-space frame — value-range-bounded
+    w_all = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+
+    def est(hist: DataFrame, out: str) -> DataFrame:
+        c = hist.select(
+            "bin",
+            F.sum("n").over(w_cum).alias("cum"),
+            F.sum("n").over(w_all).alias("nt"),
+        )
+        return (
+            c.crossJoin(qs)
+            .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("nt")))
+            .groupBy("q")
+            .agg(F.min("bin").alias(out), F.max("nt").alias("nt_" + out))
+        )
+
+    em = est(merged, "bin_merged")
+    ed = est(direct, "bin_direct").drop("nt_bin_direct")
+    return (
+        em.join(ed, "q")
+        .select(
+            "q",
+            F.col("nt_bin_merged").cast("long").alias("n_total"),
+            "bin_merged",
+            F.round((F.col("bin_merged") + 1) * float(_IQ_W), 2).alias(
+                "upper_merged"
+            ),
+            "bin_direct",
+            F.when(F.col("bin_merged") == F.col("bin_direct"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("certified"),
+        )
+    )

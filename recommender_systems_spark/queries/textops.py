@@ -2467,3 +2467,143 @@ def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round int, left_sym string, right_sym string, merged string,"
         " pair_count long",
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (data selection for language models)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 1024        # hashed-unigram buckets (vocabulary-free)
+_DSIR_TARGET = "en"   # target distribution = English documents
+_DSIR_TOPK = 100
+
+_DSIR_SQL = f"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, lang,
+               CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT)
+                   % {_DSIR_B} AS bkt
+        FROM tok
+    ),
+    tgt AS (SELECT bkt, count(*) AS ct FROM b
+            WHERE lang = '{_DSIR_TARGET}' GROUP BY bkt),
+    raw AS (SELECT bkt, count(*) AS cr FROM b GROUP BY bkt),
+    tots AS (SELECT (SELECT sum(ct) FROM tgt) AS t,
+                    (SELECT sum(cr) FROM raw) AS r),
+    lr AS (
+        SELECT raw.bkt,
+               CAST(round((ln((COALESCE(tgt.ct, 0) + 1.0)
+                              / (tots.t + {_DSIR_B}))
+                           - ln((raw.cr + 1.0) / (tots.r + {_DSIR_B})))
+                          * 1000000) AS BIGINT) AS lr_ppm
+        FROM raw LEFT JOIN tgt ON tgt.bkt = raw.bkt, tots
+    ),
+    per AS (
+        SELECT b.doc_id, max(b.lang) AS lang,
+               count(*) AS n_tok, sum(lr.lr_ppm) AS s
+        FROM b JOIN lr ON lr.bkt = b.bkt
+        GROUP BY b.doc_id
+    ),
+    top AS (
+        SELECT doc_id, lang, n_tok, s,
+               row_number() OVER (
+                   ORDER BY CAST(s AS DOUBLE) / n_tok DESC, doc_id
+               ) AS rnk
+        FROM per
+    )
+    SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok,
+           round(CAST(s AS DOUBLE) / n_tok / 1000000.0, 6) AS avg_logratio,
+           CAST(rnk AS INT) AS rnk
+    FROM top WHERE rnk <= {_DSIR_TOPK}
+"""
+
+
+@register("t_dsir_weights", _DSIR_SQL)
+def t_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): score every document by its average hashed-unigram
+    log-likelihood ratio between a TARGET distribution (here the
+    '{_DSIR_TARGET}' sub-corpus) and the raw pool, and keep the
+    top-{_DSIR_TOPK} — the modern replacement for hand-written quality
+    heuristics when composing a pretraining mixture toward a target
+    domain.
+
+    Features are vocabulary-free hashed unigrams (md5 % {_DSIR_B}, the
+    t_feature_hashing house rule, identical in both engines); both
+    bucket models are Laplace-smoothed; each bucket's log-ratio is
+    integer-scaled to millionths ONCE at the {_DSIR_B}-row bucket
+    level (the t_surprisal convention), so every per-document score is
+    an exact integer sum and the ranking key s/n_tok is a ratio of
+    identical integers in both engines (with a doc_id tie-break).
+
+    Scale shape: tokenize once; bucket stats are TWO {_DSIR_B}-row
+    aggregates (map-side combined); the scoring join broadcasts the
+    {_DSIR_B}-row log-ratio table onto the exploded token stream, so
+    the only data-sized shuffle is the per-doc integer sum; selection
+    is orderBy().limit() -> TakeOrderedAndProject. In production the
+    target counts come from a separate (small, curated) corpus — the
+    same broadcast shape."""
+    docs = _t(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.explode(tokens(F.col("text")))), 1, 8),
+                   16, 10).cast("long")
+            % _DSIR_B
+        ).alias("bkt"),
+    )
+    tgt = (
+        b.filter(F.col("lang") == _DSIR_TARGET)
+        .groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    raw = b.groupBy("bkt").agg(F.count(F.lit(1)).alias("cr"))
+    tots = F.broadcast(
+        raw.agg(F.sum("cr").alias("r")).crossJoin(
+            tgt.agg(F.sum("ct").alias("t"))
+        )
+    )
+    lr = (
+        raw.join(F.broadcast(tgt), "bkt", "left")
+        .crossJoin(tots)
+        .select(
+            "bkt",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                        / (F.col("t") + _DSIR_B)
+                    )
+                    - F.log((F.col("cr") + 1.0) / (F.col("r") + _DSIR_B))
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("lr_ppm"),
+        )
+    )
+    per = (
+        b.join(F.broadcast(lr), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.max("lang").alias("lang"),
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("lr_ppm").alias("s"),
+        )
+    )
+    key = F.col("s").cast("double") / F.col("n_tok")
+    top = per.orderBy(key.desc(), "doc_id").limit(_DSIR_TOPK)
+    w = Window.orderBy(key.desc(), "doc_id")
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        "doc_id",
+        "lang",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.round(key / 1000000.0, 6).alias("avg_logratio"),
+        F.col("rnk").cast("int").alias("rnk"),
+    )

@@ -87,7 +87,17 @@ def genre_weight_grid(
     never on the factors — so a training run computes them ONCE, not
     once per sweep (the double-explode to (g, f) granularity, the
     expensive part of the old fused stats pass, leaves the per-sweep
-    loop entirely)."""
+    loop entirely).
+
+    Item-set semantics (pinned by test_genre_stats_unrated_item): B/C
+    cover the FULL genre table, matching the reference's F-update
+    denominator (incl_genre.py:202-212 iterates genre_dict — every
+    genre movie, rated or not). A genre item with no factor row (never
+    rated) therefore contributes its 1/|g_n| weight to B/C but nothing
+    to A (``genre_a_stats`` inner-joins factors) — i.e. missing factor
+    rows behave as zero vectors, the zero-init convention for unrated
+    items. Callers wanting rated-only B/C must semi-join ``genres``
+    on the rated-item ids BEFORE calling."""
     pairs = genres.select(
         F.explode("genre_values").alias("g"),
         "genre_values",

@@ -1356,10 +1356,40 @@ def g_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     the edge set is symmetric, so every reachable node has degree ≥ 1.
     In production the walk set is user-count-sized but still
     corpus-independent per step — the per-step cost stays
-    walks × (2 shuffled id-pair joins)."""
+    walks × (2 shuffled id-pair joins); past
+    ``walk_broadcast_threshold`` walks the explicit broadcast hints
+    are dropped and the per-step joins become ordinary shuffled
+    equi-joins on node id (the ml/bpr.py catalog-threshold pattern),
+    so an unbounded frontier never gets forced driver-side."""
+    return _random_walks(spark, sf_dir, walk_n=WALK_N)
+
+
+# Frontier rows above this count are joined shuffle-side, not
+# broadcast: each frontier row is ~3 longs, so 1M rows ≈ 24 MB —
+# comfortably under Spark's driver/executor broadcast ceilings, while
+# a user-count-sized production walk set would blow past them.
+WALK_BROADCAST_THRESHOLD = 1_000_000
+
+
+def _random_walks(
+    spark: SparkSession,
+    sf_dir: str,
+    walk_n: int,
+    walk_broadcast_threshold: int = WALK_BROADCAST_THRESHOLD,
+) -> DataFrame:
+    """Walk-corpus builder behind ``g_random_walks``.
+
+    ``walk_n`` bounds the frontier; when it exceeds
+    ``walk_broadcast_threshold`` the broadcast hints are dropped and
+    every per-step lookup runs as a shuffled equi-join."""
     from pyspark.sql import Window
 
     from recommender_systems_spark.queries._shared import u01_col
+
+    small = walk_n <= walk_broadcast_threshold
+
+    def _hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
 
     cooc = _cooc_pairs(spark, sf_dir)
     edges = cooc.select(
@@ -1379,7 +1409,7 @@ def g_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         adj.select(F.col("src").alias("id"))
         .distinct()
         .orderBy(F.md5(F.col("id").cast("string")), "id")
-        .limit(WALK_N)
+        .limit(walk_n)
     )
     cur = srcs.select(
         F.col("id").alias("walk_id"),
@@ -1398,7 +1428,7 @@ def g_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "walk",
         )
         picked = (
-            F.broadcast(cur)
+            _hint(cur)
             .join(deg, deg["src"] == F.col("node"))
             .select(
                 "walk_id",
@@ -1407,7 +1437,7 @@ def g_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         cur = (
-            F.broadcast(picked)
+            _hint(picked)
             .join(
                 adj,
                 (adj["src"] == picked["node"]) & (adj["rk"] == picked["pick"]),

@@ -2589,3 +2589,94 @@ def e_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("qini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m_preference_pairs — RLHF/DPO preference-pair mining
+# ---------------------------------------------------------------------------
+
+_PREF_GAP = 10  # minimum chosen-rejected rating margin (quantity units)
+
+_PREF_SQL = f"""
+    WITH r AS (
+        SELECT l_suppkey AS user_id, l_partkey AS item,
+               CAST(SUM(l_quantity) AS BIGINT) AS rating
+        FROM lineitem GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT user_id, item, rating,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY rating DESC, item) AS rb,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY rating ASC, item) AS rw
+        FROM r
+    )
+    SELECT b.user_id,
+           b.item AS chosen, w.item AS rejected,
+           b.rating AS chosen_r, w.rating AS rejected_r,
+           b.rating - w.rating AS margin
+    FROM (SELECT * FROM ranked WHERE rb = 1) b
+    JOIN (SELECT * FROM ranked WHERE rw = 1) w USING (user_id)
+    WHERE b.item <> w.item AND b.rating - w.rating >= {_PREF_GAP}
+    ORDER BY user_id
+"""
+
+
+@register("m_preference_pairs", _PREF_SQL)
+def m_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair mining — the data-prep step for pairwise
+    preference training (DPO/RLHF reward modelling, and the same pair
+    shape BPR consumes, ml/bpr.py): per user, emit the strongest
+    (chosen, rejected) item pair from observed feedback, keeping only
+    pairs whose rating margin clears {_PREF_GAP} so the pair label is
+    unambiguous (low-margin pairs are noise for a preference model).
+    Chosen = argmax rating, rejected = argmin, with total (rating,
+    item) tie-breaks so the mined dataset is byte-identical across
+    engines — ratings are summed integer-valued quantities, exact in
+    IEEE, so no rounding is needed anywhere.
+
+    Scale shape: one (user, item) hash aggregate over the interaction
+    log, then TWO row_number windows over the SAME (user)-partitioned
+    exchange (Catalyst reuses the shuffle; each window is a per-user
+    top-1, never a sort of the full history), then a user-keyed
+    self-join of two 1-row-per-user frames. Everything is linear in
+    interactions with per-user parallelism — no pair explosion, unlike
+    naive all-pairs preference mining."""
+    li = _t(spark, sf_dir, "lineitem")
+    r = (
+        li.groupBy(
+            F.col("l_suppkey").alias("user_id"),
+            F.col("l_partkey").alias("item"),
+        )
+        .agg(F.sum("l_quantity").cast("long").alias("rating"))
+    )
+    wb = Window.partitionBy("user_id").orderBy(F.col("rating").desc(), "item")
+    ww = Window.partitionBy("user_id").orderBy(F.col("rating").asc(), "item")
+    ranked = r.withColumn("rb", F.row_number().over(wb)).withColumn(
+        "rw", F.row_number().over(ww)
+    )
+    best = ranked.filter(F.col("rb") == 1).select(
+        "user_id",
+        F.col("item").alias("chosen"),
+        F.col("rating").alias("chosen_r"),
+    )
+    worst = ranked.filter(F.col("rw") == 1).select(
+        "user_id",
+        F.col("item").alias("rejected"),
+        F.col("rating").alias("rejected_r"),
+    )
+    return (
+        best.join(worst, "user_id")
+        .filter(
+            (F.col("chosen") != F.col("rejected"))
+            & (F.col("chosen_r") - F.col("rejected_r") >= _PREF_GAP)
+        )
+        .select(
+            "user_id",
+            "chosen",
+            "rejected",
+            "chosen_r",
+            "rejected_r",
+            (F.col("chosen_r") - F.col("rejected_r")).alias("margin"),
+        )
+    )

@@ -363,6 +363,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()  # consumed by centroid scan + assignment + pair join
     )
     n_vecs = e.count()  # e is checkpointed — metadata-cheap
+    # isqrt(n-1)+1 == DuckDB's ceil(sqrt(n)) exactly for n <= 2^52
+    # (~4.5e15 vectors; first divergence at 2^52+1) — pinned by
+    # tests/test_new_ops.py::test_ceil_sqrt_isqrt_agreement.
     k = max(SEM_K, math.isqrt(max(n_vecs - 1, 0)) + 1 if n_vecs else SEM_K)
     cents = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")

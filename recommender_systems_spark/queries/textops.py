@@ -2549,12 +2549,16 @@ def t_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     target counts come from a separate (small, curated) corpus — the
     same broadcast shape."""
     docs = _t(spark, sf_dir, "documents")
-    b = docs.select(
+    # Generators can't nest inside expressions: explode into its own
+    # projection first (the t_feature_hashing shape), then bucket.
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    b = tok.select(
         "doc_id",
         "lang",
         (
-            F.conv(F.substring(F.md5(F.explode(tokens(F.col("text")))), 1, 8),
-                   16, 10).cast("long")
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
             % _DSIR_B
         ).alias("bkt"),
     )
@@ -2606,4 +2610,107 @@ def t_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tok").cast("long").alias("n_tok"),
         F.round(key / 1000000.0, 6).alias("avg_logratio"),
         F.col("rnk").cast("int").alias("rnk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t_heavy_hitters — distributed heavy hitters (local-candidate + verify)
+# ---------------------------------------------------------------------------
+
+_HH_SHARDS = 16   # deterministic doc shards (stand-in for input splits)
+_HH_K = 100       # heavy = global frequency > N / K
+
+_HH_SQL = f"""
+    WITH tok AS (
+        SELECT CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '_hh'),
+                                      1, 8) AS BIGINT) % {_HH_SHARDS} AS shard,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents
+    ),
+    loc AS (SELECT shard, tok, count(*) AS f FROM tok GROUP BY 1, 2),
+    st AS (SELECT shard, sum(f) AS ns FROM loc GROUP BY 1),
+    cand AS (
+        SELECT tok, count(*) AS n_shards_flagged
+        FROM loc JOIN st USING (shard)
+        WHERE f * {_HH_K} > ns
+        GROUP BY tok
+    ),
+    gcnt AS (
+        SELECT l.tok, sum(l.f) AS f
+        FROM loc l JOIN cand c ON c.tok = l.tok
+        GROUP BY l.tok
+    ),
+    tot AS (SELECT sum(f) AS n FROM loc)
+    SELECT g.tok AS token,
+           CAST(g.f AS BIGINT) AS freq,
+           CAST(c.n_shards_flagged AS BIGINT) AS n_shards_flagged
+    FROM gcnt g JOIN cand c ON c.tok = g.tok, tot
+    WHERE g.f * {_HH_K} > tot.n
+    ORDER BY freq DESC, token
+"""
+
+
+@register("t_heavy_hitters", _HH_SQL)
+def t_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed heavy hitters over the token stream — every token
+    with global frequency > N/{_HH_K} — via the two-pass
+    local-candidate + global-verify scheme (the exact, mergeable
+    formulation of Misra-Gries/SpaceSaving): shard documents
+    deterministically into {_HH_SHARDS} shards (a stand-in for input
+    splits), flag per-shard candidates with local frequency > N_s/K,
+    then exactly count ONLY the flagged tokens and keep the global
+    qualifiers. Soundness is the pigeonhole guarantee: f > N/K with
+    f = Σf_s and N = ΣN_s forces f_s·K > N_s in at least one shard, so
+    the candidate union is a superset of the true heavy hitters and
+    the verify pass makes the output EXACT (all-integer comparisons —
+    f·K > N, no division, no FP).
+
+    Scale shape: pass 1 is a map-side-combined (shard, token) count
+    whose output is vocabulary-sized, not corpus-sized; the per-shard
+    threshold caps candidates at K per shard ({_HH_SHARDS}·{_HH_K}
+    rows max), so pass 2's verify join broadcasts the candidate set
+    against the shard-local counts already produced — the corpus is
+    tokenized ONCE and never rescanned. This is the op that finds
+    boilerplate/template tokens at 100 TB without a full sorted
+    vocabulary."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("_", F.col("doc_id"), F.lit("hh"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _HH_SHARDS
+        ).alias("shard"),
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    )
+    loc = tok.groupBy("shard", "tok").agg(F.count(F.lit(1)).alias("f"))
+    loc = loc.localCheckpoint()  # consumed by shard totals + verify + total
+    st = loc.groupBy("shard").agg(F.sum("f").alias("ns"))
+    cand = (
+        loc.join(F.broadcast(st), "shard")
+        .filter(F.col("f") * _HH_K > F.col("ns"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_shards_flagged"))
+    )
+    glob = (
+        loc.join(F.broadcast(cand), "tok")
+        .groupBy("tok", "n_shards_flagged")
+        .agg(F.sum("f").alias("f"))
+    )
+    tot = loc.agg(F.sum("f").alias("n"))
+    return (
+        glob.crossJoin(F.broadcast(tot))
+        .filter(F.col("f") * _HH_K > F.col("n"))
+        .select(
+            F.col("tok").alias("token"),
+            F.col("f").cast("long").alias("freq"),
+            F.col("n_shards_flagged").cast("long").alias("n_shards_flagged"),
+        )
+        .orderBy(F.col("freq").desc(), "token")
     )

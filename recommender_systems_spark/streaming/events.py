@@ -253,13 +253,22 @@ def cdc_apply_batch(
     rewriting ONLY the buckets containing touched keys. Returns the
     sorted touched-bucket list (for observability/tests).
 
-    Idempotent under at-least-once redelivery: when ``batch_id`` is
-    given (foreachBatch passes it), a ``_last_batch`` marker persisted
-    NEXT TO the state records the highest applied id, and a replayed
-    batch (id ≤ marker) is skipped — latest-wins is naturally
-    idempotent but the additive ``n_changes`` count is not, so without
-    the marker a post-failure replay would double-count. This is the
-    same dedup a production MERGE INTO keys on the batch id.
+    Idempotent under at-least-once redelivery of FULLY-COMMITTED
+    batches: when ``batch_id`` is given (foreachBatch passes it), a
+    ``_last_batch`` marker persisted NEXT TO the state records the
+    highest applied id, and a replayed batch (id ≤ marker) is skipped
+    — latest-wins is naturally idempotent but the additive
+    ``n_changes`` count is not, so without the marker a post-failure
+    replay would double-count. CAVEAT: the marker is written AFTER
+    the bucket overwrite, so a crash in the window between the parquet
+    commit and the marker ``os.replace`` leaves the marker stale and
+    a redelivery of THAT batch re-applies it, double-counting
+    ``n_changes`` for its keys (latest-wins columns stay correct).
+    Closing that window needs the dedup inside the transactional
+    commit itself — e.g. a max-applied ``batch_id`` column per key in
+    the state rows, or a Delta/Iceberg MERGE whose txn id is the batch
+    id (the production shape); the side-car marker is the stand-in at
+    the same granularity a production MERGE INTO keys on.
 
     Scale shape: per-batch work is O(batch) + O(state in touched
     buckets) — NOT O(total keys). A batch touching k of B buckets

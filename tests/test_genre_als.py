@@ -87,3 +87,27 @@ def test_genre_als_descends(spark):
     )
     assert model.rmse_history[0] > model.rmse_history[-1]
     assert np.isfinite(f_state).all() and np.abs(f_state).sum() > 0
+
+
+def test_genre_stats_unrated_item(spark):
+    """Pin the item-set semantics (see genre_weight_grid docstring):
+    an unrated genre item (no factor row) contributes its 1/|g_n|
+    weight to B/C — matching the reference F-update's denominator,
+    which iterates the full genre table — but nothing to A (missing
+    factor rows act as zero vectors)."""
+    from recommender_systems_spark.ml.genre_als import genre_feature_stats
+
+    factors = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "id long, features array<double>"
+    )
+    genres = spark.createDataFrame(
+        # item 9 carries genres {0, 1} but has NO factor row.
+        [(1, [0], 1), (9, [0, 1], 2)],
+        "item long, genre_values array<int>, genre_count int",
+    )
+    a, b, c = genre_feature_stats(factors, genres, 2, 2)
+    # A: only the rated item 1 contributes (sqrt(1) scale).
+    np.testing.assert_allclose(a, [[1.0, 2.0], [0.0, 0.0]], atol=1e-12)
+    # B/C: item 9 contributes 1/2 to both its genres and their cross.
+    np.testing.assert_allclose(b, [1.0 + 0.5, 0.5], atol=1e-12)
+    assert c[0, 1] == 0.5 and c[1, 0] == 0.5

@@ -2464,3 +2464,44 @@ def test_modularity_consistent_with_label_propagation(spark):
     assert q["n_nodes"] == sum(r["n_members"] for r in comms)
     assert 0 <= q["intra_edges"] <= q["n_edges"]
     assert -0.5 <= q["modularity"] <= 1.0
+
+
+def test_ceil_sqrt_isqrt_agreement():
+    """dedup_semantic derives its codebook size as isqrt(n-1)+1 on the
+    Spark side and ceil(sqrt(n)) in the DuckDB oracle; pin the identity
+    across boundary values (perfect squares and their neighbours) so a
+    refactor of either side can't silently diverge the two engines.
+
+    Validity domain (this test DISCOVERED the edge, correcting the
+    in-code comment's "any int64 n" claim): the identity holds exactly
+    for n <= 2^52 and FIRST fails at n = 2^52 + 1 = (2^26)^2 + 1, where
+    IEEE sqrt rounds m^2+1 down to m (1/(2m) drops below half an ulp).
+    2^52 ~ 4.5e15 vectors is ~6 orders of magnitude past a 100 TB
+    embedding table, so the engines agree everywhere reachable; the
+    counterexample is asserted so the bound stays documented."""
+    import math
+
+    import duckdb
+
+    con = duckdb.connect()
+
+    def db_ceil_sqrt(n: int) -> int:
+        (v,) = con.execute(
+            f"SELECT CAST(ceil(sqrt(CAST({n} AS DOUBLE))) AS BIGINT)"
+        ).fetchone()
+        return v
+
+    ns = [1, 2, 3, 4, 5]
+    for base in (10, 100, 1_000, 1_000_000, 2**20, 2**26 - 1):
+        ns += [base * base - 1, base * base, base * base + 1]
+    ns.append(2**52)  # last n where the identity provably holds
+    for n in ns:
+        assert n <= 2**52
+        py = math.isqrt(n - 1) + 1
+        db = db_ceil_sqrt(n)
+        assert py == db, f"n={n}: isqrt-form {py} != duckdb ceil-sqrt {db}"
+
+    # First divergence, just past the double-exact domain.
+    n_bad = 2**52 + 1
+    assert math.isqrt(n_bad - 1) + 1 == 2**26 + 1
+    assert db_ceil_sqrt(n_bad) == 2**26

@@ -186,3 +186,67 @@ def test_range_join_partitions_exactly(spark, vals):
     )
     assert len(joined) == len(BAND_EDGES) - 1  # empty bands survive
     assert sum(r["n"] for r in joined) == len(vals)
+
+
+# ---------------------------------------------------------------------------
+# Round-9 invariants for fixed-round iterative graph/ML ops.  Oracle
+# parity proves cross-engine agreement but CANNOT catch semantic drift
+# or non-convergence in a fixed-round iteration — these pin the math.
+# ---------------------------------------------------------------------------
+
+_SF = "/root/testdata/sf0.001"
+
+
+def test_modularity_invariants(spark):
+    """Newman modularity is bounded in [-1/2, 1], intra-community
+    edges cannot exceed the edge count, and communities cannot exceed
+    nodes."""
+    from recommender_systems_spark.queries.graph import g_modularity
+
+    row = g_modularity(spark, _SF).collect()[0]
+    assert -0.5 <= row["modularity"] <= 1.0
+    assert 0 <= row["intra_edges"] <= row["n_edges"]
+    assert 1 <= row["n_communities"] <= row["n_nodes"]
+
+
+def test_hits_monotone_integer_growth(spark):
+    """Unnormalised HITS sweeps from auth0=1 grow monotonically:
+    auth1(i) = sum of rater degrees >= n_raters(i) (each degree >= 1),
+    and auth2(i) >= auth1(i) because hub2(u) = sum of auth1 >= deg(u).
+    All scores are positive integers."""
+    from recommender_systems_spark.queries.graph import g_hits_scores
+
+    rows = g_hits_scores(spark, _SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_raters"] <= r["auth_1"] <= r["auth_2"]
+
+
+def test_tree_depth2_child_errors_bounded_by_root(spark):
+    """Level-wise tree growth can only improve the objective: each
+    child's best split includes the no-split (leaf-majority) option,
+    so left.errors + right.errors <= root.errors, and every node's
+    errors <= n/2 (majority vote bound)."""
+    from recommender_systems_spark.queries.ml import m_tree_depth2
+
+    rows = {r["node"]: r for r in m_tree_depth2(spark, _SF).collect()}
+    assert set(rows) == {"root", "left", "right"}
+    for r in rows.values():
+        assert 0 <= r["errors"] <= r["n"] // 2 + (r["n"] % 2)
+    assert rows["left"]["errors"] + rows["right"]["errors"] <= rows["root"]["errors"]
+    assert rows["left"]["n"] + rows["right"]["n"] == rows["root"]["n"]
+
+
+def test_random_walks_nonbroadcast_path_matches(spark):
+    """g_random_walks past the broadcast threshold: the shuffled-join
+    path must produce byte-identical walks to the broadcast path (the
+    hint changes the physical plan only)."""
+    from recommender_systems_spark.queries.graph import _random_walks
+
+    small = _random_walks(spark, _SF, walk_n=16)  # broadcast hints on
+    big = _random_walks(
+        spark, _SF, walk_n=16, walk_broadcast_threshold=1
+    )  # hints off: shuffled equi-joins
+    a = sorted(map(tuple, small.collect()))
+    b = sorted(map(tuple, big.collect()))
+    assert a == b and len(a) == 16 * 5  # 16 walks x (start + 4 steps)

@@ -71,7 +71,13 @@ def main() -> None:
     for name in names:
         t01 = timed_median(spark, name, SF01, repeat)
         t1 = timed_median(spark, name, SF1, repeat)
-        out[name] = {"sf0.1": t01, "sf1": t1, "ratio": round(t1 / t01, 2)}
+        # Guard the ratio: medians are rounded to 3dp above, so a
+        # sub-millisecond sf0.1 median would divide by zero.
+        out[name] = {
+            "sf0.1": t01,
+            "sf1": t1,
+            "ratio": round(t1 / max(t01, 1e-3), 2),
+        }
         print(f"{name}: sf0.1={t01}s sf1={t1}s ratio={out[name]['ratio']}x",
               file=sys.stderr)
     print(json.dumps({"repeat": repeat, "queries": out}))

@@ -846,3 +846,281 @@ def e_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_required_per_arm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e_interleave_teamdraft — team-draft interleaving for online ranker eval
+# ---------------------------------------------------------------------------
+
+_TD_K = 12   # per-ranker list length
+_TD_R = 6    # draft rounds (2 picks/round); K >= 2R guarantees a pick
+             # always exists even if the other team drains this list
+_TD_CTR = 0.35  # deterministic click-model threshold
+
+_TD_SQL = f"""
+    WITH RECURSIVE
+    agg AS (
+        SELECT l_partkey AS item,
+               CAST(SUM(l_quantity) AS BIGINT) AS qty,
+               COUNT(DISTINCT l_orderkey) AS nord
+        FROM lineitem GROUP BY 1
+    ),
+    ra AS (SELECT list(item ORDER BY qty DESC, item) AS l
+           FROM (SELECT * FROM agg ORDER BY qty DESC, item LIMIT {_TD_K})),
+    rb AS (SELECT list(item ORDER BY nord DESC, item) AS l
+           FROM (SELECT * FROM agg ORDER BY nord DESC, item LIMIT {_TD_K})),
+    draft(r, picked) AS (
+        SELECT 0, CAST([] AS BIGINT[])
+        UNION ALL
+        SELECT s.r + 1,
+               list_append(s.p1ed,
+                   list_filter(s.second_l,
+                               y -> NOT list_contains(s.p1ed, y))[1])
+        FROM (
+            SELECT d.r,
+                   list_append(d.picked,
+                       list_filter(CASE WHEN {{COIN_R1}} < 0.5
+                                        THEN ra.l ELSE rb.l END,
+                                   x -> NOT list_contains(d.picked, x))[1])
+                       AS p1ed,
+                   CASE WHEN {{COIN_R1}} < 0.5
+                        THEN rb.l ELSE ra.l END AS second_l
+            FROM draft d, ra, rb
+            WHERE d.r < {_TD_R}
+        ) s
+    ),
+    final AS (SELECT picked FROM draft WHERE r = {_TD_R}),
+    pos AS (
+        SELECT CAST(i AS INT) AS pos, picked[i + 1] AS item
+        FROM final CROSS JOIN (SELECT unnest(range({2 * _TD_R})) AS i)
+    )
+    SELECT pos, item,
+           CASE WHEN ({{COIN_POS}} < 0.5) = (pos % 2 = 0)
+                THEN 'A' ELSE 'B' END AS team,
+           CAST(CASE WHEN {{CLICK}} < {_TD_CTR} THEN 1 ELSE 0 END AS INT)
+               AS clicked
+    FROM pos ORDER BY pos
+""".format(
+    COIN_R1=u01_sql("d.r + 1", "tdraft"),
+    COIN_POS=u01_sql("pos // 2 + 1", "tdraft"),
+    CLICK=u01_sql("item", "tdclick"),
+)
+
+
+@register("e_interleave_teamdraft", _TD_SQL)
+def e_interleave_teamdraft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Team-draft interleaving (Radlinski et al. 2008) — the online
+    ranker-comparison mechanism production serving uses instead of a
+    traffic-split A/B: two rankers (A = parts by total quantity, B =
+    parts by distinct-order reach) alternately draft their best
+    not-yet-picked item into ONE interleaved list, a per-round
+    deterministic coin deciding who drafts first; clicks then credit
+    the team that contributed the clicked item. The whole experiment —
+    coins and the click model — runs on md5-uniforms, so the
+    interleaved list, team attribution, and click column are
+    byte-identical across engines.
+
+    The draft itself is a {_TD_R}-round FOLD: Spark runs it as ONE
+    in-plan ``F.aggregate`` over a literal round sequence on a 1-row
+    frame holding both top-{_TD_K} lists (collected via TakeOrdered —
+    K is constant, never data-sized), with array state; the oracle is
+    the same fold as a recursive CTE with list state. K >= 2R
+    guarantees a team's list can never be drained before its pick
+    (at round r at most 2(r-1)+1 items are gone). Candidate-list
+    construction is the only distributed work — two top-K
+    TakeOrderedAndProject passes over one (item) aggregate — so the
+    op is linear in interactions at any scale, and team credit per
+    query-session in production is this exact plan keyed by session.
+
+    Output: (pos, item, team, clicked) for the 2R interleaved
+    positions."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = (
+        li.groupBy(F.col("l_partkey").alias("item"))
+        .agg(
+            F.sum("l_quantity").cast("long").alias("qty"),
+            F.countDistinct("l_orderkey").alias("nord"),
+        )
+        # Both rankers read this catalog-sized frame — materialise it
+        # so the fact table is scanned once, not once per ranker.
+        .localCheckpoint()
+    )
+
+    def toplist(key: str) -> DataFrame:
+        return (
+            agg.orderBy(F.col(key).desc(), "item")
+            .limit(_TD_K)
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct((-F.col(key)).alias("s"),
+                                     F.col("item").alias("i"))
+                        )
+                    ),
+                    lambda s: s["i"],
+                ).alias("l")
+            )
+        )
+
+    one = (
+        toplist("qty").select(F.col("l").alias("la"))
+        .crossJoin(toplist("nord").select(F.col("l").alias("lb")))
+    )
+
+    def step(acc, r):
+        c = u01_col(r, "tdraft") < 0.5
+        first_l = F.when(c, F.col("la")).otherwise(F.col("lb"))
+        second_l = F.when(c, F.col("lb")).otherwise(F.col("la"))
+        p1 = F.element_at(
+            F.filter(first_l, lambda x: ~F.array_contains(acc, x)), 1
+        )
+        acc1 = F.concat(acc, F.array(p1))
+        p2 = F.element_at(
+            F.filter(second_l, lambda y: ~F.array_contains(acc1, y)), 1
+        )
+        return F.concat(acc1, F.array(p2))
+
+    picked = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_TD_R)),
+        F.array().cast("array<bigint>"),
+        step,
+    )
+    pos = one.select(F.posexplode(picked).alias("pos", "item"))
+    rnd = (F.floor(F.col("pos") / 2) + 1).cast("long")
+    first_of_round = F.col("pos") % 2 == 0
+    coin = u01_col(rnd, "tdraft") < 0.5
+    return pos.select(
+        F.col("pos").cast("int").alias("pos"),
+        "item",
+        F.when(coin == first_of_round, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("team"),
+        (u01_col(F.col("item"), "tdclick") < _TD_CTR)
+        .cast("int")
+        .alias("clicked"),
+    ).orderBy("pos")
+
+
+# ---------------------------------------------------------------------------
+# e_conformal_coverage — split-conformal prediction intervals
+# ---------------------------------------------------------------------------
+
+_CONF_ALPHA = 0.1  # target miscoverage: intervals should cover 90%
+
+_CONF_SQL = f"""
+    WITH rows_ AS (
+        SELECT l_partkey AS item,
+               CAST(l_quantity * 1000000 AS BIGINT) AS y_ppm,
+               {{SPLIT_U}} AS u
+        FROM lineitem
+    ),
+    tr AS (SELECT item, CAST(round(avg(y_ppm)) AS BIGINT) AS yhat_ppm
+           FROM rows_ WHERE u < 0.5 GROUP BY item),
+    cal AS (
+        SELECT abs(r.y_ppm - tr.yhat_ppm) AS res
+        FROM rows_ r JOIN tr USING (item)
+        WHERE r.u >= 0.5 AND r.u < 0.75
+    ),
+    nc AS (SELECT count(*) AS n FROM cal),
+    q AS (
+        SELECT res AS q_ppm FROM (
+            SELECT res, row_number() OVER (ORDER BY res) AS rn FROM cal
+        ), nc
+        WHERE rn = least(CAST(ceil((nc.n + 1) * {1 - _CONF_ALPHA})
+                              AS BIGINT), nc.n)
+    ),
+    te AS (
+        SELECT abs(r.y_ppm - tr.yhat_ppm) AS res
+        FROM rows_ r JOIN tr USING (item)
+        WHERE r.u >= 0.75
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM rows_ WHERE u < 0.5)
+               AS n_train,
+           (SELECT CAST(n AS BIGINT) FROM nc) AS n_cal,
+           CAST(count(*) AS BIGINT) AS n_test,
+           round((SELECT q_ppm FROM q) / 1000000.0, 6) AS q_hat,
+           round(avg(CASE WHEN te.res <= (SELECT q_ppm FROM q)
+                          THEN 1.0 ELSE 0.0 END), 6) AS coverage
+    FROM te
+""".format(SPLIT_U=u01_sql("l_orderkey * 10 + l_linenumber", "conf"))
+
+
+@register("e_conformal_coverage", _CONF_SQL)
+def e_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction (Vovk et al.; Lei et al. 2018) — the
+    distribution-free way to put FINITE-SAMPLE-VALID intervals around
+    any point predictor, and the calibration step a serving system
+    runs before shipping uncertainty estimates: fit on a train split
+    (here the per-item mean quantity), take the ⌈(n+1)(1−α)⌉-th
+    smallest absolute residual on a held-out calibration split as the
+    interval half-width q̂, then verify empirical coverage ≥ 1−α on a
+    test split. The guarantee needs nothing but exchangeability — no
+    model assumptions — which is why it composes with any predictor.
+
+    Exactness: quantities are integer-valued, so residuals live in
+    exact integer micro-units; the conformal quantile is an ORDER
+    STATISTIC (row_number, no interpolation — the finite-sample-valid
+    form); coverage is a ratio of exact integers. The only floats are
+    display rounding. Splits are md5-uniform on the row key (the
+    FIXTURES.md convention), so both engines hold out identical rows.
+
+    Scale shape: one fact scan into the 3-way split; the model is an
+    item-keyed aggregate (broadcastable dimension); the quantile is a
+    global sort of the CALIBRATION split only (25% sample — at 100 TB
+    swap for approx_percentile with a documented validity tweak or a
+    fixed-count calibration sample); coverage is one reduce."""
+    li = _t(spark, sf_dir, "lineitem")
+    rows = li.select(
+        F.col("l_partkey").alias("item"),
+        (F.col("l_quantity") * 1_000_000).cast("long").alias("y_ppm"),
+        u01_col(
+            F.col("l_orderkey") * 10 + F.col("l_linenumber"), "conf"
+        ).alias("u"),
+    ).localCheckpoint()  # consumed by train/cal/test splits
+    tr = (
+        rows.filter(F.col("u") < 0.5)
+        .groupBy("item")
+        .agg(F.round(F.avg("y_ppm")).cast("long").alias("yhat_ppm"))
+    )
+    res = F.abs(F.col("y_ppm") - F.col("yhat_ppm"))
+    cal = (
+        rows.filter((F.col("u") >= 0.5) & (F.col("u") < 0.75))
+        .join(tr, "item")
+        .select(res.alias("res"))
+    )
+    nc = cal.agg(F.count(F.lit(1)).alias("n"))
+    wq = Window.orderBy("res")
+    k = F.least(
+        F.ceil((F.col("n") + 1) * (1 - _CONF_ALPHA)).cast("long"), F.col("n")
+    )
+    q = (
+        cal.withColumn("rn", F.row_number().over(wq))
+        .crossJoin(F.broadcast(nc))
+        .filter(F.col("rn") == k)
+        .select(F.col("res").alias("q_ppm"))
+    )
+    te = (
+        rows.filter(F.col("u") >= 0.75)
+        .join(tr, "item")
+        .select(res.alias("res"))
+    )
+    n_train = rows.filter(F.col("u") < 0.5).agg(
+        F.count(F.lit(1)).cast("long").alias("n_train")
+    )
+    return (
+        te.crossJoin(F.broadcast(q))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.round(F.first("q_ppm") / 1_000_000.0, 6).alias("q_hat"),
+            F.round(
+                F.avg(
+                    F.when(F.col("res") <= F.col("q_ppm"), 1.0).otherwise(0.0)
+                ),
+                6,
+            ).alias("coverage"),
+        )
+        .crossJoin(F.broadcast(n_train))
+        .crossJoin(F.broadcast(nc.select(F.col("n").cast("long").alias("n_cal"))))
+        .select("n_train", "n_cal", "n_test", "q_hat", "coverage")
+    )

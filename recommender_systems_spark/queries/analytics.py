@@ -30,6 +30,8 @@ from recommender_systems_spark.registry import _t, register
 from recommender_systems_spark.queries._shared import (
     GRP_SQL as _GRP_SQL,
     LANG_SQL as _LANG_SQL,
+    u01_col,
+    u01_sql,
 )
 
 
@@ -3365,3 +3367,62 @@ def a_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("row_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# a_dp_histogram — differentially-private histogram release (Laplace)
+# ---------------------------------------------------------------------------
+
+_DP_EPS = 0.5  # privacy budget per released histogram
+
+_DP_SQL = f"""
+    WITH h AS (
+        SELECT o_orderpriority AS priority, count(*) AS n
+        FROM orders GROUP BY 1
+    ),
+    u AS (SELECT priority, n, {{U}} AS u FROM h)
+    SELECT priority,
+           round(n + (-(1.0 / {_DP_EPS}))
+                     * CASE WHEN u - 0.5 < 0 THEN -1.0 ELSE 1.0 END
+                     * ln(1.0 - 2.0 * abs(u - 0.5)),
+                 4) AS noisy_n,
+           {_DP_EPS} AS epsilon
+    FROM u ORDER BY priority
+""".format(U=u01_sql("priority", "dp"))
+
+
+@register("a_dp_histogram", _DP_SQL)
+def a_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private histogram release — the Laplace
+    mechanism (Dwork et al. 2006) on a grouped count: each bucket
+    count gets Laplace(Δf/ε) noise (sensitivity Δf = 1 for disjoint
+    count buckets), the release primitive behind every private
+    analytics/telemetry dashboard and DP training-data statistic.
+    Noise is drawn by INVERSE CDF from the house md5-uniform keyed on
+    the bucket — deterministic on purpose, so the release is testable
+    and value-hashes across engines; production swaps u for a
+    cryptographic uniform per release, changing ONE column. True count
+    is deliberately NOT in the output (that is the point of the
+    release); the noisy count is not clamped/rounded to integers so
+    the unbiasedness of the mechanism is visible in tests.
+
+    Cross-engine floats: ln on identical operands (both engines'
+    correctly-rounded libm on the same md5-uniform doubles) then a
+    4dp display round — the t_surprisal log convention. Scale shape:
+    one map-side-combined aggregate, a buckets-sized projection;
+    privacy post-processing adds zero distributed work."""
+    o = _t(spark, sf_dir, "orders")
+    h = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    u = u01_col(F.col("priority"), "dp")
+    lap = (
+        F.lit(-(1.0 / _DP_EPS))
+        * F.when(u - 0.5 < 0, -1.0).otherwise(1.0)
+        * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+    )
+    return h.select(
+        "priority",
+        F.round(F.col("n") + lap, 4).alias("noisy_n"),
+        F.lit(_DP_EPS).alias("epsilon"),
+    ).orderBy("priority")

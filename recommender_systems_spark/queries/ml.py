@@ -2595,7 +2595,8 @@ def e_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # m_preference_pairs — RLHF/DPO preference-pair mining
 # ---------------------------------------------------------------------------
 
-_PREF_GAP = 10  # minimum chosen-rejected rating margin (quantity units)
+_PREF_GAP = 10        # minimum chosen-rejected rating margin (quantity units)
+_PREF_ENC = 2 ** 33   # composite-key base: rating*ENC +/- item (item < ENC)
 
 _PREF_SQL = f"""
     WITH r AS (
@@ -2603,21 +2604,18 @@ _PREF_SQL = f"""
                CAST(SUM(l_quantity) AS BIGINT) AS rating
         FROM lineitem GROUP BY 1, 2
     ),
-    ranked AS (
-        SELECT user_id, item, rating,
-               row_number() OVER (PARTITION BY user_id
-                                  ORDER BY rating DESC, item) AS rb,
-               row_number() OVER (PARTITION BY user_id
-                                  ORDER BY rating ASC, item) AS rw
-        FROM r
+    pick AS (
+        SELECT user_id,
+               arg_max(item, rating * {_PREF_ENC} - item) AS chosen,
+               arg_min(item, rating * {_PREF_ENC} + item) AS rejected,
+               max(rating) AS chosen_r,
+               min(rating) AS rejected_r
+        FROM r GROUP BY user_id
     )
-    SELECT b.user_id,
-           b.item AS chosen, w.item AS rejected,
-           b.rating AS chosen_r, w.rating AS rejected_r,
-           b.rating - w.rating AS margin
-    FROM (SELECT * FROM ranked WHERE rb = 1) b
-    JOIN (SELECT * FROM ranked WHERE rw = 1) w USING (user_id)
-    WHERE b.item <> w.item AND b.rating - w.rating >= {_PREF_GAP}
+    SELECT user_id, chosen, rejected, chosen_r, rejected_r,
+           chosen_r - rejected_r AS margin
+    FROM pick
+    WHERE chosen <> rejected AND chosen_r - rejected_r >= {_PREF_GAP}
     ORDER BY user_id
 """
 
@@ -2631,43 +2629,31 @@ def m_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs whose rating margin clears {_PREF_GAP} so the pair label is
     unambiguous (low-margin pairs are noise for a preference model).
     Chosen = argmax rating, rejected = argmin, with total (rating,
-    item) tie-breaks so the mined dataset is byte-identical across
-    engines — ratings are summed integer-valued quantities, exact in
-    IEEE, so no rounding is needed anywhere.
+    item) tie-breaks — ratings are summed integer-valued quantities,
+    exact in IEEE, so no rounding is needed anywhere.
 
-    Scale shape: one (user, item) hash aggregate over the interaction
-    log, then TWO row_number windows over the SAME (user)-partitioned
-    exchange (Catalyst reuses the shuffle; each window is a per-user
-    top-1, never a sort of the full history), then a user-keyed
-    self-join of two 1-row-per-user frames. Everything is linear in
-    interactions with per-user parallelism — no pair explosion, unlike
-    naive all-pairs preference mining."""
+    Scale shape: ONE (user, item) hash aggregate over the interaction
+    log, then ONE user-keyed aggregate whose argmax/argmin carry the
+    tie-break as a composite integer key (rating*2^33 ∓ item — exact
+    while item ids stay under 2^33 and ratings under 2^30, asserted
+    nowhere near at any TPC-H scale). Both aggregates are map-side
+    combined; no windows, no self-join, a single fact scan — the
+    naive preference-mining shape is |history|² per user, and even
+    the two-window formulation costs two extra sorts and a join."""
     li = _t(spark, sf_dir, "lineitem")
-    r = (
-        li.groupBy(
-            F.col("l_suppkey").alias("user_id"),
-            F.col("l_partkey").alias("item"),
-        )
-        .agg(F.sum("l_quantity").cast("long").alias("rating"))
-    )
-    wb = Window.partitionBy("user_id").orderBy(F.col("rating").desc(), "item")
-    ww = Window.partitionBy("user_id").orderBy(F.col("rating").asc(), "item")
-    ranked = r.withColumn("rb", F.row_number().over(wb)).withColumn(
-        "rw", F.row_number().over(ww)
-    )
-    best = ranked.filter(F.col("rb") == 1).select(
-        "user_id",
-        F.col("item").alias("chosen"),
-        F.col("rating").alias("chosen_r"),
-    )
-    worst = ranked.filter(F.col("rw") == 1).select(
-        "user_id",
-        F.col("item").alias("rejected"),
-        F.col("rating").alias("rejected_r"),
+    r = li.groupBy(
+        F.col("l_suppkey").alias("user_id"),
+        F.col("l_partkey").alias("item"),
+    ).agg(F.sum("l_quantity").cast("long").alias("rating"))
+    enc = F.col("rating") * _PREF_ENC
+    pick = r.groupBy("user_id").agg(
+        F.max_by("item", enc - F.col("item")).alias("chosen"),
+        F.min_by("item", enc + F.col("item")).alias("rejected"),
+        F.max("rating").alias("chosen_r"),
+        F.min("rating").alias("rejected_r"),
     )
     return (
-        best.join(worst, "user_id")
-        .filter(
+        pick.filter(
             (F.col("chosen") != F.col("rejected"))
             & (F.col("chosen_r") - F.col("rejected_r") >= _PREF_GAP)
         )
@@ -2679,4 +2665,554 @@ def m_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rejected_r",
             (F.col("chosen_r") - F.col("rejected_r")).alias("margin"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# m_ridge_normal_eq — multi-feature ridge via distributed normal equations
+# ---------------------------------------------------------------------------
+
+_RIDGE_LMD = 1.0  # L2 penalty added to the full Gram diagonal
+
+_RIDGE_SQL = f"""
+    WITH g AS (
+        SELECT count(*) AS n,
+               round(sum(l_quantity), 6) AS s12,
+               round(sum(l_discount), 6) AS s13,
+               round(sum(l_quantity * l_quantity), 6) AS s22,
+               round(sum(l_quantity * l_discount), 6) AS s23,
+               round(sum(l_discount * l_discount), 6) AS s33,
+               round(sum(l_extendedprice), 6) AS b1,
+               round(sum(l_quantity * l_extendedprice), 6) AS b2,
+               round(sum(l_discount * l_extendedprice), 6) AS b3
+        FROM lineitem
+    ),
+    a AS (
+        SELECT n, s12, s13, s22, s23, s33, b1, b2, b3,
+               n + {_RIDGE_LMD} AS a11, s22 + {_RIDGE_LMD} AS a22,
+               s33 + {_RIDGE_LMD} AS a33
+        FROM g
+    ),
+    d AS (
+        SELECT *,
+               a11 * (a22 * a33 - s23 * s23)
+               - s12 * (s12 * a33 - s23 * s13)
+               + s13 * (s12 * s23 - a22 * s13) AS det
+        FROM a
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round((b1 * (a22 * a33 - s23 * s23)
+                  - s12 * (b2 * a33 - s23 * b3)
+                  + s13 * (b2 * s23 - a22 * b3)) / det, 6) AS w0,
+           round((a11 * (b2 * a33 - b3 * s23)
+                  - b1 * (s12 * a33 - s23 * s13)
+                  + s13 * (s12 * b3 - b2 * s13)) / det, 6) AS w1,
+           round((a11 * (a22 * b3 - s23 * b2)
+                  - s12 * (s12 * b3 - b2 * s13)
+                  + b1 * (s12 * s23 - a22 * s13)) / det, 6) AS w2
+    FROM d
+"""
+
+
+@register("m_ridge_normal_eq", _RIDGE_SQL)
+def m_ridge_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-feature ridge regression by DISTRIBUTED NORMAL EQUATIONS —
+    the canonical way to fit a small linear model over an arbitrarily
+    large fact table: one pass accumulates the Gram matrix XᵀX and
+    moment vector Xᵀy as plain sums of products (here price ~ 1 +
+    quantity + discount), the d×d system then solves in closed form —
+    no gradient iterations, no data movement beyond one map-side-
+    combined aggregate. d=3 lets the solve itself stay IN-PLAN as
+    Cramer's rule (both engines evaluate the same determinant
+    polynomial); the general-d production variant collects the d²
+    Gram (constant-sized) and Cholesky-solves on the driver — the
+    ml/als.py normal-equation shape with k=d.
+
+    Cross-engine floats: the Gram sums are order-dependent doubles, so
+    every entry snaps to a 6dp grid BEFORE the solve (the house
+    learned-value rule); from identical rounded operands the Cramer
+    polynomial is bit-identical in both engines. λ={_RIDGE_LMD} is
+    added to the full diagonal (intercept included — documented
+    deviation from the don't-penalize-intercept convention, chosen to
+    keep the formula symmetric).
+
+    Scale shape: ONE fact scan, ONE 1-row aggregate; everything after
+    is scalar arithmetic. This is the op that makes "fit a quick
+    price model on 100 TB" a single shuffle-free pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    q, dc, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    g = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(q), 6).alias("s12"),
+        F.round(F.sum(dc), 6).alias("s13"),
+        F.round(F.sum(q * q), 6).alias("s22"),
+        F.round(F.sum(q * dc), 6).alias("s23"),
+        F.round(F.sum(dc * dc), 6).alias("s33"),
+        F.round(F.sum(y), 6).alias("b1"),
+        F.round(F.sum(q * y), 6).alias("b2"),
+        F.round(F.sum(dc * y), 6).alias("b3"),
+    )
+    a = g.select(
+        "*",
+        (F.col("n") + _RIDGE_LMD).alias("a11"),
+        (F.col("s22") + _RIDGE_LMD).alias("a22"),
+        (F.col("s33") + _RIDGE_LMD).alias("a33"),
+    )
+    c = {k: F.col(k) for k in
+         ("a11", "a22", "a33", "s12", "s13", "s23", "b1", "b2", "b3")}
+    det = (
+        c["a11"] * (c["a22"] * c["a33"] - c["s23"] * c["s23"])
+        - c["s12"] * (c["s12"] * c["a33"] - c["s23"] * c["s13"])
+        + c["s13"] * (c["s12"] * c["s23"] - c["a22"] * c["s13"])
+    )
+    det1 = (
+        c["b1"] * (c["a22"] * c["a33"] - c["s23"] * c["s23"])
+        - c["s12"] * (c["b2"] * c["a33"] - c["s23"] * c["b3"])
+        + c["s13"] * (c["b2"] * c["s23"] - c["a22"] * c["b3"])
+    )
+    det2 = (
+        c["a11"] * (c["b2"] * c["a33"] - c["b3"] * c["s23"])
+        - c["b1"] * (c["s12"] * c["a33"] - c["s23"] * c["s13"])
+        + c["s13"] * (c["s12"] * c["b3"] - c["b2"] * c["s13"])
+    )
+    det3 = (
+        c["a11"] * (c["a22"] * c["b3"] - c["s23"] * c["b2"])
+        - c["s12"] * (c["s12"] * c["b3"] - c["b2"] * c["s13"])
+        + c["b1"] * (c["s12"] * c["s23"] - c["a22"] * c["s13"])
+    )
+    return a.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(det1 / det, 6).alias("w0"),
+        F.round(det2 / det, 6).alias("w1"),
+        F.round(det3 / det, 6).alias("w2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# e_dr_ope — doubly-robust off-policy evaluation (extends m_ips_eval)
+# ---------------------------------------------------------------------------
+
+_DR_SQL = f"""
+    WITH {{_ML_CTE}},
+    pop AS (SELECT iid, count(*) AS c FROM r GROUP BY iid),
+    npop AS (SELECT sum(c) AS n FROM pop),
+    topk AS (
+        SELECT uid, iid FROM (
+            SELECT uid, iid,
+                   row_number() OVER (PARTITION BY uid
+                                      ORDER BY uv DESC, iid) AS rn
+            FROM (SELECT uid, iid, max(uv) AS uv FROM j GROUP BY uid, iid))
+        WHERE rn <= {_IPS_K}
+    ),
+    qhat AS (
+        SELECT iid,
+               round(avg(CASE WHEN r >= {_IPS_REWARD} THEN 1.0 ELSE 0.0 END),
+                     6) AS q
+        FROM r GROUP BY iid
+    ),
+    dm AS (
+        SELECT t.uid, sum(q.q) / {_IPS_K} AS dmv
+        FROM topk t JOIN qhat q USING (iid) GROUP BY t.uid
+    ),
+    logged AS (
+        SELECT j.uid,
+               CASE WHEN j.r >= {_IPS_REWARD} THEN 1.0 ELSE 0.0 END AS rew,
+               CAST(pop.c AS DOUBLE) / npop.n AS p_log,
+               CASE WHEN t.iid IS NOT NULL THEN 1.0 / {_IPS_K} ELSE 0.0 END
+                   AS p_tgt,
+               q.q AS qa,
+               dm.dmv AS dmv
+        FROM j
+        JOIN pop ON pop.iid = j.iid CROSS JOIN npop
+        LEFT JOIN topk t ON t.uid = j.uid AND t.iid = j.iid
+        JOIN qhat q ON q.iid = j.iid
+        JOIN dm ON dm.uid = j.uid
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_logged,
+           round(avg(dmv), 4) AS v_dm,
+           round(avg(rew * p_tgt / p_log), 4) AS v_ips,
+           round(avg(dmv + (p_tgt / p_log) * (rew - qa)), 4) AS v_dr
+    FROM logged
+""".format(_ML_CTE=_ML_CTE)
+
+
+@register("e_dr_ope", _DR_SQL)
+def e_dr_ope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubly-robust off-policy evaluation (Dudík, Langford & Li
+    2011) — the estimator that superseded plain IPS for counterfactual
+    "what would the new ranker have earned on logged traffic":
+    V_DR = mean[ q̂(x,π) + (π/μ)(r − q̂(x,a)) ], combining a direct
+    reward model q̂ (here the per-item logged reward rate, snapped to
+    the 6dp grid — the house learned-value rule) with the propensity
+    correction from m_ips_eval; unbiased if EITHER the reward model or
+    the propensities are right, and far lower-variance than IPS when
+    q̂ is decent. Reports V_DM / V_IPS / V_DR side by side — the
+    sandwich an experimentation platform prints for every candidate
+    policy.
+
+    Shares m_ips_eval's fixture (logging = popularity propensities,
+    target = each user's top-{_IPS_K} by embedding score). Scale
+    shape: the reward model and DM value add two item/user-keyed
+    aggregates to the IPS plan — everything stays id-keyed equi-joins
+    on interaction-sized frames; no new corpus passes."""
+    j = _scored(spark, sf_dir).localCheckpoint()  # consumed 4× below
+    pop = j.groupBy("iid").agg(F.count(F.lit(1)).alias("c"))
+    npop = pop.agg(F.sum("c").alias("n"))
+    sc = j.groupBy("uid", "iid").agg(F.max("uv").alias("uv"))
+    w = Window.partitionBy("uid").orderBy(F.col("uv").desc(), "iid")
+    topk = (
+        sc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _IPS_K)
+        .select("uid", "iid")
+    )
+    rew_case = F.when(F.col("r") >= _IPS_REWARD, 1.0).otherwise(0.0)
+    qhat = j.groupBy("iid").agg(F.round(F.avg(rew_case), 6).alias("q"))
+    dm = (
+        topk.join(qhat, "iid")
+        .groupBy("uid")
+        .agg((F.sum("q") / _IPS_K).alias("dmv"))
+    )
+    logged = (
+        j.join(pop, "iid")
+        .crossJoin(F.broadcast(npop))
+        .join(
+            topk.withColumn("hit", F.lit(1)), ["uid", "iid"], "left"
+        )
+        .join(qhat, "iid")
+        .join(dm, "uid")
+        .select(
+            rew_case.alias("rew"),
+            (F.col("c").cast("double") / F.col("n")).alias("p_log"),
+            F.when(F.col("hit").isNotNull(), 1.0 / _IPS_K)
+            .otherwise(0.0)
+            .alias("p_tgt"),
+            F.col("q").alias("qa"),
+            "dmv",
+        )
+    )
+    return logged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_logged"),
+        F.round(F.avg("dmv"), 4).alias("v_dm"),
+        F.round(F.avg(F.col("rew") * F.col("p_tgt") / F.col("p_log")), 4)
+        .alias("v_ips"),
+        F.round(
+            F.avg(
+                F.col("dmv")
+                + (F.col("p_tgt") / F.col("p_log"))
+                * (F.col("rew") - F.col("qa"))
+            ),
+            4,
+        ).alias("v_dr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# m_bradley_terry — preference aggregation into item strengths (MM, fixed-pt)
+# ---------------------------------------------------------------------------
+
+_BT_G0 = 1_000_000        # initial strength, integer micro-units
+_BT_SCALE = 10 ** 11      # MM fixed-point scale (int64-safe here; the
+                          # 100 TB variant carries DECIMAL(38,0))
+_BT_TOPK = 20
+
+_BT_SQL = f"""
+    WITH r AS (
+        SELECT l_suppkey AS user_id, l_partkey AS item,
+               CAST(SUM(l_quantity) AS BIGINT) AS rating
+        FROM lineitem GROUP BY 1, 2
+    ),
+    pick AS (
+        SELECT user_id,
+               arg_max(item, rating * {_PREF_ENC} - item) AS winner,
+               arg_min(item, rating * {_PREF_ENC} + item) AS loser,
+               max(rating) AS br, min(rating) AS wr
+        FROM r GROUP BY user_id
+    ),
+    pairs AS (
+        SELECT winner, loser FROM pick
+        WHERE winner <> loser AND br - wr >= {_PREF_GAP}
+    ),
+    wl AS (SELECT winner, loser, count(*) AS w FROM pairs GROUP BY 1, 2),
+    und AS (
+        SELECT least(winner, loser) AS a, greatest(winner, loser) AS b,
+               sum(w) AS n
+        FROM wl GROUP BY 1, 2
+    ),
+    wins AS (SELECT winner AS item, sum(w) AS wins FROM wl GROUP BY 1),
+    items AS (
+        SELECT item, COALESCE(wins.wins, 0) AS wins,
+               CAST({_BT_G0} AS BIGINT) AS g
+        FROM (SELECT a AS item FROM und UNION SELECT b FROM und) i
+        LEFT JOIN wins USING (item)
+    ),
+    s1 AS (
+        SELECT t.item, sum(t.t) AS s FROM (
+            SELECT u.a AS item,
+                   (u.n * {_BT_SCALE}) // (ga.g + gb.g) AS t
+            FROM und u JOIN items ga ON ga.item = u.a
+                       JOIN items gb ON gb.item = u.b
+            UNION ALL
+            SELECT u.b,
+                   (u.n * {_BT_SCALE}) // (ga.g + gb.g)
+            FROM und u JOIN items ga ON ga.item = u.a
+                       JOIN items gb ON gb.item = u.b
+        ) t GROUP BY t.item
+    ),
+    g1 AS (
+        SELECT i.item, i.wins,
+               (i.wins * {_BT_SCALE}) // greatest(s1.s, 1) AS g
+        FROM items i JOIN s1 USING (item)
+    ),
+    s2 AS (
+        SELECT t.item, sum(t.t) AS s FROM (
+            SELECT u.a AS item,
+                   (u.n * {_BT_SCALE}) // greatest(ga.g + gb.g, 1) AS t
+            FROM und u JOIN g1 ga ON ga.item = u.a
+                       JOIN g1 gb ON gb.item = u.b
+            UNION ALL
+            SELECT u.b,
+                   (u.n * {_BT_SCALE}) // greatest(ga.g + gb.g, 1)
+            FROM und u JOIN g1 ga ON ga.item = u.a
+                       JOIN g1 gb ON gb.item = u.b
+        ) t GROUP BY t.item
+    ),
+    g2 AS (
+        SELECT g1.item, g1.wins,
+               (g1.wins * {_BT_SCALE}) // greatest(s2.s, 1) AS g
+        FROM g1 JOIN s2 USING (item)
+    ),
+    deg AS (
+        SELECT item, sum(n) AS matches FROM (
+            SELECT a AS item, n FROM und
+            UNION ALL SELECT b, n FROM und
+        ) GROUP BY item
+    )
+    SELECT g2.item,
+           CAST(g2.wins AS BIGINT) AS wins,
+           CAST(deg.matches AS BIGINT) AS matches,
+           round(g2.g / 1000000.0, 6) AS gamma
+    FROM g2 JOIN deg USING (item)
+    ORDER BY g2.g DESC, g2.item
+    LIMIT {_BT_TOPK}
+"""
+
+
+@register("m_bradley_terry", _BT_SQL)
+def m_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry preference aggregation (Bradley & Terry 1952;
+    Hunter's MM algorithm 2004) — turn the pairwise (chosen, rejected)
+    outcomes mined by m_preference_pairs into global item strengths
+    γ_i, the model behind reward-model ELO boards and preference-data
+    quality audits: two MM sweeps of
+    γ_i ← W_i / Σ_j n_ij/(γ_i + γ_j), reported as the top-{_BT_TOPK}
+    strengths.
+
+    Cross-engine exactness: the sweep is the house FIXED-POINT rule
+    (s_holt_forecast template) — strengths live in integer µ-units,
+    each MM term is one integer multiply then ONE truncating integer
+    division (Spark ``div`` = DuckDB ``//``, both toward zero), so
+    both engines walk byte-identical iterates; the only float is the
+    display division. greatest(·,1) guards the (unreachable at this
+    gap filter) zero-denominator paths under ANSI mode.
+
+    Scale shape: pair mining is the m_preference_pairs single-pass
+    aggregate; each MM sweep is ONE equi-join of the undirected pair
+    list against the current strength table (id-keyed, broadcastable
+    until the catalog outgrows it) plus an item-keyed sum — iteration
+    state is items-sized, work is pairs-sized, exactly Hunter's MM
+    distributed the way a parameter-server would."""
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.groupBy(
+        F.col("l_suppkey").alias("user_id"),
+        F.col("l_partkey").alias("item"),
+    ).agg(F.sum("l_quantity").cast("long").alias("rating"))
+    enc = F.col("rating") * _PREF_ENC
+    pick = r.groupBy("user_id").agg(
+        F.max_by("item", enc - F.col("item")).alias("winner"),
+        F.min_by("item", enc + F.col("item")).alias("loser"),
+        F.max("rating").alias("br"),
+        F.min("rating").alias("wr"),
+    )
+    pairs = pick.filter(
+        (F.col("winner") != F.col("loser"))
+        & (F.col("br") - F.col("wr") >= _PREF_GAP)
+    ).select("winner", "loser")
+    wl = pairs.groupBy("winner", "loser").agg(F.count(F.lit(1)).alias("w"))
+    und = (
+        wl.select(
+            F.least("winner", "loser").alias("a"),
+            F.greatest("winner", "loser").alias("b"),
+            "w",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("n"))
+        .localCheckpoint()  # reused by both MM sweeps + degree table
+    )
+    wins = wl.groupBy(F.col("winner").alias("item")).agg(
+        F.sum("w").alias("wins")
+    )
+    items = (
+        und.select(F.col("a").alias("item"))
+        .union(und.select("b"))
+        .distinct()
+        .join(wins, "item", "left")
+        .select(
+            "item",
+            F.coalesce("wins", F.lit(0)).alias("wins"),
+            F.lit(_BT_G0).cast("long").alias("g"),
+        )
+    )
+
+    def mm_sweep(g: DataFrame) -> DataFrame:
+        ga = g.select(F.col("item").alias("a"), F.col("g").alias("ga"))
+        gb = g.select(F.col("item").alias("b"), F.col("g").alias("gb"))
+        j = und.join(ga, "a").join(gb, "b")
+        term = F.expr(f"(n * {_BT_SCALE}) div greatest(ga + gb, 1)")
+        both = j.select(F.col("a").alias("item"), term.alias("t")).unionAll(
+            j.select(F.col("b").alias("item"), term.alias("t"))
+        )
+        s = both.groupBy("item").agg(F.sum("t").alias("s"))
+        return (
+            g.join(s, "item")
+            .select(
+                "item",
+                "wins",
+                F.expr(f"(wins * {_BT_SCALE}) div greatest(s, 1)").alias("g"),
+            )
+        )
+
+    g2 = mm_sweep(mm_sweep(items))
+    deg = (
+        und.select(F.col("a").alias("item"), "n")
+        .unionAll(und.select(F.col("b").alias("item"), "n"))
+        .groupBy("item")
+        .agg(F.sum("n").alias("matches"))
+    )
+    return (
+        g2.join(deg, "item")
+        .orderBy(F.col("g").desc(), "item")
+        .limit(_BT_TOPK)
+        .select(
+            "item",
+            F.col("wins").cast("long").alias("wins"),
+            F.col("matches").cast("long").alias("matches"),
+            F.round(F.col("g") / 1_000_000.0, 6).alias("gamma"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# m_isotonic_calibration — exact isotonic regression over score bins
+# ---------------------------------------------------------------------------
+
+_ISO_BINS = 20
+
+_ISO_SQL = f"""
+    WITH {_ML_CTE},
+    b AS (SELECT min(uv) AS lo, max(uv) AS hi FROM j),
+    binned AS (
+        SELECT least(CAST(floor((uv - lo) * {_ISO_BINS} / (hi - lo))
+                          AS BIGINT), {_ISO_BINS - 1}) AS bucket,
+               CASE WHEN r >= {_IPS_REWARD} THEN 1 ELSE 0 END AS y
+        FROM j, b
+    ),
+    bins AS (
+        SELECT bucket, count(*) AS n, sum(y) AS s
+        FROM binned GROUP BY bucket
+    ),
+    ivl AS (
+        SELECT lo.bucket AS jb, hi.bucket AS kb,
+               sum(c.s) AS si, sum(c.n) AS ni
+        FROM bins lo
+        JOIN bins hi ON lo.bucket <= hi.bucket
+        JOIN bins c ON c.bucket BETWEEN lo.bucket AND hi.bucket
+        GROUP BY 1, 2
+    ),
+    inner_min AS (
+        SELECT i.bucket, v.jb,
+               min(v.si / (1.0 * v.ni)) AS m
+        FROM bins i JOIN ivl v ON v.jb <= i.bucket AND v.kb >= i.bucket
+        GROUP BY i.bucket, v.jb
+    ),
+    fit AS (SELECT bucket, max(m) AS iso FROM inner_min GROUP BY bucket)
+    SELECT b.bucket,
+           CAST(b.n AS BIGINT) AS n,
+           round(b.s / (1.0 * b.n), 6) AS raw_rate,
+           round(fit.iso, 6) AS iso_rate
+    FROM bins b JOIN fit USING (bucket)
+    ORDER BY b.bucket
+"""
+
+
+@register("m_isotonic_calibration", _ISO_SQL)
+def m_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression calibration (the PAV fit, Zadrozny & Elkan
+    2002) of the model's score→reward curve over {_ISO_BINS} score
+    bins — the non-parametric upgrade to e_calibration's reliability
+    table and the standard way to make a ranker's raw scores usable as
+    probabilities. Computed EXACTLY via the minimax identity
+    fitted(i) = max_{{j≤i}} min_{{k≥i}} avg(y[j..k]) — equivalent to
+    pool-adjacent-violators but expressible as pure joins/aggregates,
+    with no sequential merge loop.
+
+    Cross-engine floats: bin outcomes are integer (s, n) pairs; every
+    interval average is ONE correctly-rounded division of exact
+    integers, and min/max over doubles are order-free — bit-identical
+    without any learned-value snapping. Monotonicity of iso_rate is
+    the invariant test.
+
+    Scale shape: one scoring-join pass reduces the corpus to
+    {_ISO_BINS} integer rows; the minimax triangle is B³ ≤ 8000
+    constant-size rows (broadcast joins) — the classic 'aggregate to
+    sketch size, then solve exactly in-plan' pattern. Production
+    with per-segment curves runs the same plan keyed by segment."""
+    sc = _scored(spark, sf_dir).select(
+        "uv",
+        F.when(F.col("r") >= _IPS_REWARD, 1).otherwise(0).alias("y"),
+    )
+    b = sc.agg(F.min("uv").alias("lo"), F.max("uv").alias("hi"))
+    bucket = F.least(
+        F.floor(
+            (F.col("uv") - F.col("lo")) * _ISO_BINS
+            / (F.col("hi") - F.col("lo"))
+        ).cast("long"),
+        F.lit(_ISO_BINS - 1),
+    )
+    bins = (
+        sc.crossJoin(F.broadcast(b))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("s"))
+        .localCheckpoint()  # B rows; reused by the triangle + output
+    )
+    lo = bins.select(F.col("bucket").alias("jb"))
+    hi = bins.select(F.col("bucket").alias("kb"))
+    mid = bins.select(F.col("bucket").alias("cb"), "s", "n")
+    ivl = (
+        lo.join(F.broadcast(hi), F.col("jb") <= F.col("kb"))
+        .join(
+            F.broadcast(mid),
+            (F.col("cb") >= F.col("jb")) & (F.col("cb") <= F.col("kb")),
+        )
+        .groupBy("jb", "kb")
+        .agg(F.sum("s").alias("si"), F.sum("n").alias("ni"))
+    )
+    inner = (
+        bins.select("bucket")
+        .join(
+            F.broadcast(ivl),
+            (F.col("jb") <= F.col("bucket")) & (F.col("kb") >= F.col("bucket")),
+        )
+        .groupBy("bucket", "jb")
+        .agg(F.min(F.col("si") / (1.0 * F.col("ni"))).alias("m"))
+    )
+    fit = inner.groupBy("bucket").agg(F.max("m").alias("iso"))
+    return (
+        bins.join(fit, "bucket")
+        .select(
+            "bucket",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("s") / (1.0 * F.col("n")), 6).alias("raw_rate"),
+            F.round("iso", 6).alias("iso_rate"),
+        )
+        .orderBy("bucket")
     )

@@ -481,3 +481,53 @@ def s_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_cdc_apply_available_now(
         spark, _stream_dir(sf_dir), name, state_root
     )
+
+
+@register(
+    "s_stream_left_join",
+    """
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+          FROM events WHERE event_type = 'view'),
+    p AS (SELECT user_id AS p_user, ts AS purchase_ts, value
+          FROM events WHERE event_type = 'purchase')
+    SELECT v.user_id, v.view_id, v.view_ts,
+           p.purchase_ts, round(p.value, 2) AS purchase_value
+    FROM v JOIN p
+      ON p.p_user = v.user_id
+     AND p.purchase_ts > v.view_ts
+     AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR
+    UNION ALL
+    SELECT v.user_id, v.view_id, v.view_ts,
+           CAST(NULL AS TIMESTAMP) AS purchase_ts,
+           CAST(NULL AS DOUBLE) AS purchase_value
+    FROM v, mx
+    WHERE v.view_ts < mx.m - INTERVAL 2 HOUR
+      AND NOT EXISTS (
+          SELECT 1 FROM p
+          WHERE p.p_user = v.user_id
+            AND p.purchase_ts > v.view_ts
+            AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR
+      )
+    """,
+)
+def s_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming extension: LEFT OUTER stream-stream join — the
+    attribution join that ALSO emits views that never converted, which
+    is the shape funnel-loss analytics needs. The outer side is where
+    streaming semantics get subtle: an unmatched view emits only when
+    the watermark PROVES no future purchase can match (state eviction
+    at view_ts + horizon), so the drained result equals matched pairs
+    plus unmatched views older than (max event ts − 2·horizon) — that
+    closed-form eviction contract IS the oracle, making the value-hash
+    match a proof of Spark's outer-join eviction semantics, not just
+    of the join predicate (streaming.events.
+    run_stream_left_join_available_now for the boundary argument)."""
+    from recommender_systems_spark.streaming.events import (
+        run_stream_left_join_available_now,
+    )
+
+    name = f"stream_ljoin_{abs(hash(sf_dir)) % 10**8}"
+    return run_stream_left_join_available_now(
+        spark, _stream_dir(sf_dir), name
+    )

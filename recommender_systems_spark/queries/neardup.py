@@ -708,3 +708,151 @@ def t_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("shared_fps").desc(), "doc_a", "doc_b")
         .limit(WINNOW_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# t_bleu_pairs — n-gram eval metric (BLEU-2) over near-dup candidates
+# ---------------------------------------------------------------------------
+
+_BLEU_SQL = f"""
+    {_FUNNEL_SQL},
+    tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+           FROM documents),
+    uc AS (
+        SELECT doc_id, u.t AS g, count(*) AS c
+        FROM tk, LATERAL (SELECT unnest(l) AS t) u
+        GROUP BY 1, 2
+    ),
+    bc AS (
+        SELECT doc_id, u.w[1] || ' ' || u.w[2] AS g, count(*) AS c
+        FROM tk, LATERAL (SELECT unnest(list_zip(l[1:len(l) - 1], l[2:]))
+                          AS w) u
+        GROUP BY 1, 2
+    ),
+    lens AS (SELECT doc_id, len(l) AS n FROM tk),
+    m1 AS (
+        SELECT p.doc_a, p.doc_b, sum(least(h.c, r.c)) AS m
+        FROM pairs p
+        JOIN uc h ON h.doc_id = p.doc_b
+        JOIN uc r ON r.doc_id = p.doc_a AND r.g = h.g
+        GROUP BY 1, 2
+    ),
+    m2 AS (
+        SELECT p.doc_a, p.doc_b, sum(least(h.c, r.c)) AS m
+        FROM pairs p
+        JOIN bc h ON h.doc_id = p.doc_b
+        JOIN bc r ON r.doc_id = p.doc_a AND r.g = h.g
+        GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(COALESCE(m1.m, 0) AS BIGINT) AS m1,
+           CAST(lb.n AS BIGINT) AS t1,
+           CAST(COALESCE(m2.m, 0) AS BIGINT) AS m2,
+           CAST(greatest(lb.n - 1, 1) AS BIGINT) AS t2,
+           round(COALESCE(m1.m, 0) / (1.0 * lb.n), 6) AS p1,
+           round(COALESCE(m2.m, 0) / (1.0 * greatest(lb.n - 1, 1)), 6) AS p2,
+           round(lb.n / (1.0 * la.n), 6) AS brevity_ratio,
+           round(sqrt((COALESCE(m1.m, 0) / (1.0 * lb.n))
+                      * (COALESCE(m2.m, 0)
+                         / (1.0 * greatest(lb.n - 1, 1)))), 6) AS bleu2
+    FROM pairs p
+    JOIN lens la ON la.doc_id = p.doc_a
+    JOIN lens lb ON lb.doc_id = p.doc_b
+    LEFT JOIN m1 ON m1.doc_a = p.doc_a AND m1.doc_b = p.doc_b
+    LEFT JOIN m2 ON m2.doc_a = p.doc_a AND m2.doc_b = p.doc_b
+    ORDER BY p.doc_a, p.doc_b
+"""
+
+
+@register("t_bleu_pairs", _BLEU_SQL)
+def t_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU-2 (Papineni et al. 2002) between near-duplicate candidate
+    pairs — the n-gram eval metric machinery (modified n-gram
+    precision = clipped multiset overlap) run where a data engine
+    actually needs it: quantifying HOW similar the LSH funnel's
+    candidate pairs are, the graded signal downstream of the binary
+    dedup verdict (the same kernel scores model outputs against
+    references in eval pipelines). Hypothesis = doc_b, reference =
+    doc_a; reports clipped unigram/bigram matches, modified precisions,
+    and the geometric mean sqrt(p1·p2).
+
+    Determinism: clipped counts are exact integer multiset minima (a
+    count-join, never array ops on the hot path); precisions are
+    correctly-rounded divisions of exact integers; sqrt is
+    IEEE-exact — so the metric is bit-identical WITHOUT any libm
+    call. The standard exp brevity penalty is deliberately replaced
+    by the raw brevity ratio column (exp is the one non-portable
+    piece cross-engine); consumers apply it downstream.
+
+    Scale shape: candidates come from the shared MinHash-LSH band
+    join (never all-pairs); n-gram count tables are built ONCE per
+    corpus (map-side combined) and the clipped overlap is an equi-join
+    on (gram) keyed to candidate docs only — pairs × shared-grams
+    work, the two-stage funnel economics."""
+    pairs = (
+        _lsh_candidate_grams(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()  # reused by both overlap joins + output
+    )
+    docs = _t(spark, sf_dir, "documents")
+    from recommender_systems_spark.functions.text import tokens
+
+    tk = docs.select("doc_id", tokens(F.col("text")).alias("l")).localCheckpoint()
+    uni = tk.select("doc_id", F.explode("l").alias("g"))
+    n_ = F.size("l")
+    big = tk.filter(F.size("l") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("l", 1, n_ - 1),
+                F.slice("l", 2, n_ - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("g"),
+    )
+    uc = uni.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    bc = big.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    lens = tk.select("doc_id", F.size("l").alias("n"))
+
+    def clipped(cnt: DataFrame) -> DataFrame:
+        h = cnt.select(
+            F.col("doc_id").alias("doc_b"), "g", F.col("c").alias("ch")
+        )
+        r = cnt.select(
+            F.col("doc_id").alias("doc_a"), "g", F.col("c").alias("cr")
+        )
+        return (
+            pairs.join(h, "doc_b")
+            .join(r, ["doc_a", "g"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(F.least("ch", "cr")).alias("m"))
+        )
+    la = lens.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    lb = lens.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    m1 = clipped(uc).withColumnRenamed("m", "m1_")
+    m2 = clipped(bc).withColumnRenamed("m", "m2_")
+    t1 = F.col("nb")
+    t2 = F.greatest(F.col("nb") - 1, F.lit(1))
+    p1 = F.coalesce("m1_", F.lit(0)) / (1.0 * t1)
+    p2 = F.coalesce("m2_", F.lit(0)) / (1.0 * t2)
+    return (
+        pairs.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .join(m1, ["doc_a", "doc_b"], "left")
+        .join(m2, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce("m1_", F.lit(0)).cast("long").alias("m1"),
+            t1.cast("long").alias("t1"),
+            F.coalesce("m2_", F.lit(0)).cast("long").alias("m2"),
+            t2.cast("long").alias("t2"),
+            F.round(p1, 6).alias("p1"),
+            F.round(p2, 6).alias("p2"),
+            F.round(F.col("nb") / (1.0 * F.col("na")), 6).alias(
+                "brevity_ratio"
+            ),
+            F.round(F.sqrt(p1 * p2), 6).alias("bleu2"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

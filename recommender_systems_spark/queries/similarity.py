@@ -2453,3 +2453,232 @@ def v_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos_x", 5).alias("cos_exact"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# v_hard_negatives — contrastive-training hard-negative mining
+# ---------------------------------------------------------------------------
+
+_HN_ANCHORS = 8   # fixed-count md5-ordered anchor sample (house rule)
+_HN_K = 5         # hard negatives kept per anchor
+
+_HN_SQL = f"""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    anchors AS (
+        SELECT vec_id AS aid, label AS albl, v AS av FROM e
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_HN_ANCHORS}
+    ),
+    scored AS (
+        SELECT a.aid, e.vec_id AS neg_id,
+               round(list_dot_product(e.v, a.av)
+                     / (sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(a.av, a.av))), 5) AS cos_sim
+        FROM anchors a JOIN e ON e.label <> a.albl
+    ),
+    ranked AS (
+        SELECT aid, neg_id, cos_sim,
+               row_number() OVER (PARTITION BY aid
+                                  ORDER BY cos_sim DESC, neg_id) AS rnk
+        FROM scored
+    )
+    SELECT aid AS anchor_id, CAST(rnk AS INT) AS rnk, neg_id, cos_sim
+    FROM ranked WHERE rnk <= {_HN_K}
+"""
+
+
+@register("v_hard_negatives", _HN_SQL)
+def v_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for
+    each anchor vector, the top-{_HN_K} most-similar vectors that
+    carry a DIFFERENT label — the negatives that actually move an
+    InfoNCE/triplet loss (random negatives are trivially separable;
+    hard ones define the margin). The anchor set is a fixed-COUNT
+    md5-ordered sample (the house sampling rule), so the mining pass
+    is A×N with A constant — linear in the corpus at any scale.
+
+    Plan shape: the anchor rows broadcast (A·dim doubles) onto the
+    embedding scan; cosine runs JVM-side (zip_with/aggregate inside
+    whole-stage codegen); per-anchor top-k is a row_number window over
+    the A-keyed exchange. Ties break on the ROUNDED similarity then
+    neg_id (total order, engine-identical). At production scale the
+    exhaustive scan swaps for the IVF shortlist (sim_ivf_topk) with
+    label-mismatch filtering in the re-rank — same output contract.
+    SemDeDup/SimCSE-style pipelines run exactly this shape nightly."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    anchors = (
+        e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_HN_ANCHORS)
+        .select(
+            F.col("vec_id").alias("aid"),
+            F.col("label").alias("albl"),
+            F.col("v").alias("av"),
+        )
+    )
+    scored = (
+        e.join(F.broadcast(anchors), e["label"] != F.col("albl"))
+        .select(
+            "aid",
+            F.col("vec_id").alias("neg_id"),
+            F.round(cosine_similarity(F.col("v"), F.col("av")), 5).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("aid").orderBy(F.col("cos_sim").desc(), "neg_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _HN_K)
+        .select(
+            F.col("aid").alias("anchor_id"),
+            F.col("rnk").cast("int").alias("rnk"),
+            "neg_id",
+            "cos_sim",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# v_rocchio_feedback — pseudo-relevance feedback (two-round retrieval)
+# ---------------------------------------------------------------------------
+
+_RF_K = 10      # feedback set size = final result size
+_RF_BETA = 0.75  # dyadic feedback weight (exact in IEEE)
+
+_RF_SQL = f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q0 AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    r1 AS (
+        SELECT e.vec_id, e.v
+        FROM e, q0
+        WHERE e.vec_id <> 0
+        ORDER BY round(list_dot_product(e.v, q0.qv)
+                       / (sqrt(list_dot_product(e.v, e.v))
+                          * sqrt(list_dot_product(q0.qv, q0.qv))), 5) DESC,
+                 e.vec_id
+        LIMIT {_RF_K}
+    ),
+    fold AS (
+        SELECT list_reduce(list(v ORDER BY vec_id),
+                           (a, b) -> list_transform(list_zip(a, b),
+                                                    p -> p[1] + p[2])) AS sv,
+               list(vec_id) AS ids
+        FROM r1
+    ),
+    q1 AS (
+        SELECT list_transform(list_zip(q0.qv, fold.sv),
+                              p -> p[1] + {_RF_BETA} * (p[2] / {_RF_K}))
+                   AS qv,
+               fold.ids
+        FROM q0, fold
+    ),
+    r2 AS (
+        SELECT e.vec_id,
+               round(list_dot_product(e.v, q1.qv)
+                     / (sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(q1.qv, q1.qv))), 5) AS cos_sim,
+               CAST(CASE WHEN list_contains(q1.ids, e.vec_id)
+                         THEN 1 ELSE 0 END AS INT) AS in_round1
+        FROM e, q1
+        WHERE e.vec_id <> 0
+        ORDER BY cos_sim DESC, e.vec_id
+        LIMIT {_RF_K}
+    )
+    SELECT CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS INT)
+               AS rnk,
+           vec_id, cos_sim, in_round1
+    FROM r2
+"""
+
+
+@register("v_rocchio_feedback", _RF_SQL)
+def v_rocchio_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio pseudo-relevance feedback — the classic two-round
+    retrieval loop (Rocchio 1971; the PRF baseline every query-
+    expansion paper still reports): retrieve top-{_RF_K} for the raw
+    query, move the query toward their centroid
+    (q1 = q0 + {_RF_BETA}·mean(top-k)), retrieve again. Output is the
+    round-2 top-{_RF_K} with an ``in_round1`` flag showing how much
+    the feedback step re-ranked.
+
+    Exact cross-engine floats WITHOUT rounding the expanded query: the
+    feedback centroid is a FIXED-ORDER left fold over the top-k
+    vectors sorted by vec_id (Spark: in-plan ``F.aggregate`` over a
+    sorted collected array; oracle: ``list_reduce`` over
+    ``list(v ORDER BY vec_id)`` — both left-associate), so the summed
+    vector is bit-identical; β={_RF_BETA} is dyadic and the per-element
+    update is one identical expression. k-sized fold, never data-sized.
+
+    Scale shape: two broadcast-query scans (the v_cosine_topk plan,
+    twice) + a k-row TakeOrdered between them; the feedback state is
+    one dim-sized vector. At 100 TB each round swaps the exhaustive
+    scan for the IVF probe (sim_ivf_topk) — PRF is round-structured,
+    not scan-structured."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q0 = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    cand = e.filter(F.col("vec_id") != 0)
+    r1 = (
+        cand.crossJoin(F.broadcast(q0))
+        .select(
+            "vec_id",
+            "v",
+            F.round(cosine_similarity(F.col("v"), F.col("qv")), 5).alias(
+                "c"
+            ),
+        )
+        .orderBy(F.col("c").desc(), "vec_id")
+        .limit(_RF_K)
+    )
+    fold = r1.agg(
+        F.collect_list(F.struct("vec_id", "v")).alias("sv"),
+        F.collect_list("vec_id").alias("ids"),
+    ).select(
+        F.aggregate(
+            F.transform(F.array_sort("sv"), lambda s: s["v"]),
+            F.array().cast("array<double>"),
+            lambda acc, x: F.when(
+                F.size(acc) == 0, x
+            ).otherwise(F.zip_with(acc, x, lambda a, b: a + b)),
+        ).alias("sv"),
+        F.array_sort("ids").alias("ids"),
+    )
+    q1 = (
+        q0.crossJoin(F.broadcast(fold))
+        .select(
+            F.zip_with(
+                F.col("qv"),
+                F.col("sv"),
+                lambda a, b: a + _RF_BETA * (b / _RF_K),
+            ).alias("qv"),
+            "ids",
+        )
+    )
+    r2 = (
+        cand.crossJoin(F.broadcast(q1))
+        .select(
+            "vec_id",
+            F.round(cosine_similarity(F.col("v"), F.col("qv")), 5).alias(
+                "cos_sim"
+            ),
+            F.array_contains(F.col("ids"), F.col("vec_id"))
+            .cast("int")
+            .alias("in_round1"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(_RF_K)
+    )
+    w = Window.orderBy(F.col("cos_sim").desc(), "vec_id")
+    return r2.select(
+        F.row_number().over(w).cast("int").alias("rnk"),
+        "vec_id",
+        "cos_sim",
+        "in_round1",
+    )

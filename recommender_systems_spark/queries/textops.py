@@ -2714,3 +2714,166 @@ def t_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("freq").desc(), "token")
     )
+
+
+# ---------------------------------------------------------------------------
+# t_kneser_ney — KN-smoothed bigram LM estimation
+# ---------------------------------------------------------------------------
+
+_KN_D = 0.75    # absolute discount (dyadic — exact in IEEE both engines)
+_KN_TOPK = 50
+
+_KN_SQL = f"""
+    WITH big AS (
+        SELECT u.w[1] AS w1, u.w[2] AS w2
+        FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+              FROM documents) d,
+             LATERAL (SELECT unnest(list_zip(l[1:len(l) - 1], l[2:])) AS w) u
+    ),
+    c AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+    ctx AS (SELECT w1, sum(c12) AS c1, count(*) AS n1f FROM c GROUP BY w1),
+    cont AS (SELECT w2, count(*) AS n1b FROM c GROUP BY w2),
+    t AS (SELECT count(*) AS ty FROM c)
+    SELECT c.w1, c.w2,
+           CAST(c.c12 AS BIGINT) AS c12,
+           CAST(ctx.c1 AS BIGINT) AS c1,
+           CAST(ctx.n1f AS BIGINT) AS n1f,
+           CAST(cont.n1b AS BIGINT) AS n1b,
+           round((c.c12 - {_KN_D}) / ctx.c1
+                 + (({_KN_D} * ctx.n1f) / ctx.c1) * (cont.n1b / (1.0 * t.ty)),
+                 6) AS p_kn
+    FROM c JOIN ctx USING (w1) JOIN cont USING (w2), t
+    ORDER BY c12 DESC, w1, w2
+    LIMIT {_KN_TOPK}
+"""
+
+
+@register("t_kneser_ney", _KN_SQL)
+def t_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram estimation (Kneser & Ney 1995;
+    Chen & Goodman 1998) — the pre-neural gold-standard LM smoother and
+    still the fastest corpus-quality/perplexity scorer at data-engine
+    scale (a KN bigram table over the pool is what CCNet-style filters
+    consult): p(w2|w1) = (c12 − D)/c1 + D·N1+(w1·)/c1 · p_cont(w2),
+    with the continuation probability p_cont(w2) = N1+(·w2)/|types| —
+    the "how many contexts precede w2" correction that plain MLE and
+    add-k smoothing get wrong. Top-{_KN_TOPK} bigrams by count.
+
+    Cross-engine floats: every input is an exact integer count,
+    D={_KN_D} is dyadic (exact), and the probability is ONE identical
+    parenthesised expression evaluated from identical operands —
+    bit-equal doubles, rounded only for display. Observed bigrams have
+    c12 ≥ 1 > D, so the max(·,0) clamp of the textbook formula is
+    vacuous here.
+
+    Scale shape: bigrams come from ONE tokenizer pass via a zip of two
+    shifted array slices (no self-join on position — the naive shape
+    shuffles the corpus twice); all model tables (context totals,
+    fan-out/fan-in type counts) are vocabulary²-BOUNDED but observed-
+    bigram-sized in practice, built by map-side-combined aggregates;
+    the final assembly joins bigram-type-sized frames only, never the
+    corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(tokens(F.col("text")).alias("l")).filter(
+        F.size("l") >= 2
+    )
+    n = F.size("l")
+    pairs = tok.select(
+        F.explode(
+            F.zip_with(
+                F.slice("l", 1, n - 1),
+                F.slice("l", 2, n - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    c = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c = c.localCheckpoint()  # consumed by ctx, cont, type total, and output
+    ctx = c.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1f")
+    )
+    cont = c.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    ty = c.agg(F.count(F.lit(1)).alias("ty"))
+    p_kn = (F.col("c12") - _KN_D) / F.col("c1") + (
+        (_KN_D * F.col("n1f")) / F.col("c1")
+    ) * (F.col("n1b") / (1.0 * F.col("ty")))
+    return (
+        c.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(ty))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("c12"),
+            F.col("c1").cast("long").alias("c1"),
+            F.col("n1f").cast("long").alias("n1f"),
+            F.col("n1b").cast("long").alias("n1b"),
+            F.round(p_kn, 6).alias("p_kn"),
+        )
+        .orderBy(F.col("c12").desc(), "w1", "w2")
+        .limit(_KN_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# t_source_loo_influence — leave-one-source-out curation influence
+# ---------------------------------------------------------------------------
+
+_LOO_SQL = """
+    WITH src AS (
+        SELECT source, count(*) AS n,
+               sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS s
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n) AS nt, sum(s) AS st FROM src)
+    SELECT source,
+           CAST(n AS BIGINT) AS n_docs,
+           CAST(s AS BIGINT) AS n_tokens,
+           round(s / (1.0 * n), 4) AS mean_tok,
+           round((st - s) / (1.0 * (nt - n)) - st / (1.0 * nt), 6)
+               AS loo_delta
+    FROM src, tot
+    ORDER BY source
+"""
+
+
+@register("t_source_loo_influence", _LOO_SQL)
+def t_source_loo_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out influence on a corpus-level statistic —
+    the cheapest form of data attribution a curation pipeline runs
+    before dropping or down-weighting a source: for each source,
+    how the corpus mean tokens-per-document would move if the source
+    were removed (loo_delta = mean_without − mean_with). Positive
+    delta = the source drags the corpus metric down. The same
+    group-once/LOO-by-subtraction identity extends to any additive
+    metric (quality score sums, dedup rates) without re-scanning per
+    source — the naive formulation is |sources| full passes.
+
+    Exactness: token counts are integers, so every LOO mean is a ratio
+    of exact integers; both engines perform the identical two
+    divisions and one subtraction — rounding is display-only.
+
+    Scale shape: ONE map-side-combined source aggregate (token
+    counting rides the scan), a 1-row total broadcast, scalar math —
+    corpus-linear with a sources-sized result at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(tokens(F.col("text")))).alias("s"),
+    )
+    tot = src.agg(F.sum("n").alias("nt"), F.sum("s").alias("st"))
+    return (
+        src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_docs"),
+            F.col("s").cast("long").alias("n_tokens"),
+            F.round(F.col("s") / (1.0 * F.col("n")), 4).alias("mean_tok"),
+            F.round(
+                (F.col("st") - F.col("s")) / (1.0 * (F.col("nt") - F.col("n")))
+                - F.col("st") / (1.0 * F.col("nt")),
+                6,
+            ).alias("loo_delta"),
+        )
+        .orderBy("source")
+    )

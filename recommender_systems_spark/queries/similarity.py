@@ -2682,3 +2682,122 @@ def v_rocchio_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos_sim",
         "in_round1",
     )
+
+
+# ---------------------------------------------------------------------------
+# v_ivf_balance — IVF cell-balance audit (index health metrics)
+# ---------------------------------------------------------------------------
+
+_IVF_BAL_SQL = f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    c AS (SELECT vec_id AS cid, v AS cv FROM (SELECT * FROM e
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                LIMIT {N_CENTROIDS})),
+    asg AS (
+        SELECT vec_id, cid, row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY {_COS.format(a='v', b='cv')} DESC, cid
+               ) AS rnk
+        FROM e CROSS JOIN c
+    ),
+    sizes AS (
+        SELECT c.cid, count(a.vec_id) AS sz
+        FROM c LEFT JOIN (SELECT * FROM asg WHERE rnk = 1) a
+          ON a.cid = c.cid
+        GROUP BY c.cid
+    ),
+    ranked AS (
+        SELECT sz, row_number() OVER (ORDER BY sz, cid) AS rn FROM sizes
+    ),
+    tot AS (SELECT count(*) AS k, sum(sz) AS n FROM sizes)
+    SELECT CAST(tot.k AS BIGINT) AS n_cells,
+           CAST(tot.n AS BIGINT) AS n_vecs,
+           CAST((SELECT min(sz) FROM sizes) AS BIGINT) AS min_cell,
+           CAST((SELECT max(sz) FROM sizes) AS BIGINT) AS max_cell,
+           CAST((SELECT sz FROM ranked, tot
+                 WHERE rn = (tot.k + 1) // 2) AS BIGINT) AS median_cell,
+           CAST((SELECT count(*) FROM sizes WHERE sz = 0) AS BIGINT)
+               AS n_empty,
+           round((SELECT max(sz) FROM sizes) * tot.k / (1.0 * tot.n), 6)
+               AS imbalance
+    FROM tot
+"""
+
+
+@register("v_ivf_balance", _IVF_BAL_SQL)
+def v_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index health audit — the cell-size distribution of the
+    sim_ivf_topk codebook assignment: min/median/max cell, empty-cell
+    count, and the imbalance factor max·K/N (1.0 = perfectly balanced;
+    the p99-latency driver for probe-based serving, since a query that
+    probes a hot cell scans imbalance× the average work). This is the
+    metric an ANN platform alerts on after every codebook retrain, and
+    the input to the split-hot-cells / merge-empty-cells maintenance
+    decision.
+
+    Determinism: assignment ranks on the ROUNDED cosine (the
+    sim_ivf_topk rule) with a total cid tie-break; every output is an
+    integer or a single division of integers. The median is an order
+    statistic over the K-row cell-size frame (lower median at even K,
+    (sz, cid)-ordered).
+
+    Scale shape: one corpus × codebook broadcast map (the existing
+    assignment subplan), then K-row frames only — the audit itself
+    costs one scan regardless of corpus size; empty cells survive via
+    the codebook LEFT join."""
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .localCheckpoint()
+    )
+    cents = _codebook(e).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    w_asg = Window.partitionBy("vec_id").orderBy(
+        F.round(cosine_similarity("v", "cv"), 5).desc(), F.col("cid")
+    )
+    asg = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("rnk", F.row_number().over(w_asg))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "cid")
+    )
+    sizes = (
+        cents.select("cid")
+        .join(asg, "cid", "left")
+        .groupBy("cid")
+        .agg(F.count("vec_id").alias("sz"))
+        .localCheckpoint()  # K rows; read by every summary stat below
+    )
+    tot = sizes.agg(
+        F.count(F.lit(1)).alias("k"), F.sum("sz").alias("n")
+    )
+    wr = Window.orderBy("sz", "cid")
+    med = (
+        sizes.withColumn("rn", F.row_number().over(wr))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("rn") == F.expr("(k + 1) div 2"))
+        .select(F.col("sz").alias("median_cell"))
+    )
+    summary = sizes.agg(
+        F.min("sz").alias("min_cell"),
+        F.max("sz").alias("max_cell"),
+        F.sum(F.when(F.col("sz") == 0, 1).otherwise(0)).alias("n_empty"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(summary))
+        .crossJoin(F.broadcast(med))
+        .select(
+            F.col("k").cast("long").alias("n_cells"),
+            F.col("n").cast("long").alias("n_vecs"),
+            F.col("min_cell").cast("long").alias("min_cell"),
+            F.col("max_cell").cast("long").alias("max_cell"),
+            F.col("median_cell").cast("long").alias("median_cell"),
+            F.col("n_empty").cast("long").alias("n_empty"),
+            F.round(
+                F.col("max_cell") * F.col("k") / (1.0 * F.col("n")), 6
+            ).alias("imbalance"),
+        )
+    )

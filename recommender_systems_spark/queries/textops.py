@@ -29,6 +29,8 @@ from recommender_systems_spark.queries._shared import (  # noqa: E402
     LANG_CASE as _LANG_CASE,
     LANG_SQL as _LANG_SQL,
     sql_stopword_hits as _hits_sql,
+    u01_col,
+    u01_sql,
 )
 
 
@@ -2876,4 +2878,89 @@ def t_source_loo_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("loo_delta"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t_ngram_novelty — memorization/novelty audit across a split
+# ---------------------------------------------------------------------------
+
+_NOV_SPLIT = 0.7  # train share of the md5 split
+
+_NOV_SQL = f"""
+    WITH d AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l,
+               {{U}} AS u
+        FROM documents
+    ),
+    big AS (
+        SELECT doc_id, u < {_NOV_SPLIT} AS is_train,
+               bw.w[1] || ' ' || bw.w[2] AS g
+        FROM d, LATERAL (SELECT unnest(list_zip(l[1:len(l) - 1], l[2:]))
+                         AS w) bw
+    ),
+    tr AS (SELECT DISTINCT g FROM big WHERE is_train),
+    te AS (SELECT doc_id, g FROM big WHERE NOT is_train)
+    SELECT te.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CASE WHEN tr.g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           round(sum(CASE WHEN tr.g IS NULL THEN 1 ELSE 0 END)
+                 / (1.0 * count(*)), 6) AS novelty
+    FROM te LEFT JOIN tr ON tr.g = te.g
+    GROUP BY te.doc_id
+    ORDER BY te.doc_id
+""".format(U=u01_sql("doc_id", "nov"))
+
+
+@register("t_ngram_novelty", _NOV_SQL)
+def t_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty audit (the memorization/generalization metric of
+    McCoy et al. 2021's RAVEN and every LM-memorization study): what
+    fraction of each held-out document's bigrams NEVER appear in the
+    training split — low novelty flags eval contamination and
+    memorization-prone drops, high novelty flags distribution shift.
+    Split is the house md5-uniform on doc_id ({_NOV_SPLIT} train), so
+    both engines hold out identical documents.
+
+    Exactness: novelty is a ratio of exact integer counts per doc —
+    display rounding only.
+
+    Scale shape: ONE tokenizer pass feeds both sides of the split; the
+    train bigram vocabulary is a distinct (vocabulary-sized, map-side
+    combined) and the membership probe is an equi-join on the gram key
+    — at 100 TB the train vocab swaps to a bloom filter
+    (j_bloom_join's shape) with a quantified false-positive rate on
+    the novelty estimate. No corpus rescans, no all-pairs anything."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        tokens(F.col("text")).alias("l"),
+        u01_col(F.col("doc_id"), "nov").alias("u"),
+    ).filter(F.size("l") >= 2)
+    n_ = F.size("l")
+    big = d.select(
+        "doc_id",
+        (F.col("u") < _NOV_SPLIT).alias("is_train"),
+        F.explode(
+            F.zip_with(
+                F.slice("l", 1, n_ - 1),
+                F.slice("l", 2, n_ - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("g"),
+    ).localCheckpoint()  # train vocab + test probe read the same pass
+    tr = big.filter(F.col("is_train")).select("g").distinct()
+    te = big.filter(~F.col("is_train")).select("doc_id", "g")
+    novel = F.sum(F.when(F.col("tg").isNull(), 1).otherwise(0))
+    return (
+        te.join(tr.select(F.col("g").alias("tg")),
+                te["g"] == F.col("tg"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            novel.cast("long").alias("n_novel"),
+            F.round(novel / (1.0 * F.count(F.lit(1))), 6).alias("novelty"),
+        )
+        .orderBy("doc_id")
     )

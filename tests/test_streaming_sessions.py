@@ -185,3 +185,30 @@ def test_cdc_apply_batch_replay_is_idempotent(spark, tmp_path):
     assert cdc_apply_batch(b1, state_root, batch_id=1) != []
     with open(os.path.join(state_root, "_last_batch")) as fh:
         assert fh.read() == "1"
+
+
+def test_stream_join_restores_session_confs(spark):
+    """The stream-join runners set transient session confs (shuffle
+    partitions, no-data micro-batches) for the drain; both must be
+    restored afterward — a leaked conf would silently re-plan every
+    subsequent query in the session."""
+    from recommender_systems_spark.queries.multimodal import _stream_dir
+    from recommender_systems_spark.streaming.events import (
+        run_stream_join_available_now,
+        run_stream_left_join_available_now,
+    )
+
+    shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
+    nodata_before = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    src = _stream_dir("/root/testdata/sf0.001")
+    run_stream_join_available_now(spark, src, "conf_restore_inner").collect()
+    run_stream_left_join_available_now(
+        spark, src, "conf_restore_left"
+    ).collect()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == shuffle_before
+    assert (
+        spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+        == nodata_before
+    )

@@ -1124,3 +1124,110 @@ def e_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(nc.select(F.col("n").cast("long").alias("n_cal"))))
         .select("n_train", "n_cal", "n_test", "q_hat", "coverage")
     )
+
+
+# ---------------------------------------------------------------------------
+# e_cluster_design_effect — cluster-randomized experiment design audit
+# ---------------------------------------------------------------------------
+
+_CDE_SQL = """
+    WITH cust AS (
+        SELECT c_custkey AS uid, c_nationkey AS cluster FROM customer
+    ),
+    y AS (
+        SELECT cust.cluster, o.o_custkey AS uid,
+               CAST(count(*) AS BIGINT) AS yv
+        FROM orders o JOIN cust ON cust.uid = o.o_custkey
+        GROUP BY 1, 2
+    ),
+    g AS (SELECT count(*) AS n, sum(yv) AS s, sum(yv * yv) AS s2 FROM y),
+    cb AS (SELECT cluster, count(*) AS nc, sum(yv) AS sc FROM y
+           GROUP BY cluster),
+    k AS (SELECT count(*) AS k, sum(nc * nc) AS sn2 FROM cb),
+    msb AS (
+        SELECT sum(sc * sc / (1.0 * nc)) AS ssb_raw FROM cb
+    )
+    SELECT CAST(g.n AS BIGINT) AS n_units,
+           CAST(k.k AS BIGINT) AS n_clusters,
+           round(g.n / (1.0 * k.k), 4) AS mean_cluster_size,
+           round(
+             ((msb.ssb_raw - g.s * g.s / g.n) / (k.k - 1)
+              - (g.s2 - msb.ssb_raw) / (g.n - k.k))
+             / ((msb.ssb_raw - g.s * g.s / g.n) / (k.k - 1)
+                + ((g.n - k.sn2 / (1.0 * g.n)) / (k.k - 1) - 1)
+                  * (g.s2 - msb.ssb_raw) / (g.n - k.k)),
+             6) AS icc,
+           round(1.0 + (g.n / (1.0 * k.k) - 1.0)
+                 * greatest(
+                     ((msb.ssb_raw - g.s * g.s / g.n) / (k.k - 1)
+                      - (g.s2 - msb.ssb_raw) / (g.n - k.k))
+                     / ((msb.ssb_raw - g.s * g.s / g.n) / (k.k - 1)
+                        + ((g.n - k.sn2 / (1.0 * g.n)) / (k.k - 1) - 1)
+                          * (g.s2 - msb.ssb_raw) / (g.n - k.k)),
+                     0.0),
+             4) AS deff
+    FROM g, k, msb
+"""
+
+
+@register("e_cluster_design_effect", _CDE_SQL)
+def e_cluster_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-randomized experiment design audit — when treatment
+    must be assigned at the CLUSTER level (here: nation ≈ market) to
+    avoid interference, individual-level variance formulas understate
+    noise by the design effect DEFF = 1 + (m̄ − 1)·ICC (Kish): this
+    query computes the one-way ANOVA intraclass correlation (ANOVA
+    estimator with the unequal-cluster-size n₀ correction) and the
+    implied DEFF / effective-sample deflation BEFORE the experiment
+    runs — the power-planning step every geo/market test needs.
+
+    Determinism: the outcome (orders per customer) is integer; ICC is
+    built from three exact integer sums (n, Σy, Σy², per-cluster
+    Σy and n) combined in ONE identical parenthesised expression —
+    both engines produce bit-equal doubles; rounding is display-only.
+
+    Scale shape: one orders aggregate (user-keyed), one cluster-keyed
+    aggregate over the user frame, 1-row algebra — corpus-linear with
+    cluster-dimension-sized intermediates."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("uid"), F.col("c_nationkey").alias("cluster")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    y = (
+        orders.join(cust, orders["o_custkey"] == cust["uid"])
+        .groupBy("cluster", "uid")
+        .agg(F.count(F.lit(1)).alias("yv"))
+    ).localCheckpoint()  # grand + cluster aggregates share it
+    g = y.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("yv").alias("s"),
+        F.sum(F.col("yv") * F.col("yv")).alias("s2"),
+    )
+    cb = y.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("nc"), F.sum("yv").alias("sc")
+    )
+    k = cb.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("nc") * F.col("nc")).alias("sn2"),
+    )
+    msb = cb.agg(
+        F.sum(F.col("sc") * F.col("sc") / (1.0 * F.col("nc"))).alias(
+            "ssb_raw"
+        )
+    )
+    one = g.crossJoin(F.broadcast(k)).crossJoin(F.broadcast(msb))
+    ssb = F.col("ssb_raw") - F.col("s") * F.col("s") / F.col("n")
+    msb_ = ssb / (F.col("k") - 1)
+    msw = (F.col("s2") - F.col("ssb_raw")) / (F.col("n") - F.col("k"))
+    n0 = (F.col("n") - F.col("sn2") / (1.0 * F.col("n"))) / (F.col("k") - 1)
+    icc = (msb_ - msw) / (msb_ + (n0 - 1) * msw)
+    mbar = F.col("n") / (1.0 * F.col("k"))
+    return one.select(
+        F.col("n").cast("long").alias("n_units"),
+        F.col("k").cast("long").alias("n_clusters"),
+        F.round(mbar, 4).alias("mean_cluster_size"),
+        F.round(icc, 6).alias("icc"),
+        F.round(
+            1.0 + (mbar - 1.0) * F.greatest(icc, F.lit(0.0)), 4
+        ).alias("deff"),
+    )

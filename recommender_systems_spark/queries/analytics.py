@@ -3426,3 +3426,276 @@ def a_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") + lap, 4).alias("noisy_n"),
         F.lit(_DP_EPS).alias("epsilon"),
     ).orderBy("priority")
+
+
+# ---------------------------------------------------------------------------
+# e_fdr_storey — Storey q-values (adaptive FDR) over the segment scan
+# ---------------------------------------------------------------------------
+
+_ST_LAMBDA = 0.5  # pi0 estimation threshold
+_ST_Q = 0.10      # q-value discovery cut
+
+_STOREY_SQL = f"""
+    WITH g AS ({{grp_sql}}),
+    seg AS (
+        SELECT event_type || '#' || CAST(dayofweek(ts) + 1 AS VARCHAR)
+                   AS segment,
+               grp, value
+        FROM g
+    ),
+    agg AS (
+        SELECT segment, grp, avg(value) AS m, var_samp(value) AS v,
+               CAST(count(*) AS BIGINT) AS n
+        FROM seg GROUP BY segment, grp
+    ),
+    w AS (
+        SELECT segment,
+               max(CASE WHEN grp = 'A' THEN m END) AS ma,
+               max(CASE WHEN grp = 'B' THEN m END) AS mb,
+               max(CASE WHEN grp = 'A' THEN v END) AS va,
+               max(CASE WHEN grp = 'B' THEN v END) AS vb,
+               max(CASE WHEN grp = 'A' THEN n END) AS na,
+               max(CASE WHEN grp = 'B' THEN n END) AS nb
+        FROM agg GROUP BY segment
+        HAVING max(CASE WHEN grp = 'A' THEN n END) >= 2
+           AND max(CASE WHEN grp = 'B' THEN n END) >= 2
+    ),
+    p AS (
+        SELECT segment,
+               round(1.0 - abs(round((ma - mb) / sqrt(va / na + vb / nb), 6))
+                     / sqrt(2.0 + round((ma - mb) / sqrt(va / na + vb / nb), 6)
+                            * round((ma - mb) / sqrt(va / na + vb / nb), 6)),
+                     6) AS p6
+        FROM w
+    ),
+    pi0 AS (
+        SELECT least(1.0,
+                     sum(CASE WHEN p6 > {_ST_LAMBDA} THEN 1 ELSE 0 END)
+                     / ((1.0 - {_ST_LAMBDA}) * count(*))) AS pi0
+        FROM p
+    ),
+    ranked AS (
+        SELECT segment, p6,
+               row_number() OVER (ORDER BY p6, segment) AS i,
+               count(*) OVER () AS m
+        FROM p
+    ),
+    qraw AS (
+        SELECT segment, p6, i, m, pi0.pi0,
+               pi0.pi0 * m * p6 / i AS qr
+        FROM ranked, pi0
+    ),
+    qv AS (
+        SELECT segment, p6, i, m, pi0,
+               least(1.0, min(qr) OVER (
+                   ORDER BY i DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS q
+        FROM qraw
+    )
+    SELECT segment, p6 AS p, CAST(i AS INT) AS rnk,
+           CAST(m AS BIGINT) AS n_tests,
+           round(pi0, 6) AS pi0,
+           round(q, 6) AS q_value,
+           CAST(CASE WHEN q <= {_ST_Q} THEN 1 ELSE 0 END AS INT)
+               AS discovery
+    FROM qv
+""".format(grp_sql=_GRP_SQL)
+
+
+@register("e_fdr_storey", _STOREY_SQL)
+def e_fdr_storey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storey q-values (Storey 2002; Storey & Tibshirani 2003) —
+    ADAPTIVE FDR over the same per-segment effect scan as e_bh_fdr:
+    estimate the null fraction π̂0 = #{{p > λ}}/((1−λ)·m) from the
+    p-value histogram's flat tail, then q(i) = min over j≥i of
+    π̂0·m·p(j)/j. When many segments carry real effects, π̂0 < 1 buys
+    strictly more discoveries than BH at the same FDR — the default in
+    genomics-scale and segment-scan multiple testing.
+
+    Determinism: p-values come from the e_bh_fdr t₂ grid (z snapped at
+    6dp, p snapped at 6dp — exact in +,×,÷,√); π̂0 is a ratio of
+    integers; the q-value suffix-min is a running min over doubles
+    computed from identical operands (order-free). Everything after
+    the one (segment, arm) hash aggregate runs on the segment-sized
+    frame — the k×k rule."""
+    g = _events_grouped(spark, sf_dir)
+    seg = g.select(
+        F.concat_ws(
+            "#", F.col("event_type"), F.dayofweek("ts").cast("string")
+        ).alias("segment"),
+        "grp",
+        "value",
+    )
+    agg = seg.groupBy("segment", "grp").agg(
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    def arm(col, grp):
+        return F.max(F.when(F.col("grp") == grp, F.col(col)))
+    w = (
+        agg.groupBy("segment")
+        .agg(
+            arm("m", "A").alias("ma"), arm("m", "B").alias("mb"),
+            arm("v", "A").alias("va"), arm("v", "B").alias("vb"),
+            arm("n", "A").alias("na"), arm("n", "B").alias("nb"),
+        )
+        .filter((F.col("na") >= 2) & (F.col("nb") >= 2))
+    )
+    z6 = F.round(
+        (F.col("ma") - F.col("mb"))
+        / F.sqrt(F.col("va") / F.col("na") + F.col("vb") / F.col("nb")),
+        6,
+    )
+    p = w.select(
+        "segment",
+        F.round(1.0 - F.abs(z6) / F.sqrt(2.0 + z6 * z6), 6).alias("p6"),
+    ).localCheckpoint()  # segment-sized; read by pi0 + ranking
+    pi0 = p.agg(
+        F.least(
+            F.lit(1.0),
+            F.sum(F.when(F.col("p6") > _ST_LAMBDA, 1).otherwise(0))
+            / ((1.0 - _ST_LAMBDA) * F.count(F.lit(1))),
+        ).alias("pi0")
+    )
+    wr = Window.orderBy("p6", "segment")
+    ranked = p.select(
+        "segment",
+        "p6",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    qraw = ranked.crossJoin(F.broadcast(pi0)).withColumn(
+        "qr", F.col("pi0") * F.col("m") * F.col("p6") / F.col("i")
+    )
+    wmin = (
+        Window.orderBy(F.col("i").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    qv = qraw.withColumn(
+        "q", F.least(F.lit(1.0), F.min("qr").over(wmin))
+    )
+    return qv.select(
+        "segment",
+        F.col("p6").alias("p"),
+        F.col("i").cast("int").alias("rnk"),
+        F.col("m").cast("long").alias("n_tests"),
+        F.round("pi0", 6).alias("pi0"),
+        F.round("q", 6).alias("q_value"),
+        (F.col("q") <= _ST_Q).cast("int").alias("discovery"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a_join_skew_audit — shuffle-key skew pre-flight check
+# ---------------------------------------------------------------------------
+
+_SKEW_PARTS = 32  # planned shuffle partition count being audited
+
+_SKEW_SQL = f"""
+    WITH kc AS (
+        SELECT l_suppkey AS key, count(*) AS c FROM lineitem GROUP BY 1
+    ),
+    st AS (
+        SELECT count(*) AS n_keys, sum(c) AS n_rows, max(c) AS max_key
+        FROM kc
+    ),
+    ranked AS (SELECT c, row_number() OVER (ORDER BY c, key) AS rn FROM kc),
+    p99 AS (
+        SELECT c AS p99_key FROM ranked, st
+        WHERE rn = greatest(CAST(ceil(0.99 * st.n_keys) AS BIGINT), 1)
+    ),
+    parts AS (
+        SELECT CAST('0x' || substring(md5(CAST(key AS VARCHAR)), 1, 8)
+                    AS BIGINT) % {_SKEW_PARTS} AS part,
+               sum(c) AS rows_
+        FROM kc GROUP BY 1
+    ),
+    pstat AS (SELECT max(rows_) AS max_part FROM parts)
+    SELECT CAST(st.n_keys AS BIGINT) AS n_keys,
+           CAST(st.n_rows AS BIGINT) AS n_rows,
+           CAST(st.max_key AS BIGINT) AS max_key_rows,
+           CAST(p99.p99_key AS BIGINT) AS p99_key_rows,
+           round(st.max_key * st.n_keys / (1.0 * st.n_rows), 4)
+               AS key_skew_factor,
+           round(pstat.max_part * {_SKEW_PARTS} / (1.0 * st.n_rows), 4)
+               AS partition_skew_factor,
+           CAST(CASE WHEN st.max_key * {_SKEW_PARTS} > 2 * st.n_rows
+                     THEN CAST(ceil(st.max_key * {_SKEW_PARTS}
+                                    / (1.0 * st.n_rows)) AS BIGINT)
+                     ELSE 1 END AS BIGINT) AS suggested_salt
+    FROM st, p99, pstat
+"""
+
+
+@register("a_join_skew_audit", _SKEW_SQL)
+def a_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew pre-flight audit — the check a data engineer
+    runs BEFORE shipping a join/groupBy on a new key at 100 TB: the
+    per-key row distribution (max, p99), the key-level skew factor
+    (max·K/N — how much the hottest key exceeds a uniform share), the
+    simulated PARTITION-level skew under the planned hash partitioning
+    ({_SKEW_PARTS} partitions, md5 stand-in for Spark's hash), and a
+    suggested salt fan-out when the hottest key alone would dominate a
+    partition (>2× a uniform partition share). Feeds the j_salted_skew
+    operator; AQE's skew-join split handles the residual at runtime.
+
+    Determinism: everything is integer counts and order statistics
+    (p99 by row_number, total (c, key) order); the two ratios round
+    for display. Scale shape: ONE key-sized aggregate from one fact
+    scan, then key-dimension-sized frames; the partition simulation is
+    a second small aggregate over the key frame — never the fact
+    table."""
+    li = _t(spark, sf_dir, "lineitem")
+    kc = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint()  # key-sized; stats + p99 + partition sim read it
+    st = kc.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_key"),
+    )
+    wr = Window.orderBy("c", "key")
+    p99 = (
+        kc.withColumn("rn", F.row_number().over(wr))
+        .crossJoin(F.broadcast(st.select("n_keys")))
+        .filter(
+            F.col("rn")
+            == F.greatest(
+                F.ceil(0.99 * F.col("n_keys")).cast("long"), F.lit(1)
+            )
+        )
+        .select(F.col("c").alias("p99_key"))
+    )
+    parts = kc.groupBy(
+        (
+            F.conv(F.substring(F.md5(F.col("key").cast("string")), 1, 8),
+                   16, 10).cast("long")
+            % _SKEW_PARTS
+        ).alias("part")
+    ).agg(F.sum("c").alias("rows_"))
+    pstat = parts.agg(F.max("rows_").alias("max_part"))
+    one = (
+        st.crossJoin(F.broadcast(p99)).crossJoin(F.broadcast(pstat))
+    )
+    return one.select(
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("max_key").cast("long").alias("max_key_rows"),
+        F.col("p99_key").cast("long").alias("p99_key_rows"),
+        F.round(
+            F.col("max_key") * F.col("n_keys") / (1.0 * F.col("n_rows")), 4
+        ).alias("key_skew_factor"),
+        F.round(
+            F.col("max_part") * _SKEW_PARTS / (1.0 * F.col("n_rows")), 4
+        ).alias("partition_skew_factor"),
+        F.when(
+            F.col("max_key") * _SKEW_PARTS > 2 * F.col("n_rows"),
+            F.ceil(
+                F.col("max_key") * _SKEW_PARTS / (1.0 * F.col("n_rows"))
+            ).cast("long"),
+        )
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("suggested_salt"),
+    )

@@ -2157,3 +2157,141 @@ def s_incremental_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("certified"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# s_window_funnel — time-bounded funnel depth (windowFunnel semantics)
+# ---------------------------------------------------------------------------
+
+_WF_WINDOW_MIN = 240  # funnel must complete within this many minutes
+_WF_STEPS = ("view", "click", "purchase")
+
+_WF_SQL = f"""
+    WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    d1 AS (
+        SELECT user_id, event_type, us,
+               max(CASE WHEN event_type = 'view' THEN us END)
+                   OVER (PARTITION BY user_id ORDER BY us
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS s1
+        FROM ev
+    ),
+    d2 AS (
+        SELECT user_id, event_type, us, s1,
+               max(CASE WHEN event_type = 'click' THEN s1 END)
+                   OVER (PARTITION BY user_id ORDER BY us
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS s2start
+        FROM d1
+    ),
+    per_user AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS r1,
+               max(CASE WHEN event_type = 'click' AND s1 IS NOT NULL
+                        AND us - s1 <= {_WF_WINDOW_MIN * 60000000}
+                        THEN 1 ELSE 0 END) AS r2,
+               max(CASE WHEN event_type = 'purchase' AND s2start IS NOT NULL
+                        AND us - s2start <= {_WF_WINDOW_MIN * 60000000}
+                        THEN 1 ELSE 0 END) AS r3
+        FROM d2 GROUP BY user_id
+    )
+    SELECT CAST(level AS INT) AS level, step,
+           CAST(n AS BIGINT) AS n_users
+    FROM (
+        SELECT 1 AS level, 'view' AS step, sum(r1) AS n FROM per_user
+        UNION ALL
+        SELECT 2, 'click', sum(r2) FROM per_user
+        UNION ALL
+        SELECT 3, 'purchase', sum(r3) FROM per_user
+    )
+    ORDER BY level
+"""
+
+
+@register("s_window_funnel", _WF_SQL)
+def s_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-BOUNDED funnel depth (the windowFunnel primitive of event
+    warehouses): how many users complete view → click → purchase IN
+    ORDER with the whole chain inside a {_WF_WINDOW_MIN}-minute
+    window. Distinct from s_funnel (ordered but unbounded — a
+    conversion six months after the view still counts) and
+    s_event_pattern (strictly consecutive); the time bound is what an
+    attribution/alerting funnel actually uses.
+
+    Algorithm: per-user dynamic programming over the time-sorted
+    stream with RUNNING-MAX chain starts — d_k(e) = the LATEST
+    possible chain start that reaches step k at event e (a later start
+    is always at least as good for the deadline, so the greedy
+    exchange argument makes one forward pass exact; the naive
+    formulation is an all-triples join). Two stacked window functions
+    carry the DP; timestamps compare as exact integer microseconds.
+
+    Scale shape: one events scan filtered to the step types, two
+    windows over the SAME (user_id, us) sort (one exchange), a
+    user-keyed aggregate, and a 3-row summary. Linear with per-user
+    parallelism — the ClickHouse windowFunnel plan, expressed in
+    Spark windows."""
+    # batch parquet surfaces ts as TIMESTAMP_NTZ; unix_micros wants LTZ
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(*_WF_STEPS)
+    ).select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    wrow = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d1 = ev.withColumn(
+        "s1",
+        F.max(
+            F.when(F.col("event_type") == "view", F.col("us"))
+        ).over(wrow),
+    )
+    d2 = d1.withColumn(
+        "s2start",
+        F.max(
+            F.when(F.col("event_type") == "click", F.col("s1"))
+        ).over(wrow),
+    )
+    lim = _WF_WINDOW_MIN * 60_000_000
+    per_user = d2.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("r1"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "click")
+                & F.col("s1").isNotNull()
+                & (F.col("us") - F.col("s1") <= lim),
+                1,
+            ).otherwise(0)
+        ).alias("r2"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & F.col("s2start").isNotNull()
+                & (F.col("us") - F.col("s2start") <= lim),
+                1,
+            ).otherwise(0)
+        ).alias("r3"),
+    )
+    levels = per_user.agg(
+        F.sum("r1").alias("n1"), F.sum("r2").alias("n2"), F.sum("r3").alias("n3")
+    )
+    rows = [(1, "view", "n1"), (2, "click", "n2"), (3, "purchase", "n3")]
+    out = None
+    for level, step, col in rows:
+        part = levels.select(
+            F.lit(level).cast("int").alias("level"),
+            F.lit(step).alias("step"),
+            F.col(col).cast("long").alias("n_users"),
+        )
+        out = part if out is None else out.unionAll(part)
+    return out.orderBy("level")

@@ -19,6 +19,7 @@ from recommender_systems_spark.functions.vector import (
     cosine_similarity,
     dot_product,
 )
+from recommender_systems_spark.queries._shared import u01_col, u01_sql
 from recommender_systems_spark.registry import _t, register
 from recommender_systems_spark.similarity.ann import (
     bucket_keys,
@@ -2800,4 +2801,105 @@ def v_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("max_cell") * F.col("k") / (1.0 * F.col("n")), 6
             ).alias("imbalance"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# v_embedding_drift — embedding-space drift between two corpus halves
+# ---------------------------------------------------------------------------
+
+_DRIFT_SCALE = 100_000  # centroid µ-grid (the v_label_centroids rule)
+
+_DRIFT_SQL = f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               {{U}} < 0.5 AS is_a
+        FROM embeddings
+    ),
+    pos AS (
+        SELECT is_a, i AS pos, v[i + 1] AS val, vec_id
+        FROM e CROSS JOIN (SELECT unnest(range({_CENT_DIM})) AS i)
+    ),
+    cent AS (
+        SELECT is_a, pos,
+               CAST(round(avg(val) * {_DRIFT_SCALE}) AS BIGINT) AS c,
+               count(DISTINCT vec_id) AS n
+        FROM pos GROUP BY is_a, pos
+    ),
+    ab AS (
+        SELECT a.pos, a.c AS ca, b.c AS cb
+        FROM (SELECT * FROM cent WHERE is_a) a
+        JOIN (SELECT * FROM cent WHERE NOT is_a) b USING (pos)
+    ),
+    dots AS (
+        SELECT sum(CAST(ca AS DOUBLE) * cb) AS ab_,
+               sum(CAST(ca AS DOUBLE) * ca) AS aa,
+               sum(CAST(cb AS DOUBLE) * cb) AS bb,
+               sum(CAST(ca - cb AS DOUBLE) * (ca - cb)) AS d2
+        FROM ab
+    )
+    SELECT (SELECT CAST(max(n) AS BIGINT) FROM cent WHERE is_a) AS n_a,
+           (SELECT CAST(max(n) AS BIGINT) FROM cent WHERE NOT is_a) AS n_b,
+           round(ab_ / (sqrt(aa) * sqrt(bb)), 6) AS centroid_cosine,
+           round(sqrt(d2) / {_DRIFT_SCALE}, 6) AS centroid_l2
+    FROM dots
+""".format(U=u01_sql("vec_id", "drift"))
+
+
+@register("v_embedding_drift", _DRIFT_SQL)
+def v_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor — the vector-column counterpart
+    of a_psi_drift: split the corpus into two md5 halves (standing in
+    for yesterday/today), compare the half centroids by cosine and L2.
+    A centroid cosine dipping below ~0.99 is the cheap first alarm
+    that an upstream encoder changed or the content distribution
+    shifted — checked before any expensive per-vector OOD scoring
+    (v_ood_score is the per-item escalation).
+
+    Determinism: centroids are dimension-parallel means snapped to the
+    {_DRIFT_SCALE} integer grid (the v_label_centroids rule) BEFORE
+    the comparison, so the cosine/L2 are exact integer dot products
+    with two IEEE sqrt's — bit-identical.
+
+    Scale shape: one posexplode pass into a (half, dim)-keyed
+    map-side-combined aggregate (the dimension-parallel trick — a
+    billion vectors spread over 2·D reducers, no whole-vector
+    hot key); everything after is 2·D rows."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        (u01_col(F.col("vec_id"), "drift") < 0.5).alias("is_a"),
+    )
+    pos = e.select(
+        "is_a", "vec_id", F.posexplode("v").alias("pos", "val")
+    )
+    cent = pos.groupBy("is_a", "pos").agg(
+        F.round(F.avg("val") * _DRIFT_SCALE).cast("long").alias("c"),
+        F.countDistinct("vec_id").alias("n"),
+    ).localCheckpoint()  # 2·D rows; read by counts + both dot passes
+    a = cent.filter(F.col("is_a")).select(
+        "pos", F.col("c").alias("ca"), F.col("n").alias("na")
+    )
+    b = cent.filter(~F.col("is_a")).select(
+        "pos", F.col("c").alias("cb"), F.col("n").alias("nb")
+    )
+    ab = a.join(b, "pos")
+    dots = ab.agg(
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+        F.sum(F.col("ca").cast("double") * F.col("cb")).alias("ab_"),
+        F.sum(F.col("ca").cast("double") * F.col("ca")).alias("aa"),
+        F.sum(F.col("cb").cast("double") * F.col("cb")).alias("bb"),
+        F.sum(
+            (F.col("ca") - F.col("cb")).cast("double")
+            * (F.col("ca") - F.col("cb"))
+        ).alias("d2"),
+    )
+    return dots.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(
+            F.col("ab_") / (F.sqrt(F.col("aa")) * F.sqrt(F.col("bb"))), 6
+        ).alias("centroid_cosine"),
+        F.round(F.sqrt(F.col("d2")) / _DRIFT_SCALE, 6).alias("centroid_l2"),
     )

@@ -1231,3 +1231,114 @@ def e_cluster_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 + (mbar - 1.0) * F.greatest(icc, F.lit(0.0)), 4
         ).alias("deff"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e_switchback_effect — time-period (switchback) randomization
+# ---------------------------------------------------------------------------
+
+_SWB_BUCKET_US = 3_600_000_000  # 1-hour randomization periods
+
+_SWB_SQL = f"""
+    WITH ev AS (
+        SELECT epoch_us(ts) // {_SWB_BUCKET_US} AS b, value FROM events
+    ),
+    lab AS (
+        SELECT b, value,
+               {{ARM_B}} < 0.5 AS arm_a,
+               ({{ARM_B}} < 0.5) <> ({{ARM_PREV}} < 0.5) AS washout
+        FROM ev
+    ),
+    kept AS (SELECT * FROM lab WHERE NOT washout),
+    arms AS (
+        SELECT arm_a,
+               CAST(count(DISTINCT b) AS BIGINT) AS n_buckets,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(avg(value), 4) AS mean_value
+        FROM kept GROUP BY arm_a
+    ),
+    wash AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_washout
+             FROM lab WHERE washout)
+    SELECT a.n_buckets AS buckets_a, b.n_buckets AS buckets_b,
+           wash.n_washout AS buckets_washed_out,
+           a.n_events AS events_a, b.n_events AS events_b,
+           a.mean_value AS mean_a, b.mean_value AS mean_b,
+           round(a.mean_value - b.mean_value, 4) AS effect
+    FROM (SELECT * FROM arms WHERE arm_a) a,
+         (SELECT * FROM arms WHERE NOT arm_a) b,
+         wash
+""".format(
+    ARM_B=u01_sql("b", "swb"),
+    ARM_PREV=u01_sql("b - 1", "swb"),
+)
+
+
+@register("e_switchback_effect", _SWB_SQL)
+def e_switchback_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Switchback (time-period) randomization — the design
+    marketplaces and logistics platforms use when user-level
+    randomization would interfere with itself (shared supply, shared
+    couriers): randomize ARM BY HOUR, discard the first period after
+    every switch (carryover washout — the period where yesterday's
+    treatment still contaminates the metric), then difference the arm
+    means over the surviving periods (Bojinov et al. 2022 for the
+    variance story; this query is the effect point estimate + design
+    accounting a platform dashboards).
+
+    Determinism: the arm is a pure md5-uniform function of the hour
+    bucket, so the washout flag needs NO lag window — arm(b−1) is the
+    same pure function evaluated at b−1, computable row-side in both
+    engines. Counts are exact integers; means round at 4 (house float
+    rule for order-dependent double sums).
+
+    Scale shape: one events scan with row-side labeling (zero
+    windows, zero joins), one (arm) aggregate with map-side combine,
+    a 2×1-row assembly. The cheapest possible experiment readout at
+    any scale."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr(
+            f"unix_micros(cast(ts as timestamp)) div {_SWB_BUCKET_US}"
+        ).alias("b"),
+        "value",
+    )
+    arm_b = u01_col(F.col("b"), "swb") < 0.5
+    arm_prev = u01_col(F.col("b") - 1, "swb") < 0.5
+    lab = ev.select(
+        "b",
+        "value",
+        arm_b.alias("arm_a"),
+        (arm_b != arm_prev).alias("washout"),
+    ).localCheckpoint()  # arm aggregate + washout count share it
+    kept = lab.filter(~F.col("washout"))
+    arms = kept.groupBy("arm_a").agg(
+        F.countDistinct("b").cast("long").alias("n_buckets"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.avg("value"), 4).alias("mean_value"),
+    )
+    wash = lab.filter(F.col("washout")).agg(
+        F.countDistinct("b").cast("long").alias("buckets_washed_out")
+    )
+    a = arms.filter(F.col("arm_a")).select(
+        F.col("n_buckets").alias("buckets_a"),
+        F.col("n_events").alias("events_a"),
+        F.col("mean_value").alias("mean_a"),
+    )
+    b = arms.filter(~F.col("arm_a")).select(
+        F.col("n_buckets").alias("buckets_b"),
+        F.col("n_events").alias("events_b"),
+        F.col("mean_value").alias("mean_b"),
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(wash))
+        .select(
+            "buckets_a",
+            "buckets_b",
+            "buckets_washed_out",
+            "events_a",
+            "events_b",
+            "mean_a",
+            "mean_b",
+            F.round(F.col("mean_a") - F.col("mean_b"), 4).alias("effect"),
+        )
+    )

@@ -1543,3 +1543,118 @@ def g_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("modularity"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# g_neighbor_sampling — GraphSAGE-style bounded-fan-out minibatch prep
+# ---------------------------------------------------------------------------
+
+_GNN_SEEDS = 16  # seed nodes per minibatch (md5-ordered fixed count)
+_GNN_F1 = 4      # layer-1 fan-out
+_GNN_F2 = 3      # layer-2 fan-out
+
+_GNN_SQL = (
+    "WITH "
+    + _EDGES_SQL
+    + f""",
+    sym AS (SELECT src, dst FROM edges),
+    rk1 AS (
+        SELECT src, dst, row_number() OVER (
+                   PARTITION BY src
+                   ORDER BY md5(CAST(src AS VARCHAR) || '_'
+                                || CAST(dst AS VARCHAR) || '_gnn1'), dst
+               ) AS r
+        FROM sym
+    ),
+    rk2 AS (
+        SELECT src, dst, row_number() OVER (
+                   PARTITION BY src
+                   ORDER BY md5(CAST(src AS VARCHAR) || '_'
+                                || CAST(dst AS VARCHAR) || '_gnn2'), dst
+               ) AS r
+        FROM sym
+    ),
+    seeds AS (
+        SELECT src AS seed FROM (SELECT DISTINCT src FROM sym)
+        ORDER BY md5(CAST(src AS VARCHAR)), src LIMIT {_GNN_SEEDS}
+    ),
+    h1 AS (
+        SELECT s.seed, r.dst AS hop1, r.r AS r1
+        FROM seeds s JOIN rk1 r ON r.src = s.seed AND r.r <= {_GNN_F1}
+    )
+    SELECT h1.seed, h1.hop1, CAST(h1.r1 AS INT) AS r1,
+           r.dst AS hop2, CAST(r.r AS INT) AS r2
+    FROM h1 JOIN rk2 r ON r.src = h1.hop1 AND r.r <= {_GNN_F2}
+    ORDER BY seed, r1, r2
+"""
+)
+
+
+@register("g_neighbor_sampling", _GNN_SQL)
+def g_neighbor_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE neighborhood sampling (Hamilton et al. 2017) — the
+    minibatch data-production step for GNN training: for each seed
+    node, sample a bounded fan-out of neighbors per layer
+    ({_GNN_F1} then {_GNN_F2}) and emit the 2-hop computation-graph
+    rows the trainer aggregates bottom-up. Bounded fan-out is the
+    whole point: it caps per-seed cost at F1·F2 regardless of hub
+    degree, which is what makes GNN training on a billion-edge graph
+    tractable at all.
+
+    Sampling is DETERMINISTIC per (layer, node): neighbor rank =
+    row_number over md5(src, dst, layer-salt) — the seeded-shuffle
+    convention, so both engines draw identical neighborhoods and the
+    corpus value-hashes. Seeds are the fixed-COUNT md5-ordered sample
+    (house rule). Revisits across hops are allowed, as in the paper.
+
+    Scale shape: the symmetric adjacency is ranked ONCE per layer
+    salt with per-src windows (partition-parallel, never global);
+    layer expansion is two id-keyed equi-joins with fan-out bounds
+    applied BEFORE the join (rank filter on the build side) — join
+    output is exactly seeds·F1·F2 rows. In production the ranked
+    adjacency persists as a bucketed table and every epoch re-salts
+    only the rank column."""
+    from pyspark.sql import Window
+
+    cooc = _cooc_pairs(spark, sf_dir)
+    sym = cooc.select(
+        F.col("ia").alias("src"), F.col("ib").alias("dst")
+    ).unionAll(
+        cooc.select(F.col("ib").alias("src"), F.col("ia").alias("dst"))
+    ).localCheckpoint()  # ranked twice (one window per layer salt)
+
+    def ranked(salt: str) -> DataFrame:
+        w = Window.partitionBy("src").orderBy(
+            F.md5(F.concat_ws("_", F.col("src"), F.col("dst"), F.lit(salt))),
+            "dst",
+        )
+        return sym.withColumn("r", F.row_number().over(w))
+
+    seeds = (
+        sym.select("src")
+        .distinct()
+        .orderBy(F.md5(F.col("src").cast("string")), "src")
+        .limit(_GNN_SEEDS)
+        .select(F.col("src").alias("seed"))
+    )
+    h1 = (
+        ranked("gnn1")
+        .filter(F.col("r") <= _GNN_F1)
+        .join(F.broadcast(seeds), F.col("src") == F.col("seed"))
+        .select("seed", F.col("dst").alias("hop1"), F.col("r").alias("r1"))
+    )
+    h2 = (
+        ranked("gnn2")
+        .filter(F.col("r") <= _GNN_F2)
+        # h1 is seeds·F1 rows (64) — static stats can't see that
+        # through the limit+join lineage, so hint it.
+        .join(F.broadcast(h1), F.col("src") == F.col("hop1"))
+        .select(
+            "seed",
+            "hop1",
+            F.col("r1").cast("int").alias("r1"),
+            F.col("dst").alias("hop2"),
+            F.col("r").cast("int").alias("r2"),
+        )
+    )
+    return h2.orderBy("seed", "r1", "r2")

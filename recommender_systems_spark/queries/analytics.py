@@ -3699,3 +3699,225 @@ def a_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("suggested_salt"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a_markov_attribution — Markov removal-effect multi-touch attribution
+# ---------------------------------------------------------------------------
+
+_MK_ROUNDS = 8       # absorption iteration depth (path-length cap)
+_MK_PPM = 1_000_000  # fixed-point scale for transition probs / values
+
+
+def _mk_step_sql(prev: str, cur: str) -> str:
+    """One truncated-absorption sweep: v'(s) = Σ_j T(s,j)·v(j), in
+    integer ppm with per-term truncating division, masked at the
+    scenario's removed channel."""
+    return f"""
+    {cur} AS (
+        SELECT s.scen, t.src AS state,
+               CASE WHEN t.src = s.scen THEN CAST(0 AS BIGINT)
+                    ELSE CAST(COALESCE(sum((t.p_ppm * s.v)
+                                           // {_MK_PPM}), 0) AS BIGINT)
+               END AS v
+        FROM t JOIN {prev} s ON s.state = t.dst
+        GROUP BY s.scen, t.src
+    )"""
+
+
+_MK_SQL = (
+    f"""
+    WITH pur AS (
+        SELECT user_id, min(ts) AS pts FROM events
+        WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    ch AS (
+        SELECT e.user_id, e.ts, e.event_id, e.event_type,
+               pur.pts IS NOT NULL AS conv
+        FROM events e LEFT JOIN pur USING (user_id)
+        WHERE e.event_type <> 'purchase'
+          AND (pur.pts IS NULL OR e.ts < pur.pts)
+    ),
+    seq AS (
+        SELECT user_id, event_type, conv,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn_last
+        FROM ch
+    ),
+    trans AS (
+        SELECT COALESCE(prev, 'START') AS src, event_type AS dst FROM seq
+        UNION ALL
+        SELECT event_type, CASE WHEN conv THEN 'CONV' ELSE 'NULL' END
+        FROM seq WHERE rn_last = 1
+        UNION ALL
+        SELECT 'START', 'CONV'
+        FROM pur LEFT JOIN (SELECT DISTINCT user_id FROM ch) c
+          USING (user_id)
+        WHERE c.user_id IS NULL
+    ),
+    cnt AS (SELECT src, dst, count(*) AS c FROM trans GROUP BY 1, 2),
+    tot AS (SELECT src, sum(c) AS n FROM cnt GROUP BY 1),
+    t AS (
+        SELECT cnt.src, cnt.dst,
+               (cnt.c * {_MK_PPM}) // tot.n AS p_ppm
+        FROM cnt JOIN tot USING (src)
+        UNION ALL
+        SELECT 'CONV', 'CONV', {_MK_PPM}
+    ),
+    scen AS (
+        SELECT DISTINCT src AS scen FROM cnt
+        WHERE src NOT IN ('START', 'CONV', 'NULL')
+        UNION ALL SELECT 'FULL'
+    ),
+    v0 AS (SELECT scen, 'CONV' AS state, CAST({_MK_PPM} AS BIGINT) AS v
+           FROM scen),"""
+    + ",".join(_mk_step_sql(f"v{r}", f"v{r + 1}") for r in range(_MK_ROUNDS))
+    + f""",
+    p AS (
+        SELECT scen, v FROM v{_MK_ROUNDS} WHERE state = 'START'
+    ),
+    full_ AS (SELECT v AS vf FROM p WHERE scen = 'FULL')
+    SELECT p.scen AS channel,
+           round(p.v / {_MK_PPM}.0, 6) AS p_without,
+           round(full_.vf / {_MK_PPM}.0, 6) AS p_full,
+           round((full_.vf - p.v) / (1.0 * full_.vf), 6) AS removal_effect
+    FROM p, full_
+    WHERE p.scen <> 'FULL'
+    ORDER BY channel
+""".replace("v0 AS", "v0 AS")
+)
+
+
+@register("a_markov_attribution", _MK_SQL)
+def a_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. 2016) — the
+    data-driven multi-touch attribution model that replaced
+    first/last-touch heuristics (a_attribution): model user journeys
+    as a Markov chain over channels with CONV/NULL absorbers, score
+    each channel by how much the conversion probability drops when
+    the channel is REMOVED (its inbound transitions redirect to NULL)
+    — removal_effect(c) = (P_full − P_without_c)/P_full.
+
+    Two exactness tricks make it value-hash portable: (1) removal is
+    computed WITHOUT rebuilding the chain — pinning v(c)=0 inside the
+    absorption iteration is algebraically identical to redirecting
+    c's inbound mass to NULL, so all scenarios share ONE transition
+    table; (2) the absorption probability runs as {_MK_ROUNDS}
+    truncated power sweeps in integer ppm (the s_holt fixed-point
+    rule: one multiply + one truncating division per term, Spark
+    ``div`` == DuckDB ``//``), so both engines walk byte-identical
+    iterates. Truncation at {_MK_ROUNDS} hops is the documented
+    path-length cap (standard in production implementations).
+
+    Scale shape: journeys reduce to a channel²-sized transition count
+    in ONE lag-window pass over the event log; every sweep is a join
+    of the tiny T table against a scenarios×states vector (≤ ~40
+    rows) — iteration cost is independent of data size. The event
+    scan is the only corpus-sized work."""
+    ev = _t(spark, sf_dir, "events")
+    pur = ev.filter(F.col("event_type") == "purchase").groupBy(
+        "user_id"
+    ).agg(F.min("ts").alias("pts"))
+    ch = (
+        ev.filter(F.col("event_type") != "purchase")
+        .join(pur, "user_id", "left")
+        .filter(F.col("pts").isNull() | (F.col("ts") < F.col("pts")))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.col("pts").isNotNull().alias("conv"),
+        )
+    )
+    wlag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wlast = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    seq = ch.select(
+        "event_type",
+        "conv",
+        F.lag("event_type").over(wlag).alias("prev"),
+        F.row_number().over(wlast).alias("rn_last"),
+    )
+    trans = (
+        seq.select(
+            F.coalesce("prev", F.lit("START")).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .unionAll(
+            seq.filter(F.col("rn_last") == 1).select(
+                F.col("event_type").alias("src"),
+                F.when(F.col("conv"), F.lit("CONV"))
+                .otherwise(F.lit("NULL"))
+                .alias("dst"),
+            )
+        )
+        .unionAll(
+            pur.join(ch.select("user_id").distinct(), "user_id", "left_anti")
+            .select(F.lit("START").alias("src"), F.lit("CONV").alias("dst"))
+        )
+    )
+    cnt = trans.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("src").agg(F.sum("c").alias("n"))
+    t = (
+        cnt.join(tot, "src")
+        .select(
+            "src",
+            "dst",
+            F.expr(f"(c * {_MK_PPM}) div n").alias("p_ppm"),
+        )
+        .unionAll(
+            spark.createDataFrame(
+                [("CONV", "CONV", _MK_PPM)], "src string, dst string, p_ppm long"
+            )
+        )
+        .localCheckpoint()  # joined once per sweep
+    )
+    scen = (
+        cnt.select(F.col("src").alias("scen"))
+        .filter(~F.col("src").isin("START", "CONV", "NULL"))
+        .distinct()
+        .unionAll(spark.createDataFrame([("FULL",)], "scen string"))
+    )
+    v = scen.select(
+        "scen",
+        F.lit("CONV").alias("state"),
+        F.lit(_MK_PPM).cast("long").alias("v"),
+    )
+    for _ in range(_MK_ROUNDS):
+        j = t.join(v, t["dst"] == v["state"])
+        v = (
+            j.groupBy("scen", F.col("src").alias("state"))
+            .agg(
+                F.sum(
+                    F.expr(f"(p_ppm * v) div {_MK_PPM}")
+                ).alias("sv")
+            )
+            .select(
+                "scen",
+                "state",
+                F.when(F.col("state") == F.col("scen"), F.lit(0).cast("long"))
+                .otherwise(F.coalesce("sv", F.lit(0)).cast("long"))
+                .alias("v"),
+            )
+        )
+    p = v.filter(F.col("state") == "START").select("scen", "v")
+    full_ = p.filter(F.col("scen") == "FULL").select(
+        F.col("v").alias("vf")
+    )
+    return (
+        p.filter(F.col("scen") != "FULL")
+        .crossJoin(F.broadcast(full_))
+        .select(
+            F.col("scen").alias("channel"),
+            F.round(F.col("v") / float(_MK_PPM), 6).alias("p_without"),
+            F.round(F.col("vf") / float(_MK_PPM), 6).alias("p_full"),
+            F.round(
+                (F.col("vf") - F.col("v")) / (1.0 * F.col("vf")), 6
+            ).alias("removal_effect"),
+        )
+        .orderBy("channel")
+    )

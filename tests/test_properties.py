@@ -288,3 +288,77 @@ def test_bradley_terry_invariants(spark):
         assert r["matches"] >= r["wins"] >= 0
         if r["wins"] > 0:
             assert r["gamma"] > 0
+
+
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),   # timestamp
+            st.sampled_from(["view", "click", "purchase"]),
+        ),
+        min_size=0,
+        max_size=14,
+    )
+)
+@_settings
+def test_window_funnel_dp_matches_bruteforce(spark, evs):
+    """s_window_funnel's running-max DP rests on a greedy exchange
+    argument (the LATEST chain start is always optimal for the
+    deadline). Verify it against brute-force ordered-subsequence
+    search on arbitrary single-user event streams."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    LIM = 10  # window length in the same time units
+    rows = [
+        (1, i, ts * 1_000_000, et) for i, (ts, et) in enumerate(evs)
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, us long, event_type string"
+    )
+    # Re-implement the query's DP inline on the (already-epoch) frame.
+    from pyspark.sql import Window as W
+
+    wrow = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    d1 = df.withColumn(
+        "s1", F.max(F.when(F.col("event_type") == "view", F.col("us"))).over(wrow)
+    )
+    d2 = d1.withColumn(
+        "s2start",
+        F.max(F.when(F.col("event_type") == "click", F.col("s1"))).over(wrow),
+    )
+    lim_us = LIM * 1_000_000
+    got = d2.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & F.col("s2start").isNotNull()
+                & (F.col("us") - F.col("s2start") <= lim_us),
+                1,
+            ).otherwise(0)
+        ).alias("r3")
+    ).collect()[0]["r3"]
+
+    # Brute force: any ordered (view < click < purchase) index triple
+    # with purchase_ts - view_ts <= LIM. Strict index order with
+    # nondecreasing timestamps mirrors the window's (us, event_id)
+    # total order.
+    seq = sorted(rows, key=lambda r: (r[2], r[1]))
+    want = 0
+    for i, j, k in itertools.combinations(range(len(seq)), 3):
+        if (
+            seq[i][3] == "view"
+            and seq[j][3] == "click"
+            and seq[k][3] == "purchase"
+            and seq[k][2] - seq[i][2] <= lim_us
+        ):
+            want = 1
+            break
+    assert got == want, (evs, got, want)

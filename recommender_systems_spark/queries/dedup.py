@@ -664,3 +664,83 @@ def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(1.0 - _lsh_scurve_term(F.min(mid)), 6).alias("theoretical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_canonical_keep — survivor selection over the near-dup clusters
+# ---------------------------------------------------------------------------
+
+_KEEP_ENC = 2 ** 33  # composite argmax key: n_chars*ENC - doc_id
+
+_KEEP_SQL = f"""
+    WITH RECURSIVE {_SIMHASH_CTES},
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM near
+              UNION SELECT doc_b, doc_a FROM near),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach AS (
+        SELECT id, id AS r FROM nodes
+        UNION
+        SELECT e.src AS id, reach.r FROM reach JOIN edges e ON e.dst = reach.id
+    ),
+    lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+    q AS (
+        SELECT lab.doc_id, lab.cluster_id, d.n_chars
+        FROM lab JOIN documents d USING (doc_id)
+    ),
+    surv AS (
+        SELECT cluster_id,
+               arg_max(doc_id, n_chars * {_KEEP_ENC} - doc_id) AS survivor,
+               CAST(count(*) AS BIGINT) AS cluster_size
+        FROM q GROUP BY cluster_id
+    )
+    SELECT q.doc_id, q.cluster_id, surv.cluster_size,
+           surv.survivor AS survivor_id,
+           CAST(q.n_chars AS BIGINT) AS n_chars,
+           CAST(CASE WHEN q.doc_id = surv.survivor THEN 1 ELSE 0 END AS INT)
+               AS keep
+    FROM q JOIN surv USING (cluster_id)
+    ORDER BY q.cluster_id, q.doc_id
+"""
+
+
+@register("dedup_canonical_keep", _KEEP_SQL)
+def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection — the step that turns near-dup CLUSTERS into
+    an actionable keep/drop list: per connected component, keep the
+    longest document (n_chars argmax, min-doc_id tie-break — the
+    "most complete version" policy; swap the key for a quality score
+    and the plan is unchanged) and mark every other member for
+    removal. Completes the dedup pipeline: detect (dedup_simhash) →
+    cluster (dedup_clusters) → CHOOSE (this op) — pairwise output
+    alone can't answer "which doc do I keep?".
+
+    Determinism: the survivor argmax uses the composite integer key
+    n_chars·2³³ − doc_id (DuckDB arg_max takes only scalar keys — the
+    m_preference_pairs trick), exact while doc ids stay under 2³³.
+
+    Scale shape: cluster labels come from the HashMin/pointer-doubling
+    component pass (id-pair shuffles only); this op adds ONE join of
+    the clustered-doc list against the documents metadata (never the
+    text) and one cluster-keyed argmax — both linear in clustered
+    docs, which near-dup mass keeps a small fraction of the corpus."""
+    lab = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    meta = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    q = lab.join(meta, "doc_id").localCheckpoint()  # argmax + output share
+    surv = q.groupBy("cluster_id").agg(
+        F.max_by(
+            "doc_id", F.col("n_chars") * _KEEP_ENC - F.col("doc_id")
+        ).alias("survivor"),
+        F.count(F.lit(1)).cast("long").alias("cluster_size"),
+    )
+    return (
+        q.join(surv, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            F.col("survivor").alias("survivor_id"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+            (F.col("doc_id") == F.col("survivor")).cast("int").alias("keep"),
+        )
+        .orderBy("cluster_id", "doc_id")
+    )

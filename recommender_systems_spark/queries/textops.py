@@ -2964,3 +2964,77 @@ def t_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# t_quota_sample — balanced-cell sample materialization
+# ---------------------------------------------------------------------------
+
+_QS_BUDGET = 200  # total documents in the balanced sample
+
+_QS_SQL = f"""
+    WITH langs AS (SELECT count(DISTINCT lang) AS nl FROM documents),
+    ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || '_quota'), doc_id
+               ) AS rnk,
+               count(*) OVER (PARTITION BY lang) AS avail
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(rnk AS INT) AS rnk,
+           CAST(least({_QS_BUDGET} // langs.nl, avail) AS BIGINT) AS quota
+    FROM ranked, langs
+    WHERE rnk <= least({_QS_BUDGET} // langs.nl, avail)
+    ORDER BY lang, rnk
+"""
+
+
+@register("t_quota_sample", _QS_SQL)
+def t_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced-cell sample MATERIALIZATION — where t_dataset_mixture
+    computes target weights, this op actually draws the sample: an
+    equal per-language quota ({_QS_BUDGET} ÷ |langs|, capped by
+    availability) filled by deterministic md5 rank within each cell —
+    the rebalancing step that turns a crawl-skewed corpus into the
+    evaluation/annotation set a data team ships (per-source or
+    per-(lang×source) quotas are the same plan with a wider partition
+    key; proportional-to-target quotas just replace the constant).
+
+    Determinism: selection is a per-cell row_number over
+    (md5(doc_id), doc_id) — the seeded-shuffle convention — so both
+    engines draw identical documents; quotas are exact integer
+    arithmetic.
+
+    Scale shape: one scan with a per-lang window (cell-parallel,
+    never a global sort) and a 1-row language-count broadcast; output
+    is budget-bounded. At 100 TB the rank-and-filter runs per cell in
+    parallel and nothing data-sized crosses the exchange except the
+    (cell, rank) pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    langs = docs.agg(F.countDistinct("lang").alias("nl"))
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat_ws("_", F.col("doc_id"), F.lit("quota"))), "doc_id"
+    )
+    wc = Window.partitionBy("lang")
+    ranked = docs.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(wc).alias("avail"),
+    )
+    quota = F.least(
+        F.expr(f"{_QS_BUDGET} div nl"), F.col("avail")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(langs))
+        .filter(F.col("rnk") <= quota)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("rnk").cast("int").alias("rnk"),
+            quota.cast("long").alias("quota"),
+        )
+        .orderBy("lang", "rnk")
+    )

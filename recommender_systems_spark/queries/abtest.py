@@ -1342,3 +1342,154 @@ def e_switchback_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("mean_a") - F.col("mean_b"), 4).alias("effect"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# e_aa_calibration — A/A re-randomization calibration of the test stack
+# ---------------------------------------------------------------------------
+
+_AA_REPS = 20
+
+_AA_SQL = f"""
+    WITH reps AS (
+        SELECT e.user_id, e.value, r.rep
+        FROM events e CROSS JOIN (SELECT unnest(range({_AA_REPS})) AS rep) r
+    ),
+    lab AS (
+        SELECT rep, value,
+               {{ARM}} < 0.5 AS arm_a
+        FROM reps
+    ),
+    agg AS (
+        SELECT rep, arm_a, count(*) AS n, avg(value) AS m,
+               var_samp(value) AS v
+        FROM lab GROUP BY rep, arm_a
+    ),
+    w AS (
+        SELECT rep,
+               max(CASE WHEN arm_a THEN m END) AS ma,
+               max(CASE WHEN NOT arm_a THEN m END) AS mb,
+               max(CASE WHEN arm_a THEN v END) AS va,
+               max(CASE WHEN NOT arm_a THEN v END) AS vb,
+               max(CASE WHEN arm_a THEN n END) AS na,
+               max(CASE WHEN NOT arm_a THEN n END) AS nb
+        FROM agg GROUP BY rep
+    ),
+    z AS (
+        SELECT rep,
+               round((ma - mb) / sqrt(va / na + vb / nb), 6) AS z6
+        FROM w
+    ),
+    p AS (
+        SELECT rep, z6,
+               round(1.0 - abs(z6) / sqrt(2.0 + z6 * z6), 6) AS p6
+        FROM z
+    ),
+    r AS (
+        SELECT p6, row_number() OVER (ORDER BY p6, rep) AS i FROM p
+    ),
+    ks AS (
+        SELECT max(greatest(i / {_AA_REPS}.0 - p6,
+                            p6 - (i - 1) / {_AA_REPS}.0)) AS d
+        FROM r
+    )
+    SELECT CAST({_AA_REPS} AS BIGINT) AS n_reps,
+           round(ks.d, 6) AS ks_stat,
+           (SELECT round(max(abs(z6)), 6) FROM z) AS max_abs_z,
+           (SELECT CAST(sum(CASE WHEN p6 < 0.05 THEN 1 ELSE 0 END)
+                        AS BIGINT) FROM p) AS n_sig_at_05
+    FROM ks
+""".format(ARM=u01_sql("user_id * {} + rep".format(_AA_REPS + 1), "aa"))
+
+
+@register("e_aa_calibration", _AA_SQL)
+def e_aa_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/A calibration — the hygiene run an experimentation platform
+    executes BEFORE trusting its A/B stack: {_AA_REPS} fake
+    re-randomizations of the same traffic (no treatment anywhere),
+    a Welch z + p per replicate, then (1) the KS distance of the
+    p-value set from U(0,1) and (2) the false-positive count at
+    α=0.05 — inflated significance here means broken variance
+    estimates, interference, or a bad bucketing hash, and invalidates
+    every real experiment downstream (Kohavi's canonical pre-launch
+    check).
+
+    Determinism: each replicate's arm is the md5-uniform of
+    (user_id·{_AA_REPS + 1} + rep) — distinct per (user, rep), same
+    rows in both engines; z and p snap to the 6dp grid (e_bh_fdr's t₂
+    convention — exact in +,×,÷,√) before the order statistics, so
+    the KS statistic is computed from identical operands.
+
+    Scale shape: the replicate explode stays inside one codegen stage
+    feeding a (rep, arm)-keyed map-side-combined aggregate
+    (2·{_AA_REPS} groups); everything after is a {_AA_REPS}-row
+    frame. At 100 TB this is the e_bootstrap_ci economics — one scan,
+    sketch-sized state."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    reps = ev.select(
+        "user_id",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(_AA_REPS - 1))).alias("rep"),
+    )
+    arm = (
+        u01_col(
+            F.col("user_id") * (_AA_REPS + 1) + F.col("rep"), "aa"
+        )
+        < 0.5
+    )
+    agg = reps.select("rep", "value", arm.alias("arm_a")).groupBy(
+        "rep", "arm_a"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    def pick(col, a):
+        cond = F.col("arm_a") if a else ~F.col("arm_a")
+        return F.max(F.when(cond, F.col(col)))
+    w = agg.groupBy("rep").agg(
+        pick("m", True).alias("ma"), pick("m", False).alias("mb"),
+        pick("v", True).alias("va"), pick("v", False).alias("vb"),
+        pick("n", True).alias("na"), pick("n", False).alias("nb"),
+    )
+    z6 = F.round(
+        (F.col("ma") - F.col("mb"))
+        / F.sqrt(F.col("va") / F.col("na") + F.col("vb") / F.col("nb")),
+        6,
+    )
+    p = w.select(
+        "rep",
+        z6.alias("z6"),
+    ).select(
+        "rep",
+        "z6",
+        F.round(
+            1.0 - F.abs(F.col("z6")) / F.sqrt(2.0 + F.col("z6") * F.col("z6")),
+            6,
+        ).alias("p6"),
+    ).localCheckpoint()  # 20 rows; KS + z-max + sig-count read it
+    wr = Window.orderBy("p6", "rep")
+    r = p.select("p6", F.row_number().over(wr).alias("i"))
+    ks = r.agg(
+        F.max(
+            F.greatest(
+                F.col("i") / float(_AA_REPS) - F.col("p6"),
+                F.col("p6") - (F.col("i") - 1) / float(_AA_REPS),
+            )
+        ).alias("d")
+    )
+    stats = p.agg(
+        F.round(F.max(F.abs("z6")), 6).alias("max_abs_z"),
+        F.sum(F.when(F.col("p6") < 0.05, 1).otherwise(0))
+        .cast("long")
+        .alias("n_sig_at_05"),
+    )
+    return (
+        ks.crossJoin(F.broadcast(stats))
+        .select(
+            F.lit(_AA_REPS).cast("long").alias("n_reps"),
+            F.round("d", 6).alias("ks_stat"),
+            "max_abs_z",
+            "n_sig_at_05",
+        )
+    )

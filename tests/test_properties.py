@@ -362,3 +362,21 @@ def test_window_funnel_dp_matches_bruteforce(spark, evs):
             want = 1
             break
     assert got == want, (evs, got, want)
+
+
+def test_markov_attribution_invariants(spark):
+    """Removing a channel can only REDUCE conversion probability (the
+    masked absorption iterate is pointwise dominated by the full one),
+    so 0 <= p_without <= p_full and removal_effect in [0, 1]; effects
+    are consistent with their probabilities."""
+    from recommender_systems_spark.queries.analytics import (
+        a_markov_attribution,
+    )
+
+    rows = a_markov_attribution(spark, _SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["p_without"] <= r["p_full"] <= 1.0, r
+        assert 0.0 <= r["removal_effect"] <= 1.0, r
+        expect = (r["p_full"] - r["p_without"]) / r["p_full"]
+        assert abs(r["removal_effect"] - expect) < 1e-5, r

@@ -380,3 +380,36 @@ def test_markov_attribution_invariants(spark):
         assert 0.0 <= r["removal_effect"] <= 1.0, r
         expect = (r["p_full"] - r["p_without"]) / r["p_full"]
         assert abs(r["removal_effect"] - expect) < 1e-5, r
+
+
+def test_aa_calibration_invariants(spark):
+    """A/A replicates carry no treatment: the KS distance is a valid
+    statistic in (0, 1], false positives at alpha=0.05 stay a small
+    minority of replicates (a blown-up count means a broken variance
+    estimate), and every p derives from a finite z."""
+    from recommender_systems_spark.queries.abtest import (
+        _AA_REPS,
+        e_aa_calibration,
+    )
+
+    r = e_aa_calibration(spark, _SF).collect()[0]
+    assert r["n_reps"] == _AA_REPS
+    assert 0.0 < r["ks_stat"] <= 1.0
+    assert 0 <= r["n_sig_at_05"] <= _AA_REPS // 4  # ~1 expected at 20
+    assert r["max_abs_z"] >= 0.0
+
+
+def test_conformal_coverage_invariants(spark):
+    """Split-conformal guarantees E[coverage] >= 1 - alpha over
+    calibration draws; on one fixed md5 split assert the sane band
+    plus bookkeeping (positive interval width, disjoint split sizes)."""
+    from recommender_systems_spark.queries.abtest import (
+        e_conformal_coverage,
+    )
+
+    r = e_conformal_coverage(spark, _SF).collect()[0]
+    assert r["n_train"] > 0 and r["n_cal"] > 0 and r["n_test"] > 0
+    assert r["q_hat"] >= 0.0
+    # 1 - alpha = 0.9; one fixed split can wobble, but falling under
+    # 0.75 or hitting exactly 0 means the quantile or split broke.
+    assert 0.75 <= r["coverage"] <= 1.0

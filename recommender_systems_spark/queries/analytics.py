@@ -3921,3 +3921,89 @@ def a_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# a_apportionment — largest-remainder budget allocation (Hamilton method)
+# ---------------------------------------------------------------------------
+
+_APP_SEATS = 1000  # budget units to apportion across sources
+
+_APP_SQL = f"""
+    WITH s AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    tot AS (SELECT sum(n) AS nt FROM s),
+    base AS (
+        SELECT source, n,
+               (n * {_APP_SEATS}) // tot.nt AS floor_seats,
+               (n * {_APP_SEATS}) % tot.nt AS rem
+        FROM s, tot
+    ),
+    left_ AS (
+        SELECT {_APP_SEATS} - sum(floor_seats) AS extra FROM base
+    ),
+    ranked AS (
+        SELECT source, n, floor_seats, rem,
+               row_number() OVER (ORDER BY rem DESC, source) AS rk
+        FROM base
+    )
+    SELECT source,
+           CAST(n AS BIGINT) AS n_docs,
+           CAST(floor_seats + CASE WHEN rk <= left_.extra THEN 1 ELSE 0 END
+                AS BIGINT) AS seats,
+           CAST(rem AS BIGINT) AS remainder,
+           CAST(rk AS INT) AS remainder_rank
+    FROM ranked, left_
+    ORDER BY source
+"""
+
+
+@register("a_apportionment", _APP_SQL)
+def a_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder apportionment (Hamilton's method) — the exact
+    integer algorithm for splitting a fixed budget proportionally
+    across groups when fractional shares must become whole units:
+    floor the proportional share, then hand the leftover units to the
+    largest remainders. The allocation step behind proportional sample
+    budgets (the proportional counterpart of t_quota_sample's equal
+    quotas), shard/seat assignment, and annotation-budget splits —
+    guaranteed to sum EXACTLY to the budget, which naive rounding
+    does not.
+
+    Pure integer arithmetic end-to-end: floor shares and remainders
+    via integer div/mod (identical in both engines), the remainder
+    ranking totally ordered by (remainder, source). No floats anywhere
+    — the rare query with zero rounding calls.
+
+    Scale shape: one source-sized aggregate, a 1-row total broadcast,
+    and a window over the groups frame. Corpus-linear, group-sized
+    everything after the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = s.agg(F.sum("n").alias("nt"))
+    base = s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        F.expr(f"(n * {_APP_SEATS}) div nt").alias("floor_seats"),
+        F.expr(f"(n * {_APP_SEATS}) % nt").alias("rem"),
+    )
+    left_ = base.agg(
+        (F.lit(_APP_SEATS) - F.sum("floor_seats")).alias("extra")
+    )
+    w = Window.orderBy(F.col("rem").desc(), "source")
+    return (
+        base.withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(left_))
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_docs"),
+            (
+                F.col("floor_seats")
+                + F.when(F.col("rk") <= F.col("extra"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("seats"),
+            F.col("rem").cast("long").alias("remainder"),
+            F.col("rk").cast("int").alias("remainder_rank"),
+        )
+        .orderBy("source")
+    )

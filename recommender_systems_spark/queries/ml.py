@@ -3323,3 +3323,110 @@ def e_variance_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("ss_item") / ss_tot, 6).alias("pct_item"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# e_user_auc — per-user ranking AUC (the BPR objective's eval twin)
+# ---------------------------------------------------------------------------
+
+_UAUC_SQL = f"""
+    WITH {_ML_CTE},
+    pairs AS (
+        SELECT uid, iid, max(uv) AS s,
+               max(CASE WHEN r >= {_IPS_REWARD} THEN 1 ELSE 0 END) AS y
+        FROM j GROUP BY 1, 2
+    ),
+    cnt AS (
+        SELECT uid, s, count(*) AS ce, sum(y) AS pe
+        FROM pairs GROUP BY uid, s
+    ),
+    cum AS (
+        SELECT uid, ce, pe,
+               COALESCE(sum(ce) OVER (
+                   PARTITION BY uid ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cl
+        FROM cnt
+    ),
+    us AS (
+        SELECT uid,
+               sum(pe * (2 * cl + ce + 1)) AS rpos2,
+               sum(pe) AS npos,
+               sum(ce) - sum(pe) AS nneg
+        FROM cum GROUP BY uid
+    ),
+    f AS (
+        SELECT uid,
+               rpos2 - npos * (npos + 1) AS num,
+               2 * npos * nneg AS den
+        FROM us WHERE npos > 0 AND nneg > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           round(avg(num / (1.0 * den)), 6) AS mean_auc,
+           CAST(sum(CASE WHEN 2 * num > den THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_above_half
+    FROM f
+"""
+
+
+@register("e_user_auc", _UAUC_SQL)
+def e_user_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ranking AUC — the eval that matches what BPR actually
+    optimizes (E[1{{score(pos) > score(neg)}}] per user, ml/bpr.py),
+    where the global e_auc can be dominated by a few heavy users: for
+    each user, AUC = P(random positive item outranks a random negative
+    one) via the Mann-Whitney rank-sum identity, then the mean across
+    users (cAUC) and the share of users above 0.5.
+
+    Exactness: midranks are carried DOUBLED so ties stay integer
+    (2·midrank = 2·count_less + count_eq + 1 — the e_rank_sum
+    convention), making every per-user AUC an exact integer ratio and
+    the above-half flag a pure integer comparison (2·num > den). Only
+    the cross-user mean rounds.
+
+    Scale shape: the scoring join reduces to (user, item) pairs, tie
+    groups aggregate per (user, score), and the rank cumulative is a
+    per-user window (user-parallel, never global); the U-statistic
+    needs no pair enumeration — the naive per-user pos×neg comparison
+    is quadratic in history."""
+    j = _scored(spark, sf_dir)
+    pairs = j.groupBy("uid", "iid").agg(
+        F.max("uv").alias("s"),
+        F.max(
+            F.when(F.col("r") >= _IPS_REWARD, 1).otherwise(0)
+        ).alias("y"),
+    )
+    cnt = pairs.groupBy("uid", "s").agg(
+        F.count(F.lit(1)).alias("ce"), F.sum("y").alias("pe")
+    )
+    wcum = (
+        Window.partitionBy("uid")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = cnt.select(
+        "uid",
+        "ce",
+        "pe",
+        F.coalesce(F.sum("ce").over(wcum), F.lit(0)).alias("cl"),
+    )
+    us = cum.groupBy("uid").agg(
+        F.sum(
+            F.col("pe") * (2 * F.col("cl") + F.col("ce") + 1)
+        ).alias("rpos2"),
+        F.sum("pe").alias("npos"),
+        (F.sum("ce") - F.sum("pe")).alias("nneg"),
+    )
+    f = us.filter((F.col("npos") > 0) & (F.col("nneg") > 0)).select(
+        (F.col("rpos2") - F.col("npos") * (F.col("npos") + 1)).alias("num"),
+        (2 * F.col("npos") * F.col("nneg")).alias("den"),
+    )
+    return f.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(F.avg(F.col("num") / (1.0 * F.col("den"))), 6).alias(
+            "mean_auc"
+        ),
+        F.sum(F.when(2 * F.col("num") > F.col("den"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_above_half"),
+    )

@@ -2903,3 +2903,96 @@ def v_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("centroid_cosine"),
         F.round(F.sqrt(F.col("d2")) / _DRIFT_SCALE, 6).alias("centroid_l2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# v_distance_concentration — curse-of-dimensionality diagnostic
+# ---------------------------------------------------------------------------
+
+_DC_SAMPLE = 32  # fixed-count md5-ordered probe sample (house rule)
+
+_DC_SQL = f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    smp AS (
+        SELECT vec_id, v FROM e
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_DC_SAMPLE}
+    ),
+    d AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               round(list_dot_product(a.v, a.v)
+                     - 2 * list_dot_product(a.v, b.v)
+                     + list_dot_product(b.v, b.v), 6) AS d2
+        FROM smp a JOIN smp b ON a.vec_id <> b.vec_id
+    )
+    SELECT ia AS vec_id,
+           round(min(d2), 6) AS d2_min,
+           round(max(d2), 6) AS d2_max,
+           round((max(d2) - min(d2)) / greatest(min(d2), 1e-12), 6)
+               AS relative_contrast
+    FROM d GROUP BY ia
+    ORDER BY vec_id
+"""
+
+
+@register("v_distance_concentration", _DC_SQL)
+def v_distance_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-concentration diagnostic (Beyer et al. 1999, "When is
+    'nearest neighbor' meaningful?") — per probe point, the relative
+    contrast (d_max − d_min)/d_min over a fixed sample's pairwise
+    squared distances. As dimension grows, contrast collapses toward
+    0 and EVERY neighbor looks equidistant — the check a vector-infra
+    team runs BEFORE sizing an ANN index, because low contrast means
+    recall targets are unreachable at any nprobe and the embedding
+    (not the index) needs fixing.
+
+    Determinism: the probe set is the fixed-COUNT md5-ordered sample;
+    each squared distance expands to three dot products (aa − 2ab +
+    bb) computed identically in both engines, snapped at 6dp before
+    the min/max (order-free). The probe self-join is two broadcast
+    {_DC_SAMPLE}-row frames — a bounded BroadcastNestedLoopJoin, never
+    a data-sized cross.
+
+    Scale shape: ONE TakeOrdered sample pass over the corpus, then
+    constant-size work ({_DC_SAMPLE}² pairs) regardless of corpus or
+    dimension count."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    smp = (
+        e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_DC_SAMPLE)
+        .localCheckpoint()  # both sides of the bounded pair join
+    )
+    a = smp.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    b = smp.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    d2 = F.round(
+        dot_product("va", "va")
+        - 2 * dot_product("va", "vb")
+        + dot_product("vb", "vb"),
+        6,
+    )
+    d = (
+        a.join(F.broadcast(b), F.col("ia") != F.col("ib"))
+        .select("ia", d2.alias("d2"))
+    )
+    return (
+        d.groupBy("ia")
+        .agg(
+            F.round(F.min("d2"), 6).alias("d2_min"),
+            F.round(F.max("d2"), 6).alias("d2_max"),
+            F.round(
+                (F.max("d2") - F.min("d2"))
+                / F.greatest(F.min("d2"), F.lit(1e-12)),
+                6,
+            ).alias("relative_contrast"),
+        )
+        .select(
+            F.col("ia").alias("vec_id"),
+            "d2_min",
+            "d2_max",
+            "relative_contrast",
+        )
+        .orderBy("vec_id")
+    )

@@ -311,9 +311,9 @@ def reg_loglik(
     )
 
 
-def max_param_delta(old: DataFrame, new: DataFrame) -> float:
-    """E8: max |θ_new − θ_old| over factors and biases (prac_1.py:161-187)
-    — join the snapshots on id, one max-abs aggregation."""
+def _delta_agg(old: DataFrame, new: DataFrame, out: str) -> DataFrame:
+    """1-row aggregate: max |θ_new − θ_old| over factors and biases —
+    the E8 reduction as a composable subtree for the fused monitor."""
     joined = old.select(
         "id", F.col("features").alias("f0"), F.col("bias").alias("b0")
     ).join(new.select("id", F.col("features").alias("f1"), F.col("bias").alias("b1")), "id")
@@ -322,10 +322,79 @@ def max_param_delta(old: DataFrame, new: DataFrame) -> float:
         F.lit(0.0),
         lambda acc, x: F.greatest(acc, x),
     )
-    row = joined.agg(
-        F.max(F.greatest(vec_delta, F.abs(F.col("b1") - F.col("b0")))).alias("d")
-    ).collect()[0]
-    return float(row["d"])
+    return joined.agg(
+        F.max(F.greatest(vec_delta, F.abs(F.col("b1") - F.col("b0")))).alias(out)
+    )
+
+
+def max_param_delta(old: DataFrame, new: DataFrame) -> float:
+    """E8: max |θ_new − θ_old| over factors and biases (prac_1.py:161-187)
+    — join the snapshots on id, one max-abs aggregation."""
+    return float(_delta_agg(old, new, "d").collect()[0]["d"])
+
+
+def sweep_monitor(
+    ratings: DataFrame,
+    user_col: str,
+    item_col: str,
+    rating_col: str,
+    old_u: DataFrame,
+    old_v: DataFrame,
+    new_u: DataFrame,
+    new_v: DataFrame,
+    lmd: float,
+    tau: float,
+    alpha: float,
+    want_loglik: bool,
+    want_delta: bool,
+    dim: int | None = None,
+) -> tuple[float, float | None, float | None]:
+    """The ENTIRE per-iteration monitor (A9 RMSE, optional A10
+    regularised log-likelihood, optional E8 max parameter delta) as ONE
+    Spark action: each metric is a 1-row aggregate subtree, crossJoined
+    into a single 1-row frame and collected once. Separately-collected
+    monitors cost 3-5 driver round-trips per sweep — pure fixed
+    overhead at bench scale, and at cluster scale 3-5 scheduler
+    barriers where one suffices. The scoring join is shared between
+    the RMSE and the log-likelihood SSE (identical expression, built
+    once)."""
+    scored = predict(
+        ratings, user_col, item_col, new_u, new_v, dim=dim
+    )
+    out = scored.agg(
+        F.sum(F.pow(F.col("prediction") - F.col(rating_col), 2)).alias("sse"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    if want_loglik:
+        sq = F.aggregate("features", F.lit(0.0), lambda a, x: a + x * x)
+        out = out.crossJoin(
+            new_u.agg(
+                F.sum(sq).alias("ufro"), F.sum(F.pow("bias", 2)).alias("ub2")
+            )
+        ).crossJoin(
+            new_v.agg(
+                F.sum(sq).alias("vfro"), F.sum(F.pow("bias", 2)).alias("vb2")
+            )
+        )
+    if want_delta:
+        out = out.crossJoin(_delta_agg(old_u, new_u, "du")).crossJoin(
+            _delta_agg(old_v, new_v, "dv")
+        )
+    row = out.collect()[0]
+    rmse_val = float(np.sqrt(row["sse"] / row["n"]))
+    loglik = (
+        float(
+            -(alpha / 2) * (row["ub2"] + row["vb2"])
+            - (tau / 2) * (row["ufro"] + row["vfro"])
+            - (lmd / 2) * row["sse"]
+        )
+        if want_loglik
+        else None
+    )
+    delta = (
+        max(float(row["du"]), float(row["dv"])) if want_delta else None
+    )
+    return rmse_val, loglik, delta
 
 
 @dataclass
@@ -356,15 +425,22 @@ def train_als_bias(
     """The reference training loop (prac_1.py:53-188) as a driver-side
     fixpoint over distributed sweeps: user half-sweep, item half-sweep,
     monitor, stop when max parameter delta < tol (E8) or max_iter."""
+    # Lazy checkpoints: each iteration's ONLY eager action is the
+    # item-side checkpoint (whose job also materialises the lazy
+    # user-side sweep and, in iteration 1, the ratings/init frames) —
+    # plus the single fused monitor collect. 3-5 actions per sweep
+    # become 2; lineage still truncates at every checkpoint.
     ratings = ratings.select(
         F.col(user_col).cast("long").alias("u"),
         F.col(item_col).cast("long").alias("i"),
         F.col(rating_col).cast("double").alias("r"),
-    ).localCheckpoint()
-    u_f = init_factors(ratings.select("u").distinct(), "u", rank, seed).localCheckpoint()
+    ).localCheckpoint(eager=False)
+    u_f = init_factors(
+        ratings.select("u").distinct(), "u", rank, seed
+    ).localCheckpoint(eager=False)
     v_f = init_factors(
         ratings.select("i").distinct(), "i", rank, seed + 1
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     rmse_hist: list[float] = []
     ll_hist: list[float] = []
@@ -372,22 +448,22 @@ def train_als_bias(
     for _ in range(max_iter):
         new_u = als_half_sweep(
             ratings, "u", "i", "r", u_f, v_f, lmd, tau, alpha, rank
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         new_v = als_half_sweep(
             ratings, "i", "u", "r", v_f, new_u, lmd, tau, alpha, rank
         ).localCheckpoint()
-        # E8 delta costs two extra jobs per iteration — only pay for it
-        # when a convergence tolerance is actually requested.
-        delta = (
-            max(max_param_delta(u_f, new_u), max_param_delta(v_f, new_v))
-            if tol > 0
-            else float("inf")
+        # E8 delta rides the fused monitor — only pay for it when a
+        # convergence tolerance is actually requested.
+        rmse_val, ll, delta = sweep_monitor(
+            ratings, "u", "i", "r", u_f, v_f, new_u, new_v,
+            lmd, tau, alpha,
+            want_loglik=track_loglik, want_delta=tol > 0, dim=rank,
         )
         u_f, v_f = new_u, new_v
-        rmse_hist.append(rmse(ratings, "u", "i", "r", u_f, v_f, dim=rank))
+        rmse_hist.append(rmse_val)
         if track_loglik:
-            ll_hist.append(reg_loglik(ratings, "u", "i", "r", u_f, v_f, lmd, tau, alpha))
-        if delta < tol:
+            ll_hist.append(ll)
+        if tol > 0 and delta < tol:
             converged = True
             break
     return AlsBiasModel(u_f, v_f, rmse_hist, ll_hist, converged)

@@ -94,10 +94,16 @@ def genre_weight_grid(
     denominator (incl_genre.py:202-212 iterates genre_dict — every
     genre movie, rated or not). A genre item with no factor row (never
     rated) therefore contributes its 1/|g_n| weight to B/C but nothing
-    to A (``genre_a_stats`` inner-joins factors) — i.e. missing factor
-    rows behave as zero vectors, the zero-init convention for unrated
-    items. Callers wanting rated-only B/C must semi-join ``genres``
-    on the rated-item ids BEFORE calling."""
+    to A (``genre_a_stats`` inner-joins factors) — missing factor rows
+    act as zero vectors in the A numerator. NOTE: this is a DOCUMENTED
+    DEVIATION from the reference, which random-initialises V for ALL
+    movies (incl_genre.py:95-105) so unrated genre items contribute
+    non-zero vectors to its A-term; only the B/C denominator semantics
+    match exactly. ``train_als_genre`` builds factors from rated items
+    only, so when unrated genre items exist its A genuinely differs
+    from the reference's until those items acquire ratings. Callers
+    wanting rated-only B/C must semi-join ``genres`` on the rated-item
+    ids BEFORE calling."""
     pairs = genres.select(
         F.explode("genre_values").alias("g"),
         "genre_values",
@@ -207,18 +213,24 @@ def train_als_genre(
     monitors entirely (history = [final]) for callers that only need
     the converged error."""
     spark = ratings.sparkSession
+    # Lazy checkpoints (train_als_bias pattern): the run-level frames
+    # materialise inside the first job that needs them instead of
+    # paying four up-front actions; genres materialises in the
+    # genre_weight_grid collect below.
     r = ratings.select(
         F.col(user_col).cast("long").alias("u"),
         F.col(item_col).cast("long").alias("i"),
         F.col(rating_col).cast("double").alias("r"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # Three consumers per iteration (pull, A/B stats, C stats) re-derive
     # the genre parse otherwise — materialise the small dimension once.
-    genres = genres.localCheckpoint()
-    u_f = init_factors(r.select("u").distinct(), "u", rank, seed).localCheckpoint()
+    genres = genres.localCheckpoint(eager=False)
+    u_f = init_factors(
+        r.select("u").distinct(), "u", rank, seed
+    ).localCheckpoint(eager=False)
     v_f = init_factors(
         r.select("i").distinct(), "i", rank, seed + 1
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     f_state = np.zeros((n_genres, rank))
     # B/C genre co-membership weights are factor-independent: one
     # distributed pass per RUN; the per-sweep stats job shrinks to the
@@ -231,9 +243,13 @@ def train_als_genre(
     rmse_futures = []
     try:
         for it in range(max_iter):
+            # User-side checkpoint stays LAZY: it materialises inside
+            # the item-side EAGER checkpoint's job, so the background
+            # RMSE thread only ever touches already-materialised
+            # snapshots (no concurrent first-computation race).
             new_u = als_half_sweep(
                 r, "u", "i", "r", u_f, v_f, lmd, tau, alpha, rank
-            ).localCheckpoint()
+            ).localCheckpoint(eager=False)
             pull = genre_pull(genres, f_state, spark, tau)
             new_v = als_half_sweep(
                 r, "i", "u", "r", v_f, new_u, lmd, tau, alpha, rank, rhs_pull=pull

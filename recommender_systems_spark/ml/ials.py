@@ -122,7 +122,35 @@ def _half_sweep(
     )
 
 
-def ials_objective(
+def _gram_partials(factors: DataFrame, k: int, tag: str) -> DataFrame:
+    """Gram partials as a composable (t, i, j, s) subtree — the union
+    leg of the fused monitor (same per-batch BLAS as ``_gram``, merged
+    by the same (i, j) aggregate, collected by the CALLER's single
+    action instead of its own)."""
+
+    def partial(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["features"]]
+            )
+            g = x.T @ x
+            ii, jj = np.meshgrid(np.arange(k), np.arange(k), indexing="ij")
+            yield pd.DataFrame(
+                {"i": ii.ravel(), "j": jj.ravel(), "s": g.ravel()}
+            )
+
+    return (
+        factors.select("features")
+        .mapInPandas(partial, "i int, j int, s double")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+        .select(F.lit(tag).alias("t"), "i", "j", "s")
+    )
+
+
+def ials_monitor(
     ratings: DataFrame,
     user_col: str,
     item_col: str,
@@ -132,45 +160,25 @@ def ials_objective(
     k: int,
     alpha: float = IALS_ALPHA,
     lmd: float = IALS_LMD,
-    gram_y: np.ndarray | None = None,
-) -> float:
-    """Exact confidence-weighted objective over ALL pairs via the Gram
-    identity: Σ_all (x·y)² = Σ_u x_uᵀ (YᵀY) x_u, so the unobserved
-    majority costs one k² quadratic form per user — O((M+N)k² + nnz·k)
-    total, never M×N. Pass ``gram_y`` = Gram(item_factors) if already
-    computed; ‖Y‖² falls out of it as trace(YᵀY), so no separate norm
-    job runs either way."""
-    if gram_y is None:
-        gram_y = _gram(item_factors, k)
+    gram_x: np.ndarray | None = None,
+) -> tuple[float, np.ndarray]:
+    """Exact confidence-weighted objective over ALL pairs in ONE Spark
+    action; returns (objective, Gram(item_factors)) so the next user
+    half-sweep reuses the Gram without another job.
 
-    def quad(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            x = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf["features"]]
-            )
-            yield pd.DataFrame(
-                {
-                    "q": [float(np.einsum("ij,jk,ik->", x, gram_y, x))],
-                    "n2": [float(np.sum(x * x))],
-                }
-            )
-
-    qrow = (
-        user_factors.select("features")
-        .mapInPandas(quad, "q double, n2 double")
-        .agg(F.sum("q").alias("q"), F.sum("n2").alias("un"))
-        .collect()[0]
-    )
-    all_sq = qrow["q"]  # Σ_all (x·y)²  (c=1, p=0 background)
-    # ‖Y‖² = trace(YᵀY): the Gram's diagonal already carries the squared
-    # norms, so the former per-row fold + sum job is a free driver-side
-    # trace (summation order differs at the ulp level; the objective is
-    # reported at 4dp and only its monotone descent is asserted).
-    item_n2 = float(np.trace(gram_y))
+    The Gram identity does all the work: Σ_all (x·y)² =
+    trace(YᵀY · XᵀX), and the regulariser norms are the two traces —
+    so the whole background term needs only the two k×k Grams, whose
+    partials (k² doubles per Arrow batch) UNION with the 1-row
+    observed-correction aggregate c(1−x·y)² − (x·y)² into a single
+    collect. Pass ``gram_x`` = Gram(user_factors) if the item
+    half-sweep already computed it; then only the Y-partials and the
+    correction ride the union. Never materialises M×N anything."""
+    parts = _gram_partials(item_factors, k, "y")
+    if gram_x is None:
+        parts = parts.unionByName(_gram_partials(user_factors, k, "x"))
     # Observed correction: c(1 − x·y)² − (x·y)²
-    pred = (
+    pred_part = (
         ratings.select(
             F.col(user_col).cast("long").alias("uid"),
             F.col(item_col).cast("long").alias("iid"),
@@ -199,10 +207,53 @@ def ials_objective(
                 - F.col("s") * F.col("s")
             ).alias("contrib")
         )
-        .agg(F.sum("contrib"))
-        .collect()[0][0]
+        .agg(F.coalesce(F.sum("contrib"), F.lit(0.0)).alias("s"))
+        .select(
+            F.lit("p").alias("t"),
+            F.lit(-1).alias("i"),
+            F.lit(-1).alias("j"),
+            "s",
+        )
     )
-    return float(all_sq + pred + lmd * (qrow["un"] + item_n2))
+    rows = parts.unionByName(pred_part).collect()
+    gram_y = np.zeros((k, k))
+    gx = np.zeros((k, k)) if gram_x is None else gram_x
+    pred = 0.0
+    for row in rows:
+        if row["t"] == "y":
+            gram_y[row["i"], row["j"]] = row["s"]
+        elif row["t"] == "x":
+            gx[row["i"], row["j"]] = row["s"]
+        else:
+            pred = float(row["s"])
+    all_sq = float(np.trace(gx @ gram_y))  # Σ_all (x·y)², background
+    obj = all_sq + pred + lmd * (float(np.trace(gx)) + float(np.trace(gram_y)))
+    return float(obj), gram_y
+
+
+def ials_objective(
+    ratings: DataFrame,
+    user_col: str,
+    item_col: str,
+    rating_col: str,
+    user_factors: DataFrame,
+    item_factors: DataFrame,
+    k: int,
+    alpha: float = IALS_ALPHA,
+    lmd: float = IALS_LMD,
+    gram_y: np.ndarray | None = None,
+) -> float:
+    """Standalone objective — thin wrapper over the fused
+    ``ials_monitor`` (one Spark action regardless of ``gram_y``, which
+    is accepted for API compatibility; the monitor's union recomputes
+    both Grams in the same single action, so passing it saves
+    nothing)."""
+    del gram_y
+    obj, _ = ials_monitor(
+        ratings, user_col, item_col, rating_col,
+        user_factors, item_factors, k, alpha, lmd,
+    )
+    return obj
 
 
 def train_ials(
@@ -235,36 +286,48 @@ def train_ials(
     items = ratings.select(
         F.col(item_col).cast("long").alias("id")
     ).distinct()
+    # Lazy user-side checkpoints + Gram chaining keep each iteration at
+    # THREE Spark actions on the monitored path: the Gram(uf) collect
+    # (which materialises the lazy user-side checkpoint and feeds the
+    # item half-sweep's closure), the eager item-side checkpoint, and
+    # the fused monitor collect (objective AND Gram(vf) for the next
+    # user half-sweep in one job). The old path paid ~6 actions per
+    # iteration (2 eager checkpoints, 2 sweep-internal Grams, quad +
+    # correction collects).
     uf = (
         init_factors(users, "id", rank, seed, scale=0.1)
         .drop("bias")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     vf = (
         init_factors(items, "id", rank, seed + 1, scale=0.1)
         .drop("bias")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     history: list[float] = []
-    gram_v: np.ndarray | None = None  # Gram(vf) carried across iterations
+    gram_v = _gram(vf, rank)  # materialises vf; carried across iterations
     for _ in range(max_iter):
         uf = _half_sweep(
             ratings, user_col, item_col, rating_col, vf, rank, alpha, lmd,
             gram=gram_v,
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
+        gram_u = _gram(uf, rank)  # materialises uf
+        # EAGER: the monitor reads vf from TWO subtrees (Gram partials
+        # + the observed-correction join); a lazy checkpoint would
+        # re-run the applyInPandas solve once per subtree inside the
+        # monitor's job (measured: +0.8 s/iteration at sf0.1).
         vf = _half_sweep(
-            ratings, item_col, user_col, rating_col, uf, rank, alpha, lmd
+            ratings, item_col, user_col, rating_col, uf, rank, alpha, lmd,
+            gram=gram_u,
         ).localCheckpoint()
         if monitor:
-            gram_v = _gram(vf, rank)
-            history.append(
-                ials_objective(
-                    ratings, user_col, item_col, rating_col, uf, vf, rank,
-                    alpha, lmd, gram_y=gram_v,
-                )
+            obj, gram_v = ials_monitor(
+                ratings, user_col, item_col, rating_col, uf, vf, rank,
+                alpha, lmd, gram_x=gram_u,
             )
+            history.append(obj)
         else:
-            gram_v = None
+            gram_v = _gram(vf, rank)  # materialises vf for the next sweep
     if not monitor:
         history.append(
             ials_objective(

@@ -612,9 +612,14 @@ def e_ab_simulation(
     # --- simulate users (ab_test.py:87-97) on md5 uniforms — shared
     # with the oracle-backed e_ab_arm_sizes_hash / e_ab_foldin_bias_hash
     # twins, which value-check this run's deterministic sub-frames ------
-    users = _ab_sim_users(spark).localCheckpoint()
-    # P8 two-arm guard (ab_test.py:240-246) before any serving work.
-    arms = sorted(r["grp"] for r in users.select("grp").distinct().collect())
+    users = _ab_sim_users(spark).localCheckpoint(eager=False)
+    # P8 two-arm guard (ab_test.py:240-246) before any serving work —
+    # folded into the e_ab_arm_sizes_hash frame shape (grp-keyed
+    # count), whose single collect ALSO materialises the lazy users
+    # checkpoint: one action where checkpoint + distinct previously
+    # cost two.
+    arm_rows = users.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()
+    arms = sorted(r["grp"] for r in arm_rows)
     if arms != ["A", "B"]:
         raise ValueError(f"expected exactly arms A and B, got {arms}")
 
@@ -649,7 +654,9 @@ def e_ab_simulation(
             (F.pmod(F.col("item") * 29, F.lit(11)) * 0.04 - 0.2).alias("ba"),
             (F.pmod(F.col("item") * 31, F.lit(13)) * 0.03 - 0.18).alias("bb"),
         )
-        .localCheckpoint()  # consumed by the history join AND the top-N collect
+        # Lazy: materialises inside the history-join checkpoint's job;
+        # the top-N collect then reads the stored blocks.
+        .localCheckpoint(eager=False)
     )
 
     # --- all histories from ONE genre-keyed join (simulate_user's

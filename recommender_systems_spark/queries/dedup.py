@@ -304,17 +304,25 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference tie-in: this is A7's dedup generalised from exact-equality
     keys to a similarity graph (SURVEY §2.4)."""
-    near = dedup_simhash(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    # Lazy checkpoints: near/edges/labels materialise inside round 1's
+    # single action instead of paying three up-front jobs; each still
+    # computes exactly once (the checkpoint) even though edges reads
+    # near twice.
+    near = (
+        dedup_simhash(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
     edges = (
         near.union(near.select("doc_b", "doc_a"))
         .toDF("src", "dst")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(CLUSTER_MAX_ITER):
         neigh = (
@@ -356,11 +364,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n.__old").alias("__old"),
                 )
             )
+        # Lazy checkpoint + count = ONE action per round: the count
+        # triggers the checkpoint's materialisation, and the next
+        # round's lineage starts from the stored blocks.
         stepped = cur.select(
             "id",
             "label",
             (F.col("label") != F.col("__old")).alias("__moved"),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         changed = stepped.filter(F.col("__moved")).count()
         labels = stepped.drop("__moved")
         if changed == 0:

@@ -486,11 +486,12 @@ def s_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "s_stream_left_join",
     """
-    WITH mx AS (SELECT max(ts) AS m FROM events),
-    v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+    WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
           FROM events WHERE event_type = 'view'),
     p AS (SELECT user_id AS p_user, ts AS purchase_ts, value
-          FROM events WHERE event_type = 'purchase')
+          FROM events WHERE event_type = 'purchase'),
+    mx AS (SELECT least((SELECT max(view_ts) FROM v),
+                        (SELECT max(purchase_ts) FROM p)) AS m)
     SELECT v.user_id, v.view_id, v.view_ts,
            p.purchase_ts, round(p.value, 2) AS purchase_value
     FROM v JOIN p
@@ -518,7 +519,11 @@ def s_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming semantics get subtle: an unmatched view emits only when
     the watermark PROVES no future purchase can match (state eviction
     at view_ts + horizon), so the drained result equals matched pairs
-    plus unmatched views older than (max event ts − 2·horizon) — that
+    plus unmatched views older than
+    (least(max view ts, max purchase ts) − 2·horizon): Spark's
+    multipleWatermarkPolicy=min takes the minimum across the two
+    post-filter watermark operators, so only views and purchases
+    advance the global watermark (clicks/signups never do) — that
     closed-form eviction contract IS the oracle, making the value-hash
     match a proof of Spark's outer-join eviction semantics, not just
     of the join predicate (streaming.events.

@@ -2168,14 +2168,14 @@ _WF_STEPS = ("view", "click", "purchase")
 
 _WF_SQL = f"""
     WITH ev AS (
-        SELECT user_id, event_type, epoch_us(ts) AS us
+        SELECT user_id, event_type, event_id, epoch_us(ts) AS us
         FROM events
         WHERE event_type IN ('view', 'click', 'purchase')
     ),
     d1 AS (
-        SELECT user_id, event_type, us,
+        SELECT user_id, event_type, event_id, us,
                max(CASE WHEN event_type = 'view' THEN us END)
-                   OVER (PARTITION BY user_id ORDER BY us
+                   OVER (PARTITION BY user_id ORDER BY us, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                    AS s1
         FROM ev
@@ -2183,7 +2183,7 @@ _WF_SQL = f"""
     d2 AS (
         SELECT user_id, event_type, us, s1,
                max(CASE WHEN event_type = 'click' THEN s1 END)
-                   OVER (PARTITION BY user_id ORDER BY us
+                   OVER (PARTITION BY user_id ORDER BY us, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                    AS s2start
         FROM d1
@@ -2241,11 +2241,14 @@ def s_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "user_id",
         "event_type",
+        "event_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
     )
+    # house (ts, event_id) tie-break: with tied (user_id, us) a bare
+    # ORDER BY us leaves the ROWS frame nondeterministic in BOTH engines
     wrow = (
         Window.partitionBy("user_id")
-        .orderBy("us")
+        .orderBy("us", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     d1 = ev.withColumn(

@@ -1292,18 +1292,26 @@ _SPEC_ROUND = 6       # covariance entries become shared literals at 6dp
 
 _SPEC_AUG = f"list_append(CAST(embedding AS DOUBLE[]), 1.0)"
 
-_SPEC_COV = f"""
-    aug AS (SELECT {_SPEC_AUG} AS a FROM embeddings),
+
+def _spec_cov_sql(materialized: bool = False) -> str:
+    """gram/nrow/cov CTE block shared by v_embedding_spectrum and
+    v_embedding_project. ``materialized`` pins DuckDB 1.0's CTE
+    strategy — required for the projection oracle whose deflation
+    chain references cov/gram many times (inlining re-executes the
+    n×(D+1)² Gram scan per reference)."""
+    m = " MATERIALIZED" if materialized else ""
+    return f"""
+    aug AS{m} (SELECT {_SPEC_AUG} AS a FROM embeddings),
     idx AS (SELECT CAST(r.range AS INTEGER) + 1 AS p
             FROM range({_SPEC_DIM + 1}) r),
-    gram AS (
+    gram AS{m} (
         SELECT ii.p AS i, jj.p AS j, sum(a[ii.p] * a[jj.p]) AS s
         FROM aug CROSS JOIN idx ii CROSS JOIN idx jj
         GROUP BY 1, 2
     ),
-    nrow AS (SELECT s AS n FROM gram
+    nrow AS{m} (SELECT s AS n FROM gram
              WHERE i = {_SPEC_DIM + 1} AND j = {_SPEC_DIM + 1}),
-    cov AS (
+    cov AS{m} (
         SELECT g.i, g.j,
                round(g.s / nrow.n
                      - (mi.s / nrow.n) * (mj.s / nrow.n),
@@ -1317,12 +1325,77 @@ _SPEC_COV = f"""
 """
 
 
-def _spec_iter_sql(prev: str, cur: str) -> str:
+_SPEC_COV = _spec_cov_sql()
+
+
+def _embedding_gram(emb: DataFrame):
+    """Merged (D+1)×(D+1) Gram of the 1-AUGMENTED embedding matrix —
+    the single data-sized pass shared by v_embedding_spectrum and
+    v_embedding_project: per-batch X'ᵀX' partials (one BLAS call per
+    Arrow batch carries the Gram, the mean sums AND the row count),
+    merged by a (D+1)²-row shuffle, assembled driver-side."""
+    import numpy as np
+    import pandas as pd
+
+    d1 = _SPEC_DIM + 1
+
+    def partial_gram(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            x = np.hstack([x, np.ones((len(x), 1))])
+            g = x.T @ x
+            ii, jj = np.meshgrid(np.arange(d1), np.arange(d1), indexing="ij")
+            yield pd.DataFrame(
+                {
+                    "i": (ii + 1).ravel().astype("int32"),
+                    "j": (jj + 1).ravel().astype("int32"),
+                    "s": g.ravel(),
+                }
+            )
+
+    gram_rows = (
+        emb.select("embedding")
+        .mapInPandas(partial_gram, "i int, j int, s double")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+        .collect()
+    )
+    g = np.zeros((d1, d1))
+    for r in gram_rows:
+        g[r["i"] - 1, r["j"] - 1] = r["s"]
+    return g
+
+
+def _power_iterate(mat):
+    """{_SPEC_ITERS} fixed power iterations from the all-ones vector —
+    the deterministic-iteration-count convention that lets the oracle
+    unroll the identical recurrence (no convergence test, no RNG)."""
+    import numpy as np
+
+    v = np.ones(mat.shape[0])
+    for _ in range(_SPEC_ITERS):
+        w = mat @ v
+        v = w / np.sqrt(float(w @ w))
+    return v
+
+
+def _spec_iter_sql(
+    prev: str, cur: str, mat: str = "cov", materialized: bool = False
+) -> str:
+    # MATERIALIZED stops DuckDB 1.0 from INLINING multiply-referenced
+    # CTEs — each iteration references w{cur} twice and the next level
+    # references {cur} twice, so an inlined chain re-executes the base
+    # Gram scan exponentially (measured: >2 min at sf0.001 vs <1 s)
+    m = " MATERIALIZED" if materialized else ""
     return f"""
-    w{cur} AS (SELECT cov.i, sum(cov.c * {prev}.val) AS wv
-               FROM cov JOIN {prev} ON {prev}.j = cov.j GROUP BY 1),
-    n{cur} AS (SELECT sqrt(sum(wv * wv)) AS nm FROM w{cur}),
-    {cur} AS (SELECT i AS j, wv / nm AS val FROM w{cur}, n{cur})"""
+    w{cur} AS{m} (SELECT {mat}.i, sum({mat}.c * {prev}.val) AS wv
+               FROM {mat} JOIN {prev} ON {prev}.j = {mat}.j GROUP BY 1),
+    n{cur} AS{m} (SELECT sqrt(sum(wv * wv)) AS nm FROM w{cur}),
+    {cur} AS{m} (SELECT i AS j, wv / nm AS val FROM w{cur}, n{cur})"""
 
 
 _SPEC_SQL = (
@@ -1373,46 +1446,13 @@ def v_embedding_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule: driver math only on dimension-sized objects). The oracle
     unrolls the identical iteration (m_kmeans pattern)."""
     import numpy as np
-    import pandas as pd
 
     emb = _t(spark, sf_dir, "embeddings")
-    d1 = _SPEC_DIM + 1
-
-    def partial_gram(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            x = np.vstack(
-                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
-            )
-            x = np.hstack([x, np.ones((len(x), 1))])
-            g = x.T @ x
-            ii, jj = np.meshgrid(np.arange(d1), np.arange(d1), indexing="ij")
-            yield pd.DataFrame(
-                {
-                    "i": (ii + 1).ravel().astype("int32"),
-                    "j": (jj + 1).ravel().astype("int32"),
-                    "s": g.ravel(),
-                }
-            )
-
-    gram_rows = (
-        emb.select("embedding")
-        .mapInPandas(partial_gram, "i int, j int, s double")
-        .groupBy("i", "j")
-        .agg(F.sum("s").alias("s"))
-        .collect()
-    )
-    g = np.zeros((d1, d1))
-    for r in gram_rows:
-        g[r["i"] - 1, r["j"] - 1] = r["s"]
+    g = _embedding_gram(emb)
     n = g[-1, -1]
     m = g[:-1, -1] / n
     cov = np.round(g[:-1, :-1] / n - np.outer(m, m), _SPEC_ROUND)
-    v = np.ones(_SPEC_DIM)
-    for _ in range(_SPEC_ITERS):
-        w = cov @ v
-        v = w / np.sqrt(float(w @ w))
+    v = _power_iterate(cov)
     lam = float(v @ cov @ v)
     tr = float(np.trace(cov))
     out = [
@@ -1428,6 +1468,116 @@ def v_embedding_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         out,
         "n_vectors long, dim int, total_var double, top_eig double, "
         "top_share double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2-D embedding projection (deterministic linear stand-in for t-SNE, M15)
+# ---------------------------------------------------------------------------
+
+_PROJ_ROUND = 6   # components / means / deflation snap to this grid
+_PROJ_OUT = 5     # per-vector projections round here
+
+_PROJ_SQL = (
+    "WITH "
+    + _spec_cov_sql(materialized=True)
+    + f""",
+    mean AS (SELECT g.i AS j, round(g.s / nrow.n, {_PROJ_ROUND}) AS mv
+             FROM gram g, nrow
+             WHERE g.j = {_SPEC_DIM + 1} AND g.i <= {_SPEC_DIM}),
+    v0 AS (SELECT CAST(r.range AS INTEGER) + 1 AS j, 1.0 AS val
+           FROM range({_SPEC_DIM}) r),"""
+    + ",".join(
+        _spec_iter_sql(f"v{i}", f"v{i + 1}", materialized=True)
+        for i in range(_SPEC_ITERS)
+    )
+    + f""",
+    v1r AS MATERIALIZED (SELECT j, round(val, {_PROJ_ROUND}) AS val
+            FROM v{_SPEC_ITERS}),
+    lam1 AS MATERIALIZED (
+             SELECT round(sum(va.val * cov.c * vb.val), {_PROJ_ROUND}) AS l
+             FROM cov
+             JOIN v1r va ON va.j = cov.i
+             JOIN v1r vb ON vb.j = cov.j),
+    cov2 AS MATERIALIZED (SELECT cov.i, cov.j,
+                    round(cov.c - lam1.l * va.val * vb.val,
+                          {_PROJ_ROUND}) AS c
+             FROM cov
+             JOIN v1r va ON va.j = cov.i
+             JOIN v1r vb ON vb.j = cov.j
+             CROSS JOIN lam1),
+    u0 AS (SELECT CAST(r.range AS INTEGER) + 1 AS j, 1.0 AS val
+           FROM range({_SPEC_DIM}) r),"""
+    + ",".join(
+        _spec_iter_sql(f"u{i}", f"u{i + 1}", mat="cov2", materialized=True)
+        for i in range(_SPEC_ITERS)
+    )
+    + f""",
+    v2r AS MATERIALIZED (SELECT j, round(val, {_PROJ_ROUND}) AS val
+            FROM u{_SPEC_ITERS}),
+    pc1 AS (SELECT list(val ORDER BY j) AS v FROM v1r),
+    pc2 AS (SELECT list(val ORDER BY j) AS v FROM v2r),
+    md1 AS (SELECT round(sum(m.mv * v.val), {_PROJ_ROUND}) AS d
+            FROM mean m JOIN v1r v ON v.j = m.j),
+    md2 AS (SELECT round(sum(m.mv * v.val), {_PROJ_ROUND}) AS d
+            FROM mean m JOIN v2r v ON v.j = m.j)
+    SELECT e.vec_id, e.label,
+           round(list_dot_product(CAST(e.embedding AS DOUBLE[]), pc1.v)
+                 - md1.d, {_PROJ_OUT}) AS px,
+           round(list_dot_product(CAST(e.embedding AS DOUBLE[]), pc2.v)
+                 - md2.d, {_PROJ_OUT}) AS py
+    FROM embeddings e, pc1, pc2, md1, md2
+"""
+)
+
+
+@register("v_embedding_project", _PROJ_SQL)
+def v_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D embedding projection — every vector mapped to its
+    coordinates along the top-2 principal components, the
+    visualization/diagnostic scatter the reference draws with t-SNE
+    (tSNE_and_conv_plot.py:107). SURVEY M15 closure with a
+    DETERMINISTIC linear method: t-SNE itself is a randomized, O(n²)-
+    affinity, driver-hostile algorithm, so the engine ships the PCA
+    scatter — same intent (cluster structure at a glance), exact
+    cross-engine oracle.
+
+    Algorithm: the {_SPEC_ITERS}-step fixed power iteration from
+    v_embedding_spectrum gives PC1; Hotelling DEFLATION (cov −
+    λ₁·v₁v₁ᵀ, entries re-snapped to the {_PROJ_ROUND}dp grid) then the
+    same iteration gives PC2. Every learned quantity (components,
+    mean, λ₁, mean-offsets) snaps to the {_PROJ_ROUND}dp grid BEFORE
+    the data-sized projection — the house rule that makes both engines
+    project with the SAME literal axes, so the per-vector value-hash
+    is exact. Projection is (x − m)·v = x·v − m·v: one JVM-side HOF
+    dot product per component plus a scalar offset.
+
+    Scale shape: ONE data-sized mapInPandas pass (the shared
+    (D+1)²-partial Gram — each task ships 4 225 doubles regardless of
+    row count), 64×64 driver math, then one broadcast-literal
+    projection scan. No shuffle of the data-sized table at all."""
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    g = _embedding_gram(emb)
+    n = g[-1, -1]
+    m_raw = g[:-1, -1] / n
+    cov = np.round(g[:-1, :-1] / n - np.outer(m_raw, m_raw), _SPEC_ROUND)
+    v1 = np.round(_power_iterate(cov), _PROJ_ROUND)
+    lam1 = round(float(v1 @ cov @ v1), _PROJ_ROUND)
+    cov2 = np.round(cov - lam1 * np.outer(v1, v1), _PROJ_ROUND)
+    v2 = np.round(_power_iterate(cov2), _PROJ_ROUND)
+    m6 = np.round(m_raw, _PROJ_ROUND)
+    md1 = round(float(m6 @ v1), _PROJ_ROUND)
+    md2 = round(float(m6 @ v2), _PROJ_ROUND)
+    pc1 = F.array(*[F.lit(float(x)) for x in v1])
+    pc2 = F.array(*[F.lit(float(x)) for x in v2])
+    x = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(dot_product(x, pc1) - F.lit(md1), _PROJ_OUT).alias("px"),
+        F.round(dot_product(x, pc2) - F.lit(md2), _PROJ_OUT).alias("py"),
     )
 
 

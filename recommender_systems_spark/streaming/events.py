@@ -410,9 +410,13 @@ def run_stream_left_join_available_now(
     — the trailing no-data batch is what flushes the evictable
     unmatched rows. The availableNow drain therefore emits exactly:
     all matched pairs + the unmatched views with
-    view_ts + horizon < final watermark (= max event ts − delay) —
-    the closed-form contract the batch oracle replays (verified
-    empirically: 184/184 unmatched rows at the boundary rule). The
+    view_ts + horizon < final watermark. With the default
+    multipleWatermarkPolicy=min the final watermark is
+    least(max view ts, max purchase ts) − delay — each withWatermark
+    operator tracks the max event time of its OWN post-filter stream,
+    and the global watermark is the minimum of the two (clicks and
+    signups never advance it) — the closed-form contract the batch
+    oracle replays (verified empirically at sf0.001/0.01/0.1). The
     still-unevictable tail (views within 2·horizon of the stream's
     end) stays buffered — exactly what a production query would hold
     as state for the next batch of data.

@@ -154,3 +154,49 @@ def test_ials_objective_decreases(spark):
     # The recorded trajectory is the real objective, not a proxy.
     recomputed = ials_objective(r, "uid", "iid", "r", uf, vf, 4)
     assert abs(recomputed - hist[-1]) / abs(hist[-1]) < 1e-9
+
+
+def test_mllib_als_matches_bias_als_at_sf1(spark):
+    """VERDICT r9 item 7: the reference's headline claim is 25M-scale
+    ALS (BASELINE.md), and the tiled sf1 set (~6M ratings) is the
+    closest local analogue — so the MLlib blocked fast path and the
+    exact-reference bias-ALS trainer must land in the same RMSE
+    regime THERE, not just at sf0.01. Both train rank 8 for 2
+    iterations on lineitem-as-ratings; we assert (1) each beats the
+    predict-the-mean baseline (absolute quality at scale) and (2) the
+    two final RMSEs agree within 30% (the models share the
+    normal-equation core but differ in bias terms and regularisation
+    scaling, so trajectory-level agreement — same regime, same
+    descent — is the meaningful invariant, not equality)."""
+    import os
+
+    from recommender_systems_spark.ml.als import mllib_als, rmse, train_als_bias
+
+    sf1 = os.path.join(os.path.dirname(__file__), "..", ".data_cache", "sf1")
+    sf1 = os.path.abspath(sf1)
+    if not os.path.exists(os.path.join(sf1, "lineitem.parquet")):
+        pytest.skip("sf1 tiling not generated (tools/gen_sf1.py)")
+
+    r = _ratings(spark, sf1).localCheckpoint()
+    sd = float(r.agg(F.stddev("r").alias("sd")).collect()[0]["sd"])
+
+    model = train_als_bias(r, "u", "i", "r", rank=8, max_iter=2, tol=0.0, seed=42)
+    bias_rmse = model.rmse_history[-1]
+
+    ri = r.select(
+        F.col("u").cast("int").alias("u"),
+        F.col("i").cast("int").alias("i"),
+        F.col("r").cast("float").alias("r"),
+    )
+    uf, vf = mllib_als(ri, "u", "i", "r", rank=8, max_iter=2, seed=42)
+    zb = F.lit(0.0).alias("bias")
+    m_rmse = rmse(
+        r, "u", "i", "r",
+        uf.select("id", "features", zb), vf.select("id", "features", zb),
+    )
+
+    assert bias_rmse < sd, f"bias-ALS sf1 RMSE {bias_rmse} not below σ {sd}"
+    assert m_rmse < sd, f"MLlib sf1 RMSE {m_rmse} not below σ {sd}"
+    assert abs(m_rmse - bias_rmse) / bias_rmse < 0.30, (
+        f"sf1 RMSE regimes diverge: mllib={m_rmse} bias={bias_rmse}"
+    )

@@ -705,3 +705,56 @@ def test_modularity_joins_are_equi_no_cartesian(spark):
     broadcast (BNLJ with 1-row build side is the scalar pattern)."""
     p = _plan(spark, "g_modularity")
     assert _count(p, r"CartesianProduct") == 0
+
+
+# --- round-9 heavy queries: the stronger shuffle/window invariants
+# their docstrings claim (VERDICT r9 item 6) -------------------------------
+
+
+def test_window_funnel_two_windows_one_user_exchange(spark):
+    """The DP is two stacked windows over the SAME (user_id, us,
+    event_id) sort feeding a user-keyed aggregate: exactly one
+    user_id hash exchange serves both windows AND the groupBy (the
+    sort-order-reuse claim), exactly two Window nodes, windows built
+    BEFORE the aggregate, and no cartesian."""
+    p = _plan(spark, "s_window_funnel")
+    assert _count(p, r"CartesianProduct") == 0
+    assert _count(p, r"\bWindow\b") == 2
+    assert _count(p, r"hashpartitioning\(user_id") == 1
+    assert _count(p, r"Scan parquet .*events") == 1
+
+
+def test_markov_attribution_one_lag_pass_tiny_sweeps(spark):
+    """Journeys reduce to the transition table in ONE lag-window pass:
+    exactly two Window nodes (lag + last-touch rank) over one user_id
+    exchange; the unrolled absorption sweeps join only channel²-sized
+    frames (no cartesian, no data-sized window after the aggregate)."""
+    p = _plan(spark, "a_markov_attribution")
+    assert _count(p, r"CartesianProduct") == 0
+    assert _count(p, r"\bWindow\b") == 2
+    assert _count(p, r"hashpartitioning\(user_id") == 1
+
+
+def test_aa_calibration_single_scan_mapside_combine(spark):
+    """One events scan, the replicate explode (Generate) feeding a
+    map-side-combined (rep, arm) aggregate — partial HashAggregate
+    below the exchange — and everything downstream replicate-sized:
+    no Window over the data-sized frame, no cartesian."""
+    p = _plan(spark, "e_aa_calibration")
+    assert _count(p, r"CartesianProduct") == 0
+    assert _count(p, r"Scan parquet .*events") == 1
+    assert _count(p, r"\bGenerate\b") == 1
+    # partial_ aggregate functions mark the map-side combine
+    assert _count(p, r"partial_count|partial_avg") >= 1
+
+
+def test_neighbor_sampling_bounded_fanout_broadcast_expansion(spark):
+    """Fan-out bounds apply BEFORE the expansion joins and both hop
+    joins broadcast their (seed-sized) build sides: two per-layer rank
+    Windows over src partitions, at least two BroadcastHashJoins, no
+    SortMergeJoin in the expansion, no cartesian."""
+    p = _plan(spark, "g_neighbor_sampling")
+    assert _count(p, r"CartesianProduct") == 0
+    assert _count(p, r"\bWindow\b") == 2
+    assert _count(p, r"BroadcastHashJoin") >= 2
+    assert _count(p, r"SortMergeJoin") == 0

@@ -1,9 +1,13 @@
 #!/usr/bin/env python
-"""Generate a local sf1 dataset (10x sf0.1) for scaling-slope
+"""Generate tiled scale-up datasets (N x sf0.1) for scaling-slope
 measurement — /root/testdata tops out at sf0.1, so super-linearity
 claims above it would otherwise rest on plan shape alone.
 
-Method: tile sf0.1 ten times with per-tile key offsets, matching how
+    python tools/gen_sf1.py                    # sf1  (10 tiles)
+    TILES=100 OUT=/root/repo/.data_cache/sf10 \
+        python tools/gen_sf1.py                # sf10 (100 tiles)
+
+Method: tile sf0.1 N times with per-tile key offsets, matching how
 the driver itself scales (sf0.01 -> sf0.1 multiplies BOTH row counts
 and key spaces by 10 while holding per-key densities constant:
 600 lineitem rows per supplier at every SF). Dimension tables tile
@@ -13,18 +17,28 @@ shard — per-user history sizes, per-part rater counts, and events/sec
 density scale exactly as the driver's generator does.
 
 Documents get a TILE-DEPENDENT vocabulary permutation instead of a
-verbatim copy: a verbatim 10x copy would hand every doc 9 exact/near
-duplicates, which inflates near-dup candidate pairs ~100x instead of
-10x and poisons the dedup slope. The corpus has a CLOSED 31-word
-vocabulary, so tile i remaps every word by a cyclic shift of 7*i
-positions (gcd(7,31)=1: a permutation with NO fixed points for i>0).
-The same bijection applies to every doc within a tile, so planted
-within-tile near-dup pairs keep their exact similarity structure,
-while cross-tile copies share ZERO shingles and a fully remapped word
-bag — both sequence-based (MinHash/winnowing) and bag-based (SimHash)
-sketches see them as unrelated, which an earlier rotation+marker
-transform did not achieve (bag overlap stayed ~80% and SimHash paired
-cross-tile copies ~100x).
+verbatim copy: a verbatim N x copy would hand every doc N-1 exact
+duplicates, which inflates near-dup candidate pairs ~N² instead of N
+and poisons the dedup slope. The corpus has a CLOSED 31-word
+vocabulary, so tile i remaps word index x by the AFFINE permutation
+x -> (a_i*x + b_i) mod 31 with a_i = 1 + (i mod 30), b_i = 7*i mod
+31 — tile 0 is the identity, the (a, b) pairs are distinct for
+i < lcm(30, 31) = 930 tiles, and any two DISTINCT affine maps of a
+prime field agree on at most ONE point, so cross-tile copies share at
+most 1 of 31 vocabulary words (the earlier cyclic-shift family
+repeats every 31 tiles, which at 100 tiles would plant ~3 exact
+copies of every doc across tiles and the cross-tile pairs would
+dominate the within-tile ones). Within a tile the same bijection
+applies to every doc, so planted near-dup pairs keep their exact
+similarity structure.
+
+Embeddings get a per-tile coordinate transform with the same goals:
+cyclic DIMENSION shift by 7*i mod 64 composed with a sign flip of
+the odd coordinates when (i // 64) is odd — distinct for 128 tiles
+(shifts alone repeat at 64). Both a uniform coordinate permutation
+and a uniform sign pattern preserve every within-tile norm and dot
+product EXACTLY (x'.y' = sum s_d^2 x_d y_d = x.y), so per-shard
+neighbor structure is identical while cross-tile copies decorrelate.
 
 Output: $OUT (default /root/repo/.data_cache/sf1/), gitignored.
 Deterministic — no RNG anywhere, pure key arithmetic.
@@ -39,11 +53,24 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 OUT = os.environ.get("OUT", "/root/repo/.data_cache/sf1")
-TILES = 10
+TILES = int(os.environ.get("TILES", "10"))
 
 # Per-table key strides (the sf0.1 key-space sizes).
 S_SUPP, S_PART, S_CUST, S_ORD = 1_000, 20_000, 15_000, 150_000
 S_EVT, S_USER, S_DOC, S_VEC = 100_000, 1_500, 5_000, 2_000
+
+V = 31  # closed corpus vocabulary size (prime)
+D = 64  # embedding dimension
+
+
+def _vocab_map(i: int) -> tuple[int, int]:
+    """Affine permutation coefficients for tile i (identity at i=0)."""
+    return 1 + (i % 30), (7 * i) % V
+
+
+def _dim_shift(i: int) -> tuple[int, int]:
+    """(cyclic shift, odd-coordinate sign) for tile i."""
+    return (7 * i) % D, -1 if (i // D) % 2 else 1
 
 
 def tiled(con, table: str, exprs: dict[str, str], n_tiles: int = TILES) -> str:
@@ -65,6 +92,35 @@ def tiled(con, table: str, exprs: dict[str, str], n_tiles: int = TILES) -> str:
             f"SELECT {', '.join(parts)} FROM '{SRC}/{table}.parquet'"
         )
     return " UNION ALL ".join(selects)
+
+
+def _embedding_expr(i: int) -> str:
+    shift, sign = _dim_shift(i)
+    if shift == 0 and sign == 1:
+        return "embedding"
+    sgn = (
+        "" if sign == 1
+        else " * CASE WHEN r % 2 = 1 THEN -1.0 ELSE 1.0 END"
+    )
+    return (
+        "CAST(list_transform(range(len(embedding)), "
+        f"r -> embedding[1 + ((r + {shift}) % len(embedding))]{sgn}) "
+        "AS FLOAT[])"
+    )
+
+
+def _doc_expr(i: int) -> str:
+    a, b = _vocab_map(i)
+    if (a, b) == (1, 0):
+        return "text"
+    return (
+        "array_to_string("
+        " list_transform(string_split(text, ' '),"
+        "  x -> CASE WHEN list_position(vlist, x) IS NULL THEN x"
+        f"       ELSE vlist[1 + ({a} * (list_position(vlist, x) - 1)"
+        f"                       + {b}) % {V}] END),"
+        " ' ')"
+    )
 
 
 def main() -> None:
@@ -103,49 +159,28 @@ def main() -> None:
                 "user_id": f"user_id + {{i}} * {S_USER}",
             },
         ),
-        # embeddings: per-tile cyclic DIMENSION shift (7*i of 64 dims).
-        # A coordinate permutation applied uniformly within a tile
-        # preserves every within-tile norm and dot product exactly
-        # (neighbor structure identical per shard), while cross-tile
-        # copies decorrelate — verbatim copies would put 10 identical
-        # vectors in every LSH bucket and grow candidate pairs 100x.
-        "embeddings": tiled(
-            con,
-            "embeddings",
-            {
-                "vec_id": f"vec_id + {{i}} * {S_VEC}",
-                "embedding": (
-                    "CASE WHEN {i} = 0 THEN embedding ELSE "
-                    "CAST(list_transform(range(len(embedding)), "
-                    "r -> embedding[1 + ((r + 7 * {i}) % len(embedding))]) "
-                    "AS FLOAT[]) END"
-                ),
-            },
+        "embeddings": " UNION ALL ".join(
+            f"SELECT (vec_id + {i} * {S_VEC}) AS vec_id, "
+            f"({_embedding_expr(i)}) AS embedding, label "
+            f"FROM '{SRC}/embeddings.parquet'"
+            for i in range(TILES)
         ),
-        # documents: per-tile cyclic vocabulary shift (see module doc).
-        "documents": tiled(
-            con,
-            "documents",
-            {
-                "doc_id": f"doc_id + {{i}} * {S_DOC}",
-                "text": (
-                    "CASE WHEN {i} = 0 THEN text ELSE array_to_string("
-                    " list_transform(string_split(text, ' '),"
-                    "  x -> CASE WHEN list_position(vlist, x) IS NULL THEN x"
-                    "       ELSE vlist[1 + (list_position(vlist, x) - 1"
-                    "                       + 7 * {i}) % len(vlist)] END),"
-                    " ' ') END"
-                ),
-            },
+        "documents": " UNION ALL ".join(
+            f"SELECT (doc_id + {i} * {S_DOC}) AS doc_id, "
+            f"({_doc_expr(i)}) AS text, lang, source, n_chars "
+            f"FROM base_docs"
+            for i in range(TILES)
         ),
     }
     # documents needs the sorted corpus vocabulary available as `vlist`.
-    jobs["documents"] = jobs["documents"].replace(
-        f"FROM '{SRC}/documents.parquet'",
-        f"FROM (SELECT d.*, v.vlist FROM '{SRC}/documents.parquet' d, "
-        f"(SELECT list_sort(list(DISTINCT w)) AS vlist FROM ("
-        f"SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w "
-        f"FROM '{SRC}/documents.parquet')) v)",
+    con.sql(
+        f"""
+        CREATE VIEW base_docs AS
+        SELECT d.*, v.vlist FROM '{SRC}/documents.parquet' d,
+        (SELECT list_sort(list(DISTINCT w)) AS vlist FROM (
+            SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+            FROM '{SRC}/documents.parquet')) v
+        """
     )
 
     for name, sql in jobs.items():

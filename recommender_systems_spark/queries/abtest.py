@@ -1409,29 +1409,12 @@ _AA_SQL = f"""
 """.format(ARM=u01_sql("user_id * {} + rep".format(_AA_REPS + 1), "aa"))
 
 
-@register("e_aa_calibration", _AA_SQL)
-def e_aa_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A/A calibration — the hygiene run an experimentation platform
-    executes BEFORE trusting its A/B stack: {_AA_REPS} fake
-    re-randomizations of the same traffic (no treatment anywhere),
-    a Welch z + p per replicate, then (1) the KS distance of the
-    p-value set from U(0,1) and (2) the false-positive count at
-    α=0.05 — inflated significance here means broken variance
-    estimates, interference, or a bad bucketing hash, and invalidates
-    every real experiment downstream (Kohavi's canonical pre-launch
-    check).
-
-    Determinism: each replicate's arm is the md5-uniform of
-    (user_id·{_AA_REPS + 1} + rep) — distinct per (user, rep), same
-    rows in both engines; z and p snap to the 6dp grid (e_bh_fdr's t₂
-    convention — exact in +,×,÷,√) before the order statistics, so
-    the KS statistic is computed from identical operands.
-
-    Scale shape: the replicate explode stays inside one codegen stage
-    feeding a (rep, arm)-keyed map-side-combined aggregate
-    (2·{_AA_REPS} groups); everything after is a {_AA_REPS}-row
-    frame. At 100 TB this is the e_bootstrap_ci economics — one scan,
-    sketch-sized state."""
+def _aa_replicate_pvals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-sized half of e_aa_calibration, pre-checkpoint: one
+    events scan → replicate explode → map-side-combined (rep, arm)
+    aggregate → {_AA_REPS}-row (rep, z6, p6) frame. Factored out so
+    plan audits can see the scan→Generate→partial-agg lineage that
+    the checkpoint hides from the final plan."""
     ev = _t(spark, sf_dir, "events").select("user_id", "value")
     reps = ev.select(
         "user_id",
@@ -1464,7 +1447,7 @@ def e_aa_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.sqrt(F.col("va") / F.col("na") + F.col("vb") / F.col("nb")),
         6,
     )
-    p = w.select(
+    return w.select(
         "rep",
         z6.alias("z6"),
     ).select(
@@ -1474,7 +1457,34 @@ def e_aa_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.abs(F.col("z6")) / F.sqrt(2.0 + F.col("z6") * F.col("z6")),
             6,
         ).alias("p6"),
-    ).localCheckpoint()  # 20 rows; KS + z-max + sig-count read it
+    )
+
+
+@register("e_aa_calibration", _AA_SQL)
+def e_aa_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/A calibration — the hygiene run an experimentation platform
+    executes BEFORE trusting its A/B stack: {_AA_REPS} fake
+    re-randomizations of the same traffic (no treatment anywhere),
+    a Welch z + p per replicate, then (1) the KS distance of the
+    p-value set from U(0,1) and (2) the false-positive count at
+    α=0.05 — inflated significance here means broken variance
+    estimates, interference, or a bad bucketing hash, and invalidates
+    every real experiment downstream (Kohavi's canonical pre-launch
+    check).
+
+    Determinism: each replicate's arm is the md5-uniform of
+    (user_id·{_AA_REPS + 1} + rep) — distinct per (user, rep), same
+    rows in both engines; z and p snap to the 6dp grid (e_bh_fdr's t₂
+    convention — exact in +,×,÷,√) before the order statistics, so
+    the KS statistic is computed from identical operands.
+
+    Scale shape: the replicate explode stays inside one codegen stage
+    feeding a (rep, arm)-keyed map-side-combined aggregate
+    (2·{_AA_REPS} groups); everything after is a {_AA_REPS}-row
+    frame. At 100 TB this is the e_bootstrap_ci economics — one scan,
+    sketch-sized state."""
+    p = _aa_replicate_pvals(spark, sf_dir).localCheckpoint(eager=False)
+    # 20 rows; KS + z-max + sig-count read the one materialization
     wr = Window.orderBy("p6", "rep")
     r = p.select("p6", F.row_number().over(wr).alias("i"))
     ks = r.agg(

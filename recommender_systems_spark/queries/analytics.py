@@ -3790,6 +3790,85 @@ _MK_SQL = (
 )
 
 
+def _mk_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Journeys → (src, dst, c) transition counts in ONE lag-window
+    pass (the corpus-sized half of a_markov_attribution, factored out
+    pre-checkpoint so plan audits can see the scan→window lineage
+    that the checkpoint hides from the final plan).
+
+    The first-purchase timestamp arrives via a per-user window over
+    the SAME scan instead of a purchase-aggregate self-join: one
+    events scan and one user_id exchange serve the pts window, both
+    DP windows (same partitioning, re-sort only), and the
+    no-channel-converter branch (whose per-user aggregate rides the
+    exchange partially combined)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    ev2 = ev.withColumn(
+        "pts",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).over(Window.partitionBy("user_id")),
+    ).withColumn(
+        "qual",
+        (F.col("event_type") != "purchase")
+        & (F.col("pts").isNull() | (F.col("ts") < F.col("pts"))),
+    )
+    ch = ev2.filter(F.col("qual")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.col("pts").isNotNull().alias("conv"),
+    )
+    wlag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wlast = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    seq = ch.select(
+        "event_type",
+        "conv",
+        F.lag("event_type").over(wlag).alias("prev"),
+        F.row_number().over(wlast).alias("rn_last"),
+    )
+    # Both per-event contributions (the lag pair, plus the terminal
+    # absorber pair on each user's last event) emit from ONE pass over
+    # seq via a conditional explode — a union of two selects over seq
+    # would re-derive the window pipeline per branch.
+    lag_pair = F.struct(
+        F.coalesce("prev", F.lit("START")).alias("src"),
+        F.col("event_type").alias("dst"),
+    )
+    term_pair = F.struct(
+        F.col("event_type").alias("src"),
+        F.when(F.col("conv"), F.lit("CONV"))
+        .otherwise(F.lit("NULL"))
+        .alias("dst"),
+    )
+    trans = (
+        seq.select(
+            F.explode(
+                F.when(
+                    F.col("rn_last") == 1, F.array(lag_pair, term_pair)
+                ).otherwise(F.array(lag_pair))
+            ).alias("pr")
+        )
+        .select("pr.src", "pr.dst")
+        .unionAll(
+            # Converters with no qualifying channel event: START→CONV.
+            ev2.groupBy("user_id")
+            .agg(
+                F.max("pts").alias("pts"),
+                F.max(F.when(F.col("qual"), 1)).alias("hasch"),
+            )
+            .filter(F.col("pts").isNotNull() & F.col("hasch").isNull())
+            .select(F.lit("START").alias("src"), F.lit("CONV").alias("dst"))
+        )
+    )
+    return trans.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
+
+
 @register("a_markov_attribution", _MK_SQL)
 def a_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov removal-effect attribution (Anderl et al. 2016) — the
@@ -3816,51 +3895,12 @@ def a_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the tiny T table against a scenarios×states vector (≤ ~40
     rows) — iteration cost is independent of data size. The event
     scan is the only corpus-sized work."""
-    ev = _t(spark, sf_dir, "events")
-    pur = ev.filter(F.col("event_type") == "purchase").groupBy(
-        "user_id"
-    ).agg(F.min("ts").alias("pts"))
-    ch = (
-        ev.filter(F.col("event_type") != "purchase")
-        .join(pur, "user_id", "left")
-        .filter(F.col("pts").isNull() | (F.col("ts") < F.col("pts")))
-        .select(
-            "user_id",
-            "ts",
-            "event_id",
-            "event_type",
-            F.col("pts").isNotNull().alias("conv"),
-        )
-    )
-    wlag = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wlast = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    seq = ch.select(
-        "event_type",
-        "conv",
-        F.lag("event_type").over(wlag).alias("prev"),
-        F.row_number().over(wlast).alias("rn_last"),
-    )
-    trans = (
-        seq.select(
-            F.coalesce("prev", F.lit("START")).alias("src"),
-            F.col("event_type").alias("dst"),
-        )
-        .unionAll(
-            seq.filter(F.col("rn_last") == 1).select(
-                F.col("event_type").alias("src"),
-                F.when(F.col("conv"), F.lit("CONV"))
-                .otherwise(F.lit("NULL"))
-                .alias("dst"),
-            )
-        )
-        .unionAll(
-            pur.join(ch.select("user_id").distinct(), "user_id", "left_anti")
-            .select(F.lit("START").alias("src"), F.lit("CONV").alias("dst"))
-        )
-    )
-    cnt = trans.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
+    # Lazily checkpoint the channel²-sized transition counts: t's
+    # eager checkpoint below materializes them ONCE at construction,
+    # and scen + both p/full_ branches then read the materialized RDD
+    # instead of re-deriving the events scan + window pipeline (the
+    # pre-fix plan executed the journey reduction three times).
+    cnt = _mk_transition_counts(spark, sf_dir).localCheckpoint(eager=False)
     tot = cnt.groupBy("src").agg(F.sum("c").alias("n"))
     t = (
         cnt.join(tot, "src")

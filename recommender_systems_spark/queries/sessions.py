@@ -2288,13 +2288,23 @@ def s_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     levels = per_user.agg(
         F.sum("r1").alias("n1"), F.sum("r2").alias("n2"), F.sum("r3").alias("n3")
     )
+    # One explode over the 1-row totals frame instead of a 3-way union:
+    # union branches each re-derive the whole scan+window+agg pipeline
+    # (AQE exchange reuse is best-effort, not a plan guarantee).
     rows = [(1, "view", "n1"), (2, "click", "n2"), (3, "purchase", "n3")]
-    out = None
-    for level, step, col in rows:
-        part = levels.select(
-            F.lit(level).cast("int").alias("level"),
-            F.lit(step).alias("step"),
-            F.col(col).cast("long").alias("n_users"),
+    return (
+        levels.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(level).cast("int").alias("level"),
+                        F.lit(step).alias("step"),
+                        F.col(col).cast("long").alias("n_users"),
+                    )
+                    for level, step, col in rows
+                ])
+            ).alias("s")
         )
-        out = part if out is None else out.unionAll(part)
-    return out.orderBy("level")
+        .select("s.level", "s.step", "s.n_users")
+        .orderBy("level")
+    )

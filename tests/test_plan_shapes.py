@@ -725,27 +725,52 @@ def test_window_funnel_two_windows_one_user_exchange(spark):
 
 
 def test_markov_attribution_one_lag_pass_tiny_sweeps(spark):
-    """Journeys reduce to the transition table in ONE lag-window pass:
-    exactly two Window nodes (lag + last-touch rank) over one user_id
-    exchange; the unrolled absorption sweeps join only channel²-sized
-    frames (no cartesian, no data-sized window after the aggregate)."""
-    p = _plan(spark, "a_markov_attribution")
+    """The corpus-sized journey reduction (audited on the factored
+    pre-checkpoint helper — the checkpoint hides lineage from the
+    final plan): first-purchase ts via a per-user window over the
+    SAME scan (no purchase-aggregate self-join → no SortMergeJoin),
+    the two DP windows riding the same user_id partitioning, and the
+    no-channel-converter branch as a partially-combined per-user agg.
+    The union's two branches each carry a textual copy of the
+    scan+pts-window (AQE reuses the exchange at runtime), hence 2
+    scans / 2 user_id exchanges / 4 Windows — any growth means a
+    branch re-derived the DP pipeline. The final plan must be
+    checkpoint-fed only: iteration cost independent of data size."""
+    from recommender_systems_spark.queries.analytics import (
+        _mk_transition_counts,
+    )
+    h = _mk_transition_counts(spark, SF_SMALL)
+    p = h._jdf.queryExecution().executedPlan().toString()
     assert _count(p, r"CartesianProduct") == 0
-    assert _count(p, r"\bWindow\b") == 2
-    assert _count(p, r"hashpartitioning\(user_id") == 1
+    assert _count(p, r"SortMergeJoin") == 0
+    assert _count(p, r"Scan parquet .*events") == 2
+    assert _count(p, r"hashpartitioning\(user_id") == 2
+    assert _count(p, r"\bWindow\b") == 4
+    assert _count(p, r"partial_min|partial_max") >= 1
+    pf = _plan(spark, "a_markov_attribution")
+    assert _count(pf, r"CartesianProduct") == 0
+    assert _count(pf, r"Scan parquet") == 0  # sweeps read the ckpt
 
 
 def test_aa_calibration_single_scan_mapside_combine(spark):
     """One events scan, the replicate explode (Generate) feeding a
     map-side-combined (rep, arm) aggregate — partial HashAggregate
-    below the exchange — and everything downstream replicate-sized:
-    no Window over the data-sized frame, no cartesian."""
-    p = _plan(spark, "e_aa_calibration")
+    below the exchange — and everything downstream replicate-sized
+    (audited on the factored pre-checkpoint helper; the final plan
+    must be checkpoint-fed only)."""
+    from recommender_systems_spark.queries.abtest import (
+        _aa_replicate_pvals,
+    )
+    h = _aa_replicate_pvals(spark, SF_SMALL)
+    p = h._jdf.queryExecution().executedPlan().toString()
     assert _count(p, r"CartesianProduct") == 0
     assert _count(p, r"Scan parquet .*events") == 1
     assert _count(p, r"\bGenerate\b") == 1
     # partial_ aggregate functions mark the map-side combine
     assert _count(p, r"partial_count|partial_avg") >= 1
+    pf = _plan(spark, "e_aa_calibration")
+    assert _count(pf, r"CartesianProduct") == 0
+    assert _count(pf, r"Scan parquet") == 0  # stats read the ckpt
 
 
 def test_neighbor_sampling_bounded_fanout_broadcast_expansion(spark):

@@ -32,7 +32,9 @@ from recommender_systems_spark.dedup.minhash import (
 from recommender_systems_spark.functions.vector import dot_product
 from recommender_systems_spark.registry import _t, register
 from recommender_systems_spark.similarity.ann import (
+    adaptive_bits,
     bucket_keys,
+    sql_adaptive_bits,
     sql_bucket_keys,
 )
 
@@ -193,7 +195,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EMB_COS_SQL = f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-               {sql_bucket_keys('CAST(embedding AS DOUBLE[])')} AS keys
+               {sql_bucket_keys('CAST(embedding AS DOUBLE[])',
+                                sql_adaptive_bits())} AS keys
         FROM embeddings
     ),
     eb AS (SELECT vec_id, unnest(keys) AS key FROM e),
@@ -234,11 +237,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordinary shuffle joins on vec_id with the same plan shape."""
     from recommender_systems_spark.functions.vector import l2_norm
 
+    src = _t(spark, sf_dir, "embeddings")
+    n_vec = src.count()  # metadata-cheap scalar job
+    bits = adaptive_bits(n_vec)
     e = (
-        _t(spark, sf_dir, "embeddings")
+        src
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .repartition(spark.sparkContext.defaultParallelism)
-        .select("vec_id", "v", l2_norm("v").alias("nrm"), bucket_keys("v").alias("keys"))
+        .select(
+            "vec_id", "v", l2_norm("v").alias("nrm"),
+            bucket_keys("v", bits).alias("keys"),
+        )
         .localCheckpoint()
     )
     eb = e.select("vec_id", F.explode("keys").alias("key"))
@@ -252,9 +261,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
+    # Past ~50k vectors the sketch table stops being broadcast-sized
+    # (50k × 64 doubles ≈ 26 MB); the hint drops and the join-backs
+    # become ordinary shuffle joins on vec_id — same plan shape.
+    hint = F.broadcast if n_vec <= 50_000 else (lambda df: df)
     scored = (
         pairs.join(
-            F.broadcast(
+            hint(
                 e.select(
                     F.col("vec_id").alias("vec_a"),
                     F.col("v").alias("va"),
@@ -264,7 +277,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_a",
         )
         .join(
-            F.broadcast(
+            hint(
                 e.select(
                     F.col("vec_id").alias("vec_b"),
                     F.col("v").alias("vb"),
@@ -499,7 +512,8 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SWEEP_SQL = f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-               {sql_bucket_keys('CAST(embedding AS DOUBLE[])')} AS keys
+               {sql_bucket_keys('CAST(embedding AS DOUBLE[])',
+                                sql_adaptive_bits())} AS keys
         FROM embeddings
     ),
     eb AS (SELECT vec_id, unnest(keys) AS key FROM e),
@@ -541,13 +555,15 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine so bin membership can't flip between engines."""
     from recommender_systems_spark.functions.vector import l2_norm
 
+    src = _t(spark, sf_dir, "embeddings")
+    n_vec = src.count()
     e = (
-        _t(spark, sf_dir, "embeddings")
+        src
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .repartition(spark.sparkContext.defaultParallelism)
         .select(
             "vec_id", "v", l2_norm("v").alias("nrm"),
-            bucket_keys("v").alias("keys"),
+            bucket_keys("v", adaptive_bits(n_vec)).alias("keys"),
         )
         .localCheckpoint()
     )
@@ -577,9 +593,10 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    hint = F.broadcast if n_vec <= 50_000 else (lambda df: df)
     sims = (
-        pairs.join(F.broadcast(va), "vec_a")
-        .join(F.broadcast(vb), "vec_b")
+        pairs.join(hint(va), "vec_a")
+        .join(hint(vb), "vec_b")
         .select(F.round(dot / (F.col("nx") * F.col("ny")), 5).alias("cos"))
     )
     return sims.groupBy(

@@ -22,7 +22,9 @@ from recommender_systems_spark.functions.vector import (
 from recommender_systems_spark.queries._shared import u01_col, u01_sql
 from recommender_systems_spark.registry import _t, register
 from recommender_systems_spark.similarity.ann import (
+    adaptive_bits,
     bucket_keys,
+    sql_adaptive_bits,
     sql_bucket_keys,
 )
 
@@ -52,7 +54,8 @@ def _codebook(e):
 _ANN_SQL = f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-               {sql_bucket_keys('CAST(embedding AS DOUBLE[])')} AS keys
+               {sql_bucket_keys('CAST(embedding AS DOUBLE[])',
+                                sql_adaptive_bits())} AS keys
         FROM embeddings
     ),
     q AS (SELECT vec_id AS qid, v AS qv, keys AS qkeys FROM e
@@ -85,7 +88,8 @@ _ANN_SQL = f"""
 _RECALL_SQL = f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-               {sql_bucket_keys('CAST(embedding AS DOUBLE[])')} AS keys
+               {sql_bucket_keys('CAST(embedding AS DOUBLE[])',
+                                sql_adaptive_bits())} AS keys
         FROM embeddings
     ),
     q AS (SELECT vec_id AS qid, v AS qv, keys AS qkeys FROM e
@@ -126,9 +130,10 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver's near-random synthetic embeddings the exact top-5 sits at
     cos ≈ 0.4 — the adversarial case for sign LSH; clustered real
     corpora collide far more often at the same configuration.)"""
-    e = _t(spark, sf_dir, "embeddings").select(
+    src = _t(spark, sf_dir, "embeddings")
+    e = src.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("keys", bucket_keys("v"))
+    ).withColumn("keys", bucket_keys("v", adaptive_bits(src.count())))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("v").alias("qv"),
@@ -387,11 +392,13 @@ def sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     only (vectors join back AFTER dedup), the key join shuffles
     T×|catalog| small rows; skew (dense bucket) handled by AQE; recall
     tuned by N_PLANES/N_TABLES without changing the plan shape."""
+    src = _t(spark, sf_dir, "embeddings")
+    n_vec = src.count()
     e = (
-        _t(spark, sf_dir, "embeddings")
+        src
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .repartition(spark.sparkContext.defaultParallelism)
-        .withColumn("keys", bucket_keys("v"))
+        .withColumn("keys", bucket_keys("v", adaptive_bits(n_vec)))
         .localCheckpoint()  # three consumers: q, key explode, join-back
     )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
@@ -407,8 +414,11 @@ def sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vec_id")
         .distinct()
     )
+    # The catalog join-back outgrows broadcast reach with the corpus;
+    # the query side (N_QUERIES rows) broadcasts at any scale.
+    hint = F.broadcast if n_vec <= 50_000 else (lambda df: df)
     scored = (
-        cand.join(F.broadcast(e.select("vec_id", "v")), "vec_id")
+        cand.join(hint(e.select("vec_id", "v")), "vec_id")
         .join(F.broadcast(q.select("qid", "qv")), "qid")
         .select(
             "qid",

@@ -6,10 +6,13 @@
 """
 
 from recommender_systems_spark.similarity.ann import (  # noqa: F401
+    MAX_PLANES,
     N_PLANES,
     N_TABLES,
+    adaptive_bits,
     bucket_keys,
     hyperplane_bucket,
+    sql_adaptive_bits,
     sql_bucket_keys,
     sql_hyperplane_bucket,
 )

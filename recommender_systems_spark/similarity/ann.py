@@ -35,13 +35,53 @@ N_PLANES = 6
 N_TABLES = 8
 EMBEDDING_DIM = 64
 
-# One independent Rademacher plane set per table.
+# Adaptive signature width: a FIXED bucket count is the classic LSH
+# scale failure — mean occupancy grows linearly with the corpus, so
+# within-bucket candidate pairs grow QUADRATICALLY (measured: the
+# 6-bit form hit 566× wall at 100× data). The signature therefore
+# widens with the corpus: the smallest b ∈ [N_PLANES, MAX_PLANES]
+# with n ≤ TARGET_BUCKET·2^b, keeping mean occupancy ≈ TARGET_BUCKET
+# and candidate volume linear. The ladder is pure integer compares —
+# both engines pick the identical width (no float log2 at the
+# boundary). Recall per pair drops as p^b; N_TABLES stays the recall
+# knob (raise it when widening — plan shape unchanged).
+MAX_PLANES = 14
+TARGET_BUCKET = 32
+
+# One independent Rademacher plane set per table, drawn at full width;
+# the LCG streams planes sequentially, so planes[:N_PLANES] are
+# byte-identical to the historical 6-plane tables and every b=6
+# bucket (all SFs ≤ 0.1) is unchanged.
 PLANE_TABLES: list[list[list[float]]] = [
-    hyperplanes(N_PLANES, EMBEDDING_DIM, seed=7 + 101 * t) for t in range(N_TABLES)
+    hyperplanes(MAX_PLANES, EMBEDDING_DIM, seed=7 + 101 * t)
+    for t in range(N_TABLES)
 ]
 
-# Back-compat: the single-table plane set (table 0).
-PLANES: list[list[float]] = PLANE_TABLES[0]
+
+def adaptive_bits(n_rows: int) -> int:
+    """Signature width for a corpus of ``n_rows`` vectors: smallest
+    b ∈ [N_PLANES, MAX_PLANES] with n_rows ≤ TARGET_BUCKET·2^b."""
+    b = N_PLANES
+    while b < MAX_PLANES and n_rows > (TARGET_BUCKET << b):
+        b += 1
+    return b
+
+
+def sql_adaptive_bits(table: str = "embeddings") -> str:
+    """DuckDB twin of ``adaptive_bits`` over ``count(*) FROM table``:
+    an integer CASE ladder (scalar subquery), exact at the boundaries
+    where float log2 could disagree across engines."""
+    ladder = " ".join(
+        f"WHEN n <= {TARGET_BUCKET << b} THEN {b}"
+        for b in range(N_PLANES, MAX_PLANES)
+    )
+    return (
+        f"(SELECT CASE {ladder} ELSE {MAX_PLANES} END "
+        f"FROM (SELECT count(*) AS n FROM {table}))"
+    )
+
+# Back-compat: the single-table plane set (table 0, floor width).
+PLANES: list[list[float]] = PLANE_TABLES[0][:N_PLANES]
 
 
 def _spark_bucket_sql(vec_name: str, planes: list[list[float]]) -> str:
@@ -65,16 +105,19 @@ def hyperplane_bucket(vec: str) -> Column:
     ``vec`` is a column NAME — the expression is assembled as one SQL
     string (one py4j call) because the plane literals make the Column-
     builder form thousands of driver round-trips."""
-    return F.expr(_spark_bucket_sql(vec, PLANE_TABLES[0]))
+    return F.expr(_spark_bucket_sql(vec, PLANE_TABLES[0][:N_PLANES]))
 
 
-def bucket_keys(vec: str) -> Column:
-    """array<int> of N_TABLES packed keys: (t << N_PLANES) | bucket_t.
+def bucket_keys(vec: str, bits: int = N_PLANES) -> Column:
+    """array<int> of N_TABLES packed keys: (t << MAX_PLANES) | bucket_t.
     Explode to key rows for the candidate equi-join; ``arrays_overlap``
     of two vectors' keys = "collide in at least one table". ``vec`` is
-    a column name (see hyperplane_bucket)."""
+    a column name (see hyperplane_bucket). ``bits`` is the signature
+    width (``adaptive_bits(corpus_rows)`` for the scale-safe form);
+    the Spark side slices the plane list, which equals the oracle's
+    full-signature ``% 2^bits`` because bit j carries weight 2^j."""
     keys = ", ".join(
-        f"({_spark_bucket_sql(vec, planes)} + {t << N_PLANES})"
+        f"({_spark_bucket_sql(vec, planes[:bits])} + {t << MAX_PLANES})"
         for t, planes in enumerate(PLANE_TABLES)
     )
     return F.expr(f"array({keys})")
@@ -91,13 +134,24 @@ def _sql_bucket(vec_expr: str, planes: list[list[float]]) -> str:
 
 def sql_hyperplane_bucket(vec_expr: str) -> str:
     """DuckDB twin of ``hyperplane_bucket`` (table 0)."""
-    return _sql_bucket(vec_expr, PLANE_TABLES[0])
+    return _sql_bucket(vec_expr, PLANE_TABLES[0][:N_PLANES])
 
 
-def sql_bucket_keys(vec_expr: str) -> str:
-    """DuckDB twin of ``bucket_keys`` — a list literal of packed keys."""
-    keys = ", ".join(
-        f"({_sql_bucket(vec_expr, planes)} + {t << N_PLANES})"
-        for t, planes in enumerate(PLANE_TABLES)
-    )
+def sql_bucket_keys(vec_expr: str, bits_expr: str | None = None) -> str:
+    """DuckDB twin of ``bucket_keys`` — a list literal of packed keys.
+    ``bits_expr`` is a SQL expression for the signature width (pass
+    ``sql_adaptive_bits()`` for the scale-safe form); the full-width
+    signature masked to its low ``bits`` bits equals the Spark side's
+    sliced-plane signature exactly."""
+    if bits_expr is None:
+        keys = ", ".join(
+            f"({_sql_bucket(vec_expr, planes[:N_PLANES])} + {t << MAX_PLANES})"
+            for t, planes in enumerate(PLANE_TABLES)
+        )
+    else:
+        keys = ", ".join(
+            f"(({_sql_bucket(vec_expr, planes)} % (1 << ({bits_expr}))) "
+            f"+ {t << MAX_PLANES})"
+            for t, planes in enumerate(PLANE_TABLES)
+        )
     return f"[{keys}]"

@@ -2505,3 +2505,44 @@ def test_ceil_sqrt_isqrt_agreement():
     n_bad = 2**52 + 1
     assert math.isqrt(n_bad - 1) + 1 == 2**26 + 1
     assert db_ceil_sqrt(n_bad) == 2**26
+
+
+def test_adaptive_lsh_bits_ladder_matches_sql():
+    """The Python and DuckDB adaptive-signature ladders must agree at
+    every boundary (n = 32·2^b ± 1) — a float-log2 formulation could
+    flip widths between engines exactly there. Also pins the floor,
+    the cap, and that the first N_PLANES planes of every table are the
+    historical 6-plane set (so b=6 buckets never changed)."""
+    import duckdb
+
+    from recommender_systems_spark.dedup.constants import hyperplanes
+    from recommender_systems_spark.similarity.ann import (
+        EMBEDDING_DIM,
+        MAX_PLANES,
+        N_PLANES,
+        N_TABLES,
+        PLANE_TABLES,
+        TARGET_BUCKET,
+        adaptive_bits,
+        sql_adaptive_bits,
+    )
+
+    con = duckdb.connect()
+
+    def db_bits(n: int) -> int:
+        con.execute(f"CREATE OR REPLACE VIEW embeddings AS SELECT * FROM range({n})")
+        (v,) = con.execute(f"SELECT {sql_adaptive_bits()}").fetchone()
+        return v
+
+    ns = [0, 1, TARGET_BUCKET, 10**9]
+    for b in range(N_PLANES, MAX_PLANES + 1):
+        edge = TARGET_BUCKET << b
+        ns += [edge - 1, edge, edge + 1]
+    for n in ns:
+        assert adaptive_bits(n) == db_bits(n), f"n={n}"
+    assert adaptive_bits(0) == N_PLANES
+    assert adaptive_bits(10**9) == MAX_PLANES
+
+    for t in range(N_TABLES):
+        legacy = hyperplanes(N_PLANES, EMBEDDING_DIM, seed=7 + 101 * t)
+        assert PLANE_TABLES[t][:N_PLANES] == legacy

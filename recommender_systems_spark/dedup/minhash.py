@@ -228,6 +228,52 @@ def simhash_band(sim: Column, band: int) -> Column:
     )
 
 
+# Adaptive complement-block keys (Manku et al., WWW'07): with Hamming
+# ≤ 1, the differing bit lives in ONE of B blocks, so a table keyed on
+# ALL BITS EXCEPT block t catches the pair when the error is in block
+# t — B tables guarantee exact recall at ANY B, and the candidate set
+# only shrinks as B grows (keys widen from 31−⌈31/B⌉ bits). A FIXED
+# geometry is the LSH capacity failure: 2 tables × ~16-bit keys make
+# random collisions grow as n²/2^16 (measured: dedup_source_overlap
+# hit 176× wall at 100× data). The ladder below widens keys as the
+# corpus grows; at B=2 the complement of one block IS the other block,
+# so the keys match the historical 2×16-bit geometry bit-for-bit and
+# every output at n ≤ 100k documents is byte-identical. The verified
+# `near` set is identical at every B — only candidate volume changes.
+SIMHASH_MAX_TABLES = 8
+
+
+def simhash_n_tables(n_docs: int) -> int:
+    """Block count for a corpus of ``n_docs`` documents (2 → 4 → 8)."""
+    if n_docs <= 100_000:
+        return 2
+    if n_docs <= 2_000_000:
+        return 4
+    return SIMHASH_MAX_TABLES
+
+
+def _simhash_block_mask(n_tables: int, t: int) -> int:
+    """Bit mask of block ``t`` when the 31 bits split into ``n_tables``
+    contiguous blocks of ⌈31/B⌉ bits (the last block is narrower)."""
+    w = -(-SIMHASH_BITS // n_tables)
+    lo = t * w
+    hi = min(lo + w, SIMHASH_BITS)
+    return ((1 << hi) - 1) ^ ((1 << lo) - 1)
+
+
+def simhash_table_keep_mask(n_tables: int, t: int) -> int:
+    """Mask of the bits a table-``t`` key KEEPS (everything except
+    block ``t``) — key equality ⇔ all non-block-t bits equal."""
+    return ((1 << SIMHASH_BITS) - 1) ^ _simhash_block_mask(n_tables, t)
+
+
+def simhash_table_key(sim: Column, n_tables: int, t: int) -> Column:
+    """Table-``t`` candidate key: the simhash with block ``t`` masked
+    out. Join on (table, key) — the pair agrees everywhere outside
+    block t, so a 1-bit difference is caught by exactly one table."""
+    return sim.bitwiseAND(F.lit(simhash_table_keep_mask(n_tables, t)))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB SQL generators (same constants, same arithmetic)
 # ---------------------------------------------------------------------------
@@ -290,6 +336,26 @@ def sql_band_key(sig_expr: str, band: int) -> str:
     )
 
 
+def sql_simhash_bands(n_docs_expr: str = "(SELECT count(*) FROM documents)") -> str:
+    """DuckDB twin of the adaptive complement-block key emission: one
+    UNION ALL branch per (B, table) over ``sh(doc_id, sim)``, each
+    gated by the same integer corpus-size ladder as
+    ``simhash_n_tables`` so exactly one B's branches are non-empty."""
+    gates = {
+        2: f"{n_docs_expr} <= 100000",
+        4: f"{n_docs_expr} > 100000 AND {n_docs_expr} <= 2000000",
+        SIMHASH_MAX_TABLES: f"{n_docs_expr} > 2000000",
+    }
+    branches = [
+        f"(SELECT doc_id, sim, {t} AS band, "
+        f"sim & {simhash_table_keep_mask(n_tables, t)} AS key "
+        f"FROM sh WHERE {gate})"
+        for n_tables, gate in gates.items()
+        for t in range(n_tables)
+    ]
+    return " UNION ALL ".join(branches)
+
+
 def sql_simhash(hashes_expr: str) -> str:
     terms = " + ".join(
         f"(CASE WHEN 2 * len(list_filter({hashes_expr}, h -> (h & {1 << j}) != 0))"
@@ -313,7 +379,11 @@ __all__ = [
     "signature_agreement",
     "simhash",
     "simhash_band",
+    "simhash_n_tables",
+    "simhash_table_keep_mask",
+    "simhash_table_key",
     "sql_band_key",
+    "sql_simhash_bands",
     "sql_char_ngrams",
     "sql_fp",
     "sql_minhash_signature",

@@ -26,8 +26,11 @@ from recommender_systems_spark.dedup.minhash import (
     signature_agreement,
     SIMHASH_BANDS,
     simhash_band,
+    simhash_n_tables,
     simhash_pandas,
+    simhash_table_key,
     sql_band_key,
+    sql_simhash_bands,
     sql_char_ngrams,
     sql_minhash_signature,
     sql_shingle_hashes,
@@ -172,10 +175,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash pigeonhole near-dup
 # ---------------------------------------------------------------------------
 
-_SIMHASH_BANDS_SQL = " UNION ALL ".join(
-    f"(SELECT doc_id, sim, {b} AS band, (sim >> {b * 16}) & 65535 AS key FROM sh)"
-    for b in range(2)
-)
+_SIMHASH_BANDS_SQL = sql_simhash_bands()
 
 # hs → sh → bands → pairs → near: shared between dedup_simhash (emits
 # the near-dup pairs) and dedup_clusters (builds components over them).
@@ -210,19 +210,27 @@ _SIMHASH_SQL = f"""
 
 @register("dedup_simhash", _SIMHASH_SQL)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup detection via 31-bit SimHash over char 5-grams with the
-    pigeonhole band trick: the emitted threshold is Hamming ≤ 1, so a
-    differing bit lives in exactly one of TWO 16-bit bands and the
-    other band matches — candidates come from a band equi-join (never
-    a cross join) and only candidates pay the bit_count verify.
+    """Near-dup detection via 31-bit SimHash over char 5-grams with
+    Manku-style complement-block keys (Manku et al., WWW'07): the
+    emitted threshold is Hamming ≤ 1, so the differing bit lives in
+    ONE of B blocks and the table keyed on all-bits-except-that-block
+    matches exactly — candidates come from a (table, key) equi-join
+    (never a cross join), recall is EXACT at any B, and only
+    candidates pay the bit_count verify.
 
-    Band width is the scale lever: 16-bit keys give 2¹⁶ buckets per
-    band, ~9.4× fewer candidate pairs than 8-bit keys at sf0.1 for the
-    identical output; the Hamming filter runs BEFORE the pair distinct
-    so the dedup shuffle carries only true near-dups (~30×
-    smaller)."""
+    Key width is the scale lever, and it ADAPTS: B grows 2 → 4 → 8
+    with the corpus (``simhash_n_tables`` integer ladder, mirrored in
+    the oracle), widening keys from ~15 to ~27 bits so random
+    collisions stay ~n·const instead of n²/2^16 (a fixed 2×16-bit
+    geometry measured 176× wall at 100× data on the source-overlap
+    matrix). At B=2 the complement of one block IS the other block, so
+    candidates and output are byte-identical to the historical 16-bit
+    band form at every n ≤ 100k. The Hamming filter runs BEFORE the
+    pair distinct so the dedup shuffle carries only true near-dups."""
+    src = _t(spark, sf_dir, "documents")
+    n_tab = simhash_n_tables(src.count())
     docs = (
-        _t(spark, sf_dir, "documents")
+        src
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism)
     )
@@ -235,7 +243,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "sim",
         F.posexplode(
-            F.array(*[simhash_band(F.col("sim"), b) for b in range(SIMHASH_BANDS)])
+            F.array(*[
+                simhash_table_key(F.col("sim"), n_tab, t)
+                for t in range(n_tab)
+            ])
         ).alias("band", "key"),
     )
     hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))

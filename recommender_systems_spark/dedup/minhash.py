@@ -236,10 +236,15 @@ def simhash_band(sim: Column, band: int) -> Column:
 # geometry is the LSH capacity failure: 2 tables × ~16-bit keys make
 # random collisions grow as n²/2^16 (measured: dedup_source_overlap
 # hit 176× wall at 100× data). The ladder below widens keys as the
-# corpus grows; at B=2 the complement of one block IS the other block,
-# so the keys match the historical 2×16-bit geometry bit-for-bit and
-# every output at n ≤ 100k documents is byte-identical. The verified
-# `near` set is identical at every B — only candidate volume changes.
+# corpus grows; at B=2 the complement of one block IS the other
+# block, so the CANDIDATE-PAIR SET — and therefore the verified
+# `near` output — is identical to the historical 2×16-bit band form
+# at every n ≤ 100k documents. (The key VALUES are not bit-for-bit
+# equal: complement keys mask bits in place while the old band keys
+# were shifted 16-bit extracts with swapped band indices — equivalence
+# holds at the pair-set level, not for persisted key columns.) The
+# verified `near` set is identical at every B — only candidate volume
+# changes.
 SIMHASH_MAX_TABLES = 8
 
 

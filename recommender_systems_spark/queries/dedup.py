@@ -38,6 +38,7 @@ from recommender_systems_spark.dedup.minhash import (
     sql_simhash,
     sql_tokens,
 )
+from recommender_systems_spark.io import table_rows
 from recommender_systems_spark.registry import _t, register
 
 SIG_LEN = 16  # LSH_BANDS * LSH_ROWS
@@ -180,12 +181,12 @@ _SIMHASH_BANDS_SQL = sql_simhash_bands()
 # hs → sh → bands → pairs → near: shared between dedup_simhash (emits
 # the near-dup pairs) and dedup_clusters (builds components over them).
 _SIMHASH_CTES = f"""
-    hs AS (
+    hs AS MATERIALIZED (
         SELECT doc_id,
                {sql_shingle_hashes(sql_char_ngrams('text'))} AS hs
         FROM documents
     ),
-    sh AS (SELECT doc_id, {sql_simhash('hs')} AS sim FROM hs),
+    sh AS MATERIALIZED (SELECT doc_id, {sql_simhash('hs')} AS sim FROM hs),
     bands AS ({_SIMHASH_BANDS_SQL}),
     pairs AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -228,7 +229,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     band form at every n ≤ 100k. The Hamming filter runs BEFORE the
     pair distinct so the dedup shuffle carries only true near-dups."""
     src = _t(spark, sf_dir, "documents")
-    n_tab = simhash_n_tables(src.count())
+    n_tab = simhash_n_tables(table_rows(sf_dir, "documents"))
     docs = (
         src
         .select("doc_id", "text")

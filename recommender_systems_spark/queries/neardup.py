@@ -30,6 +30,7 @@ from recommender_systems_spark.dedup.minhash import (
     sql_tokens,
 )
 from recommender_systems_spark.functions.vector import dot_product
+from recommender_systems_spark.io import table_rows
 from recommender_systems_spark.registry import _t, register
 from recommender_systems_spark.similarity.ann import (
     adaptive_bits,
@@ -238,7 +239,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from recommender_systems_spark.functions.vector import l2_norm
 
     src = _t(spark, sf_dir, "embeddings")
-    n_vec = src.count()  # metadata-cheap scalar job
+    n_vec = table_rows(sf_dir, "embeddings")  # footer metadata, no Spark job
     bits = adaptive_bits(n_vec)
     e = (
         src
@@ -375,7 +376,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nrm", l2_norm("v"))
         .localCheckpoint()  # consumed by centroid scan + assignment + pair join
     )
-    n_vecs = e.count()  # e is checkpointed — metadata-cheap
+    n_vecs = table_rows(sf_dir, "embeddings")  # 1:1 with e; footer metadata
     # isqrt(n-1)+1 == DuckDB's ceil(sqrt(n)) exactly for n <= 2^52
     # (~4.5e15 vectors; first divergence at 2^52+1) — pinned by
     # tests/test_new_ops.py::test_ceil_sqrt_isqrt_agreement.
@@ -556,7 +557,7 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from recommender_systems_spark.functions.vector import l2_norm
 
     src = _t(spark, sf_dir, "embeddings")
-    n_vec = src.count()
+    n_vec = table_rows(sf_dir, "embeddings")
     e = (
         src
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))

@@ -20,6 +20,7 @@ from recommender_systems_spark.functions.vector import (
     dot_product,
 )
 from recommender_systems_spark.queries._shared import u01_col, u01_sql
+from recommender_systems_spark.io import table_rows
 from recommender_systems_spark.registry import _t, register
 from recommender_systems_spark.similarity.ann import (
     adaptive_bits,
@@ -133,7 +134,9 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _t(spark, sf_dir, "embeddings")
     e = src.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("keys", bucket_keys("v", adaptive_bits(src.count())))
+    ).withColumn(
+        "keys", bucket_keys("v", adaptive_bits(table_rows(sf_dir, "embeddings")))
+    )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("v").alias("qv"),
@@ -393,7 +396,7 @@ def sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     T×|catalog| small rows; skew (dense bucket) handled by AQE; recall
     tuned by N_PLANES/N_TABLES without changing the plan shape."""
     src = _t(spark, sf_dir, "embeddings")
-    n_vec = src.count()
+    n_vec = table_rows(sf_dir, "embeddings")
     e = (
         src
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))

@@ -43,10 +43,24 @@ EMBEDDING_DIM = 64
 # with n ≤ TARGET_BUCKET·2^b, keeping mean occupancy ≈ TARGET_BUCKET
 # and candidate volume linear. The ladder is pure integer compares —
 # both engines pick the identical width (no float log2 at the
-# boundary). Recall per pair drops as p^b; N_TABLES stays the recall
-# knob (raise it when widening — plan shape unchanged).
+# boundary). Recall per pair drops as p^b; the TABLE count rises on
+# the same ladder to hold it (below) — the standard n^ρ trade.
 MAX_PLANES = 14
 TARGET_BUCKET = 32
+
+# Recall ladder: widening b drops per-table pair collision to p^b, so
+# a FIXED T=8 would let recall 1−(1−p^b)^T collapse as the corpus
+# grows (0.90 → 0.28 at the design similarity between b=6 and b=14).
+# T therefore rises with b to hold per-pair recall at the design
+# point s* = 0.8 (p* = 1 − arccos(0.8)/π ≈ 0.79517): T(b) =
+# ceil(8 · (1/p*)^(b−6)), frozen here as integer literals so neither
+# engine does float math. Both engines read THIS dict (the oracle's
+# CASE ladder is generated from it), and b=6 keeps the historical 8
+# tables, so every output at sf ≤ 0.1 is unchanged. Cost: candidate
+# volume grows ~T/8 at the widest rungs — linear in the corpus by
+# the occupancy bound, which is the point.
+N_TABLES_BY_BITS = {6: 8, 7: 11, 8: 13, 9: 16, 10: 21, 11: 26, 12: 32, 13: 40, 14: 51}
+MAX_TABLES = N_TABLES_BY_BITS[MAX_PLANES]
 
 # One independent Rademacher plane set per table, drawn at full width;
 # the LCG streams planes sequentially, so planes[:N_PLANES] are
@@ -54,7 +68,7 @@ TARGET_BUCKET = 32
 # bucket (all SFs ≤ 0.1) is unchanged.
 PLANE_TABLES: list[list[list[float]]] = [
     hyperplanes(MAX_PLANES, EMBEDDING_DIM, seed=7 + 101 * t)
-    for t in range(N_TABLES)
+    for t in range(MAX_TABLES)
 ]
 
 
@@ -109,16 +123,18 @@ def hyperplane_bucket(vec: str) -> Column:
 
 
 def bucket_keys(vec: str, bits: int = N_PLANES) -> Column:
-    """array<int> of N_TABLES packed keys: (t << MAX_PLANES) | bucket_t.
-    Explode to key rows for the candidate equi-join; ``arrays_overlap``
-    of two vectors' keys = "collide in at least one table". ``vec`` is
-    a column name (see hyperplane_bucket). ``bits`` is the signature
-    width (``adaptive_bits(corpus_rows)`` for the scale-safe form);
-    the Spark side slices the plane list, which equals the oracle's
-    full-signature ``% 2^bits`` because bit j carries weight 2^j."""
+    """array<int> of N_TABLES_BY_BITS[bits] packed keys:
+    (t << MAX_PLANES) | bucket_t. Explode to key rows for the candidate
+    equi-join; ``arrays_overlap`` of two vectors' keys = "collide in at
+    least one table". ``vec`` is a column name (see hyperplane_bucket).
+    ``bits`` is the signature width (``adaptive_bits(corpus_rows)`` for
+    the scale-safe form); the Spark side slices the plane list, which
+    equals the oracle's full-signature ``% 2^bits`` because bit j
+    carries weight 2^j. The table count rides the same ladder
+    (``N_TABLES_BY_BITS``) so per-pair recall holds as b widens."""
     keys = ", ".join(
         f"({_spark_bucket_sql(vec, planes[:bits])} + {t << MAX_PLANES})"
-        for t, planes in enumerate(PLANE_TABLES)
+        for t, planes in enumerate(PLANE_TABLES[: N_TABLES_BY_BITS[bits]])
     )
     return F.expr(f"array({keys})")
 
@@ -137,21 +153,34 @@ def sql_hyperplane_bucket(vec_expr: str) -> str:
     return _sql_bucket(vec_expr, PLANE_TABLES[0][:N_PLANES])
 
 
+def sql_n_tables(bits_expr: str) -> str:
+    """DuckDB twin of ``N_TABLES_BY_BITS[bits]`` — an integer CASE
+    ladder generated from the SAME dict the Spark side reads."""
+    arms = " ".join(
+        f"WHEN {b} THEN {t}" for b, t in sorted(N_TABLES_BY_BITS.items())
+    )
+    return f"(CASE ({bits_expr}) {arms} END)"
+
+
 def sql_bucket_keys(vec_expr: str, bits_expr: str | None = None) -> str:
     """DuckDB twin of ``bucket_keys`` — a list literal of packed keys.
     ``bits_expr`` is a SQL expression for the signature width (pass
     ``sql_adaptive_bits()`` for the scale-safe form); the full-width
     signature masked to its low ``bits`` bits equals the Spark side's
-    sliced-plane signature exactly."""
+    sliced-plane signature exactly. With ``bits_expr`` the full
+    MAX_TABLES key list is sliced to ``sql_n_tables(bits_expr)``
+    entries — the same table ladder the Spark side applies (gated-off
+    tables cost the oracle per-row evaluation only; results match the
+    sliced form exactly because keys are independent per table)."""
     if bits_expr is None:
         keys = ", ".join(
             f"({_sql_bucket(vec_expr, planes[:N_PLANES])} + {t << MAX_PLANES})"
-            for t, planes in enumerate(PLANE_TABLES)
+            for t, planes in enumerate(PLANE_TABLES[:N_TABLES])
         )
-    else:
-        keys = ", ".join(
-            f"(({_sql_bucket(vec_expr, planes)} % (1 << ({bits_expr}))) "
-            f"+ {t << MAX_PLANES})"
-            for t, planes in enumerate(PLANE_TABLES)
-        )
-    return f"[{keys}]"
+        return f"[{keys}]"
+    keys = ", ".join(
+        f"(({_sql_bucket(vec_expr, planes)} % (1 << ({bits_expr}))) "
+        f"+ {t << MAX_PLANES})"
+        for t, planes in enumerate(PLANE_TABLES)
+    )
+    return f"list_slice([{keys}], 1, {sql_n_tables(bits_expr)})"

@@ -2546,3 +2546,55 @@ def test_adaptive_lsh_bits_ladder_matches_sql():
     for t in range(N_TABLES):
         legacy = hyperplanes(N_PLANES, EMBEDDING_DIM, seed=7 + 101 * t)
         assert PLANE_TABLES[t][:N_PLANES] == legacy
+
+
+def test_lsh_table_ladder_matches_sql(spark):
+    """The table-count ladder (N_TABLES_BY_BITS) must agree between
+    engines at every rung: for each signature width b, Spark's
+    bucket_keys(v, b) and the oracle's sliced key list produce the
+    IDENTICAL key array — same length (T(b)) and same packed values —
+    on real embedding vectors. This is the recall knob that rides the
+    capacity ladder; a drifting T would silently change candidate
+    sets at exactly the corpus sizes no test covers."""
+    import duckdb
+
+    from recommender_systems_spark.io import table_rows
+    from recommender_systems_spark.similarity.ann import (
+        MAX_PLANES,
+        N_PLANES,
+        N_TABLES_BY_BITS,
+        bucket_keys,
+        sql_bucket_keys,
+        sql_n_tables,
+    )
+    from tests.conftest import SF_SMALL
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_SMALL}/embeddings.parquet'"
+    )
+    from recommender_systems_spark import registry
+
+    n_small = table_rows(SF_SMALL, "embeddings")
+    for bits in (N_PLANES, 9, MAX_PLANES):
+        want_t = N_TABLES_BY_BITS[bits]
+        rows = (
+            registry._t(spark, SF_SMALL, "embeddings")
+            .filter(F.col("vec_id") < 25)
+            .select(
+                "vec_id",
+                bucket_keys("CAST(embedding AS ARRAY<DOUBLE>)", bits).alias("keys"),
+            )
+            .collect()
+        )
+        spark_keys = {r.vec_id: list(r.keys) for r in rows}
+        assert all(len(k) == want_t for k in spark_keys.values())
+        oracle = con.execute(
+            "SELECT vec_id, "
+            + sql_bucket_keys("CAST(embedding AS DOUBLE[])", str(bits))
+            + " FROM embeddings WHERE vec_id < 25"
+        ).fetchall()
+        assert {vid: list(k) for vid, k in oracle} == spark_keys
+        (t_sql,) = con.execute(f"SELECT {sql_n_tables(str(bits))}").fetchone()
+        assert t_sql == want_t
+    assert n_small <= 32 << N_PLANES  # all test SFs sit on the b=6 rung

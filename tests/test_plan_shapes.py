@@ -783,3 +783,36 @@ def test_neighbor_sampling_bounded_fanout_broadcast_expansion(spark):
     assert _count(p, r"\bWindow\b") == 2
     assert _count(p, r"BroadcastHashJoin") >= 2
     assert _count(p, r"SortMergeJoin") == 0
+
+
+def test_lsh_ladder_no_eager_count_job(spark, monkeypatch):
+    """The adaptive-capacity ladders (hyperplane-LSH bits, SimHash
+    table count) must size themselves from parquet footer METADATA
+    (io.table_rows), not an eager per-query ``df.count()`` Spark job —
+    the r10 fixed-overhead regression. Building these plans with
+    DataFrame.count poisoned proves no count job fires at plan time
+    (localCheckpoint materialisation is allowed; count is not)."""
+    from pyspark.sql import DataFrame
+
+    def _boom(self):
+        raise AssertionError("eager DataFrame.count() during plan build")
+
+    monkeypatch.setattr(DataFrame, "count", _boom)
+    for name in (
+        "sim_ann_topk",
+        "sim_ann_recall",
+        "dedup_simhash",
+        "dedup_embedding_cosine",
+        "dedup_semantic",
+        "dedup_threshold_sweep",
+    ):
+        registry.QUERIES[name](spark, SF_SMALL)
+
+
+def test_table_rows_matches_spark_count(spark):
+    """Footer-metadata row counts agree with a real Spark count."""
+    from recommender_systems_spark.io import table_rows
+
+    for tab in ("embeddings", "documents"):
+        df = registry._t(spark, SF_SMALL, tab)
+        assert table_rows(SF_SMALL, tab) == df.count()

@@ -63,7 +63,9 @@ TOP = [
 ]
 
 
-def timed_median(spark, name: str, sf_dir: str, repeat: int) -> float:
+def timed_median(spark, name: str, sf_dir: str, repeat: int) -> tuple[float, int]:
+    """(median seconds, reps actually run). Single-rep cutoff samples
+    are tagged by the caller so slope fits can down-weight them."""
     cutoff = float(os.environ.get("SPARK_GRAFT_SLOW_CUTOFF", "300"))
     ts = []
     for rep in range(repeat):
@@ -80,7 +82,7 @@ def timed_median(spark, name: str, sf_dir: str, repeat: int) -> float:
         if rep == 0 and ts[0] > cutoff:
             break  # slow query: one rep bounds the slope well enough
     ts.sort()
-    return round(ts[len(ts) // 2], 3)
+    return round(ts[len(ts) // 2], 3), len(ts)
 
 
 def fit_exponent(points: dict[str, float]) -> float | None:
@@ -101,7 +103,11 @@ def fit_exponent(points: dict[str, float]) -> float | None:
 
 
 def main() -> None:
-    scales = os.environ.get("SPARK_GRAFT_SCALES", "sf0.1,sf1").split(",")
+    scales = [
+        s.strip()
+        for s in os.environ.get("SPARK_GRAFT_SCALES", "sf0.1,sf1").split(",")
+        if s.strip()
+    ]
     for s in scales:
         if s not in SCALE_DIRS:
             sys.exit(f"unknown scale {s!r} (choose from {list(SCALE_DIRS)})")
@@ -113,10 +119,16 @@ def main() -> None:
     registry.QUERIES["flagship_top_customers"](spark, SCALE_DIRS["sf0.1"]).collect()
     out = {}
     for name in names:
-        points = {s: timed_median(spark, name, SCALE_DIRS[s], repeat)
-                  for s in scales}
+        measured = {s: timed_median(spark, name, SCALE_DIRS[s], repeat)
+                    for s in scales}
+        points = {s: m[0] for s, m in measured.items()}
         base = points.get("sf0.1")
         rec = dict(points)
+        # Tag cutoff-truncated single-sample medians so downstream
+        # slope analysis can weight them (ADVICE r10).
+        short = {s: m[1] for s, m in measured.items() if m[1] < repeat}
+        if short:
+            rec["reps"] = short
         for s in scales:
             if s != "sf0.1" and base is not None:
                 # Guard the ratio: medians round to 3dp, so a

@@ -101,17 +101,21 @@ def main() -> None:
 
     # Regression gate: compare this run's per-query numbers against the
     # PRIOR BENCH_DETAIL.json (read before it is overwritten below) and
-    # flag every >1.5× slowdown, so each round's bench output carries
+    # flag every above-factor slowdown, so each round's bench output carries
     # its own regression list instead of leaving readers to diff files.
     # Same-sf comparisons only (totals across sf are meaningless), an
-    # absolute 0.2 s floor keeps sub-noise timings from flagging, and
-    # single-run (repeat=1) numbers flag at 2× — the measured noise
-    # envelope — rather than 1.5×.
+    # absolute 0.2 s floor keeps sub-noise timings from flagging.
+    # Flag factors: 1.3× for multi-rep medians, 1.6× for single-run
+    # numbers (their noise envelope is wider). The old 2.0× single-run
+    # gate let a warm-reproducing 1.2–1.4× family regression through
+    # unflagged in round 10; the warm re-adjudication pass below is
+    # what demotes noise now, so the entry gate can afford to be
+    # tight — a flag only survives if it REPRODUCES warm.
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     regressions: dict[str, list[float]] = {}
-    factor = 1.5 if repeat > 1 else 2.0
+    factor = 1.3 if repeat > 1 else 1.6
     # Self-adjudicating noise floor: the ratio of this run's total to
     # the prior total over the COMMON query set measures global heat
     # (GC pressure, OS cache, co-tenant load). A 1.2×-hot run inflates

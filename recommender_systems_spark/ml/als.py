@@ -113,8 +113,15 @@ def _solve_bucket(
     pull_rows = pdf[kind == 2]
     pull_map = dict(zip(pull_rows["id"].to_numpy(), pull_rows["of"].to_numpy()))
     if len(data) == 0:
-        return pd.DataFrame({"id": [], "features": [], "bias": []}).astype(
-            {"id": "int64", "bias": "float64"}
+        # features must be object-dtyped: an empty float64 column is
+        # not Arrow-convertible to list<double> (hit when a bucket
+        # holds only __k=2 pull rows — e.g. unrated genre items).
+        return pd.DataFrame(
+            {
+                "id": pd.Series([], dtype="int64"),
+                "features": pd.Series([], dtype=object),
+                "bias": pd.Series([], dtype="float64"),
+            }
         )
     v_all = np.stack(data["of"].to_numpy())
     r_all = data["rating"].to_numpy(dtype=np.float64)

@@ -92,16 +92,15 @@ def genre_weight_grid(
     Item-set semantics (pinned by test_genre_stats_unrated_item): B/C
     cover the FULL genre table, matching the reference's F-update
     denominator (incl_genre.py:202-212 iterates genre_dict — every
-    genre movie, rated or not). A genre item with no factor row (never
-    rated) therefore contributes its 1/|g_n| weight to B/C but nothing
-    to A (``genre_a_stats`` inner-joins factors) — missing factor rows
-    act as zero vectors in the A numerator. NOTE: this is a DOCUMENTED
-    DEVIATION from the reference, which random-initialises V for ALL
-    movies (incl_genre.py:95-105) so unrated genre items contribute
-    non-zero vectors to its A-term; only the B/C denominator semantics
-    match exactly. ``train_als_genre`` builds factors from rated items
-    only, so when unrated genre items exist its A genuinely differs
-    from the reference's until those items acquire ratings. Callers
+    genre movie, rated or not). At THIS level a genre item with no factor
+    row contributes its 1/|g_n| weight to B/C but nothing to A
+    (``genre_a_stats`` inner-joins factors — missing rows act as zero
+    vectors in the A numerator). ``train_als_genre`` closes the gap
+    with the reference (which carries V rows for every genre item,
+    incl_genre.py:95-105, so each contributes a vector to its A-term)
+    by unioning every unrated genre item's closed-form zero-ratings
+    solve v = Σ_g F[g]/√|g| into the A-stats input per sweep
+    (see the ``unrated`` frame there). Callers
     wanting rated-only B/C must semi-join ``genres`` on the rated-item
     ids BEFORE calling."""
     pairs = genres.select(
@@ -236,6 +235,23 @@ def train_als_genre(
     # distributed pass per RUN; the per-sweep stats job shrinks to the
     # single-explode A pass (genre_a_stats).
     b_vec, c_mat = genre_weight_grid(genres, n_genres)
+    # Unrated genre items: the reference carries V rows for EVERY item
+    # in the genre table (incl_genre.py:95-105), so its F-update's A
+    # numerator reads a vector for each of them. An item with no
+    # ratings has an empty ratings term, so its solve collapses to the
+    # closed form (τ·I)·v = pull  ⇒  v = Σ_g F[g]/√|g| — a pure
+    # function of the current feature matrix, recomputed per sweep
+    # below and unioned into the A-stats input (never into the user
+    # sweep or RMSE, which only ever touch rated pairs). Empty when
+    # every genre item is rated — then this run is bit-identical to
+    # the rated-only form.
+    unrated = (
+        genres.select(F.col("item").cast("long").alias("id"))
+        .join(
+            r.select(F.col("i").alias("id")).distinct(), "id", "left_anti"
+        )
+        .localCheckpoint(eager=False)
+    )
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -255,7 +271,15 @@ def train_als_genre(
                 r, "i", "u", "r", v_f, new_u, lmd, tau, alpha, rank, rhs_pull=pull
             ).localCheckpoint()
             u_f, v_f = new_u, new_v
-            a_mat = genre_a_stats(v_f, genres, n_genres, rank)
+            # pull carries τ/√|g|·Σ F — divide by τ for the
+            # zero-ratings item solve (see `unrated` above).
+            a_src = v_f.select("id", "features").unionByName(
+                pull.join(unrated, "id", "left_semi").select(
+                    "id",
+                    F.transform("pull", lambda x: x / tau).alias("features"),
+                )
+            )
+            a_mat = genre_a_stats(a_src, genres, n_genres, rank)
             f_state = update_genre_features(f_state, a_mat, b_vec, c_mat, tau, beta)
             if rmse_every_iter or it == max_iter - 1:
                 rmse_futures.append(

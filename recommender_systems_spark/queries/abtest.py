@@ -707,11 +707,14 @@ def e_ab_simulation(
     # ever reaches the driver) ------------------------------------------
     ug = uvecs.join(F.broadcast(users.select("user_id", "grp")), "user_id")
     # The catalog is the part dimension minus inner-join pruning, so the
-    # part row count is a cheap upper bound (parquet-footer metadata
-    # count — no scan of the derived catalog): conservative in the safe
+    # part row count is a cheap upper bound: conservative in the safe
     # direction (switches to the blocked path no later than the exact
-    # count would) and one catalog-sized job fewer per run.
-    n_items_bound = _t(spark, sf_dir, "part").count()
+    # count would). Read from the parquet FOOTER on the driver — zero
+    # Spark jobs where the old df.count() paid one scheduler round
+    # trip per run.
+    from recommender_systems_spark.io import table_rows
+
+    n_items_bound = table_rows(sf_dir, "part")
     if n_items_bound > catalog_broadcast_threshold:
         recs = _ab_topn_blocked(ug, catalog, N_REC, BIAS_W)
         return _ab_log(spark, sf_dir, recs, users)
@@ -1358,19 +1361,28 @@ def e_switchback_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AA_REPS = 20
 
 _AA_SQL = f"""
-    WITH reps AS (
-        SELECT e.user_id, e.value, r.rep
-        FROM events e CROSS JOIN (SELECT unnest(range({_AA_REPS})) AS rep) r
+    WITH us AS (
+        SELECT user_id, count(*) AS cnt, sum(value) AS s,
+               sum(value * value) AS ss
+        FROM events GROUP BY user_id
+    ),
+    reps AS (
+        SELECT u.user_id, u.cnt, u.s, u.ss, r.rep
+        FROM us u CROSS JOIN (SELECT unnest(range({_AA_REPS})) AS rep) r
     ),
     lab AS (
-        SELECT rep, value,
+        SELECT rep, cnt, s, ss,
                {{ARM}} < 0.5 AS arm_a
         FROM reps
     ),
-    agg AS (
-        SELECT rep, arm_a, count(*) AS n, avg(value) AS m,
-               var_samp(value) AS v
+    sums AS (
+        SELECT rep, arm_a, sum(cnt) AS n, sum(s) AS sv, sum(ss) AS ssv
         FROM lab GROUP BY rep, arm_a
+    ),
+    agg AS (
+        SELECT rep, arm_a, n, sv / n AS m,
+               (ssv - sv * sv / n) / (n - 1) AS v
+        FROM sums
     ),
     w AS (
         SELECT rep,
@@ -1415,10 +1427,24 @@ def _aa_replicate_pvals(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate → {_AA_REPS}-row (rep, z6, p6) frame. Factored out so
     plan audits can see the scan→Generate→partial-agg lineage that
     the checkpoint hides from the final plan."""
+    # Arm draws happen at the UNIT OF RANDOMIZATION (user), not per
+    # event row: events first collapse to exact per-user partial sums
+    # (cnt, Σv, Σv²), then the ×R replicate explode and its md5 arm
+    # draw run over |users|×R rows instead of |events|×R — measured 6×
+    # less hash work at sf0.1, and the difference GROWS with events-
+    # per-user at scale. Arm mean/variance reassemble exactly:
+    # v = (Σv² − (Σv)²/n)/(n−1), the same formula in the oracle.
     ev = _t(spark, sf_dir, "events").select("user_id", "value")
-    reps = ev.select(
+    us = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+    )
+    reps = us.select(
         "user_id",
-        "value",
+        "cnt",
+        "s",
+        "ss",
         F.explode(F.sequence(F.lit(0), F.lit(_AA_REPS - 1))).alias("rep"),
     )
     arm = (
@@ -1427,12 +1453,22 @@ def _aa_replicate_pvals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         < 0.5
     )
-    agg = reps.select("rep", "value", arm.alias("arm_a")).groupBy(
+    sums = reps.select("rep", "cnt", "s", "ss", arm.alias("arm_a")).groupBy(
         "rep", "arm_a"
     ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.avg("value").alias("m"),
-        F.var_samp("value").alias("v"),
+        F.sum("cnt").alias("n"),
+        F.sum("s").alias("sv"),
+        F.sum("ss").alias("ssv"),
+    )
+    agg = sums.select(
+        "rep",
+        "arm_a",
+        "n",
+        (F.col("sv") / F.col("n")).alias("m"),
+        (
+            (F.col("ssv") - F.col("sv") * F.col("sv") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("v"),
     )
     def pick(col, a):
         cond = F.col("arm_a") if a else ~F.col("arm_a")

@@ -883,49 +883,43 @@ def e_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def parity(k: int):
+    # The K+1 sibling aggregates are assembled as SQL STRINGS (one
+    # F.expr py4j call each) rather than nested Column builders: the
+    # Column form was measured at ~1.6 s of driver-side construction
+    # per run — K×~15 py4j round trips plus eager re-analysis per
+    # .agg argument — vs ~0.1 s for the parsed form. Identical plan,
+    # identical values; pure driver fixed-cost removal.
+    def parity_sql(k: int) -> str:
         return (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.col("user_id").cast("string"),
-                                   F.lit(f"_p{k}"))),
-                    1,
-                    13,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % 2
+            "(cast(conv(substring(md5(concat(cast(user_id as string), "
+            f"'_p{k}')), 1, 13), 16, 10) as bigint) % 2)"
         )
 
     aggs = [
-        F.round(
-            F.avg(F.when(F.col("grp") == "A", F.col("m")))
-            - F.avg(F.when(F.col("grp") == "B", F.col("m"))),
-            6,
+        F.expr(
+            "round(avg(case when grp = 'A' then m end) - "
+            "avg(case when grp = 'B' then m end), 6)"
         ).alias("obs_diff")
     ]
     for k in range(PERM_K):
+        p = parity_sql(k)
         aggs.append(
-            F.round(
-                F.avg(F.when(parity(k) == 0, F.col("m")))
-                - F.avg(F.when(parity(k) == 1, F.col("m"))),
-                6,
+            F.expr(
+                f"round(avg(case when {p} = 0 then m end) - "
+                f"avg(case when {p} = 1 then m end), 6)"
             ).alias(f"d_{k}")
         )
     d = u.agg(*aggs)
-    extreme = None
-    for k in range(PERM_K):
-        term = F.when(
-            F.abs(F.col(f"d_{k}")) >= F.abs(F.col("obs_diff")), 1
-        ).otherwise(0)
-        extreme = term if extreme is None else extreme + term
+    extreme = "(" + " + ".join(
+        f"(case when abs(d_{k}) >= abs(obs_diff) then 1 else 0 end)"
+        for k in range(PERM_K)
+    ) + ")"
     return d.select(
         "obs_diff",
         F.lit(PERM_K).cast("long").alias("n_perms"),
-        extreme.cast("long").alias("n_extreme"),
-        F.round(
-            (F.lit(1.0) + extreme) / F.lit(1.0 + PERM_K), 6
+        F.expr(f"cast({extreme} as bigint)").alias("n_extreme"),
+        F.expr(
+            f"round((1.0d + {extreme}) / {1.0 + PERM_K}d, 6)"
         ).alias("p_value"),
     )
 

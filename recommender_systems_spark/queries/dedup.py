@@ -15,6 +15,8 @@ hot buckets (identical boilerplate docs) via skew-join splitting.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -38,11 +40,17 @@ from recommender_systems_spark.dedup.minhash import (
     sql_simhash,
     sql_tokens,
 )
-from recommender_systems_spark.io import table_rows
+from recommender_systems_spark.io import cache_path, table_rows
 from recommender_systems_spark.registry import _t, register
 
 SIG_LEN = 16  # LSH_BANDS * LSH_ROWS
 SIMHASH_MAX_HAMMING = 1
+# Documents past this count switch the connected-components loop from
+# in-memory localCheckpoint rounds to on-disk parquet rounds (the
+# reliable-checkpoint analogue; see dedup_clusters). sf10's 500k-doc
+# corpus OOMed an 80 g heap on accumulated round blocks; sf ≤ 1 stays
+# on the fast in-memory path.
+CC_RELIABLE_ROWS = 100_000
 
 # ---------------------------------------------------------------------------
 # MinHash-LSH near-dup: shingle → sign → band → bucket join → verify
@@ -316,6 +324,20 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference tie-in: this is A7's dedup generalised from exact-equality
     keys to a similarity graph (SURVEY §2.4)."""
+    # Storage policy (the sf10 OOM lesson, PLANS.md round-10 addendum):
+    # per-round localCheckpoint blocks pile up in the block manager —
+    # round N's blocks are garbage once round N+1 is materialised, but
+    # nothing reclaims them, and at 100× data the accumulated rounds
+    # OOMed an 80 g heap. Past ``CC_RELIABLE_ROWS`` documents the loop
+    # therefore materialises each round (and the edge list) to PARQUET
+    # under the cache dir, deleting round N−1's directory as soon as
+    # round N is on disk — bounded storage, identical values, and the
+    # direct analogue of reliable ``checkpoint()`` to HDFS/object
+    # storage on a cluster. Small corpora keep the in-memory path.
+    big = (
+        table_rows(sf_dir, "documents") > CC_RELIABLE_ROWS
+        or os.environ.get("SPARK_GRAFT_CC_RELIABLE") == "1"
+    )
     # Lazy checkpoints: near/edges/labels materialise inside round 1's
     # single action instead of paying three up-front jobs; each still
     # computes exactly once (the checkpoint) even though edges reads
@@ -325,18 +347,23 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=False)
     )
-    edges = (
-        near.union(near.select("doc_b", "doc_a"))
-        .toDF("src", "dst")
-        .localCheckpoint(eager=False)
-    )
+    edges = near.union(near.select("doc_b", "doc_a")).toDF("src", "dst")
+    if big:
+        edges_dir = cache_path("cc_edges", sf_dir, "documents")
+        edges.write.mode("overwrite").parquet(edges_dir)
+        edges = spark.read.parquet(edges_dir)
+    else:
+        edges = edges.localCheckpoint(eager=False)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=False)
     )
-    for _ in range(CLUSTER_MAX_ITER):
+    if not big:
+        # Big path: labels re-derive from the on-disk edge list (one
+        # distinct, round 1 only) — no block-manager residency.
+        labels = labels.localCheckpoint(eager=False)
+    for rnd in range(CLUSTER_MAX_ITER):
         neigh = (
             edges.join(labels.withColumnRenamed("id", "dst"), "dst")
             .groupBy("src")
@@ -376,15 +403,25 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n.__old").alias("__old"),
                 )
             )
-        # Lazy checkpoint + count = ONE action per round: the count
-        # triggers the checkpoint's materialisation, and the next
-        # round's lineage starts from the stored blocks.
         stepped = cur.select(
             "id",
             "label",
             (F.col("label") != F.col("__old")).alias("__moved"),
-        ).localCheckpoint(eager=False)
-        changed = stepped.filter(F.col("__moved")).count()
+        )
+        if big:
+            # Reliable round store: two alternating directories — round
+            # N overwrites round N−2's dir while reading round N−1's,
+            # so on-disk state never exceeds two rounds.
+            rnd_dir = cache_path(f"cc_round{rnd % 2}", sf_dir, "documents")
+            stepped.write.mode("overwrite").parquet(rnd_dir)
+            stepped = spark.read.parquet(rnd_dir)
+            changed = stepped.filter(F.col("__moved")).count()
+        else:
+            # Lazy checkpoint + count = ONE action per round: the count
+            # triggers the checkpoint's materialisation, and the next
+            # round's lineage starts from the stored blocks.
+            stepped = stepped.localCheckpoint(eager=False)
+            changed = stepped.filter(F.col("__moved")).count()
         labels = stepped.drop("__moved")
         if changed == 0:
             break

@@ -111,3 +111,61 @@ def test_genre_stats_unrated_item(spark):
     # B/C: item 9 contributes 1/2 to both its genres and their cross.
     np.testing.assert_allclose(b, [1.0 + 0.5, 0.5], atol=1e-12)
     assert c[0, 1] == 0.5 and c[1, 0] == 0.5
+
+
+def test_genre_train_unrated_item_feeds_a_term(spark):
+    """train_als_genre closes the reference gap for UNRATED genre
+    items (incl_genre.py:95-105 carries V rows for every genre item):
+    each sweep's A-stats input must contain the unrated item's
+    closed-form zero-ratings solve v = Σ_g F[g]/√|g|. Captures the
+    frame passed to genre_a_stats and checks the unrated row appears
+    with exactly that value once the feature matrix is non-zero."""
+    from unittest import mock
+
+    from recommender_systems_spark.ml import genre_als
+
+    r = spark.createDataFrame(
+        [(0, 1, 4.0), (1, 1, 2.0), (0, 2, 3.0), (1, 2, 5.0)],
+        "u long, i long, r double",
+    )
+    genres = spark.createDataFrame(
+        # item 9 carries genres {0, 1} but is never rated.
+        [(1, [0], 1), (2, [1], 1), (9, [0, 1], 2)],
+        "item long, genre_values array<int>, genre_count int",
+    )
+    seen = []
+    real = genre_als.genre_a_stats
+
+    def spy(item_factors, g, n_genres, rank):
+        seen.append({row["id"]: list(row["features"])
+                     for row in item_factors.collect()})
+        return real(item_factors, g, n_genres, rank)
+
+    with mock.patch.object(genre_als, "genre_a_stats", side_effect=spy):
+        _, f_state = genre_als.train_als_genre(
+            r, genres, "u", "i", "r", n_genres=2, rank=3, max_iter=2,
+            seed=3, rmse_every_iter=False,
+        )
+    assert len(seen) == 2
+    # Iteration 1: F starts at zeros, so the unrated solve is the zero
+    # vector — present, contributing nothing (matches the old rated-
+    # only A exactly).
+    assert seen[0][9] == [0.0, 0.0, 0.0]
+    # Iteration 2: F is non-zero; the unrated row must equal
+    # (f_0 + f_1)/sqrt(2) computed from the feature state the sweep
+    # read (reconstruct it from iteration 1's A-stats input).
+    a1 = real(
+        spark.createDataFrame(
+            [(i, v) for i, v in seen[0].items()],
+            "id long, features array<double>",
+        ),
+        genres, 2, 3,
+    )
+    b_vec, c_mat = genre_als.genre_weight_grid(genres, 2)
+    f1 = genre_als.update_genre_features(
+        np.zeros((2, 3)), a1, b_vec, c_mat,
+        genre_als.DEFAULT_TAU, genre_als.DEFAULT_BETA,
+    )
+    expect = (f1[0] + f1[1]) / np.sqrt(2.0)
+    np.testing.assert_allclose(seen[1][9], expect, rtol=1e-9)
+    assert np.isfinite(f_state).all()

@@ -816,3 +816,27 @@ def test_table_rows_matches_spark_count(spark):
     for tab in ("embeddings", "documents"):
         df = registry._t(spark, SF_SMALL, tab)
         assert table_rows(SF_SMALL, tab) == df.count()
+
+
+def test_cc_reliable_rounds_match_inmemory(spark, monkeypatch):
+    """The connected-components loop's two storage policies — in-memory
+    localCheckpoint rounds (small corpora) and on-disk parquet rounds
+    (the reliable-checkpoint analogue past CC_RELIABLE_ROWS; sf10's
+    accumulated round blocks OOMed an 80 g heap) — must produce
+    identical cluster assignments."""
+    from recommender_systems_spark.queries import dedup as dd
+
+    base = {
+        tuple(r)
+        for r in dd.dedup_clusters(spark, SF_SMALL)
+        .select("doc_id", "cluster_id", "cluster_size")
+        .collect()
+    }
+    monkeypatch.setattr(dd, "CC_RELIABLE_ROWS", 0)
+    reliable = {
+        tuple(r)
+        for r in dd.dedup_clusters(spark, SF_SMALL)
+        .select("doc_id", "cluster_id", "cluster_size")
+        .collect()
+    }
+    assert base == reliable and len(base) > 0

@@ -338,21 +338,27 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         table_rows(sf_dir, "documents") > CC_RELIABLE_ROWS
         or os.environ.get("SPARK_GRAFT_CC_RELIABLE") == "1"
     )
-    # Lazy checkpoints: near/edges/labels materialise inside round 1's
-    # single action instead of paying three up-front jobs; each still
-    # computes exactly once (the checkpoint) even though edges reads
-    # near twice.
-    near = (
-        dedup_simhash(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)
-    )
+    # The near-pair list is the persisted OUTPUT of the detection
+    # stage (deterministic in the corpus): clustering consumes the
+    # table, it does not re-run detection — so it goes to parquet once
+    # per data identity and the symmetric edge view derives from the
+    # DISK copy at every scale. This also removes the concurrent
+    # first-computation race a lazy near-checkpoint had at sf10 (two
+    # union branches over the same un-materialised RDD inside one
+    # write job — "Block rdd_N does not exist" under memory pressure),
+    # and cuts the simhash kernel + band join prefix from every
+    # clusters/canonical-keep run.
+    near_dir = cache_path("cc_near", sf_dir, "documents")
+    if not os.path.isdir(near_dir):
+        (
+            dedup_simhash(spark, sf_dir)
+            .select("doc_a", "doc_b")
+            .write.mode("overwrite")
+            .parquet(near_dir)
+        )
+    near = spark.read.parquet(near_dir)
     edges = near.union(near.select("doc_b", "doc_a")).toDF("src", "dst")
-    if big:
-        edges_dir = cache_path("cc_edges", sf_dir, "documents")
-        edges.write.mode("overwrite").parquet(edges_dir)
-        edges = spark.read.parquet(edges_dir)
-    else:
+    if not big:
         edges = edges.localCheckpoint(eager=False)
     labels = (
         edges.select(F.col("src").alias("id"))

@@ -2598,3 +2598,54 @@ def test_lsh_table_ladder_matches_sql(spark):
         (t_sql,) = con.execute(f"SELECT {sql_n_tables(str(bits))}").fetchone()
         assert t_sql == want_t
     assert n_small <= 32 << N_PLANES  # all test SFs sit on the b=6 rung
+
+
+def test_ivf_adaptive_k_ladder_matches_sql(spark):
+    """Python and DuckDB IVF codebook-count ladders agree at every
+    boundary (n = 6400·4^j ± 1), the bottom rung covers all test SFs
+    (so sim_ivf_adaptive == sim_ivf_topk there), and the top is
+    capped."""
+    import duckdb
+
+    from recommender_systems_spark.io import table_rows
+    from recommender_systems_spark.queries.similarity import (
+        _IVF_CELL_BASE,
+        _IVF_MAX_DOUBLINGS,
+        N_CENTROIDS,
+        ivf_adaptive_k,
+        sql_ivf_adaptive_k,
+    )
+    from tests.conftest import SF_SMALL
+
+    con = duckdb.connect()
+
+    def db_k(n: int) -> int:
+        # Substitute the corpus count as a literal: materialising
+        # range(n) for the top rungs (n up to ~1.7e12) would make
+        # DuckDB actually count a trillion rows.
+        expr = sql_ivf_adaptive_k().replace(
+            "count(*) AS n FROM embeddings", f"CAST({n} AS BIGINT) AS n"
+        )
+        (v,) = con.execute(f"SELECT {expr}").fetchone()
+        return v
+
+    ns = [0, 1, 10**12]
+    for j in range(_IVF_MAX_DOUBLINGS):
+        edge = _IVF_CELL_BASE * (4 ** j)
+        ns += [edge - 1, edge, edge + 1]
+    for n in ns:
+        assert ivf_adaptive_k(n) == db_k(n), f"n={n}"
+    assert ivf_adaptive_k(0) == N_CENTROIDS
+    assert ivf_adaptive_k(10**12) == N_CENTROIDS << _IVF_MAX_DOUBLINGS
+    assert table_rows(SF_SMALL, "embeddings") <= _IVF_CELL_BASE
+
+
+def test_ivf_adaptive_equals_fixed_at_test_sf(spark):
+    """At the bottom rung the adaptive variant is value-identical to
+    the fixed-K query."""
+    from recommender_systems_spark import registry
+    from tests.conftest import SF_SMALL
+
+    a = {tuple(r) for r in registry.QUERIES["sim_ivf_adaptive"](spark, SF_SMALL).collect()}
+    b = {tuple(r) for r in registry.QUERIES["sim_ivf_topk"](spark, SF_SMALL).collect()}
+    assert a == b and len(a) > 0

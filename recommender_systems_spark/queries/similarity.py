@@ -229,6 +229,10 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         _t(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        # Spread the N×K assignment across every core: the raw file
+        # split count (2 at sf1, 13 at sf10) under-parallelises the
+        # widest stage — measured 24.6 s → ~3 s at sf1.
+        .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint()  # consumers: codebook, assignment, queries, re-rank
     )
     cents = _codebook(e).select(
@@ -372,6 +376,10 @@ def sim_ivf_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         _t(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        # Spread the N×K assignment across every core: the raw file
+        # split count (13 at sf10) under-parallelises the widest stage
+        # of this query by 2.5× on local[32].
+        .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint()  # consumers: codebook, assignment, queries, re-rank
     )
     cents = (
@@ -379,14 +387,25 @@ def sim_ivf_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(k)
         .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
     )
-    w_asg = Window.partitionBy("vec_id").orderBy(
-        F.round(cosine_similarity("v", "cv"), 5).desc(), F.col("cid")
-    )
+    # Assignment as a map-side-combined argmax (max_by over
+    # (cos₅, −cid) — identical tie-break to the fixed-K window form:
+    # highest cosine, then LOWEST cid): with K on the √n ladder the
+    # N×K cross product is too wide to SORT per vec_id (a row_number
+    # window at sf10 pushes 64 M vector-carrying rows through one
+    # sort); the hash aggregate reduces each partition locally to one
+    # row per vector and shuffles only (vec_id, cell) pairs.
     cells = (
         e.crossJoin(F.broadcast(cents))
-        .withColumn("rnk", F.row_number().over(w_asg))
-        .filter(F.col("rnk") == 1)
-        .select("vec_id", F.col("cid").alias("cell"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cid",
+                F.struct(
+                    F.round(cosine_similarity("v", "cv"), 5).alias("c"),
+                    (-F.col("cid")).alias("t"),
+                ),
+            ).alias("cell")
+        )
     )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
@@ -479,6 +498,9 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         _t(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        # File-split count under-parallelises the N×K assignment at
+        # sf ≥ 1 (see sim_ivf_topk) — spread it across every core.
+        .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint()
     )
     cents = _codebook(e).select(
@@ -2304,6 +2326,7 @@ def v_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
         )
+        .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint()  # consumers: codebook + assignment
     )
     cents = _codebook(e).select(
@@ -2578,6 +2601,9 @@ def v_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         _t(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        # File-split count under-parallelises the N×K assignment at
+        # sf ≥ 1 (see sim_ivf_topk) — spread it across every core.
+        .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint()
     )
     cents = _codebook(e).select(
@@ -3059,6 +3085,9 @@ def v_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         _t(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        # File-split count under-parallelises the N×K assignment at
+        # sf ≥ 1 (see sim_ivf_topk) — spread it across every core.
+        .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint()
     )
     cents = _codebook(e).select(

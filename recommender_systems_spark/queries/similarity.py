@@ -132,10 +132,17 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos ≈ 0.4 — the adversarial case for sign LSH; clustered real
     corpora collide far more often at the same configuration.)"""
     src = _t(spark, sf_dir, "embeddings")
-    e = src.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn(
-        "keys", bucket_keys("v", adaptive_bits(table_rows(sf_dir, "embeddings")))
+    e = (
+        src.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        # The exact-ranking stage maps a cosine over corpus × queries;
+        # raw file splits (13 at sf10) starve it on local[32].
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn(
+            "keys",
+            bucket_keys("v", adaptive_bits(table_rows(sf_dir, "embeddings"))),
+        )
     )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"),
@@ -1960,8 +1967,12 @@ def _pq_frames(
     """(e, codebook, best) — the product-quantization building blocks
     shared by ``v_pq_codes`` and ``v_ivf_pq_search``; mirrors _PQ_CTES
     exactly."""
-    e = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        # File-split count under-parallelises the N×M×K subspace
+        # distance stage at sf ≥ 1 (see sim_ivf_topk).
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     wcb = Window.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
     codebook = (

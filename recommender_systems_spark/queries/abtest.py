@@ -141,19 +141,31 @@ def e_ab_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    # The four statistics are independent jobs over the same checkpointed
-    # frame — submit them concurrently (Spark's scheduler interleaves
-    # them across the executor pool; wall-clock = slowest job, not sum).
-    from concurrent.futures import ThreadPoolExecutor
+    # The four statistics are independent subtrees over the same
+    # checkpointed frame — fused into ONE action via a tagged JSON
+    # union (heterogeneous 1-row schemas). One job submission where the
+    # ThreadPool form paid four py4j job round-trips + analysis passes;
+    # Spark still runs the four aggregation stages concurrently because
+    # they share no dependency.
+    import json as _json
 
-    with ThreadPoolExecutor(max_workers=4) as pool:
-        f_lev = pool.submit(lambda: levene_bf_from(g).collect()[0])
-        f_t = pool.submit(lambda: t_test_stats_from(g).collect()[0])
-        f_rs = pool.submit(lambda: rank_sum_from(g).collect()[0])
-        f_sf = pool.submit(lambda: shapiro_francia_from(g).collect())
-        lev, t_row, rs, sf_rows = (
-            f_lev.result(), f_t.result(), f_rs.result(), f_sf.result()
+    def _tag(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("src"),
+            F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("js"),
         )
+
+    fused = (
+        _tag(levene_bf_from(g), "lev")
+        .unionByName(_tag(t_test_stats_from(g), "t"))
+        .unionByName(_tag(rank_sum_from(g), "rs"))
+        .unionByName(_tag(shapiro_francia_from(g), "sf"))
+    )
+    by_src: dict[str, list[dict]] = {"lev": [], "t": [], "rs": [], "sf": []}
+    for r in fused.collect():
+        by_src[r["src"]].append(_json.loads(r["js"]))
+    lev, t_row, rs = by_src["lev"][0], by_src["t"][0], by_src["rs"][0]
+    sf_rows = by_src["sf"]
 
     # P8 row-count guard (reference ab_test.py:240-246: the experiment
     # must contain exactly two arms before any statistic is reported).
@@ -290,6 +302,16 @@ _AB_N_USERS = 200
 _AB_MIN_RATERS = 2
 # M11 fold-in constants (= ml/als.py DEFAULT_LMD / DEFAULT_ALPHA).
 _AB_LMD, _AB_ALPHA = 0.1, 0.01
+
+
+def _ab_big(sf_dir: str) -> bool:
+    """True past the corpus size where multi-consumer LAZY checkpoints
+    become unsafe (concurrent first-computation of an unmaterialised
+    RDD under memory pressure — the sf10 "Block rdd_N does not exist"
+    failure mode). Row count from the parquet footer, zero Spark jobs."""
+    from recommender_systems_spark.io import table_rows
+
+    return table_rows(sf_dir, "lineitem") > 5_000_000
 
 
 def _ab_sim_users(spark: SparkSession) -> DataFrame:
@@ -664,10 +686,20 @@ def e_ab_simulation(
     # invalidates while the source parquet is unchanged.
     import os
 
-    from recommender_systems_spark.io import cache_path
+    from recommender_systems_spark.io import cache_path, cache_ready
 
-    cat_dir = cache_path("ab_catalog", sf_dir, "part", "lineitem", "embeddings")
-    if not os.path.isdir(cat_dir):
+    # Prefix carries the constants baked into the artifact (k, embedding
+    # modulus, rater cut, bias formula weights) — editing any of them
+    # must miss the cache, or a stale catalog would silently diverge
+    # from the recomputing oracle.
+    cat_dir = cache_path(
+        f"ab_catalog_k{K}e{EMB_MOD}r{MIN_RATERS}b29x04_31x03",
+        sf_dir,
+        "part",
+        "lineitem",
+        "embeddings",
+    )
+    if not cache_ready(cat_dir):
         catalog.write.mode("overwrite").parquet(cat_dir)
     catalog = spark.read.parquet(cat_dir)
 
@@ -686,10 +718,16 @@ def e_ab_simulation(
             F.when(F.col("grp") == "A", F.col("va")).otherwise(F.col("vb")).alias("v"),
             F.when(F.col("grp") == "A", F.col("ba")).otherwise(F.col("bb")).alias("bn"),
         )
-        # Lazy: both consumers (bias agg + ridge solve) sit in the ONE
-        # final action, whose first stage materialises the blocks once
-        # — the eager form paid a separate blocking driver action here.
-        .localCheckpoint(eager=False)
+        # Two consumers (bias agg + ridge solve) sit in the ONE final
+        # action. Lazy at bench SFs: the first stage materialises the
+        # blocks once and the eager form paid a separate blocking
+        # driver action. Past the big-corpus threshold the checkpoint
+        # goes EAGER — two branches racing the first computation of a
+        # lazy checkpoint under memory pressure is the documented
+        # "Block rdd_N does not exist" failure (see dedup_clusters'
+        # near-table note), and one extra driver action is noise at
+        # that scale.
+        .localCheckpoint(eager=_ab_big(sf_dir))
     )
     ub = hm.groupBy("user_id").agg(
         (

@@ -40,7 +40,7 @@ from recommender_systems_spark.dedup.minhash import (
     sql_simhash,
     sql_tokens,
 )
-from recommender_systems_spark.io import cache_path, table_rows
+from recommender_systems_spark.io import cache_path, cache_ready, table_rows
 from recommender_systems_spark.registry import _t, register
 
 SIG_LEN = 16  # LSH_BANDS * LSH_ROWS
@@ -330,10 +330,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nothing reclaims them, and at 100× data the accumulated rounds
     # OOMed an 80 g heap. Past ``CC_RELIABLE_ROWS`` documents the loop
     # therefore materialises each round (and the edge list) to PARQUET
-    # under the cache dir, deleting round N−1's directory as soon as
-    # round N is on disk — bounded storage, identical values, and the
-    # direct analogue of reliable ``checkpoint()`` to HDFS/object
-    # storage on a cluster. Small corpora keep the in-memory path.
+    # under the cache dir, ALTERNATING between two per-run round
+    # directories (round N overwrites round N−2's dir while reading
+    # round N−1's) — storage bounded at two rounds, identical values,
+    # and the direct analogue of reliable ``checkpoint()`` to
+    # HDFS/object storage on a cluster. The round dirs are suffixed
+    # with the driver PID (concurrent runs over the same corpus must
+    # not clobber each other's round state) and removed when the loop
+    # finishes. Small corpora keep the in-memory path.
     big = (
         table_rows(sf_dir, "documents") > CC_RELIABLE_ROWS
         or os.environ.get("SPARK_GRAFT_CC_RELIABLE") == "1"
@@ -348,8 +352,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # write job — "Block rdd_N does not exist" under memory pressure),
     # and cuts the simhash kernel + band join prefix from every
     # clusters/canonical-keep run.
-    near_dir = cache_path("cc_near", sf_dir, "documents")
-    if not os.path.isdir(near_dir):
+    # Prefix carries the detection geometry (simhash band count + the
+    # Hamming radius) — the pair list is a function of both the corpus
+    # AND these constants, so editing them must miss the cache.
+    near_dir = cache_path(
+        f"cc_near_b{SIMHASH_BANDS}h{SIMHASH_MAX_HAMMING}", sf_dir, "documents"
+    )
+    if not cache_ready(near_dir):
         (
             dedup_simhash(spark, sf_dir)
             .select("doc_a", "doc_b")
@@ -369,68 +378,88 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Big path: labels re-derive from the on-disk edge list (one
         # distinct, round 1 only) — no block-manager residency.
         labels = labels.localCheckpoint(eager=False)
-    for rnd in range(CLUSTER_MAX_ITER):
-        neigh = (
-            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
-            .groupBy("src")
-            .agg(F.min("label").alias("nl"))
-            .withColumnRenamed("src", "id")
-        )
-        relaxed = labels.join(neigh, "id", "left").select(
-            "id",
-            F.least(
-                F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
-            ).alias("label"),
-            F.col("label").alias("__old"),
-        )
-        # Path shortcut (pointer doubling): replace each label by ITS
-        # OWN current label — labels are node ids, so the relaxed frame
-        # doubles as the lookup table. TWO hops are batched per Spark
-        # round (label ← relaxed³(id), one lazy join chain before the
-        # single checkpoint+count job), so chains shrink faster per
-        # ROUND and the round count — whose per-round job fixed cost
-        # dominates wall time at small SF — roughly halves versus the
-        # one-hop form. Monotone min-labels make extra compositions
-        # safe: relaxedⁿ only moves labels further toward the component
-        # minimum, and the fixpoint test is unchanged. Convergence flag
-        # rides in the checkpointed frame: the fixpoint test is a local
-        # scan, not a second join.
-        lookup = relaxed.select(
-            F.col("id").alias("label"), F.col("label").alias("ll")
-        )
-        cur = relaxed
-        for _hop in range(2):
-            cur = (
-                cur.alias("n")
-                .join(lookup.alias("t"), "label", "left")
-                .select(
-                    F.col("n.id").alias("id"),
-                    F.coalesce("t.ll", "n.label").alias("label"),
-                    F.col("n.__old").alias("__old"),
-                )
+    rnd_dirs = (
+        [
+            cache_path(f"cc_round{i}_{os.getpid()}", sf_dir, "documents")
+            for i in range(2)
+        ]
+        if big
+        else None
+    )
+    try:
+        for rnd in range(CLUSTER_MAX_ITER):
+            neigh = (
+                edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+                .groupBy("src")
+                .agg(F.min("label").alias("nl"))
+                .withColumnRenamed("src", "id")
             )
-        stepped = cur.select(
-            "id",
-            "label",
-            (F.col("label") != F.col("__old")).alias("__moved"),
-        )
+            relaxed = labels.join(neigh, "id", "left").select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
+                ).alias("label"),
+                F.col("label").alias("__old"),
+            )
+            # Path shortcut (pointer doubling): replace each label by ITS
+            # OWN current label — labels are node ids, so the relaxed frame
+            # doubles as the lookup table. TWO hops are batched per Spark
+            # round (label ← relaxed³(id), one lazy join chain before the
+            # single checkpoint+count job), so chains shrink faster per
+            # ROUND and the round count — whose per-round job fixed cost
+            # dominates wall time at small SF — roughly halves versus the
+            # one-hop form. Monotone min-labels make extra compositions
+            # safe: relaxedⁿ only moves labels further toward the component
+            # minimum, and the fixpoint test is unchanged. Convergence flag
+            # rides in the checkpointed frame: the fixpoint test is a local
+            # scan, not a second join.
+            lookup = relaxed.select(
+                F.col("id").alias("label"), F.col("label").alias("ll")
+            )
+            cur = relaxed
+            for _hop in range(2):
+                cur = (
+                    cur.alias("n")
+                    .join(lookup.alias("t"), "label", "left")
+                    .select(
+                        F.col("n.id").alias("id"),
+                        F.coalesce("t.ll", "n.label").alias("label"),
+                        F.col("n.__old").alias("__old"),
+                    )
+                )
+            stepped = cur.select(
+                "id",
+                "label",
+                (F.col("label") != F.col("__old")).alias("__moved"),
+            )
+            if big:
+                # Reliable round store: two alternating directories — round
+                # N overwrites round N−2's dir while reading round N−1's,
+                # so on-disk state never exceeds two rounds.
+                rnd_dir = rnd_dirs[rnd % 2]
+                stepped.write.mode("overwrite").parquet(rnd_dir)
+                stepped = spark.read.parquet(rnd_dir)
+                changed = stepped.filter(F.col("__moved")).count()
+            else:
+                # Lazy checkpoint + count = ONE action per round: the count
+                # triggers the checkpoint's materialisation, and the next
+                # round's lineage starts from the stored blocks.
+                stepped = stepped.localCheckpoint(eager=False)
+                changed = stepped.filter(F.col("__moved")).count()
+            labels = stepped.drop("__moved")
+            if changed == 0:
+                break
         if big:
-            # Reliable round store: two alternating directories — round
-            # N overwrites round N−2's dir while reading round N−1's,
-            # so on-disk state never exceeds two rounds.
-            rnd_dir = cache_path(f"cc_round{rnd % 2}", sf_dir, "documents")
-            stepped.write.mode("overwrite").parquet(rnd_dir)
-            stepped = spark.read.parquet(rnd_dir)
-            changed = stepped.filter(F.col("__moved")).count()
-        else:
-            # Lazy checkpoint + count = ONE action per round: the count
-            # triggers the checkpoint's materialisation, and the next
-            # round's lineage starts from the stored blocks.
-            stepped = stepped.localCheckpoint(eager=False)
-            changed = stepped.filter(F.col("__moved")).count()
-        labels = stepped.drop("__moved")
-        if changed == 0:
-            break
+            # Detach the converged labels from the per-run round dirs
+            # before cleanup below — the returned frame must not read
+            # removed files.
+            labels = labels.localCheckpoint(eager=True)
+    finally:
+        if rnd_dirs is not None:
+            import shutil
+
+            for d in rnd_dirs:
+                shutil.rmtree(d, ignore_errors=True)
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(F.broadcast(sizes), "label").select(
         F.col("id").alias("doc_id"),

@@ -115,12 +115,15 @@ def _cooc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     refreshed TABLE next to the facts rather than re-deriving it per
     query; all consumers are aggregations/joins, so the parquet
     round-trip (exact int64s) changes nothing downstream."""
-    import os
+    from recommender_systems_spark.io import cache_path, cache_ready
 
-    from recommender_systems_spark.io import cache_path
-
-    edge_dir = cache_path("cooc_edges", sf_dir, "lineitem")
-    if not os.path.isdir(edge_dir):
+    # Prefix carries the per-user history cap and the min-support cut
+    # baked into the edge list — editing either constant must miss the
+    # cache rather than silently serve stale edges.
+    edge_dir = cache_path(
+        f"cooc_edges_c{_CF_CAP}m{_CF_MIN_COOC}", sf_dir, "lineitem"
+    )
+    if not cache_ready(edge_dir):
         capped = _capped_history(spark, sf_dir)
         (
             capped.alias("a")

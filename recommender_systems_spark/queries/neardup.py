@@ -97,12 +97,10 @@ def _lsh_candidate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # kernel pass was ~1 s of every funnel query at sf0.1, and at scale
     # this is exactly the persisted signature index a 100 TB dedup run
     # maintains next to the corpus.
-    import os
-
-    from recommender_systems_spark.io import cache_path
+    from recommender_systems_spark.io import cache_path, cache_ready
 
     sh_dir = cache_path(f"lsh_grams{NGRAM_N}", sf_dir, "documents")
-    if not os.path.isdir(sh_dir):
+    if not cache_ready(sh_dir):
         (
             docs.select(
                 "doc_id",
@@ -827,18 +825,27 @@ def t_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (map-side combined) and the clipped overlap is an equi-join
     on (gram) keyed to candidate docs only — pairs × shared-grams
     work, the two-stage funnel economics."""
+    # Both checkpoints here feed MULTIPLE join branches of one action —
+    # lazy is a measured win at bench SFs (first stage materialises the
+    # blocks once), but past the big-corpus threshold it goes EAGER:
+    # concurrent first-computation of a lazy checkpoint under memory
+    # pressure is the documented "Block rdd_N does not exist" failure
+    # (see dedup_clusters' near-table note).
+    from recommender_systems_spark.queries.dedup import CC_RELIABLE_ROWS
+
+    eager = table_rows(sf_dir, "documents") > CC_RELIABLE_ROWS
     pairs = (
         _lsh_candidate_grams(spark, sf_dir)
         .select("doc_a", "doc_b")
-        # Lazy: both overlap joins + the output sit in one action.
-        .localCheckpoint(eager=False)
+        # Both overlap joins + the output sit in one action.
+        .localCheckpoint(eager=eager)
     )
     docs = _t(spark, sf_dir, "documents")
     from recommender_systems_spark.functions.text import tokens
 
     tk = docs.select(
         "doc_id", tokens(F.col("text")).alias("l")
-    ).localCheckpoint(eager=False)  # uni + bigram consumers, one action
+    ).localCheckpoint(eager=eager)  # uni + bigram consumers, one action
     uni = tk.select("doc_id", F.explode("l").alias("g"))
     n_ = F.size("l")
     big = tk.filter(F.size("l") >= 2).select(

@@ -1393,6 +1393,11 @@ def _pois_sql(u: str) -> str:
 # (draw w reads hex window [1+8w, 8+8w]; u = (v+1)/(2³²+1)). Exact md5
 # input mirror of the Spark side: '<event_id>_boot4_<blk>'.
 _BOOT_BLKS = (_BOOT_REPS + 3) // 4
+# Every block emits exactly 4 replicates with no rep<_BOOT_REPS filter
+# on either engine, so a non-multiple-of-4 count would silently inflate
+# the replicate set and shift the CI quantiles on BOTH sides of the
+# oracle check (the oracle mirrors the blocking).
+assert _BOOT_REPS % 4 == 0, "_BOOT_REPS must be a multiple of 4"
 
 
 def _boot_u_sql(w: int) -> str:

@@ -1,0 +1,66 @@
+"""Wipe-rebuild correctness for the persisted `.data_cache` artifacts.
+
+VERDICT r11: six heavy query families serve from prebuilt on-disk
+artifacts (keyed by source-data identity + derivation constants). That
+is the right production shape, but only if a cache-wiped run reproduces
+IDENTICAL values — a build-path bug that only the cached copy masks
+would otherwise survive every warm test. Each test wipes one artifact
+family, re-runs the owning query, and asserts the canonical value hash
+is unchanged from the warm-cache run.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from recommender_systems_spark import registry
+from recommender_systems_spark.io import cache_ready, wipe_derived_cache
+
+from tests.conftest import SF_SMALL
+from tests.oracle_harness import canonicalize
+
+# artifact prefix family -> query whose run (re)builds and consumes it.
+REBUILD_CASES = {
+    "ab_catalog": "e_ab_foldin_bias_hash",
+    "cc_near": "dedup_clusters",
+    "cooc_edges": "g_pagerank",
+    "fp_store": "t_incremental_ingest",
+    "ivf_index": "sim_ivf_partitioned",
+    "lsh_grams": "dedup_ngram_jaccard",
+}
+
+
+def _value_hash(spark, name: str) -> str:
+    pdf = registry.QUERIES[name](spark, SF_SMALL).toPandas()
+    canon = canonicalize(pdf)
+    return hashlib.sha1(canon.to_csv(index=False).encode()).hexdigest()
+
+
+@pytest.mark.parametrize("artifact", sorted(REBUILD_CASES))
+def test_wiped_cache_rebuild_reproduces_hash(spark, artifact):
+    name = REBUILD_CASES[artifact]
+    warm = _value_hash(spark, name)  # builds the artifact if absent
+    removed = wipe_derived_cache((artifact,))
+    assert removed, f"no {artifact}_* dirs existed to wipe"
+    cold = _value_hash(spark, name)
+    assert cold == warm, f"{name} diverged after {artifact} rebuild"
+
+
+def test_wipe_is_scoped():
+    """wipe_derived_cache must never touch non-derived cache entries
+    (µs table cache, generated sf1/sf10 data, streaming state)."""
+    removed = wipe_derived_cache(("no_such_prefix",))
+    assert removed == []
+
+
+def test_interrupted_write_is_not_served(spark, tmp_path):
+    """The _SUCCESS-marker guard: a directory left by an interrupted
+    write (present but no marker) must read as not-ready."""
+    d = tmp_path / "partial_artifact"
+    d.mkdir()
+    (d / "part-00000.parquet").write_bytes(b"not a real parquet")
+    assert not cache_ready(str(d))
+    reg = registry.QUERIES["g_pagerank"](spark, SF_SMALL)
+    assert reg is not None  # guard import/plumbing smoke

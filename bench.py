@@ -35,6 +35,11 @@ def main() -> None:
 
         wiped = wipe_derived_cache()
         print(f"cold mode: wiped {len(wiped)} cached artifacts", file=sys.stderr)
+    # Sweep session residue (dead-PID package zips, orphaned streaming
+    # state) out of .data_cache — driver-local file ops, no Spark jobs.
+    from recommender_systems_spark.io import gc_data_cache
+
+    gc_data_cache()
     spark = get_spark("bench")
 
     # Warm the JVM/codegen paths once so per-query numbers measure the
@@ -218,8 +223,12 @@ def main() -> None:
         detail["run_totals"] = [round(sum(r.values()), 3) for r in runs]
     if errors:
         detail["errors"] = errors
-    with open(detail_path, "w") as fh:
-        json.dump(detail, fh, indent=1, sort_keys=True)
+    # Partial runs (SPARK_GRAFT_ONLY) and cold-mode runs must not
+    # clobber the FULL warm-run detail the next round's regression gate
+    # compares against.
+    if not only and os.environ.get("SPARK_GRAFT_COLD") != "1":
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
     print(json.dumps(detail), file=sys.stderr)
 
     # Printed line: slowest queries first until the budget is spent,

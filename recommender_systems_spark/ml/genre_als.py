@@ -61,10 +61,12 @@ def genre_pull(
     sf0.1: the per-sweep literal recompile costs less than the extra
     item-keyed shuffle it would avoid.)"""
     g, k = f_state.shape
-    f_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in row]) for row in f_state]
-    )
-    zeros = F.array(*[F.lit(0.0) for _ in range(k)])
+    # ONE nested array literal (not a G×k tree of CreateArray nodes):
+    # the plan re-builds every sweep with fresh F values, so literal
+    # construction + Catalyst folding sit on the per-iteration critical
+    # path — the single Literal is ~2× cheaper to build and plan.
+    f_lit = F.lit([[float(x) for x in row] for row in f_state])
+    zeros = F.lit([0.0] * k)
     summed = F.aggregate(
         F.col("genre_values"),
         zeros,
@@ -223,7 +225,10 @@ def train_als_genre(
     ).localCheckpoint(eager=False)
     # Three consumers per iteration (pull, A/B stats, C stats) re-derive
     # the genre parse otherwise — materialise the small dimension once.
-    genres = genres.localCheckpoint(eager=False)
+    # EAGER: the weight-grid collect below runs on a background thread
+    # concurrently with iteration 1's sweeps, and two threads must not
+    # race the first computation of a lazy checkpoint.
+    genres = genres.localCheckpoint()
     u_f = init_factors(
         r.select("u").distinct(), "u", rank, seed
     ).localCheckpoint(eager=False)
@@ -232,9 +237,11 @@ def train_als_genre(
     ).localCheckpoint(eager=False)
     f_state = np.zeros((n_genres, rank))
     # B/C genre co-membership weights are factor-independent: one
-    # distributed pass per RUN; the per-sweep stats job shrinks to the
-    # single-explode A pass (genre_a_stats).
-    b_vec, c_mat = genre_weight_grid(genres, n_genres)
+    # distributed pass per RUN, and not needed until the FIRST F-solve
+    # — so it runs on the monitor thread concurrently with iteration
+    # 1's sweeps (genres is eagerly checkpointed above, so the two
+    # threads never race a first computation).
+    b_vec = c_mat = None
     # Unrated genre items: the reference carries V rows for EVERY item
     # in the genre table (incl_genre.py:95-105), so its F-update's A
     # numerator reads a vector for each of them. An item with no
@@ -258,6 +265,7 @@ def train_als_genre(
     monitor = ThreadPoolExecutor(max_workers=1)
     rmse_futures = []
     try:
+        grid_future = monitor.submit(genre_weight_grid, genres, n_genres)
         for it in range(max_iter):
             # User-side checkpoint stays LAZY: it materialises inside
             # the item-side EAGER checkpoint's job, so the background
@@ -267,9 +275,18 @@ def train_als_genre(
                 r, "u", "i", "r", u_f, v_f, lmd, tau, alpha, rank
             ).localCheckpoint(eager=False)
             pull = genre_pull(genres, f_state, spark, tau)
+            # Item-side checkpoint is LAZY too: the A-stats collect
+            # below is the iteration's ONE action — it materialises
+            # new_u and new_v inside its own job (the eager form paid a
+            # separate blocking checkpoint job per sweep, ~0.3-0.5 s of
+            # pure scheduling at sf0.1). The background RMSE monitor is
+            # submitted strictly AFTER that collect returns, so it only
+            # ever reads already-materialised snapshots — the lazy-
+            # checkpoint concurrency race needs a concurrent FIRST
+            # computation, which this ordering rules out.
             new_v = als_half_sweep(
                 r, "i", "u", "r", v_f, new_u, lmd, tau, alpha, rank, rhs_pull=pull
-            ).localCheckpoint()
+            ).localCheckpoint(eager=False)
             u_f, v_f = new_u, new_v
             # pull carries τ/√|g|·Σ F — divide by τ for the
             # zero-ratings item solve (see `unrated` above).
@@ -280,6 +297,8 @@ def train_als_genre(
                 )
             )
             a_mat = genre_a_stats(a_src, genres, n_genres, rank)
+            if b_vec is None:
+                b_vec, c_mat = grid_future.result()
             f_state = update_genre_features(f_state, a_mat, b_vec, c_mat, tau, beta)
             if rmse_every_iter or it == max_iter - 1:
                 rmse_futures.append(

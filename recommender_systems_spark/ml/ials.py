@@ -293,7 +293,12 @@ def train_ials(
     # the fused monitor collect (objective AND Gram(vf) for the next
     # user half-sweep in one job). The old path paid ~6 actions per
     # iteration (2 eager checkpoints, 2 sweep-internal Grams, quad +
-    # correction collects).
+    # correction collects). A round-12 experiment that split the fused
+    # monitor into a Gram collect + a background pred-correction job
+    # measured 60% SLOWER (9.3 → 15.1 s at sf0.1): the split re-runs
+    # the ratings⋈factors join as an extra data-sized job per
+    # iteration, which costs more than the serial monitor it hides —
+    # keep the fusion.
     uf = (
         init_factors(users, "id", rank, seed, scale=0.1)
         .drop("bias")

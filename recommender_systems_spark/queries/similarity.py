@@ -446,6 +446,110 @@ def sim_ivf_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_ivf_adaptive_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialise the ADAPTIVE-K IVF index once per data identity:
+    the K ∝ √n codebook to one dimension-sized parquet and the corpus
+    assignments hive-partitioned by cell — the amortised layout whose
+    one-time N×K build cost ``sim_ivf_adaptive`` records (107.5 s at
+    sf10). Prefix carries the ladder constants (base K, rung capacity,
+    max doublings) so a geometry change rebuilds."""
+    import os
+
+    from recommender_systems_spark.io import cache_path, cache_ready, table_rows
+
+    path = cache_path(
+        f"ivf_index_adx{N_CENTROIDS}b{_IVF_CELL_BASE}d{_IVF_MAX_DOUBLINGS}",
+        sf_dir,
+        "embeddings",
+    )
+    cb_path = path + "_cb"
+    if cache_ready(path) and cache_ready(cb_path):
+        return path, cb_path
+    k = ivf_adaptive_k(table_rows(sf_dir, "embeddings"))
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()  # consumers: codebook + assignment
+    )
+    # Identical codebook + assignment to sim_ivf_adaptive (same md5
+    # order, same round(cos,5)/lowest-cid tie-break via max_by) — the
+    # two entries share the oracle because the index is the SAME.
+    (
+        e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        .write.mode("overwrite")
+        .parquet(cb_path)
+    )
+    cents = spark.read.parquet(cb_path)
+    (
+        e.crossJoin(F.broadcast(cents))
+        .groupBy("vec_id")
+        .agg(
+            F.first("v").alias("v"),  # identical across the K copies
+            F.max_by(
+                "cid",
+                F.struct(
+                    F.round(cosine_similarity("v", "cv"), 5).alias("c"),
+                    (-F.col("cid")).alias("t"),
+                ),
+            ).alias("cell"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    return path, cb_path
+
+
+@register("sim_ivf_adaptive_serve", _IVF_ADAPTIVE_SQL)  # same semantics ⇒ same oracle
+def sim_ivf_adaptive_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The adaptive-K geometry's AMORTISED serving entry (VERDICT r11
+    #8): identical output to ``sim_ivf_adaptive`` (shared oracle), but
+    the K ∝ √n codebook and cell assignments come from the on-disk
+    index ``_ensure_ivf_adaptive_index`` materialises once per corpus,
+    and the serving scan carries a partition filter on the probed
+    cells. With √N-sized cells the per-query read is Θ(√N) rows of
+    ~NPROBE partitions — this pairing (one-time N×K build, partition-
+    pruned probes) is the production trade ``sim_ivf_adaptive``'s
+    docstring argues for, now measurable on its own."""
+    path, cb_path = _ensure_ivf_adaptive_index(spark, sf_dir)
+    cents = spark.read.parquet(cb_path)
+    q = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+    )
+    w_probe = Window.partitionBy("qid").orderBy(
+        F.round(cosine_similarity("qv", "cv"), 5).desc(), F.col("cid")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("rnk", F.row_number().over(w_probe))
+        .filter(F.col("rnk") <= NPROBE)
+        .select("qid", F.col("cid").alias("cell"))
+        .localCheckpoint()  # consumed by the driver collect AND the join
+    )
+    probe_cells = sorted(r["cell"] for r in probes.select("cell").distinct().collect())
+    idx = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
+    cand = idx.join(F.broadcast(probes), "cell").filter(F.col("vec_id") != F.col("qid"))
+    scored = cand.join(F.broadcast(q), "qid").select(
+        "qid",
+        "vec_id",
+        F.round(cosine_similarity("v", "qv"), 5).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "vec_id", "cos_sim", "rank")
+    )
+
+
 _IVF_RECALL_SQL = f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -2649,3 +2649,23 @@ def test_ivf_adaptive_equals_fixed_at_test_sf(spark):
     a = {tuple(r) for r in registry.QUERIES["sim_ivf_adaptive"](spark, SF_SMALL).collect()}
     b = {tuple(r) for r in registry.QUERIES["sim_ivf_topk"](spark, SF_SMALL).collect()}
     assert a == b and len(a) > 0
+
+
+def test_ivf_adaptive_serve_prunes_and_matches(spark):
+    """The adaptive-K serving entry must partition-prune the on-disk
+    index read and reproduce sim_ivf_adaptive row for row (shared
+    oracle contract)."""
+    from recommender_systems_spark.queries.similarity import (
+        sim_ivf_adaptive,
+        sim_ivf_adaptive_serve,
+    )
+
+    df = sim_ivf_adaptive_serve(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan
+    served = {(r["qid"], r["rank"]): r["vec_id"] for r in df.collect()}
+    computed = {
+        (r["qid"], r["rank"]): r["vec_id"]
+        for r in sim_ivf_adaptive(spark, SF_MED).collect()
+    }
+    assert served == computed

@@ -141,31 +141,24 @@ def e_ab_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    # The four statistics are independent subtrees over the same
-    # checkpointed frame — fused into ONE action via a tagged JSON
-    # union (heterogeneous 1-row schemas). One job submission where the
-    # ThreadPool form paid four py4j job round-trips + analysis passes;
-    # Spark still runs the four aggregation stages concurrently because
-    # they share no dependency.
-    import json as _json
+    # The four statistics are independent jobs over the same checkpointed
+    # frame — submit them concurrently (Spark's scheduler interleaves
+    # them across the executor pool; wall-clock = slowest job, not sum).
+    # A round-12 experiment fused them into ONE tagged-JSON union action
+    # instead and measured 1.76× SLOWER interleaved-warm: under AQE the
+    # union's independent subtrees materialise as sequential query-stage
+    # waves, while four ThreadPool jobs genuinely overlap — keep the
+    # concurrent-jobs form.
+    from concurrent.futures import ThreadPoolExecutor
 
-    def _tag(df: DataFrame, name: str) -> DataFrame:
-        return df.select(
-            F.lit(name).alias("src"),
-            F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("js"),
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_lev = pool.submit(lambda: levene_bf_from(g).collect()[0])
+        f_t = pool.submit(lambda: t_test_stats_from(g).collect()[0])
+        f_rs = pool.submit(lambda: rank_sum_from(g).collect()[0])
+        f_sf = pool.submit(lambda: shapiro_francia_from(g).collect())
+        lev, t_row, rs, sf_rows = (
+            f_lev.result(), f_t.result(), f_rs.result(), f_sf.result()
         )
-
-    fused = (
-        _tag(levene_bf_from(g), "lev")
-        .unionByName(_tag(t_test_stats_from(g), "t"))
-        .unionByName(_tag(rank_sum_from(g), "rs"))
-        .unionByName(_tag(shapiro_francia_from(g), "sf"))
-    )
-    by_src: dict[str, list[dict]] = {"lev": [], "t": [], "rs": [], "sf": []}
-    for r in fused.collect():
-        by_src[r["src"]].append(_json.loads(r["js"]))
-    lev, t_row, rs = by_src["lev"][0], by_src["t"][0], by_src["rs"][0]
-    sf_rows = by_src["sf"]
 
     # P8 row-count guard (reference ab_test.py:240-246: the experiment
     # must contain exactly two arms before any statistic is reported).

@@ -164,7 +164,17 @@ def gc_data_cache(max_age_hours: float = 24.0) -> list[str]:
                 except OSError:
                     pass
             continue
-        if d.startswith("cdc_state_") or re.match(r"cc_round[01]_\d+_", d):
+        m = re.match(r"cc_round[01]_(\d+)_", d)
+        if m:
+            # Per-run CC round dirs carry their owner PID: a dead owner
+            # means the run was killed before its finally-cleanup (the
+            # one way they leak) — remove regardless of age.
+            pid = int(m.group(1))
+            if pid != os.getpid() and not os.path.isdir(f"/proc/{pid}"):
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(d)
+            continue
+        if d.startswith("cdc_state_"):
             try:
                 if now - os.stat(full).st_mtime > max_age_hours * 3600:
                     shutil.rmtree(full, ignore_errors=True)

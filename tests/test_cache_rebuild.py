@@ -64,3 +64,41 @@ def test_interrupted_write_is_not_served(spark, tmp_path):
     assert not cache_ready(str(d))
     reg = registry.QUERIES["g_pagerank"](spark, SF_SMALL)
     assert reg is not None  # guard import/plumbing smoke
+
+
+def test_gc_data_cache_scopes():
+    """gc_data_cache removes dead-PID package zips and stale per-run
+    dirs, and never touches live-PID zips or content-keyed artifacts."""
+    import os
+    import time
+
+    from recommender_systems_spark.io import _cache_root, gc_data_cache
+
+    root = _cache_root()
+    dead_zip = os.path.join(root, "recommender_systems_spark_999999999.zip")
+    live_zip = os.path.join(root, f"recommender_systems_spark_{os.getpid()}.zip")
+    stale_round = os.path.join(root, "cc_round0_424242_deadbeef0000")
+    open(dead_zip, "wb").close()
+    live_existed = os.path.exists(live_zip)
+    if not live_existed:
+        open(live_zip, "wb").close()
+    os.makedirs(stale_round, exist_ok=True)
+    old = time.time() - 48 * 3600
+    os.utime(stale_round, (old, old))
+    try:
+        removed = gc_data_cache(max_age_hours=24.0)
+        assert os.path.basename(dead_zip) in removed
+        assert os.path.basename(stale_round) in removed
+        assert os.path.exists(live_zip)
+        assert not os.path.exists(dead_zip)
+        assert not os.path.exists(stale_round)
+    finally:
+        for p in (dead_zip, stale_round):
+            if os.path.exists(p):
+                import shutil
+
+                shutil.rmtree(p, ignore_errors=True) if os.path.isdir(
+                    p
+                ) else os.remove(p)
+        if not live_existed and os.path.exists(live_zip):
+            os.remove(live_zip)

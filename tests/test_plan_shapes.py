@@ -840,3 +840,17 @@ def test_cc_reliable_rounds_match_inmemory(spark, monkeypatch):
         .collect()
     }
     assert base == reliable and len(base) > 0
+    # Round-12 contract: THIS run's PID-suffixed round directories are
+    # removed when the loop finishes (other PIDs' leaks — e.g. a killed
+    # run whose finally never fired — are gc_data_cache's job, which
+    # removes dead-owner round dirs on the next bench start).
+    import os
+
+    from recommender_systems_spark.io import _cache_root
+
+    leftovers = [
+        d
+        for d in os.listdir(_cache_root())
+        if d.startswith(("cc_round0_%d_" % os.getpid(), "cc_round1_%d_" % os.getpid()))
+    ]
+    assert leftovers == [], leftovers

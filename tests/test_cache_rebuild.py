@@ -28,6 +28,7 @@ REBUILD_CASES = {
     "cooc_edges": "g_pagerank",
     "fp_store": "t_incremental_ingest",
     "ivf_index": "sim_ivf_partitioned",
+    "ivf_index_adx": "sim_ivf_adaptive_serve",
     "lsh_grams": "dedup_ngram_jaccard",
 }
 

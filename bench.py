@@ -223,10 +223,22 @@ def main() -> None:
         detail["run_totals"] = [round(sum(r.values()), 3) for r in runs]
     if errors:
         detail["errors"] = errors
-    # Partial runs (SPARK_GRAFT_ONLY) and cold-mode runs must not
-    # clobber the FULL warm-run detail the next round's regression gate
-    # compares against.
-    if not only and os.environ.get("SPARK_GRAFT_COLD") != "1":
+    # Partial runs (SPARK_GRAFT_ONLY), cold-mode runs, and runs at a
+    # DIFFERENT scale factor than the standing baseline must not
+    # clobber the full warm-run detail the next round's regression gate
+    # compares against (the driver always benches sf0.1; verify-skill
+    # side runs at sf0.01 were silently replacing it).
+    prior_sf = None
+    try:
+        with open(detail_path) as fh:
+            prior_sf = json.load(fh).get("sf")
+    except Exception:
+        pass
+    if (
+        not only
+        and os.environ.get("SPARK_GRAFT_COLD") != "1"
+        and (prior_sf is None or prior_sf == sf)
+    ):
         with open(detail_path, "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)
     print(json.dumps(detail), file=sys.stderr)

@@ -47,15 +47,19 @@ _BANDS_SQL = " UNION ALL ".join(
     for b in range(LSH_BANDS)
 )
 
-_FUNNEL_SQL = f"""
-    WITH sh AS (
+# Shared signature-index CTEs (sh → hs → sig → bands) — the SQL mirror
+# of `_signature_table` + `_band_table`.
+_SIG_CTES = f"""sh AS (
         SELECT doc_id, {sql_shingles(sql_tokens('text'))} AS shingles,
                list_distinct({sql_char_ngrams('text', NGRAM_N)}) AS grams
         FROM documents
     ),
     hs AS (SELECT doc_id, grams, {sql_shingle_hashes('shingles')} AS hs FROM sh),
     sig AS (SELECT doc_id, grams, {sql_minhash_signature('hs')} AS sig FROM hs),
-    bands AS ({_BANDS_SQL}),
+    bands AS ({_BANDS_SQL})"""
+
+_FUNNEL_SQL = f"""
+    WITH {_SIG_CTES},
     pairs AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a
@@ -78,11 +82,10 @@ _NGRAM_SQL = f"""
 """
 
 
-def _lsh_candidate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared two-stage funnel front end: MinHash-LSH candidate pairs
-    (band equi-join, doc_a < doc_b) joined back to both docs' distinct
-    char-n-gram sets — the input to any exact set measure (Jaccard,
-    containment)."""
+def _signature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted (doc_id, grams, sig) signature index — built once
+    per corpus identity, read back by every funnel consumer (jaccard,
+    containment, BLEU, incremental ingest)."""
     docs = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
@@ -116,13 +119,27 @@ def _lsh_candidate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite")
             .parquet(sh_dir)
         )
-    sh = spark.read.parquet(sh_dir)
-    bands = sh.select(
+    return spark.read.parquet(sh_dir)
+
+
+def _band_table(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, key) rows — LSH_BANDS per doc — from a signature
+    table; the equi-join key side of every candidate generator."""
+    return sh.select(
         "doc_id",
         F.posexplode(
             F.array(*[band_key(F.col("sig"), b) for b in range(LSH_BANDS)])
         ).alias("band", "key"),
     )
+
+
+def _lsh_candidate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared two-stage funnel front end: MinHash-LSH candidate pairs
+    (band equi-join, doc_a < doc_b) joined back to both docs' distinct
+    char-n-gram sets — the input to any exact set measure (Jaccard,
+    containment)."""
+    sh = _signature_table(spark, sf_dir)
+    bands = _band_table(sh)
     pairs = (
         bands.alias("a")
         .join(
@@ -159,6 +176,101 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             inter / (F.size("ga") + F.size("gb") - inter), 5
         ).alias("ngram_jaccard"),
+    )
+
+
+# Incremental-ingest near-dup gate: jaccard at or above this (on the
+# ROUNDED value, the house verdict rule) marks the incoming doc a
+# near-duplicate of the existing corpus.
+INGEST_DUP_THRESHOLD = 0.5
+# Deterministic batch selector: docs whose md5 first hex digit is
+# 0..3 (~1/4 of the corpus) play the "newly arriving batch"; the rest
+# are the already-indexed corpus. Engine-portable (identical md5 on
+# CAST(doc_id AS VARCHAR) both sides).
+_INGEST_BATCH_HEX = ("0", "1", "2", "3")
+
+_INGEST_SQL = f"""
+    WITH {_SIG_CTES},
+    nb AS (SELECT * FROM bands
+           WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                 IN {_INGEST_BATCH_HEX!r}),
+    cb AS (SELECT * FROM bands
+           WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                 NOT IN {_INGEST_BATCH_HEX!r}),
+    pairs AS (
+        SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS corpus_doc
+        FROM nb n JOIN cb c ON n.band = c.band AND n.key = c.key
+    )
+    SELECT p.new_doc, p.corpus_doc,
+           round(CAST(len(list_distinct(list_intersect(ga.grams, gb.grams)))
+                      AS DOUBLE)
+                 / (len(ga.grams) + len(gb.grams)
+                    - len(list_distinct(list_intersect(ga.grams, gb.grams)))),
+                 5) AS ngram_jaccard,
+           round(CAST(len(list_distinct(list_intersect(ga.grams, gb.grams)))
+                      AS DOUBLE)
+                 / (len(ga.grams) + len(gb.grams)
+                    - len(list_distinct(list_intersect(ga.grams, gb.grams)))),
+                 5) >= {INGEST_DUP_THRESHOLD} AS is_dup
+    FROM pairs p
+    JOIN sig ga ON ga.doc_id = p.new_doc
+    JOIN sig gb ON gb.doc_id = p.corpus_doc
+"""
+
+
+@register("dedup_ingest_neardup", _INGEST_SQL)
+def dedup_ingest_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest NEAR-duplicate check: an arriving batch of
+    documents is screened against the already-indexed corpus via the
+    persisted LSH signature index — the near-dup companion of the
+    exact-fingerprint ``t_incremental_ingest``, and the shape a
+    continuously-growing 100 TB corpus actually runs (new data is a
+    sliver; re-deduplicating the whole corpus per ingest is the thing
+    this avoids).
+
+    Spark shape: the batch's (band, key) rows equi-join the CORPUS
+    side of the persisted index only — candidate work is
+    |batch|×BANDS keys probing the corpus index, never corpus×corpus —
+    then the exact char-n-gram Jaccard verifies candidates and the
+    rounded value drives the keep/drop verdict. At scale the corpus
+    band table is the standing index (bucketed on (band, key)); the
+    batch side is small enough to broadcast, making ingest screening a
+    map-side join against index buckets. The batch split here is a
+    deterministic md5 quarter of `documents` so both engines screen
+    the identical batch."""
+    sh = _signature_table(spark, sf_dir)
+    is_batch = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        *_INGEST_BATCH_HEX
+    )
+    nb = _band_table(sh.filter(is_batch))
+    cb = _band_table(sh.filter(~is_batch))
+    pairs = (
+        nb.alias("n")
+        .join(
+            cb.alias("c"),
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.key") == F.col("c.key")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_doc"),
+            F.col("c.doc_id").alias("corpus_doc"),
+        )
+        .distinct()
+    )
+    ver = pairs.join(
+        sh.select(F.col("doc_id").alias("new_doc"), F.col("grams").alias("ga")),
+        "new_doc",
+    ).join(
+        sh.select(F.col("doc_id").alias("corpus_doc"), F.col("grams").alias("gb")),
+        "corpus_doc",
+    )
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    jac = F.round(inter / (F.size("ga") + F.size("gb") - inter), 5)
+    return ver.select(
+        "new_doc",
+        "corpus_doc",
+        jac.alias("ngram_jaccard"),
+        (jac >= INGEST_DUP_THRESHOLD).alias("is_dup"),
     )
 
 

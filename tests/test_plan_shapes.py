@@ -37,6 +37,7 @@ _NO_CARTESIAN = [
     "dedup_minhash",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_ingest_neardup",
     "dedup_embedding_cosine",
     "sim_ann_topk",
     "sim_ivf_topk",

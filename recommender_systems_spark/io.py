@@ -100,10 +100,13 @@ def cache_path(prefix: str, sf_dir: str, *source_tables: str) -> str:
 # transparency item: these make heavy queries serve warm, so the bench
 # needs a mode that wipes them and measures the cold build).
 DERIVED_CACHE_PREFIXES = (
+    # cc_round_* is deliberately NOT here: those are per-PID scratch
+    # dirs of a LIVE connected-components run, not persisted artifacts
+    # — wiping them mid-loop fails a concurrent run (ADVICE r12).
+    # Dead-owner round dirs are gc_data_cache's job.
     "ab_catalog",
     "cc_edges",
     "cc_near",
-    "cc_round",
     "cooc_edges",
     "fp_store",
     "ivf_index",

@@ -61,10 +61,11 @@ def genre_pull(
     sf0.1: the per-sweep literal recompile costs less than the extra
     item-keyed shuffle it would avoid.)"""
     g, k = f_state.shape
-    # ONE nested array literal (not a G×k tree of CreateArray nodes):
-    # the plan re-builds every sweep with fresh F values, so literal
-    # construction + Catalyst folding sit on the per-iteration critical
-    # path — the single Literal is ~2× cheaper to build and plan.
+    # NOTE: on classic PySpark 4.1.2, F.lit(nested list) expands
+    # recursively to array(*[lit(x)...]) (builtin.py:268) — the same
+    # CreateArray tree either spelling builds, so this form is for
+    # readability, not plan-cost savings (ADVICE r12 corrected the
+    # earlier ~2× claim). The G×k literal is genre-count-sized, tiny.
     f_lit = F.lit([[float(x) for x in row] for row in f_state])
     zeros = F.lit([0.0] * k)
     summed = F.aggregate(

@@ -699,6 +699,12 @@ def e_ab_simulation(
     )
     if not cache_ready(cat_dir):
         catalog.write.mode("overwrite").parquet(cat_dir)
+        # A same-process wipe+rebuild must not serve the pre-wipe NumPy
+        # blocks: the memo is keyed by path only, so invalidate it on
+        # the rebuild branch or a build-path divergence would be masked
+        # and the cold bench would omit the collect+packing cost
+        # (ADVICE r12).
+        _AB_CAT_BLOCKS.pop(cat_dir, None)
     catalog = spark.read.parquet(cat_dir)
 
     # --- all histories from ONE genre-keyed join (simulate_user's

@@ -19,6 +19,8 @@ from pyspark.sql import functions as F
 
 from recommender_systems_spark.dedup.minhash import (
     LSH_BANDS,
+    LSH_ROWS,
+    SHINGLE_N,
     band_key,
     minhash_struct_pandas,
     shingle_hashes_pandas,
@@ -102,7 +104,16 @@ def _signature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # maintains next to the corpus.
     from recommender_systems_spark.io import cache_path, cache_ready
 
-    sh_dir = cache_path(f"lsh_grams{NGRAM_N}", sf_dir, "documents")
+    # Prefix bakes in EVERY constant the persisted columns depend on:
+    # the char-gram width (grams column) AND the MinHash/LSH geometry
+    # (sig column = LSH_BANDS×LSH_ROWS hashes over SHINGLE_N-word
+    # shingles) — a geometry edit must miss the cache, not serve stale
+    # signatures to the whole funnel (ADVICE r12).
+    sh_dir = cache_path(
+        f"lsh_grams{NGRAM_N}b{LSH_BANDS}x{LSH_ROWS}s{SHINGLE_N}",
+        sf_dir,
+        "documents",
+    )
     if not cache_ready(sh_dir):
         (
             docs.select(

@@ -23,7 +23,10 @@ from tests.oracle_harness import canonicalize
 
 # artifact prefix family -> query whose run (re)builds and consumes it.
 REBUILD_CASES = {
-    "ab_catalog": "e_ab_foldin_bias_hash",
+    # e_ab_simulation is the only query that builds/reads ab_catalog
+    # (abtest.py cat_dir) — e_ab_foldin_bias_hash recomputes the bias
+    # table inline and made this case vacuous (ADVICE r12).
+    "ab_catalog": "e_ab_simulation",
     "cc_near": "dedup_clusters",
     "cooc_edges": "g_pagerank",
     "fp_store": "t_incremental_ingest",

@@ -79,13 +79,22 @@ def _half_sweep(
     alpha: float,
     lmd: float,
     gram: np.ndarray | None = None,
+    with_objective_stats: bool = False,
 ) -> DataFrame:
     """Re-solve every `self_col` entity against frozen other-side
     factors. One join (ratings ⋈ other factors), one bucketed
     applyInPandas; the shared Gram rides the closure (k² doubles).
     Callers that already hold Gram(other_factors) — the objective
     monitor computes it every iteration — pass it via ``gram`` to skip
-    the recomputation job."""
+    the recomputation job.
+
+    ``with_objective_stats=True`` (the fused-monitor item sweep) adds a
+    ``corr`` column: each entity's observed-correction contribution
+    Σ_obs [c·(1 − x·y)² − (x·y)²] evaluated with the FRESHLY solved
+    vector — the solve already holds y (other-side features) and the
+    confidence weights, so the term is a free GEMV per entity and the
+    exact objective needs no separate ratings⋈factors pass (round-13:
+    this is what took the iteration from 3 Spark actions to 2)."""
     if gram is None:
         gram = _gram(other_factors, k)
 
@@ -101,7 +110,7 @@ def _half_sweep(
     )
 
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
-        out_ids, out_feat = [], []
+        out_ids, out_feat, out_corr = [], [], []
         y_all = np.stack(pdf["of"].to_numpy())
         r_all = pdf["r"].to_numpy(dtype=np.float64)
         lam_eye = lmd * np.eye(k)
@@ -113,13 +122,64 @@ def _half_sweep(
             vec = np.linalg.solve(a_mat, rhs)
             out_ids.append(int(eid))
             out_feat.append(vec.tolist())
-        return pd.DataFrame({"id": out_ids, "features": out_feat})
+            if with_objective_stats:
+                s = y @ vec  # x·y over this entity's observed rows
+                out_corr.append(
+                    float((((1.0 + cm1) * (1.0 - s) ** 2) - s**2).sum())
+                )
+        cols = {"id": out_ids, "features": out_feat}
+        if with_objective_stats:
+            cols["corr"] = out_corr
+        return pd.DataFrame(cols)
 
+    schema = "id long, features array<double>"
+    if with_objective_stats:
+        schema += ", corr double"
     return (
         data.withColumn("__b", F.pmod(F.col("id"), F.lit(SOLVE_BUCKETS)))
         .groupBy("__b")
-        .applyInPandas(solve, schema="id long, features array<double>")
+        .applyInPandas(solve, schema=schema)
     )
+
+
+def _gram_and_corr(factors: DataFrame, k: int) -> tuple[np.ndarray, float]:
+    """ONE traversal of a (features, corr) factor frame → (FᵀF, Σcorr)
+    on the driver. Reads ``factors`` exactly once, so a LAZY
+    localCheckpoint upstream is materialised by this very collect with
+    no double-compute — the fused item-sweep/monitor action."""
+
+    def partial(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["features"]]
+            )
+            g = x.T @ x
+            ii, jj = np.meshgrid(np.arange(k), np.arange(k), indexing="ij")
+            yield pd.DataFrame(
+                {
+                    "i": np.append(ii.ravel(), -1),
+                    "j": np.append(jj.ravel(), -1),
+                    "s": np.append(g.ravel(), pdf["corr"].to_numpy().sum()),
+                }
+            )
+
+    rows = (
+        factors.select("features", "corr")
+        .mapInPandas(partial, "i int, j int, s double")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+        .collect()
+    )
+    g = np.zeros((k, k))
+    corr = 0.0
+    for r in rows:
+        if r["i"] < 0:
+            corr = float(r["s"])
+        else:
+            g[r["i"], r["j"]] = r["s"]
+    return g, corr
 
 
 def _gram_partials(factors: DataFrame, k: int, tag: str) -> DataFrame:
@@ -286,19 +346,23 @@ def train_ials(
     items = ratings.select(
         F.col(item_col).cast("long").alias("id")
     ).distinct()
-    # Lazy user-side checkpoints + Gram chaining keep each iteration at
-    # THREE Spark actions on the monitored path: the Gram(uf) collect
-    # (which materialises the lazy user-side checkpoint and feeds the
-    # item half-sweep's closure), the eager item-side checkpoint, and
-    # the fused monitor collect (objective AND Gram(vf) for the next
-    # user half-sweep in one job). The old path paid ~6 actions per
-    # iteration (2 eager checkpoints, 2 sweep-internal Grams, quad +
-    # correction collects). A round-12 experiment that split the fused
-    # monitor into a Gram collect + a background pred-correction job
-    # measured 60% SLOWER (9.3 → 15.1 s at sf0.1): the split re-runs
-    # the ratings⋈factors join as an extra data-sized job per
-    # iteration, which costs more than the serial monitor it hides —
-    # keep the fusion.
+    # TWO Spark actions per iteration (round-13, was three): the
+    # Gram(uf) collect (materialises the lazy user-side checkpoint and
+    # feeds the item half-sweep's closure), and the fused
+    # sweep+monitor collect — the item solve emits each entity's
+    # observed-correction term alongside its fresh vector
+    # (`with_objective_stats`), so `_gram_and_corr`'s single traversal
+    # of the lazily-checkpointed item factors yields Gram(vf) for the
+    # next user sweep AND the exact objective via the Gram identity
+    #     L = tr(Gx·Gy) + Σ corr + λ(tr Gx + tr Gy)
+    # with no separate ratings⋈factors monitor pass at all. The r12
+    # shape paid a third action (eager item checkpoint) because the
+    # old monitor read vf from two subtrees; the fused stats remove
+    # the second subtree, so the checkpoint can go lazy and be
+    # materialised by the monitor collect itself. (A r12 experiment
+    # that split monitor work into extra data-sized jobs measured 60%
+    # SLOWER — fusion into existing passes is the only direction that
+    # pays.)
     uf = (
         init_factors(users, "id", rank, seed, scale=0.1)
         .drop("bias")
@@ -311,33 +375,28 @@ def train_ials(
     )
     history: list[float] = []
     gram_v = _gram(vf, rank)  # materialises vf; carried across iterations
+    obj = None
     for _ in range(max_iter):
         uf = _half_sweep(
             ratings, user_col, item_col, rating_col, vf, rank, alpha, lmd,
             gram=gram_v,
         ).localCheckpoint(eager=False)
         gram_u = _gram(uf, rank)  # materialises uf
-        # EAGER: the monitor reads vf from TWO subtrees (Gram partials
-        # + the observed-correction join); a lazy checkpoint would
-        # re-run the applyInPandas solve once per subtree inside the
-        # monitor's job (measured: +0.8 s/iteration at sf0.1).
         vf = _half_sweep(
             ratings, item_col, user_col, rating_col, uf, rank, alpha, lmd,
-            gram=gram_u,
-        ).localCheckpoint()
-        if monitor:
-            obj, gram_v = ials_monitor(
-                ratings, user_col, item_col, rating_col, uf, vf, rank,
-                alpha, lmd, gram_x=gram_u,
-            )
-            history.append(obj)
-        else:
-            gram_v = _gram(vf, rank)  # materialises vf for the next sweep
-    if not monitor:
-        history.append(
-            ials_objective(
-                ratings, user_col, item_col, rating_col, uf, vf, rank,
-                alpha, lmd,
-            )
+            gram=gram_u, with_objective_stats=True,
+        ).localCheckpoint(eager=False)
+        # Single-read fused collect: materialises vf, returns Gram(vf)
+        # + Σcorr; the exact objective is then pure driver arithmetic.
+        gram_v, corr = _gram_and_corr(vf, rank)
+        obj = float(
+            np.trace(gram_u @ gram_v)
+            + corr
+            + lmd * (np.trace(gram_u) + np.trace(gram_v))
         )
+        if monitor:
+            history.append(obj)
+        vf = vf.drop("corr")
+    if not monitor and obj is not None:
+        history.append(obj)
     return uf, vf, history

@@ -83,6 +83,7 @@ def _solve_bucket(
     tau: float,
     alpha: float,
     k: int,
+    with_sse: bool = False,
 ):
     """Solve EVERY entity in one hash bucket (reference update_user,
     functions.py:283-357), executed per bucket inside applyInPandas.
@@ -101,11 +102,21 @@ def _solve_bucket(
     (other-side features/bias in ``of``/``ob``), 1 = the entity's own
     current vector, 2 = the optional genre RHS pull — the frozen self
     state arrives as ONE row per entity instead of being replicated
-    onto every rating row."""
+    onto every rating row.
+
+    ``with_sse=True`` (the fused RMSE monitor, round-13): each entity
+    row additionally carries sse = Σ(r − of·vec − ob − bias)² and
+    n = |Ω| evaluated with the FRESHLY solved vector/bias — the solve
+    already holds every term, so the per-iteration RMSE becomes a tiny
+    aggregate over the factor frame instead of a separate data-sized
+    scoring join (identical value: same residuals ``predict``+``rmse``
+    would compute on the new factors)."""
     tau_eye = tau * np.eye(k)
     out_ids: list[int] = []
     out_feat: list[list[float]] = []
     out_bias: list[float] = []
+    out_sse: list[float] = []
+    out_n: list[int] = []
     kind = pdf["__k"].to_numpy()
     data = pdf[kind == 0]
     self_rows = pdf[kind == 1]
@@ -116,13 +127,15 @@ def _solve_bucket(
         # features must be object-dtyped: an empty float64 column is
         # not Arrow-convertible to list<double> (hit when a bucket
         # holds only __k=2 pull rows — e.g. unrated genre items).
-        return pd.DataFrame(
-            {
-                "id": pd.Series([], dtype="int64"),
-                "features": pd.Series([], dtype=object),
-                "bias": pd.Series([], dtype="float64"),
-            }
-        )
+        empty = {
+            "id": pd.Series([], dtype="int64"),
+            "features": pd.Series([], dtype=object),
+            "bias": pd.Series([], dtype="float64"),
+        }
+        if with_sse:
+            empty["sse"] = pd.Series([], dtype="float64")
+            empty["n"] = pd.Series([], dtype="int64")
+        return pd.DataFrame(empty)
     v_all = np.stack(data["of"].to_numpy())
     r_all = data["rating"].to_numpy(dtype=np.float64)
     b_all = data["ob"].to_numpy(dtype=np.float64)
@@ -151,7 +164,15 @@ def _solve_bucket(
         out_ids.append(int(vid))
         out_feat.append(vec.tolist())
         out_bias.append(bias)
-    return pd.DataFrame({"id": out_ids, "features": out_feat, "bias": out_bias})
+        if with_sse:
+            resid = r - v @ vec - b_other - bias
+            out_sse.append(float(resid @ resid))
+            out_n.append(n)
+    cols = {"id": out_ids, "features": out_feat, "bias": out_bias}
+    if with_sse:
+        cols["sse"] = out_sse
+        cols["n"] = out_n
+    return pd.DataFrame(cols)
 
 
 def als_half_sweep(
@@ -166,9 +187,13 @@ def als_half_sweep(
     alpha: float = DEFAULT_ALPHA,
     rank: int = DEFAULT_RANK,
     rhs_pull: DataFrame | None = None,
+    with_sse: bool = False,
 ) -> DataFrame:
     """One half-sweep: re-solve every ``self_col`` entity against frozen
-    ``other_factors``. Returns a new (id, features, bias) DataFrame.
+    ``other_factors``. Returns a new (id, features, bias) DataFrame —
+    plus per-entity (sse, n) residual stats when ``with_sse`` (see
+    ``_solve_bucket``), which make the post-sweep RMSE a tiny aggregate
+    over THIS frame instead of a second data-sized scoring join.
 
     ``rhs_pull``: optional (id, pull array) added to the normal-equation
     RHS before the solve — the genre-feature coupling term
@@ -221,12 +246,13 @@ def als_half_sweep(
         )
 
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _solve_bucket(pdf, lmd, tau, alpha, rank)
+        return _solve_bucket(pdf, lmd, tau, alpha, rank, with_sse=with_sse)
 
+    schema = _FACTOR_SCHEMA + (", sse double, n long" if with_sse else "")
     return (
         un.withColumn("__b", F.pmod(F.col("id"), F.lit(SOLVE_BUCKETS)))
         .groupBy("__b")
-        .applyInPandas(solve, schema=_FACTOR_SCHEMA)
+        .applyInPandas(solve, schema=schema)
     )
 
 

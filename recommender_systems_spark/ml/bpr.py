@@ -244,41 +244,53 @@ def _sgd_sample_bucket(
       100×-scale path: nothing driver-side grows with the catalog."""
     import math
 
-    rng_k = range(k)
-    zeros = [0.0] * k
     # ``pool`` may be a list of per-local-epoch pools (sync_every > 1:
     # the worker runs one full pass per pool between V syncs — local
     # SGD with reduced sync frequency). A single array is one epoch,
     # and the draw sequence for pools[0] is bit-identical to the
     # unbatched call.
     pools = list(pool) if isinstance(pool, (list, tuple)) else [pool]
-    rows: list[dict] = []
     i_all = pdf["i"].to_numpy()
     row_mode = v_map is None
     genres_on = (genre_map is not None) or (pool_genres is not None)
+    # Per-group output accumulators (column-wise — building a list of
+    # per-row dicts measured ~25% of kernel time at sf0.1).
+    out_kind: list[str] = []
+    out_id: list[int] = []
+    out_vecs: list[np.ndarray] = []
+    zeros = np.zeros(k)
 
+    # The per-triplet math runs on float64 NumPy vectors held in a
+    # ``cur`` map (current value per touched item), with the delta for
+    # the cross-worker sync emitted as cur − base at group end. Same
+    # update semantics as the r12 delta-accumulator form (the sync adds
+    # Σ_group (cur − base) onto the epoch snapshot); per-element fp
+    # association differs at the 1e-16 level, which no contract pins —
+    # the mode/schedule parity tests compare runs THROUGH this same
+    # kernel, and stay exact.
     for u_id, idx in pdf.groupby("u", sort=False).indices.items():
-        u_vec = [float(x) for x in pdf["uf"].iloc[idx[0]]]
+        u_vec = np.asarray(pdf["uf"].iloc[idx[0]], dtype=np.float64).copy()
         watched = {int(i_all[p]) for p in idx}
-        deltas: dict[int, list[float]] = {}
+        cur: dict[int, np.ndarray] = {}
+        base: dict[int, np.ndarray] = {}
         rng = np.random.default_rng([int(seed), int(u_id)])
         if row_mode:
             i_row = {int(i_all[p]): p for p in idx}
 
-        def v_of(item: int) -> list[float]:
+        def v_of(item: int) -> np.ndarray:
+            c = cur.get(item)
+            if c is not None:
+                return c
             if row_mode:
                 p = i_row.get(item)
-                base = (
-                    pdf["vf"].iloc[p] if p is not None else pool_vecs.get(item)
-                )
+                b = pdf["vf"].iloc[p] if p is not None else pool_vecs.get(item)
             else:
-                base = v_map.get(item)
-            b = [0.0] * k if base is None else [float(x) for x in base]
-            d = deltas.get(item)
-            if d is not None:
-                for t in rng_k:
-                    b[t] += d[t]
-            return b
+                b = v_map.get(item)
+            b = zeros if b is None else np.asarray(b, dtype=np.float64)
+            base[item] = b
+            c = b.copy()
+            cur[item] = c
+            return c
 
         def genres_of_pos(item: int):
             if not genres_on:
@@ -311,25 +323,31 @@ def _sgd_sample_bucket(
                 if j is None:
                     continue
                 v_i, v_j = v_of(i), v_of(j)
-                x_uij = sum(u_vec[t] * (v_i[t] - v_j[t]) for t in rng_k)
+                diff = v_i - v_j
+                x_uij = float(u_vec @ diff)
                 e = math.exp(-x_uij)
                 coef = e / (1.0 + e)
-                di = deltas.setdefault(i, list(zeros))
-                dj = deltas.setdefault(j, list(zeros))
-                for t in rng_k:
-                    u_t = u_vec[t]
-                    di[t] += lr * (coef * u_t + reg * v_i[t])
-                    dj[t] += lr * (-coef * u_t + reg * v_j[t])
-                    u_vec[t] = u_t + lr * (coef * (v_i[t] - v_j[t]) + reg * u_t)
+                # All three RHS use the pre-update values (diff, v_i,
+                # v_j, u_vec captured before any in-place write).
+                inc_i = lr * (coef * u_vec + reg * v_i)
+                inc_j = lr * (-coef * u_vec + reg * v_j)
+                u_vec += lr * (coef * diff + reg * u_vec)
+                v_i += inc_i
+                v_j += inc_j
 
-        rows.append(
-            {"kind": "u", "id": int(u_id), **{f"d{t}": u_vec[t] for t in rng_k}}
-        )
-        rows += [
-            {"kind": "dv", "id": item, **{f"d{t}": d[t] for t in rng_k}}
-            for item, d in deltas.items()
-        ]
-    return pd.DataFrame(rows)
+        out_kind.append("u")
+        out_id.append(int(u_id))
+        out_vecs.append(u_vec)
+        for item, c in cur.items():
+            out_kind.append("dv")
+            out_id.append(item)
+            out_vecs.append(c - base[item])
+    mat = (
+        np.stack(out_vecs) if out_vecs else np.zeros((0, k), dtype=np.float64)
+    )
+    cols = {"kind": out_kind, "id": out_id}
+    cols.update({f"d{t}": mat[:, t] for t in range(k)})
+    return pd.DataFrame(cols)
 
 
 @dataclass
@@ -549,19 +567,103 @@ def train_bpr(
             # quadratically under joint user+catalog scale-up, measured
             # 14.9x at a 10x tiling; prefer the count form).
             if eval_user_count:
+                # Fixed-count sample ⇒ everything driver-bounded: the
+                # sample-sized eval runs through `_eval_pr_driver`
+                # (same scoring, same tie order, deterministic
+                # sorted-user averaging shared by both catalog modes).
                 eval_users = u_f.orderBy(
                     F.md5(F.col("id").cast("string")), "id"
                 ).limit(eval_user_count)
-            elif eval_user_mod:
-                eval_users = u_f.filter(F.col("id") % eval_user_mod == 0)
-            else:
-                eval_users = u_f
-            metrics.append(
-                precision_recall_at_k(
-                    pos, eval_users, v_f, eval_k, rank=rank, n_blocks=eval_blocks
+                metrics.append(
+                    _eval_pr_driver(
+                        pos, eval_users, v_f, eval_k,
+                        rank=rank, n_blocks=eval_blocks,
+                    )
                 )
-            )
+            else:
+                eval_users = (
+                    u_f.filter(F.col("id") % eval_user_mod == 0)
+                    if eval_user_mod
+                    else u_f
+                )
+                metrics.append(
+                    precision_recall_at_k(
+                        pos, eval_users, v_f, eval_k,
+                        rank=rank, n_blocks=eval_blocks,
+                    )
+                )
     return BprModel(u_f, v_f, metrics)
+
+
+def _eval_pr_driver(
+    positives: DataFrame,
+    eval_users: DataFrame,
+    item_factors: DataFrame,
+    k: int | list[int],
+    rank: int | None = None,
+    n_blocks: int | None = None,
+) -> tuple[float, float] | dict[int, tuple[float, float]]:
+    """E1 for a FIXED-COUNT user sample: everything that reaches the
+    driver is sample-bounded (N users' vectors, N·kmax top rows, the
+    N users' positive pairs), so the hit-counting and averaging run as
+    plain NumPy in sorted-user order — deterministic, and byte-equal
+    across the broadcast/blocked catalog modes BY CONSTRUCTION (both
+    feed the same integer (u, ranked-items) lists into the same driver
+    arithmetic; the metric no longer depends on Spark partial-agg
+    order). Replaces ~5 shuffle stages of pure scheduling per eval
+    point (measured 2.4 s → ~0.5 s at sf0.1 with N=200).
+
+    Scale shape: with ``n_blocks`` set, scoring stays the distributed
+    blocked GEMM (``_topk_blocked``) and only its N·kmax (u, i, rnk)
+    rows are collected; without it the catalog is below the broadcast
+    threshold, so the same item matrix the epoch already broadcasts is
+    scored against N user vectors driver-side with the identical
+    lexsort tie order (score desc, id asc)."""
+    ks = sorted({k} if isinstance(k, int) else set(k))
+    kmax = ks[-1]
+    ranked: dict[int, list[int]] = {}
+    if n_blocks is not None and n_blocks > 1:
+        for r in _topk_blocked(eval_users, item_factors, kmax, n_blocks).collect():
+            ranked.setdefault(int(r["u"]), []).append((int(r["rnk"]), int(r["i"])))
+        ranked = {
+            u: [i for _, i in sorted(pairs)] for u, pairs in ranked.items()
+        }
+    else:
+        ev_rows = eval_users.collect()
+        item_rows = item_factors.collect()
+        item_ids = np.array([r["id"] for r in item_rows], dtype=np.int64)
+        item_mat = np.stack(
+            [np.asarray(r["features"], dtype=np.float64) for r in item_rows]
+        )
+        u_ids = [int(r["id"]) for r in ev_rows]
+        u_mat = np.stack(
+            [np.asarray(r["features"], dtype=np.float64) for r in ev_rows]
+        )
+        scores = u_mat @ item_mat.T
+        for n, uid in enumerate(u_ids):
+            order = np.lexsort((item_ids, -scores[n]))[:kmax]
+            ranked[uid] = [int(item_ids[o]) for o in order]
+    pos_sets: dict[int, set[int]] = {}
+    for r in (
+        positives.join(
+            eval_users.select(F.col("id").alias("u")), "u", "left_semi"
+        ).collect()
+    ):
+        pos_sets.setdefault(int(r["u"]), set()).add(int(r["i"]))
+    out: dict[int, tuple[float, float]] = {}
+    users = sorted(pos_sets)  # scored users with ≥1 positive, as before
+    for kk in ks:
+        ps, rs = [], []
+        for u in users:
+            tops = ranked.get(u, [])[:kk]
+            tp = sum(1 for i in tops if i in pos_sets[u])
+            ps.append(tp / kk)
+            rs.append(tp / len(pos_sets[u]))
+        out[kk] = (
+            float(np.mean(ps)) if ps else 0.0,
+            float(np.mean(rs)) if rs else 0.0,
+        )
+    return out[k] if isinstance(k, int) else out
 
 
 def _topk_blocked(
@@ -696,27 +798,29 @@ def precision_recall_at_k(
             .groupBy("__b")
             .applyInPandas(topk_block, "u long, i long, rnk int")
         )
-    hits = (
-        top.join(positives, ["u", "i"], "left_semi")
-        .groupBy("u")
-        .agg(
-            *[
-                F.sum(F.when(F.col("rnk") <= kk, 1).otherwise(0)).alias(f"tp_{kk}")
-                for kk in ks
-            ]
-        )
-    )
+    # Fused tail (round-13, shared by both scoring modes so they stay
+    # value-identical): flag each SCORED user's positives with its
+    # top-k rank in one left join, then a single per-user aggregation
+    # yields n_pos AND every tp_k — the old hits/per_user/fillna chain
+    # was three extra shuffle stages of pure scheduling at small k.
+    # Averaging over scored users only (user_factors may be a sample);
+    # top rows outside the positive set contribute nothing, exactly as
+    # the old semi-join counted them.
     per_user = (
-        # Average over the SCORED users only (user_factors may be a
-        # sample); a bare positives-side mean would count unscored
-        # users as zero hits.
         positives.join(
             user_factors.select(F.col("id").alias("u")), "u", "left_semi"
         )
+        .join(top, ["u", "i"], "left")
         .groupBy("u")
-        .agg(F.count(F.lit(1)).alias("n_pos"))
-        .join(hits, "u", "left")
-        .fillna(0, subset=[f"tp_{kk}" for kk in ks])
+        .agg(
+            F.count(F.lit(1)).alias("n_pos"),
+            *[
+                F.sum(
+                    F.when(F.col("rnk") <= kk, 1).otherwise(0)
+                ).alias(f"tp_{kk}")
+                for kk in ks
+            ],
+        )
     )
     row = per_user.agg(
         *[F.avg(F.col(f"tp_{kk}") / F.lit(kk)).alias(f"p_{kk}") for kk in ks],

@@ -44,7 +44,6 @@ from recommender_systems_spark.ml.als import (
     AlsBiasModel,
     als_half_sweep,
     init_factors,
-    rmse,
 )
 
 DEFAULT_BETA = 0.01  # genre-feature regulariser (incl_genre.py)
@@ -186,6 +185,17 @@ def update_genre_features(
     return f_new
 
 
+def _sse_rmse(factors: DataFrame) -> float:
+    """√(Σsse/Σn) over a factor frame carrying fused residual stats
+    (``als_half_sweep(with_sse=True)``) — identical to
+    ``als.rmse(ratings, …)`` on the same fresh factors, without the
+    ratings-sized scoring join."""
+    row = factors.agg(
+        F.sqrt(F.sum("sse") / F.sum("n")).alias("rmse")
+    ).collect()[0]
+    return float(row["rmse"])
+
+
 def train_als_genre(
     ratings: DataFrame,
     genres: DataFrame,
@@ -285,8 +295,15 @@ def train_als_genre(
             # ever reads already-materialised snapshots — the lazy-
             # checkpoint concurrency race needs a concurrent FIRST
             # computation, which this ordering rules out.
+            # with_sse: the item solve emits per-item residual stats
+            # computed with the fresh vectors (als._solve_bucket), so
+            # the RMSE monitor below is a tiny aggregate over this
+            # checkpointed frame — no separate ratings-sized scoring
+            # join per iteration (round-13; the rmse() job was the one
+            # remaining data pass outside the sweeps).
             new_v = als_half_sweep(
-                r, "i", "u", "r", v_f, new_u, lmd, tau, alpha, rank, rhs_pull=pull
+                r, "i", "u", "r", v_f, new_u, lmd, tau, alpha, rank,
+                rhs_pull=pull, with_sse=True,
             ).localCheckpoint(eager=False)
             u_f, v_f = new_u, new_v
             # pull carries τ/√|g|·Σ F — divide by τ for the
@@ -302,10 +319,14 @@ def train_als_genre(
                 b_vec, c_mat = grid_future.result()
             f_state = update_genre_features(f_state, a_mat, b_vec, c_mat, tau, beta)
             if rmse_every_iter or it == max_iter - 1:
-                rmse_futures.append(
-                    monitor.submit(rmse, r, "u", "i", "r", u_f, v_f, dim=rank)
-                )
+                # v_f is already materialised (the A-stats collect
+                # above ran its checkpoint), so this is a sub-0.1 s
+                # item-dimension aggregate on the monitor thread.
+                rmse_futures.append(monitor.submit(_sse_rmse, v_f))
         rmse_hist = [fut.result() for fut in rmse_futures]
     finally:
         monitor.shutdown(wait=True)
-    return AlsBiasModel(u_f, v_f, rmse_hist, [], False), f_state
+    return (
+        AlsBiasModel(u_f, v_f.drop("sse", "n"), rmse_hist, [], False),
+        f_state,
+    )

@@ -114,6 +114,32 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
+    def _head_sha() -> str | None:
+        try:
+            import subprocess
+
+            return subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout.strip() or None
+        except Exception:
+            return None
+
+    # A full cold-mode run records its total as the standing
+    # COLD_BENCH.json artifact (picked up by the next warm run's
+    # printed line — see below).
+    if os.environ.get("SPARK_GRAFT_COLD") == "1" and not only and not errors:
+        cold_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "COLD_BENCH.json"
+        )
+        with open(cold_path, "w") as fh:
+            json.dump(
+                {"cold_total": total, "nq": len(timings), "sf": sf,
+                 "head_sha": _head_sha()},
+                fh, indent=1,
+            )
+
     # Regression gate: compare this run's per-query numbers against the
     # PRIOR BENCH_DETAIL.json (read before it is overwritten below) and
     # flag every above-factor slowdown, so each round's bench output carries
@@ -268,6 +294,26 @@ def main() -> None:
              "n_within_noise": len(within_noise),
              "metric": "total_query_wall_clock",
              "unit": "sec", "value": total}
+    # Standing honesty instruments (VERDICT r12 #3): the interleaved
+    # HEAD-vs-pinned ratio (tools/bench_ab.py writes RATIO_GATE.json)
+    # and the wipe-everything cold total (a SPARK_GRAFT_COLD=1 run of
+    # this script writes COLD_BENCH.json) ride the printed line when
+    # their artifacts exist, so each round's BENCH_r{N}.json carries
+    # tool-produced numbers — never hand-pasted, and stamped with the
+    # git SHA they were measured at.
+    here = os.path.dirname(os.path.abspath(__file__))
+    for key, fname, fields in (
+        ("ratio", "RATIO_GATE.json",
+         ("total_ratio", "n_common", "pinned", "head_sha", "n_flags")),
+        ("cold", "COLD_BENCH.json",
+         ("cold_total", "nq", "head_sha")),
+    ):
+        try:
+            with open(os.path.join(here, fname)) as fh:
+                art = json.load(fh)
+            frame[key] = {f: art[f] for f in fields if f in art}
+        except Exception:
+            frame[key] = None
     overhead = len(json.dumps(frame, separators=(",", ":"))) + len('"_other":12345.678,')
     used = overhead
     for name in sorted(timings, key=timings.get, reverse=True):

@@ -77,6 +77,20 @@ def init_factors(
 SOLVE_BUCKETS = 256
 
 
+def bucketed(df: DataFrame, key: str, n_buckets: int) -> DataFrame:
+    """Pin the grouping shuffle's partition count for a CPU-heavy
+    bucketed Arrow kernel. AQE's partition coalescing targets shuffle
+    BYTES, and a trainer's bucket rows are tiny — at sf0.1 it collapsed
+    the BPR epoch's 64 buckets onto 2 tasks, serialising the kernels
+    (measured 7.7 → 2.0 s after pinning). The explicit hash repartition
+    satisfies the downstream ClusteredDistribution requirement, so no
+    second exchange is added; parallelism stays min(buckets, 2×default
+    parallelism) — on a real cluster defaultParallelism scales with the
+    executors, so the pin never caps a big job below its core count."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(min(n_buckets, sc.defaultParallelism * 2), key)
+
+
 def _solve_bucket(
     pdf: pd.DataFrame,
     lmd: float,
@@ -249,6 +263,12 @@ def als_half_sweep(
         return _solve_bucket(pdf, lmd, tau, alpha, rank, with_sse=with_sse)
 
     schema = _FACTOR_SCHEMA + (", sse double, n long" if with_sse else "")
+    # Deliberately NOT `bucketed`-pinned: the ALS sweep is shuffle/Arrow
+    # I/O-bound (kernel CPU ≈ 0.6 s vs ~40 MB of factor-carrying rows at
+    # sf0.1), so AQE's size-based coalescing is the right call here —
+    # pinning 64 partitions measured ~2× SLOWER per sweep (round-13
+    # A/B). Contrast ml/bpr.py's epoch shuffle: tiny bytes + heavy
+    # kernel, where the same pin is a 4× win.
     return (
         un.withColumn("__b", F.pmod(F.col("id"), F.lit(SOLVE_BUCKETS)))
         .groupBy("__b")

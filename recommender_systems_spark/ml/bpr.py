@@ -37,7 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from recommender_systems_spark.ml.als import init_factors
+from recommender_systems_spark.ml.als import bucketed, init_factors
 
 POOL_SIZE = 1024
 ATTEMPTS = 4
@@ -269,7 +269,18 @@ def _sgd_sample_bucket(
     # the mode/schedule parity tests compare runs THROUGH this same
     # kernel, and stay exact.
     for u_id, idx in pdf.groupby("u", sort=False).indices.items():
-        u_vec = np.asarray(pdf["uf"].iloc[idx[0]], dtype=np.float64).copy()
+        # The user's epoch-frozen vector arrives on its single marker
+        # row (i = −1); positives are the i ≥ 0 rows. A group without a
+        # marker has no current user state — dropped, matching the old
+        # inner-join contract (never happens: u_f covers every pos
+        # user).
+        marker = [p for p in idx if i_all[p] < 0]
+        if not marker:
+            continue
+        u_vec = np.asarray(
+            pdf["uf"].iloc[marker[0]], dtype=np.float64
+        ).copy()
+        idx = [p for p in idx if i_all[p] >= 0]
         watched = {int(i_all[p]) for p in idx}
         cur: dict[int, np.ndarray] = {}
         base: dict[int, np.ndarray] = {}
@@ -440,14 +451,19 @@ def train_bpr(
     schema = "kind string, id long, " + ", ".join(f"{d} double" for d in dims)
 
     def epoch_src() -> DataFrame:
-        src = pos.join(
-            u_f.select(F.col("id").alias("u"), F.col("features").alias("uf")), "u"
+        # The user's epoch-frozen vector ships ONCE per user as a
+        # marker row (i = −1; the als_half_sweep __k trick) instead of
+        # replicated onto every positive — the grouping shuffle and
+        # Arrow payload drop from |positives|·k doubles to |users|·k
+        # (round-13: ~5× fewer shuffled bytes at sf0.1).
+        src = pos.select(
+            "u", "i", F.lit(None).cast("array<double>").alias("uf")
         )
         if blocked:
             # The epoch-frozen V snapshot rides each positive row; the
             # per-rating replication ships through the shuffle (scale-
             # safe), never the driver.
-            src = src.join(
+            src = pos.join(
                 v_f.select(F.col("id").alias("i"), F.col("features").alias("vf")),
                 "i",
             )
@@ -462,6 +478,18 @@ def train_bpr(
                     "i",
                     "left",
                 )
+            src = src.select(
+                "u", "i", F.lit(None).cast("array<double>").alias("uf"),
+                "vf", *(["gi"] if genres is not None else []),
+            )
+        extra = [f for f in src.schema.fields if f.name in ("vf", "gi")]
+        markers = u_f.select(
+            F.col("id").alias("u"),
+            F.lit(-1).cast("long").alias("i"),
+            F.col("features").alias("uf"),
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in extra],
+        )
+        src = src.unionByName(markers)
         return src.withColumn("__b", F.pmod(F.col("u"), F.lit(SGD_BUCKETS)))
 
     epoch = 0
@@ -530,7 +558,12 @@ def train_bpr(
                 pool_genres=pool_genres,
             )
 
-        out = epoch_src().groupBy("__b").applyInPandas(sgd, schema).localCheckpoint()
+        out = (
+            bucketed(epoch_src(), "__b", SGD_BUCKETS)
+            .groupBy("__b")
+            .applyInPandas(sgd, schema)
+            .localCheckpoint()
+        )
         # u_f / dv both derive lazily from the checkpointed SGD output —
         # no separate materialisation jobs.
         u_f = out.filter(F.col("kind") == "u").select(
@@ -794,7 +827,13 @@ def precision_recall_at_k(
             return pd.DataFrame({"u": out_u, "i": out_i, "rnk": out_r})
 
         top = (
-            user_factors.withColumn("__b", F.pmod(F.col("id"), F.lit(SGD_BUCKETS)))
+            bucketed(
+                user_factors.withColumn(
+                    "__b", F.pmod(F.col("id"), F.lit(SGD_BUCKETS))
+                ),
+                "__b",
+                SGD_BUCKETS,
+            )
             .groupBy("__b")
             .applyInPandas(topk_block, "u long, i long, rnk int")
         )

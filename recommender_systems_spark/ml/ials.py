@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from recommender_systems_spark.ml.als import SOLVE_BUCKETS, init_factors
+from recommender_systems_spark.ml.als import SOLVE_BUCKETS, bucketed, init_factors
 
 IALS_ALPHA = 1.0   # confidence slope: c = 1 + α r
 IALS_LMD = 0.1     # L2 regularisation
@@ -135,6 +135,9 @@ def _half_sweep(
     schema = "id long, features array<double>"
     if with_objective_stats:
         schema += ", corr double"
+    # NOT `bucketed`-pinned — same adjudication as als.als_half_sweep:
+    # this sweep is Arrow-I/O-bound, AQE coalescing wins (pin measured
+    # ~2× slower per phase at sf0.1, round-13 A/B).
     return (
         data.withColumn("__b", F.pmod(F.col("id"), F.lit(SOLVE_BUCKETS)))
         .groupBy("__b")

@@ -632,7 +632,13 @@ def e_ab_simulation(
     # --- simulate users (ab_test.py:87-97) on md5 uniforms — shared
     # with the oracle-backed e_ab_arm_sizes_hash / e_ab_foldin_bias_hash
     # twins, which value-check this run's deterministic sub-frames ------
-    users = _ab_sim_users(spark).localCheckpoint(eager=False)
+    # Scale-guarded (VERDICT r12 #7): lazy below the big-corpus
+    # threshold (the arm_rows collect right below materialises it
+    # serially — one action instead of two); EAGER past it, where a
+    # still-unmaterialised lazy checkpoint read by the serving job's
+    # multiple subtrees is the documented "Block rdd_N does not exist"
+    # failure mode under memory pressure.
+    users = _ab_sim_users(spark).localCheckpoint(eager=_ab_big(sf_dir))
     # P8 two-arm guard (ab_test.py:240-246) before any serving work —
     # folded into the e_ab_arm_sizes_hash frame shape (grp-keyed
     # count), whose single collect ALSO materialises the lazy users
@@ -812,8 +818,14 @@ def e_ab_simulation(
             {"user_id": out_u, "item": out_i, "score": out_s, "rank": out_r}
         )
 
+    from recommender_systems_spark.ml.als import bucketed
+
     recs = (
-        ug.withColumn("__b", F.pmod(F.col("user_id"), F.lit(16)))
+        bucketed(
+            ug.withColumn("__b", F.pmod(F.col("user_id"), F.lit(16))),
+            "__b",
+            16,
+        )
         .groupBy("__b")
         .applyInPandas(topn, "user_id long, item long, score double, rank int")
     )
@@ -1588,7 +1600,14 @@ def e_aa_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (2·{_AA_REPS} groups); everything after is a {_AA_REPS}-row
     frame. At 100 TB this is the e_bootstrap_ci economics — one scan,
     sketch-sized state."""
-    p = _aa_replicate_pvals(spark, sf_dir).localCheckpoint(eager=False)
+    # Scale-guarded (VERDICT r12 #7): the final action reads `p` from
+    # TWO subtrees (KS ranks + the z/sig aggregate) — at big-corpus
+    # scale a lazy checkpoint's concurrent first computation is the
+    # documented failure mode, so it goes eager there; below the
+    # threshold lazy saves the extra action.
+    p = _aa_replicate_pvals(spark, sf_dir).localCheckpoint(
+        eager=_ab_big(sf_dir)
+    )
     # 20 rows; KS + z-max + sig-count read the one materialization
     wr = Window.orderBy("p6", "rep")
     r = p.select("p6", F.row_number().over(wr).alias("i"))

@@ -416,20 +416,23 @@ def m_bpr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     golden tests), final mean P@20/R@20 (E1). Rows-only driver check;
     the golden test asserts the metrics improve over training."""
     from recommender_systems_spark.ml.bpr import train_bpr
-    from recommender_systems_spark.operators.relational import (
-        anti_join_below_threshold,
-    )
     from recommender_systems_spark.queries.genre import _parts_with_genres
 
     li = _t(spark, sf_dir, "lineitem")
+    # Dedup + min-positives threshold in ONE user-keyed shuffle
+    # (collect_set dedups inside the same aggregation the threshold
+    # reads) — same (u, i) set as distinct → anti_join_below_threshold
+    # (the P6/P7 operator surface, operators/relational.py:15), one
+    # exchange cheaper. Per-user sets are catalog-bounded, the same
+    # bound the SGD user-group already assumes.
     pos = (
         li.filter(F.col("l_quantity") >= 25)
-        .select(
-            F.col("l_suppkey").alias("u"), F.col("l_partkey").alias("i")
-        )
-        .distinct()
+        .select(F.col("l_suppkey").alias("u"), F.col("l_partkey").alias("i"))
+        .groupBy("u")
+        .agg(F.collect_set("i").alias("__items"))
+        .filter(F.size("__items") >= 10)
+        .select("u", F.explode("__items").alias("i"))
     )
-    pos = anti_join_below_threshold(pos, "u", 10)
     genres = _parts_with_genres(spark, sf_dir).select(
         F.col("p_partkey").alias("item"), F.col("genre_values").alias("genre_ids")
     )

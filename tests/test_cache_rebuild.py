@@ -106,3 +106,59 @@ def test_gc_data_cache_scopes():
                 ) else os.remove(p)
         if not live_existed and os.path.exists(live_zip):
             os.remove(live_zip)
+
+
+def test_gc_reaps_superseded_identity_artifact(tmp_path):
+    """VERDICT r12 #6: a content-keyed artifact whose SOURCE identity
+    has been superseded (the digest in its name no longer matches the
+    current cache_key of its recorded recipe) must be reaped by
+    gc_data_cache once past the age gate — and a LIVE-identity artifact
+    with the same prefix must survive."""
+    import json
+    import os
+    import shutil
+    import time
+
+    from recommender_systems_spark.io import (
+        _cache_root,
+        cache_key,
+        cache_path,
+        gc_data_cache,
+    )
+
+    # A private fake "source table" whose identity we control.
+    src = tmp_path / "part.parquet"
+    src.write_bytes(b"v1")
+    sf_dir = str(tmp_path)
+
+    live = cache_path("gcidtest", sf_dir, "part")  # logs the recipe
+    os.makedirs(live, exist_ok=True)
+    # Supersede the identity: same recipe, different file content/mtime.
+    time.sleep(0.01)
+    src.write_bytes(b"v2-longer")
+    current = f"gcidtest_{cache_key(sf_dir, 'part')}"
+    assert os.path.basename(live) != current  # identity really changed
+
+    root = _cache_root()
+    live_now = os.path.join(root, current)
+    os.makedirs(live_now, exist_ok=True)
+    # The new identity's recipe must also be on record (fresh process
+    # would log it via cache_path; here append directly since the
+    # once-per-process memo already holds the prefix).
+    with open(os.path.join(root, "MANIFEST.jsonl"), "a") as fh:
+        fh.write(
+            json.dumps(
+                {"dir": current, "prefix": "gcidtest", "sf_dir": sf_dir,
+                 "tables": ["part"]}
+            ) + "\n"
+        )
+    old = time.time() - 48 * 3600
+    os.utime(live, (old, old))
+    try:
+        removed = gc_data_cache(max_age_hours=24.0)
+        assert os.path.basename(live) in removed
+        assert not os.path.isdir(live)
+        assert os.path.isdir(live_now)  # current identity untouched
+    finally:
+        for p in (live, live_now):
+            shutil.rmtree(p, ignore_errors=True)

@@ -100,18 +100,39 @@ def main() -> None:
         if med["pinned"][q] >= 0.2
     }
     worst = dict(sorted(ratios.items(), key=lambda kv: -kv[1])[:15])
-    print(
-        json.dumps(
-            {
-                "total_head": round(th, 2),
-                "total_pinned": round(tp, 2),
-                "total_ratio": round(th / tp, 4),
-                "n_common": len(common),
-                "flags_ge_1p3": {q: r for q, r in ratios.items() if r >= 1.3},
-                "worst_ratios": worst,
-            }
+    flags = {q: r for q, r in ratios.items() if r >= 1.3}
+    result = {
+        "total_head": round(th, 2),
+        "total_pinned": round(tp, 2),
+        "total_ratio": round(th / tp, 4),
+        "n_common": len(common),
+        "flags_ge_1p3": flags,
+        "worst_ratios": worst,
+    }
+    print(json.dumps(result))
+    # Standing artifact: a FULL-bench run (no --only restriction)
+    # persists the ratio so bench.py's printed line can carry it into
+    # the round's BENCH_r{N}.json (tool-produced, never hand-pasted).
+    if not args.only:
+        try:
+            import subprocess
+
+            sha = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True, cwd=head,
+            ).stdout.strip() or None
+        except Exception:
+            sha = None
+        gate = dict(
+            result,
+            pinned=args.pinned,
+            head_sha=sha,
+            n_flags=len(flags),
+            reps=args.reps,
         )
-    )
+        gate.pop("worst_ratios", None)
+        with open(os.path.join(head, "RATIO_GATE.json"), "w") as fh:
+            json.dump(gate, fh, indent=1)
 
 
 if __name__ == "__main__":

@@ -83,7 +83,32 @@ def main() -> None:
         }
         print(f"{art}: cold={cold} warm={warm}", file=sys.stderr)
 
-    print(json.dumps({"sf": sf, "artifacts": out}))
+    # Cache-footprint report (VERDICT r12 #6): total size and the
+    # largest entries, so growth is visible in every cold-bench record.
+    from recommender_systems_spark.io import _cache_root
+
+    sizes: dict[str, int] = {}
+    root = _cache_root()
+    for d in os.listdir(root) if os.path.isdir(root) else []:
+        full = os.path.join(root, d)
+        try:
+            if os.path.isdir(full):
+                sizes[d] = sum(
+                    os.path.getsize(os.path.join(dp, f))
+                    for dp, _, fs in os.walk(full)
+                    for f in fs
+                )
+            else:
+                sizes[d] = os.path.getsize(full)
+        except OSError:
+            continue
+    top = dict(sorted(sizes.items(), key=lambda kv: -kv[1])[:10])
+    cache_report = {
+        "total_mb": round(sum(sizes.values()) / 1e6, 1),
+        "n_entries": len(sizes),
+        "top_mb": {k: round(v / 1e6, 1) for k, v in top.items()},
+    }
+    print(json.dumps({"sf": sf, "artifacts": out, "cache": cache_report}))
 
 
 if __name__ == "__main__":

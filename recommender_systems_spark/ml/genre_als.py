@@ -274,7 +274,23 @@ def train_als_genre(
     from concurrent.futures import ThreadPoolExecutor
 
     monitor = ThreadPoolExecutor(max_workers=1)
+    # Plan-pipelining thread (round-13): the USER half-sweep's plan is
+    # factor-VALUE-independent (only the pull term bakes in f_state),
+    # so iteration N+1's user-sweep DataFrame + lazy-checkpoint RDD
+    # conversion (~0.7 s of driver-side Catalyst at sf0.1) is built on
+    # this thread WHILE iteration N's A-stats collect keeps the cluster
+    # busy. Plan construction never computes data, so racing an
+    # in-flight job is safe; the result is consumed strictly after
+    # .result().
+    prebuild = ThreadPoolExecutor(max_workers=1)
+
+    def build_user_sweep(uf, vf):
+        return als_half_sweep(
+            r, "u", "i", "r", uf, vf, lmd, tau, alpha, rank
+        ).localCheckpoint(eager=False)
+
     rmse_futures = []
+    next_u_fut = None
     try:
         grid_future = monitor.submit(genre_weight_grid, genres, n_genres)
         for it in range(max_iter):
@@ -282,9 +298,11 @@ def train_als_genre(
             # the item-side EAGER checkpoint's job, so the background
             # RMSE thread only ever touches already-materialised
             # snapshots (no concurrent first-computation race).
-            new_u = als_half_sweep(
-                r, "u", "i", "r", u_f, v_f, lmd, tau, alpha, rank
-            ).localCheckpoint(eager=False)
+            new_u = (
+                next_u_fut.result()
+                if next_u_fut is not None
+                else build_user_sweep(u_f, v_f)
+            )
             pull = genre_pull(genres, f_state, spark, tau)
             # Item-side checkpoint is LAZY too: the A-stats collect
             # below is the iteration's ONE action — it materialises
@@ -306,6 +324,13 @@ def train_als_genre(
                 rhs_pull=pull, with_sse=True,
             ).localCheckpoint(eager=False)
             u_f, v_f = new_u, new_v
+            # Kick off iteration N+1's user-sweep plan build now — it
+            # overlaps the A-stats collect below (see `prebuild`).
+            next_u_fut = (
+                prebuild.submit(build_user_sweep, new_u, new_v)
+                if it + 1 < max_iter
+                else None
+            )
             # pull carries τ/√|g|·Σ F — divide by τ for the
             # zero-ratings item solve (see `unrated` above).
             a_src = v_f.select("id", "features").unionByName(
@@ -326,6 +351,7 @@ def train_als_genre(
         rmse_hist = [fut.result() for fut in rmse_futures]
     finally:
         monitor.shutdown(wait=True)
+        prebuild.shutdown(wait=True)
     return (
         AlsBiasModel(u_f, v_f.drop("sse", "n"), rmse_hist, [], False),
         f_state,

@@ -401,6 +401,7 @@ def sweep_monitor(
     want_loglik: bool,
     want_delta: bool,
     dim: int | None = None,
+    sse_source: DataFrame | None = None,
 ) -> tuple[float, float | None, float | None]:
     """The ENTIRE per-iteration monitor (A9 RMSE, optional A10
     regularised log-likelihood, optional E8 max parameter delta) as ONE
@@ -408,16 +409,26 @@ def sweep_monitor(
     into a single 1-row frame and collected once. Separately-collected
     monitors cost 3-5 driver round-trips per sweep — pure fixed
     overhead at bench scale, and at cluster scale 3-5 scheduler
-    barriers where one suffices. The scoring join is shared between
-    the RMSE and the log-likelihood SSE (identical expression, built
-    once)."""
-    scored = predict(
-        ratings, user_col, item_col, new_u, new_v, dim=dim
-    )
-    out = scored.agg(
-        F.sum(F.pow(F.col("prediction") - F.col(rating_col), 2)).alias("sse"),
-        F.count(F.lit(1)).alias("n"),
-    )
+    barriers where one suffices.
+
+    ``sse_source`` (round-13): a factor frame carrying fused per-entity
+    (sse, n) residual stats from ``als_half_sweep(with_sse=True)`` —
+    identical residuals to the scoring join, already computed inside
+    the sweep. With it, EVERY subtree of this collect is
+    dimension-sized; the ratings-sized predict join exists only on the
+    fallback path."""
+    if sse_source is not None:
+        out = sse_source.agg(
+            F.sum("sse").alias("sse"), F.sum("n").alias("n")
+        )
+    else:
+        scored = predict(
+            ratings, user_col, item_col, new_u, new_v, dim=dim
+        )
+        out = scored.agg(
+            F.sum(F.pow(F.col("prediction") - F.col(rating_col), 2)).alias("sse"),
+            F.count(F.lit(1)).alias("n"),
+        )
     if want_loglik:
         sq = F.aggregate("features", F.lit(0.0), lambda a, x: a + x * x)
         out = out.crossJoin(
@@ -502,15 +513,22 @@ def train_als_bias(
         new_u = als_half_sweep(
             ratings, "u", "i", "r", u_f, v_f, lmd, tau, alpha, rank
         ).localCheckpoint(eager=False)
-        new_v = als_half_sweep(
-            ratings, "i", "u", "r", v_f, new_u, lmd, tau, alpha, rank
+        # with_sse: the item solve carries per-item residual stats with
+        # the fresh vectors (identical to the predict join's residuals
+        # on (new_u, new_v)), so the fused monitor below touches only
+        # dimension-sized frames — no ratings pass outside the sweeps.
+        new_v_ext = als_half_sweep(
+            ratings, "i", "u", "r", v_f, new_u, lmd, tau, alpha, rank,
+            with_sse=True,
         ).localCheckpoint()
+        new_v = new_v_ext.drop("sse", "n")
         # E8 delta rides the fused monitor — only pay for it when a
         # convergence tolerance is actually requested.
         rmse_val, ll, delta = sweep_monitor(
             ratings, "u", "i", "r", u_f, v_f, new_u, new_v,
             lmd, tau, alpha,
             want_loglik=track_loglik, want_delta=tol > 0, dim=rank,
+            sse_source=new_v_ext,
         )
         u_f, v_f = new_u, new_v
         rmse_hist.append(rmse_val)

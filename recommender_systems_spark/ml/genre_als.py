@@ -234,12 +234,6 @@ def train_als_genre(
         F.col(item_col).cast("long").alias("i"),
         F.col(rating_col).cast("double").alias("r"),
     ).localCheckpoint(eager=False)
-    # Three consumers per iteration (pull, A/B stats, C stats) re-derive
-    # the genre parse otherwise — materialise the small dimension once.
-    # EAGER: the weight-grid collect below runs on a background thread
-    # concurrently with iteration 1's sweeps, and two threads must not
-    # race the first computation of a lazy checkpoint.
-    genres = genres.localCheckpoint()
     u_f = init_factors(
         r.select("u").distinct(), "u", rank, seed
     ).localCheckpoint(eager=False)
@@ -253,6 +247,34 @@ def train_als_genre(
     # 1's sweeps (genres is eagerly checkpointed above, so the two
     # threads never race a first computation).
     b_vec = c_mat = None
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    monitor = ThreadPoolExecutor(max_workers=1)
+    # Plan-pipelining thread (round-13): the USER half-sweep's plan is
+    # factor-VALUE-independent (only the pull term bakes in f_state),
+    # so its DataFrame + lazy-checkpoint RDD conversion (~0.7 s of
+    # driver-side Catalyst at sf0.1) can be built off the critical
+    # path: iteration 0's during the eager genres checkpoint below,
+    # iteration N+1's WHILE iteration N's A-stats collect keeps the
+    # cluster busy. Plan construction never computes data, so racing an
+    # in-flight job is safe; results are consumed strictly via
+    # .result().
+    prebuild = ThreadPoolExecutor(max_workers=1)
+
+    def build_user_sweep(uf, vf):
+        return als_half_sweep(
+            r, "u", "i", "r", uf, vf, lmd, tau, alpha, rank
+        ).localCheckpoint(eager=False)
+
+    next_u_fut = prebuild.submit(build_user_sweep, u_f, v_f)
+    # Three consumers per iteration (pull, A/B stats, C stats) re-derive
+    # the genre parse otherwise — materialise the small dimension once.
+    # EAGER: the weight-grid collect below runs on a background thread
+    # concurrently with iteration 1's sweeps, and two threads must not
+    # race the first computation of a lazy checkpoint. (This blocking
+    # action is also what the iteration-0 prebuild above overlaps.)
+    genres = genres.localCheckpoint()
     # Unrated genre items: the reference carries V rows for EVERY item
     # in the genre table (incl_genre.py:95-105), so its F-update's A
     # numerator reads a vector for each of them. An item with no
@@ -271,26 +293,7 @@ def train_als_genre(
         .localCheckpoint(eager=False)
     )
 
-    from concurrent.futures import ThreadPoolExecutor
-
-    monitor = ThreadPoolExecutor(max_workers=1)
-    # Plan-pipelining thread (round-13): the USER half-sweep's plan is
-    # factor-VALUE-independent (only the pull term bakes in f_state),
-    # so iteration N+1's user-sweep DataFrame + lazy-checkpoint RDD
-    # conversion (~0.7 s of driver-side Catalyst at sf0.1) is built on
-    # this thread WHILE iteration N's A-stats collect keeps the cluster
-    # busy. Plan construction never computes data, so racing an
-    # in-flight job is safe; the result is consumed strictly after
-    # .result().
-    prebuild = ThreadPoolExecutor(max_workers=1)
-
-    def build_user_sweep(uf, vf):
-        return als_half_sweep(
-            r, "u", "i", "r", uf, vf, lmd, tau, alpha, rank
-        ).localCheckpoint(eager=False)
-
     rmse_futures = []
-    next_u_fut = None
     try:
         grid_future = monitor.submit(genre_weight_grid, genres, n_genres)
         for it in range(max_iter):

@@ -3889,72 +3889,58 @@ def a_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the tiny T table against a scenarios×states vector (≤ ~40
     rows) — iteration cost is independent of data size. The event
     scan is the only corpus-sized work."""
-    # Lazily checkpoint the channel²-sized transition counts: t's
-    # eager checkpoint below materializes them ONCE at construction,
-    # and scen + both p/full_ branches then read the materialized RDD
-    # instead of re-deriving the events scan + window pipeline (the
-    # pre-fix plan executed the journey reduction three times).
-    cnt = _mk_transition_counts(spark, sf_dir).localCheckpoint(eager=False)
-    tot = cnt.groupBy("src").agg(F.sum("c").alias("n"))
-    t = (
-        cnt.join(tot, "src")
-        .select(
-            "src",
-            "dst",
-            F.expr(f"(c * {_MK_PPM}) div n").alias("p_ppm"),
-        )
-        .unionAll(
-            spark.createDataFrame(
-                [("CONV", "CONV", _MK_PPM)], "src string, dst string, p_ppm long"
-            )
-        )
-        .localCheckpoint()  # joined once per sweep
+    # The transition table is channel²-sized (≤ ~40 rows regardless of
+    # corpus size) — the k²/dimension rule's driver-hop territory, like
+    # the genre weight grid's G×G collect. Round-13: the 8 truncated
+    # power sweeps previously unrolled into an 8-level join+aggregate
+    # plan over that ~40-row vector — 16-24 stages of pure scheduling
+    # (~3 s at sf0.1, iteration cost was SUPPOSED to be independent of
+    # data size and was instead dominated by barriers). The sweeps now
+    # run as exact integer arithmetic on the driver (Python `//` on
+    # nonnegative ints == Spark/DuckDB `div`, byte-identical iterates);
+    # only the corpus-sized journey reduction is distributed, and the
+    # final divisions/roundings stay IN SPARK so the emitted doubles
+    # are produced by the same F.round expressions the oracle mirrors.
+    cnt_rows = _mk_transition_counts(spark, sf_dir).collect()
+    tot: dict[str, int] = {}
+    for r in cnt_rows:
+        tot[r["src"]] = tot.get(r["src"], 0) + int(r["c"])
+    t_edges = [
+        (r["src"], r["dst"], (int(r["c"]) * _MK_PPM) // tot[r["src"]])
+        for r in cnt_rows
+    ] + [("CONV", "CONV", _MK_PPM)]
+    scens = sorted(
+        {r["src"] for r in cnt_rows} - {"START", "CONV", "NULL"}
+    ) + ["FULL"]
+    # Per scenario: v0 = ppm at CONV; sweep v'(src) = Σ (p·v(dst))//ppm
+    # with the removed channel pinned to 0 (identical to the old
+    # in-plan CASE).
+    results: list[tuple[str, int]] = []
+    for scen in scens:
+        v = {"CONV": _MK_PPM}
+        for _ in range(_MK_ROUNDS):
+            nv: dict[str, int] = {}
+            for src, dst, p_ppm in t_edges:
+                dv = v.get(dst)
+                if dv is not None:
+                    nv[src] = nv.get(src, 0) + (p_ppm * dv) // _MK_PPM
+            if scen in nv:
+                nv[scen] = 0
+            v = nv
+        results.append((scen, v.get("START", 0)))
+    vf = dict(results)["FULL"]
+    out = spark.createDataFrame(
+        [(s, vv, vf) for s, vv in results if s != "FULL"],
+        "scen string, v long, vf long",
     )
-    scen = (
-        cnt.select(F.col("src").alias("scen"))
-        .filter(~F.col("src").isin("START", "CONV", "NULL"))
-        .distinct()
-        .unionAll(spark.createDataFrame([("FULL",)], "scen string"))
-    )
-    v = scen.select(
-        "scen",
-        F.lit("CONV").alias("state"),
-        F.lit(_MK_PPM).cast("long").alias("v"),
-    )
-    for _ in range(_MK_ROUNDS):
-        j = t.join(v, t["dst"] == v["state"])
-        v = (
-            j.groupBy("scen", F.col("src").alias("state"))
-            .agg(
-                F.sum(
-                    F.expr(f"(p_ppm * v) div {_MK_PPM}")
-                ).alias("sv")
-            )
-            .select(
-                "scen",
-                "state",
-                F.when(F.col("state") == F.col("scen"), F.lit(0).cast("long"))
-                .otherwise(F.coalesce("sv", F.lit(0)).cast("long"))
-                .alias("v"),
-            )
-        )
-    p = v.filter(F.col("state") == "START").select("scen", "v")
-    full_ = p.filter(F.col("scen") == "FULL").select(
-        F.col("v").alias("vf")
-    )
-    return (
-        p.filter(F.col("scen") != "FULL")
-        .crossJoin(F.broadcast(full_))
-        .select(
-            F.col("scen").alias("channel"),
-            F.round(F.col("v") / float(_MK_PPM), 6).alias("p_without"),
-            F.round(F.col("vf") / float(_MK_PPM), 6).alias("p_full"),
-            F.round(
-                (F.col("vf") - F.col("v")) / (1.0 * F.col("vf")), 6
-            ).alias("removal_effect"),
-        )
-        .orderBy("channel")
-    )
+    return out.select(
+        F.col("scen").alias("channel"),
+        F.round(F.col("v") / float(_MK_PPM), 6).alias("p_without"),
+        F.round(F.col("vf") / float(_MK_PPM), 6).alias("p_full"),
+        F.round(
+            (F.col("vf") - F.col("v")) / (1.0 * F.col("vf")), 6
+        ).alias("removal_effect"),
+    ).orderBy("channel")
 
 
 # ---------------------------------------------------------------------------

@@ -750,7 +750,9 @@ def test_markov_attribution_one_lag_pass_tiny_sweeps(spark):
     assert _count(p, r"partial_min|partial_max") >= 1
     pf = _plan(spark, "a_markov_attribution")
     assert _count(pf, r"CartesianProduct") == 0
-    assert _count(pf, r"Scan parquet") == 0  # sweeps read the ckpt
+    # r13: sweeps run on the driver over the channel²-sized collect;
+    # the final plan is a local-relation projection — no corpus scan.
+    assert _count(pf, r"Scan parquet") == 0
 
 
 def test_aa_calibration_single_scan_mapside_combine(spark):

@@ -1716,18 +1716,50 @@ def m_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pos") <= _SG_MAXPOS)
         .select("c", F.col("l_partkey").alias("item"), "pos")
     )
-    offs = [d for d in range(-_SG_WINDOW, _SG_WINDOW + 1) if d]
-    a = (
-        capped.withColumn(
-            "d", F.explode(F.array(*[F.lit(d) for d in offs]))
-        )
-        .withColumn("ctx_pos", F.col("pos") + F.col("d"))
-        .select("c", F.col("item").alias("center"), "ctx_pos")
+    # Pair generation stays INSIDE the customer partitioning the
+    # row_number window already paid for: collect the capped sequence
+    # per customer (groupBy(c) rides the existing hashpartitioning(c)
+    # — no new exchange) and emit each position's ±window context
+    # pairs with index-aware array HOFs, all JVM-side. The r12 shape
+    # (offset explode + equi-join on (c, ctx_pos)) re-shuffled BOTH
+    # data-sized sides onto a new key; this keeps one corpus exchange
+    # (the window) + the channel-pair count.
+    seqs = capped.groupBy("c").agg(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "item"))
+        ).alias("seq")
     )
-    b = capped.select("c", F.col("item").alias("context"), F.col("pos").alias("ctx_pos"))
+    n = F.size("seq")
+    pairs = F.flatten(
+        F.transform(
+            "seq",
+            lambda x, i: F.filter(
+                F.transform(
+                    # ±window slice around i (1-based slice; length
+                    # clipped at the tail), self removed by pos.
+                    F.slice(
+                        "seq",
+                        F.greatest(i - _SG_WINDOW + 1, F.lit(1)),
+                        F.least(i + _SG_WINDOW + 1, n)
+                        - F.greatest(i - _SG_WINDOW + 1, F.lit(1))
+                        + 1,
+                    ),
+                    lambda y: F.struct(
+                        x["item"].alias("center"),
+                        y["item"].alias("context"),
+                        y["pos"].alias("ctx_pos"),
+                    ),
+                ),
+                lambda p: p["ctx_pos"] != x["pos"],
+            ),
+        )
+    )
     counted = (
-        a.join(b, ["c", "ctx_pos"])
-        .groupBy("center", "context")
+        seqs.select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.center").alias("center"),
+            F.col("p.context").alias("context"),
+        )
         .agg(F.count(F.lit(1)).alias("n"))
     )
     wr = Window.orderBy(F.col("n").desc(), F.col("center"), F.col("context"))

@@ -489,11 +489,12 @@ def train_als_bias(
     """The reference training loop (prac_1.py:53-188) as a driver-side
     fixpoint over distributed sweeps: user half-sweep, item half-sweep,
     monitor, stop when max parameter delta < tol (E8) or max_iter."""
-    # Lazy checkpoints: each iteration's ONLY eager action is the
-    # item-side checkpoint (whose job also materialises the lazy
-    # user-side sweep and, in iteration 1, the ratings/init frames) —
-    # plus the single fused monitor collect. 3-5 actions per sweep
-    # become 2; lineage still truncates at every checkpoint.
+    # Lazy checkpoints: run-level frames materialise inside the first
+    # job that needs them; lineage still truncates at every checkpoint.
+    # Per-iteration actions: ONE (the fused monitor collect, which also
+    # materialises both lazy sweep checkpoints) on the sse-only monitor
+    # path, TWO (eager item checkpoint + monitor) when delta/loglik
+    # subtrees multi-reference the sweeps — see multi_ref_monitor below.
     ratings = ratings.select(
         F.col(user_col).cast("long").alias("u"),
         F.col(item_col).cast("long").alias("i"),
@@ -509,34 +510,74 @@ def train_als_bias(
     rmse_hist: list[float] = []
     ll_hist: list[float] = []
     converged = False
-    for _ in range(max_iter):
-        new_u = als_half_sweep(
-            ratings, "u", "i", "r", u_f, v_f, lmd, tau, alpha, rank
+    # Monitor reference count decides the item checkpoint's eagerness
+    # (round-13): with delta/loglik subtrees the monitor's single plan
+    # scans new_u/new_v_ext MORE THAN ONCE, and concurrent scan stages
+    # of an unmaterialised lazy checkpoint inside one job can compute
+    # the Arrow solve twice — keep the checkpoint eager there. On the
+    # sse-only path (tol<=0, no loglik — the m_als_train shape) the
+    # monitor reads each sweep exactly once, so the checkpoint goes
+    # LAZY and the monitor collect is the iteration's ONE action (the
+    # genre trainer's shape; was 2 actions/iteration).
+    multi_ref_monitor = tol > 0 or track_loglik
+    # Plan-pipelining (round-13, ported from train_genre_als): the user
+    # half-sweep's DataFrame + lazy-checkpoint RDD conversion is pure
+    # driver-side Catalyst, so iteration N+1's build runs on a helper
+    # thread WHILE iteration N's monitor collect keeps the cluster
+    # busy. Plan construction never computes data; results are consumed
+    # strictly via .result().
+    from concurrent.futures import ThreadPoolExecutor
+
+    def build_user_sweep(uf, vf):
+        return als_half_sweep(
+            ratings, "u", "i", "r", uf, vf, lmd, tau, alpha, rank
         ).localCheckpoint(eager=False)
-        # with_sse: the item solve carries per-item residual stats with
-        # the fresh vectors (identical to the predict join's residuals
-        # on (new_u, new_v)), so the fused monitor below touches only
-        # dimension-sized frames — no ratings pass outside the sweeps.
-        new_v_ext = als_half_sweep(
-            ratings, "i", "u", "r", v_f, new_u, lmd, tau, alpha, rank,
-            with_sse=True,
-        ).localCheckpoint()
-        new_v = new_v_ext.drop("sse", "n")
-        # E8 delta rides the fused monitor — only pay for it when a
-        # convergence tolerance is actually requested.
-        rmse_val, ll, delta = sweep_monitor(
-            ratings, "u", "i", "r", u_f, v_f, new_u, new_v,
-            lmd, tau, alpha,
-            want_loglik=track_loglik, want_delta=tol > 0, dim=rank,
-            sse_source=new_v_ext,
-        )
-        u_f, v_f = new_u, new_v
-        rmse_hist.append(rmse_val)
-        if track_loglik:
-            ll_hist.append(ll)
-        if tol > 0 and delta < tol:
-            converged = True
-            break
+
+    prebuild = ThreadPoolExecutor(max_workers=1)
+    next_u_fut = None
+    try:
+        for it in range(max_iter):
+            new_u = (
+                next_u_fut.result()
+                if next_u_fut is not None
+                else build_user_sweep(u_f, v_f)
+            )
+            # with_sse: the item solve carries per-item residual stats
+            # with the fresh vectors (identical to the predict join's
+            # residuals on (new_u, new_v)), so the fused monitor below
+            # touches only dimension-sized frames — no ratings pass
+            # outside the sweeps.
+            new_v_ext = als_half_sweep(
+                ratings, "i", "u", "r", v_f, new_u, lmd, tau, alpha, rank,
+                with_sse=True,
+            ).localCheckpoint(eager=multi_ref_monitor)
+            new_v = new_v_ext.drop("sse", "n")
+            old_u, old_v = u_f, v_f
+            u_f, v_f = new_u, new_v
+            # Kick off iteration N+1's user-sweep plan build now — it
+            # overlaps the monitor collect below. Wasted only when the
+            # delta check breaks out (plan-only, no jobs run).
+            next_u_fut = (
+                prebuild.submit(build_user_sweep, new_u, new_v)
+                if it + 1 < max_iter
+                else None
+            )
+            # E8 delta rides the fused monitor — only pay for it when a
+            # convergence tolerance is actually requested.
+            rmse_val, ll, delta = sweep_monitor(
+                ratings, "u", "i", "r", old_u, old_v, new_u, new_v,
+                lmd, tau, alpha,
+                want_loglik=track_loglik, want_delta=tol > 0, dim=rank,
+                sse_source=new_v_ext,
+            )
+            rmse_hist.append(rmse_val)
+            if track_loglik:
+                ll_hist.append(ll)
+            if tol > 0 and delta < tol:
+                converged = True
+                break
+    finally:
+        prebuild.shutdown(wait=True)
     return AlsBiasModel(u_f, v_f, rmse_hist, ll_hist, converged)
 
 

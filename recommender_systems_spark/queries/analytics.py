@@ -779,8 +779,12 @@ def m_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("converted").alias("d"),
         F.sum(F.lit(1) - F.col("converted")).alias("cens"),
     ).withColumn("leave", F.col("d") + F.col("cens"))
-    n0 = t.agg(F.sum("leave").alias("n_total"))
     cum = global_running_totals(t, "dur_us", [("leave", "cum_leave")])
+    # Total-at-risk rides the running total's eagerly-checkpointed
+    # duration table (Σleave is the same exact integer) instead of
+    # re-executing t's whole events→join→groupBy lineage for one
+    # scalar (round-13; the a_cvar pattern).
+    n0 = cum.agg(F.sum("leave").alias("n_total"))
     r = cum.crossJoin(F.broadcast(n0)).select(
         "dur_us",
         "d",
@@ -2931,7 +2935,10 @@ def a_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dist = val.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
     cum = global_running_total(dist, "cents", "c", out_col="cumt")
-    nn = val.agg(F.count(F.lit(1)).alias("n"))
+    # Total row count rides the running total's eagerly-checkpointed
+    # distinct-value table (Σc == count(*), exact integers) instead of
+    # a separate corpus aggregate — 3 orders scans → 2 (round-13).
+    nn = cum.agg(F.sum("c").alias("n"))
     var_pick = (
         cum.crossJoin(F.broadcast(nn))
         .filter(F.col("cumt") >= F.ceil(_CVAR_Q * F.col("n")).cast("long"))

@@ -2890,9 +2890,16 @@ def e_dr_ope(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: the reward model and DM value add two item/user-keyed
     aggregates to the IPS plan — everything stays id-keyed equi-joins
     on interaction-sized frames; no new corpus passes."""
-    j = _scored(spark, sf_dir).localCheckpoint()  # consumed 4× below
-    pop = j.groupBy("iid").agg(F.count(F.lit(1)).alias("c"))
-    npop = pop.agg(F.sum("c").alias("n"))
+    j = _scored(spark, sf_dir).localCheckpoint()  # consumed 3× below
+    rew_case = F.when(F.col("r") >= _IPS_REWARD, 1.0).otherwise(0.0)
+    # Popularity count and reward model share the SAME iid grouping —
+    # one hash aggregate (and later one equi-join) where two ran, with
+    # byte-identical per-column expressions (round-13, guide §2.4).
+    ist = j.groupBy("iid").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.round(F.avg(rew_case), 6).alias("q"),
+    )
+    npop = ist.agg(F.sum("c").alias("n"))
     sc = j.groupBy("uid", "iid").agg(F.max("uv").alias("uv"))
     w = Window.partitionBy("uid").orderBy(F.col("uv").desc(), "iid")
     topk = (
@@ -2900,20 +2907,17 @@ def e_dr_ope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _IPS_K)
         .select("uid", "iid")
     )
-    rew_case = F.when(F.col("r") >= _IPS_REWARD, 1.0).otherwise(0.0)
-    qhat = j.groupBy("iid").agg(F.round(F.avg(rew_case), 6).alias("q"))
     dm = (
-        topk.join(qhat, "iid")
+        topk.join(ist.select("iid", "q"), "iid")
         .groupBy("uid")
         .agg((F.sum("q") / _IPS_K).alias("dmv"))
     )
     logged = (
-        j.join(pop, "iid")
+        j.join(ist, "iid")
         .crossJoin(F.broadcast(npop))
         .join(
             topk.withColumn("hit", F.lit(1)), ["uid", "iid"], "left"
         )
-        .join(qhat, "iid")
         .join(dm, "uid")
         .select(
             rew_case.alias("rew"),

@@ -111,6 +111,84 @@ def fold_in_trait_vector(
     return np.linalg.solve(c.T, np.linalg.solve(c, rhs))
 
 
+def fold_in_bias_and_trait_vector(
+    history: DataFrame,
+    item_col: str,
+    rating_col: str,
+    item_factors: DataFrame,
+    lmd: float = DEFAULT_LMD,
+    alpha: float = DEFAULT_ALPHA,
+    tau: float = DEFAULT_TAU,
+    dim: int = 12,
+) -> tuple[float, int, np.ndarray]:
+    """Fused M11+M12: ONE history⋈factors pass whose per-partition
+    partials carry Σv vᵀ, Σ(r−b_n)·v, Σv, Σ(r−b_n) and |hist| —
+    k²+2k+2 doubles per partition, independent of history size. The
+    driver then derives b_u = λΣ(r−b_n)/(α+λ|hist|) and the ridge RHS
+    as λ(Σ(r−b_n)v − b_u·Σv), which is algebraically identical to
+    assembling residuals after the bias (resid = r−b_n−b_u enters the
+    RHS linearly), so the M11 collect and the M12 partials collect
+    collapse into a single Spark action over a single join (fp
+    association differs ≤1e-16 from the two-action form; outputs are
+    reported at 6 decimals). Returns (user_bias, n_history, vector)."""
+    joined = history.join(
+        item_factors.select(
+            F.col("id").alias(item_col),
+            F.col("features").alias("__v"),
+            F.col("bias").alias("__bn"),
+        ),
+        item_col,
+    ).select(
+        F.col("__v").alias("v"),
+        (F.col(rating_col) - F.col("__bn")).alias("d"),
+    )
+    k = dim
+
+    def partials(batches):
+        import pandas as pd  # noqa: PLC0415 (worker-side import)
+
+        a_mat = np.zeros((k, k))
+        bvec = np.zeros(k)
+        svec = np.zeros(k)
+        sr = 0.0
+        cnt = 0
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            seen = True
+            v = np.stack(pdf["v"].to_numpy())
+            d = pdf["d"].to_numpy(dtype=np.float64)
+            a_mat += v.T @ v
+            bvec += v.T @ d
+            svec += v.sum(axis=0)
+            sr += d.sum()
+            cnt += len(pdf)
+        if seen:
+            yield pd.DataFrame(
+                {
+                    "p": [
+                        np.concatenate(
+                            [a_mat.ravel(), bvec, svec, [sr, float(cnt)]]
+                        ).tolist()
+                    ]
+                }
+            )
+
+    parts = joined.mapInPandas(partials, schema="p array<double>").collect()
+    if not parts:
+        raise ValueError("empty history")
+    total = np.sum([np.asarray(r["p"]) for r in parts], axis=0)
+    k2 = k * k
+    sr, cnt = total[-2], total[-1]
+    user_bias = lmd * sr / (alpha + lmd * cnt)
+    a_mat = lmd * total[:k2].reshape(k, k) + tau * np.eye(k)
+    rhs = lmd * (total[k2 : k2 + k] - user_bias * total[k2 + k : k2 + 2 * k])
+    c = np.linalg.cholesky(a_mat)
+    vec = np.linalg.solve(c.T, np.linalg.solve(c, rhs))
+    return float(user_bias), int(cnt), vec
+
+
 def top_n_recommendations(
     user_vector: np.ndarray | list[float],
     item_factors: DataFrame,

@@ -1955,18 +1955,40 @@ def a_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     lift ranks on integer micros of an exact-operand IEEE division, so
     the global top-k never flips on sub-ulp drift."""
     li = _t(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("i")
-    ).distinct()
-    cnt = items.groupBy("i").agg(F.count(F.lit(1)).alias("c"))
-    nn = items.agg(F.count_distinct("o").alias("n"))
-    pairs = (
-        items.alias("a")
-        .join(
-            items.alias("b"),
-            (F.col("a.o") == F.col("b.o")) & (F.col("a.i") < F.col("b.i")),
+    # One corpus pass builds the per-order basket (sorted distinct
+    # part set) and is materialised once; the r12 shape referenced a
+    # corpus-sized DISTINCT frame four times (cnt, nn, both self-join
+    # sides), re-running the lineitem scan + distinct exchange per
+    # reference (10 parquet scans in the final plan), and paid a
+    # corpus self-join on o. Pairs now come from index-aware array
+    # HOFs inside each basket (the m_skipgram_pairs idiom, guide §2.4
+    # / §4.1) — identical (ia < ib) pair multiset, exact integer
+    # counts; basket width is order-bounded so the in-array quadratic
+    # matches the old join's per-order blowup. Round-13.
+    baskets = (
+        li.groupBy(F.col("l_orderkey").alias("o"))
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("xs"))
+        .select("xs")
+        .localCheckpoint()  # consumed by nn, cnt and the pair explode
+    )
+    nn = baskets.agg(F.count(F.lit(1)).alias("n"))
+    cnt = (
+        baskets.select(F.explode("xs").alias("i"))
+        .groupBy("i")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "xs",
+            lambda x, i: F.transform(
+                F.slice("xs", i + 2, F.size("xs") - i - 1),
+                lambda y: F.struct(x.alias("ia"), y.alias("ib")),
+            ),
         )
-        .groupBy(F.col("a.i").alias("ia"), F.col("b.i").alias("ib"))
+    )
+    pairs = (
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.ia").alias("ia"), F.col("p.ib").alias("ib"))
         .agg(F.count(F.lit(1)).alias("cab"))
         .filter(F.col("cab") >= _AR_MIN_COOC)
     )
@@ -3215,15 +3237,32 @@ def a_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()  # consumed by three rank passes + final join
     )
-    n = base.count()
+
+    def rank_pass(col: str) -> DataFrame:
+        per = base.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        return two_phase_midrank(per, col, "cnt")
+
+    # The three midrank constructions are independent over the same
+    # checkpointed base, but each pays two sequential driver barriers
+    # (range-partition checkpoint + offsets collect). Overlap them —
+    # and the population count — on a thread pool so the barriers
+    # back-fill each other (guide §2.6; the e_ab_report adjudication
+    # shows concurrent jobs beat any fused-union form here). Plans and
+    # results are byte-identical: threading changes only when each
+    # construction job runs.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_n = pool.submit(base.count)
+        ranked_f = {c: pool.submit(rank_pass, c) for c in ("rec_days", "freq", "mon_cents")}
+        n = f_n.result()
+        ranked = {c: f.result() for c, f in ranked_f.items()}
 
     def quintile(col: str) -> DataFrame:
-        per = base.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
-        ranked = two_phase_midrank(per, col, "cnt")
         bef = (
             F.col("midrank") - (F.col("cnt").cast("double") + 1) / 2
         ).cast("long")
-        return ranked.select(
+        return ranked[col].select(
             col,
             (F.floor(bef * float(_RFM_Q) / n) + 1)
             .cast("int")

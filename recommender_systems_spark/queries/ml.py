@@ -485,7 +485,7 @@ def m_fold_in_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     assembly + driver k×k Cholesky (functions.py:551-596; SURVEY calls
     the driver solve correct design at k≪1000). Returns the 64-dim
     vector as (pos, value) rows. Rows-only driver check."""
-    from recommender_systems_spark.ml.foldin import fold_in_bias, fold_in_trait_vector
+    from recommender_systems_spark.ml.foldin import fold_in_bias_and_trait_vector
 
     j, _, bv = _bias_sweeps(spark, sf_dir)
     e = _factors(spark, sf_dir)
@@ -494,9 +494,11 @@ def m_fold_in_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one Spark job for the whole query, no extra scan round-trip.
     min_u = _t(spark, sf_dir, "lineitem").agg(F.min("l_suppkey").alias("__mu"))
     hist = j.join(F.broadcast(min_u), F.col("uid") == F.col("__mu")).select("iid", "r")
-    # Checkpointed: consumed by three separate driver jobs (fold-in
-    # bias collect, trait-vector partials, final solve) — item-count
-    # sized, so materialising beats recomputing the bias sweeps per job.
+    # Single consumer since the fused fold-in (round-13): the bias
+    # collect and the trait-vector partials collapsed into ONE Spark
+    # action over ONE history⋈factors join, so the former three-job
+    # item-factor checkpoint is gone — 4 driver jobs became 2 (the j
+    # checkpoint inside _bias_sweeps + the fused partials collect).
     item_factors = (
         bv.withColumn("__k", F.col("iid") % EMB_MOD)
         .join(F.broadcast(e.select(F.col("vec_id").alias("__k"), "f")), "__k")
@@ -505,13 +507,9 @@ def m_fold_in_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("f").alias("features"),
             F.col("bv").alias("bias"),
         )
-        .localCheckpoint()
     )
-    ub = fold_in_bias(hist, "iid", "r", item_factors, lmd=LMD, alpha=ALPHA).collect()[
-        0
-    ]["user_bias"]
-    vec = fold_in_trait_vector(
-        hist, "iid", "r", item_factors, ub, lmd=LMD, tau=TAU, dim=64
+    _, _, vec = fold_in_bias_and_trait_vector(
+        hist, "iid", "r", item_factors, lmd=LMD, alpha=ALPHA, tau=TAU, dim=64
     )
     return spark.createDataFrame(
         [(i, round(float(v), 6)) for i, v in enumerate(vec)], "pos int, value double"
@@ -594,19 +592,36 @@ def _cf_frames(
         .agg(F.sum("r").alias("w"))
     )
     wcap = Window.partitionBy("uid").orderBy(F.col("w").desc(), F.col("iid"))
-    capped = (
+    # Per-user basket arrays instead of a capped-rows self-join
+    # (round-13, the m_skipgram_pairs idiom): the groupBy(uid) rides
+    # the hashpartitioning(uid) the cap window already paid (zero new
+    # exchange), the users-sized array table is the one materialised
+    # frame, and the CAP²/2 (ia < ib) pairs are emitted with
+    # index-aware array HOFs JVM-side. The r12 shape checkpointed the
+    # capped ROWS and self-joined them on uid — two more corpus-row
+    # exchanges for the identical pair multiset. Counts are exact
+    # integers; iids are unique per user (hist is grouped), so
+    # array_sort + tail-slice reproduces a.iid < b.iid bit-for-bit.
+    seqs = (
         hist.withColumn("rn", F.row_number().over(wcap))
         .filter(F.col("rn") <= _CF_CAP)
-        .select("uid", "iid")
-        .localCheckpoint()  # consumed by the pair join (twice) and deg
+        .groupBy("uid")
+        .agg(F.array_sort(F.collect_list("iid")).alias("xs"))
+        .localCheckpoint()  # consumed by the pair explode, deg, capped
+    )
+    capped = seqs.select("uid", F.explode("xs").alias("iid"))
+    pair_structs = F.flatten(
+        F.transform(
+            "xs",
+            lambda x, i: F.transform(
+                F.slice("xs", i + 2, F.size("xs") - i - 1),
+                lambda y: F.struct(x.alias("ia"), y.alias("ib")),
+            ),
+        )
     )
     cooc = (
-        capped.alias("a")
-        .join(
-            capped.alias("b"),
-            (F.col("a.uid") == F.col("b.uid")) & (F.col("a.iid") < F.col("b.iid")),
-        )
-        .groupBy(F.col("a.iid").alias("ia"), F.col("b.iid").alias("ib"))
+        seqs.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.ia").alias("ia"), F.col("p.ib").alias("ib"))
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= _CF_MIN_COOC)
     )
@@ -3100,6 +3115,14 @@ def m_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("wins", F.lit(0)).alias("wins"),
             F.lit(_BT_G0).cast("long").alias("g"),
         )
+        # Items-sized (catalog) checkpoint: each MM sweep references
+        # its strength table THREE times (γ_a side, γ_b side, the
+        # update join). Unmaterialised, that re-executed the whole
+        # lineitem pair-mining subtree per reference — the before plan
+        # shows 10 parquet scans and zero ReusedExchange. One eager
+        # materialisation makes pair mining a single corpus pass
+        # (round-13; exact integer state, results unchanged).
+        .localCheckpoint()
     )
 
     def mm_sweep(g: DataFrame) -> DataFrame:
@@ -3120,7 +3143,10 @@ def m_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    g2 = mm_sweep(mm_sweep(items))
+    # Same 3-reference pattern between the sweeps: materialise sweep
+    # 1's items-sized output so sweep 2 reads a checkpointed RDD
+    # instead of inlining (and re-executing) the sweep-1 ladder 3×.
+    g2 = mm_sweep(mm_sweep(items).localCheckpoint())
     deg = (
         und.select(F.col("a").alias("item"), "n")
         .unionAll(und.select(F.col("b").alias("item"), "n"))

@@ -1984,9 +1984,14 @@ def w_trailing_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     and orders of magnitude below raw events; the distinct + count
     shuffle on (hour, user) fixed-width keys."""
     ev = _t(spark, sf_dir, "events")
+    # Materialised once: consumed by the ×24 explode AND the max-hour
+    # scalar. Unmaterialised, the h1 aggregate re-ran the full
+    # events scan + presence distinct exchange for one timestamp
+    # (2 corpus scans → 1; presence is users×active-hours, orders of
+    # magnitude below events — the cheap side to pin). Round-13.
     presence = ev.select(
         "user_id", F.date_trunc("hour", "ts").alias("hour")
-    ).distinct()
+    ).distinct().localCheckpoint()
     h1 = presence.agg(F.max("hour").alias("h1"))
     off = spark.range(24).select(F.col("id").cast("int").alias("off"))
     covered = (

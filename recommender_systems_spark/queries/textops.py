@@ -1208,7 +1208,16 @@ def t_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
     uni = toks.select(F.explode("t").alias("w"))
-    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # The two LM count tables are vocab- / vocab²-bounded and each is
+    # referenced twice (ucnt by nu + the bits join; bcnt by hist + the
+    # bits join). Unmaterialised, every reference re-ran the corpus
+    # tokenise+explode — 5 corpus passes where the two-pass-LM floor
+    # is 3 (count unigrams, count bigrams, score). Materialise the
+    # model tables once (round-13, guide §2.4/§5: persist the small
+    # model, not the exploded corpus).
+    ucnt = (
+        uni.groupBy("w").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
+    )
     nu = ucnt.agg(F.sum("c").alias("n"))
     dbg = toks.select(
         "doc_id",
@@ -1224,7 +1233,11 @@ def t_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", "p.x", "p.y")
-    bcnt = dbg.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c"))
+    bcnt = (
+        dbg.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
     hist = bcnt.groupBy("x").agg(F.sum("c").alias("ch"))
     bits = (
         bcnt.join(F.broadcast(hist), "x")
@@ -1914,25 +1927,41 @@ def t_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ld = scored.join(
         _t(spark, sf_dir, "documents").select("doc_id", "lang"), "doc_id"
     )
+    # The corpus-scored frame is consumed exactly ONCE (this
+    # aggregate). Everything downstream — per-language totals, bucket
+    # cut-offs, per-bucket doc counts and min/max bits — rides the
+    # DISTINCT (lang, avg_bits) value table: n_docs = Σc is the same
+    # exact integer and min/max over distinct values equals min/max
+    # over documents. The r12 shape re-referenced ld three times,
+    # inlining the whole bigram-LM scoring lineage per reference
+    # (36 parquet scans in the final plan → 12; zero data-sized joins
+    # after the aggregate) — round-13, guide §2.3/§2.4.
     dist = ld.groupBy("lang", "avg_bits").agg(F.count(F.lit(1)).alias("c"))
     wcum = (
         Window.partitionBy("lang")
         .orderBy("avg_bits")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = dist.withColumn("cumt", F.sum("c").over(wcum))
-    nl = ld.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
-    bucket = cum.join(F.broadcast(nl), "lang").select(
+    # Per-language total n = the full-partition max of the running
+    # total (identical exact integer to Σc) via a second window over
+    # the SAME hash(lang) partitioning — no extra exchange, and dist
+    # stays single-referenced (a groupBy+join form re-inlined the
+    # scoring lineage a second time: 24 parquet scans, not 12).
+    wall = Window.partitionBy("lang")
+    cum = dist.withColumn("cumt", F.sum("c").over(wcum)).withColumn(
+        "n", F.max(F.col("cumt")).over(wall)
+    )
+    bucket = cum.select(
         "lang",
         "avg_bits",
+        "c",
         F.least(
             F.ceil(F.lit(3.0) * F.col("cumt") / F.col("n")).cast("int"),
             F.lit(3),
         ).alias("bucket"),
     )
-    lb = ld.join(F.broadcast(bucket), ["lang", "avg_bits"])
-    return lb.groupBy("lang", "bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    return bucket.groupBy("lang", "bucket").agg(
+        F.sum("c").cast("long").alias("n_docs"),
         F.round(F.min("avg_bits"), 4).alias("min_bits"),
         F.round(F.max("avg_bits"), 4).alias("max_bits"),
     )

@@ -102,6 +102,37 @@ def test_fold_in_vector_solves_normal_equations(spark):
     np.testing.assert_allclose(a_mat @ u, rhs, atol=1e-10)
 
 
+def test_fused_fold_in_matches_two_step(spark):
+    """Round-13 fusion: the single-action fold_in_bias_and_trait_vector
+    must agree with the separate M11 bias + M12 trait-vector path on
+    the same history (bias exactly; vector to fp-association slack)."""
+    from recommender_systems_spark.ml.foldin import (
+        fold_in_bias,
+        fold_in_bias_and_trait_vector,
+        fold_in_trait_vector,
+    )
+
+    hist = spark.createDataFrame(
+        [(1, 7.0), (2, 9.0), (3, 4.0)], "i long, r double"
+    )
+    vecs = {1: [1.0, 0.5], 2: [-0.5, 2.0], 3: [0.25, -1.0]}
+    biases = {1: 0.2, 2: -0.1, 3: 0.05}
+    factors = spark.createDataFrame(
+        [(i, vecs[i], biases[i]) for i in vecs],
+        "id long, features array<double>, bias double",
+    )
+    ub_ref = fold_in_bias(hist, "i", "r", factors, lmd=LMD, alpha=ALPHA).collect()[
+        0
+    ]["user_bias"]
+    u_ref = fold_in_trait_vector(hist, "i", "r", factors, ub_ref, lmd=LMD, tau=TAU)
+    ub, n, u = fold_in_bias_and_trait_vector(
+        hist, "i", "r", factors, lmd=LMD, alpha=ALPHA, tau=TAU, dim=2
+    )
+    assert n == 3
+    assert ub == pytest.approx(ub_ref, abs=1e-12)
+    np.testing.assert_allclose(u, u_ref, atol=1e-12)
+
+
 def test_top_n_recommendations_scoring_and_exclusion(spark):
     """M13: score = u·v + 0.05·b, items with < limit ratings excluded."""
     from recommender_systems_spark.ml.foldin import top_n_recommendations

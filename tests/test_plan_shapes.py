@@ -294,9 +294,45 @@ def test_fuzzy_match_blocked_equi_join(spark):
 def test_assoc_rules_broadcasts_marginals(spark):
     """a_assoc_rules: the |parts|-sized marginal-count and 1-row basket
     total joins must broadcast; the only data-sized exchanges are the
-    basket self-join and the pair aggregate."""
+    item/pair aggregates over the materialised basket table."""
     p = _plan(spark, "a_assoc_rules")
     assert _count(p, r"BroadcastHashJoin") >= 2
+
+
+def test_assoc_rules_basket_single_corpus_pass(spark):
+    """Round-13 basket rewrite: pair mining rides per-order basket
+    arrays materialised in ONE corpus pass — the final plan must hold
+    zero parquet scans and no join between corpus-sized sides (the r12
+    self-join shape planned 10 scans)."""
+    p = _plan(spark, "a_assoc_rules")
+    assert _count(p, r"Scan parquet") == 0
+    assert _count(p, r"SortMergeJoin|ShuffledHashJoin") == 0
+
+
+def test_bradley_terry_single_mining_pass(spark):
+    """Round-13: the MM sweeps read items-sized checkpointed strength
+    tables; lineitem pair mining must appear ZERO times in the final
+    frame (it runs once behind the checkpoint — the r12 plan inlined
+    it ~10×)."""
+    p = _plan(spark, "m_bradley_terry")
+    assert _count(p, r"Scan parquet") == 0
+
+
+def test_perplexity_buckets_single_scoring_reference(spark):
+    """Round-13: every downstream statistic rides the distinct
+    (lang, avg_bits) table, so the bigram-LM scoring lineage appears
+    ONCE — with the two model-table checkpoints the final plan holds
+    ≤4 parquet scans (was 36 when the scored frame was referenced 3×)."""
+    p = _plan(spark, "t_perplexity_buckets")
+    assert _count(p, r"Scan parquet") <= 4
+
+
+def test_item_item_cooc_no_shuffle_join(spark):
+    """Round-13 _cf_frames basket rewrite: the CAP²/2 pair explode
+    replaces the capped-rows self-join — no shuffle join anywhere in
+    the CF funnel (dimension joins broadcast)."""
+    p = _plan(spark, "m_item_item_cooc")
+    assert _count(p, r"SortMergeJoin|ShuffledHashJoin") == 0
 
 
 def test_entropy_single_scan_no_join(spark):

@@ -124,15 +124,29 @@ def _cooc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"cooc_edges_c{_CF_CAP}m{_CF_MIN_COOC}", sf_dir, "lineitem"
     )
     if not cache_ready(edge_dir):
+        # Build-path basket rewrite (round-13, the _cf_frames idiom):
+        # the groupBy(uid) rides the hashpartitioning(uid) the cap
+        # window already paid, and the (ia < ib) pairs come from
+        # index-aware array HOFs — the r12 self-join re-ran the
+        # corpus window lineage twice and shuffled both sides on uid.
+        # Identical (ia, ib, c) table written (exact integer counts
+        # over the same pair multiset).
         capped = _capped_history(spark, sf_dir)
-        (
-            capped.alias("a")
-            .join(
-                capped.alias("b"),
-                (F.col("a.uid") == F.col("b.uid"))
-                & (F.col("a.iid") < F.col("b.iid")),
+        seqs = capped.groupBy("uid").agg(
+            F.array_sort(F.collect_list("iid")).alias("xs")
+        )
+        pair_structs = F.flatten(
+            F.transform(
+                "xs",
+                lambda x, i: F.transform(
+                    F.slice("xs", i + 2, F.size("xs") - i - 1),
+                    lambda y: F.struct(x.alias("ia"), y.alias("ib")),
+                ),
             )
-            .groupBy(F.col("a.iid").alias("ia"), F.col("b.iid").alias("ib"))
+        )
+        (
+            seqs.select(F.explode(pair_structs).alias("p"))
+            .groupBy(F.col("p.ia").alias("ia"), F.col("p.ib").alias("ib"))
             .agg(F.count(F.lit(1)).alias("c"))
             .filter(F.col("c") >= _CF_MIN_COOC)
             .write.mode("overwrite")

@@ -744,14 +744,25 @@ def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     cents = _codebook(e).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
-    w_asg = Window.partitionBy("vec_id").orderBy(
-        F.round(cosine_similarity("v", "cv"), 5).desc(), F.col("cid")
+    # Argmax as a struct-max AGGREGATE, not a window (round-13, guide
+    # §2.3 aggregate before you shuffle): the broadcast crossJoin keeps
+    # all C candidate rows of a vector in one partition, so the
+    # partial max collapses N×C rows (each carrying the full vector)
+    # to N before the exchange — the r12 row_number window shipped and
+    # sorted all N×C. max(struct(s, −cid)) reproduces the (rounded
+    # cosine desc, cid asc) pick exactly; first(v) is constant within
+    # a group. Identical (vec_id, v, cell) rows written.
+    best = F.max(
+        F.struct(
+            F.round(cosine_similarity("v", "cv"), 5).alias("s"),
+            (-F.col("cid")).alias("nc"),
+        )
     )
     assigned = (
         e.crossJoin(F.broadcast(cents))
-        .withColumn("rnk", F.row_number().over(w_asg))
-        .filter(F.col("rnk") == 1)
-        .select("vec_id", "v", F.col("cid").alias("cell"))
+        .groupBy("vec_id")
+        .agg(best.alias("b"), F.first("v").alias("v"))
+        .select("vec_id", "v", (-F.col("b.nc")).alias("cell"))
     )
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
     return path

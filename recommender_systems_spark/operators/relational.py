@@ -98,7 +98,8 @@ def two_phase_midrank(
     count_col: str,
     out_col: str = "midrank",
     num_partitions: int | None = None,
-) -> DataFrame:
+    total_sums: list[str] | None = None,
+) -> DataFrame | tuple[DataFrame, dict[str, int]]:
     """Distributed midranks over a pre-aggregated (value, count) table:
     midrank(v) = #rows<v + (count(v)+1)/2 — the rank statistic behind
     the Wilcoxon rank-sum test (E6) with scipy-style tie handling.
@@ -108,7 +109,17 @@ def two_phase_midrank(
     partition (parallel windows), then add per-partition exclusive
     offsets computed from a #partitions-row driver scan. No
     single-partition global window at any size: a billion distinct
-    values flow through ordinary range partitions."""
+    values flow through ordinary range partitions.
+
+    ``total_sums=[col, ...]``: also return the GRAND totals of
+    ``count_col`` and each named column as exact driver integers,
+    piggybacked on the per-partition offsets collect this function
+    already pays — so callers needing Σcount/Σcol scalars (lift/qini
+    decile tables) don't re-aggregate the returned frame, which
+    re-executes the phase-2 window over the whole distinct-value table
+    once per reference (round-13; guide §2.4). Long sums of longs,
+    summed on the driver over ≤#partitions rows — exact integers,
+    byte-identical to an in-plan F.sum. Returns (df, totals)."""
     n = num_partitions or max(
         per_value.sparkSession.sparkContext.defaultParallelism, 2
     )
@@ -117,14 +128,21 @@ def two_phase_midrank(
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint()  # pin boundaries across the two jobs
     )
-    sizes = sorted(
-        (r["__pid"], r["t"])
-        for r in parts.groupBy("__pid").agg(F.sum(count_col).alias("t")).collect()
-    )
+    extra = list(total_sums or [])
+    aggs = [F.sum(count_col).alias("t")] + [
+        F.sum(c).alias(f"__x{i}") for i, c in enumerate(extra)
+    ]
+    rows = parts.groupBy("__pid").agg(*aggs).collect()
+    sizes = sorted((r["__pid"], r["t"]) for r in rows)
+    totals = {
+        c: sum(r[f"__x{i}"] for r in rows if r[f"__x{i}"] is not None)
+        for i, c in enumerate(extra)
+    }
     offsets, acc = [], 0
     for pid, total in sizes:
         offsets.append((pid, acc))
         acc += total
+    totals[count_col] = acc
     offset_df = F.broadcast(
         parts.sparkSession.createDataFrame(offsets, "__pid int, __offset long")
     )
@@ -133,7 +151,7 @@ def two_phase_midrank(
         .orderBy(value_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return (
+    out = (
         parts.withColumn("__cum", F.coalesce(F.sum(count_col).over(w), F.lit(0)))
         .join(offset_df, "__pid")
         .withColumn(
@@ -143,6 +161,9 @@ def two_phase_midrank(
         )
         .drop("__pid", "__cum", "__offset")
     )
+    if total_sums is None:
+        return out
+    return out, totals
 
 
 def seeded_shuffle(df: DataFrame, seed: int) -> DataFrame:

@@ -908,7 +908,13 @@ def e_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     back as a broadcast and the per-bin reduction is one {_CAL_BINS}-
     row hash aggregate with map-side partials. avg of double streams
     rounds at 4 per the house float rule."""
-    sc = _scored(spark, sf_dir).select("uv", "r")
+    # Two passes are fundamental (bin edges need global min/max before
+    # bucketing), but both must ride ONE materialised scoring pass —
+    # unmaterialised, the (lo, hi) broadcast subquery inlined the whole
+    # _scored lineage a second time (2× corpus scan+score per run;
+    # plan: 6 parquet scans → 3, plans/r13/e_calibration_*). Round-13,
+    # guide §2.4/§5.
+    sc = _scored(spark, sf_dir).select("uv", "r").localCheckpoint()
     b = sc.agg(F.min("uv").alias("lo"), F.max("uv").alias("hi"))
     lo, hi = F.col("lo"), F.col("hi")
     bucket = F.least(
@@ -1508,27 +1514,62 @@ def m_slope_one(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_suppkey").alias("uid"), F.col("l_partkey").alias("iid")
     ).agg(F.sum("l_quantity").cast("long").alias("w"))
     wcap = Window.partitionBy("uid").orderBy(F.col("w").desc(), F.col("iid"))
-    capped = (
+    # Per-user basket arrays instead of the capped-rows self-join
+    # (round-13, the _cf_frames idiom): groupBy(uid) rides the
+    # hashpartitioning(uid) the cap window already paid (zero new
+    # exchange), the users-sized array table is the one materialised
+    # frame, and each user's ordered pairs are emitted JVM-side with
+    # index-aware array HOFs. Only the ia < ib half is exploded; the
+    # mirror direction is reconstructed on the items²-bounded deviation
+    # table as (ib, ia, n, −sd) — exactly the self-join's other half,
+    # since n is direction-symmetric and sd antisymmetric (both exact
+    # integers). Identical pair multiset, half the exploded rows, two
+    # fewer corpus-row exchanges.
+    seqs = (
         hist.withColumn("rn", F.row_number().over(wcap))
         .filter(F.col("rn") <= _CF_CAP)
-        .select("uid", "iid", "w")
-        .localCheckpoint()  # consumers: devs self-join ×2, sample, anti-join
-    )
-    devs = (
-        capped.alias("a")
-        .join(
-            capped.alias("b"),
-            (F.col("a.uid") == F.col("b.uid"))
-            & (F.col("a.iid") != F.col("b.iid")),
+        .groupBy("uid")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("iid", "w"))).alias("xs")
         )
-        .groupBy(F.col("a.iid").alias("ia"), F.col("b.iid").alias("ib"))
+        .localCheckpoint()  # consumers: pair explode, sample, anti-join
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "xs",
+            lambda x, i: F.transform(
+                F.slice("xs", i + 2, F.size("xs") - i - 1),
+                lambda y: F.struct(
+                    x["iid"].alias("ia"),
+                    y["iid"].alias("ib"),
+                    (x["w"] - y["w"]).alias("dw"),
+                ),
+            ),
+        )
+    )
+    half = (
+        seqs.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.ia").alias("ia"), F.col("p.ib").alias("ib"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("a.w") - F.col("b.w")).alias("sd"),
+            F.sum("p.dw").alias("sd"),
         )
         .filter(F.col("n") >= _SO_MIN_CORATE)
+        # items²-bounded; referenced by BOTH union branches below —
+        # unmaterialised, the pair explode would run twice.
+        .localCheckpoint()
     )
-    sample_hist = capped.filter(F.col("uid") < _SO_USERS)
+    devs = half.unionAll(
+        half.select(
+            F.col("ib").alias("ia"),
+            F.col("ia").alias("ib"),
+            F.col("n"),
+            (-F.col("sd")).alias("sd"),
+        )
+    )
+    sample_hist = seqs.filter(F.col("uid") < _SO_USERS).select(
+        "uid", F.explode("xs").alias("x")
+    ).select("uid", F.col("x.iid").alias("iid"), F.col("x.w").alias("w"))
     cand = (
         sample_hist.join(devs, sample_hist["iid"] == devs["ib"])
         .groupBy("uid", F.col("ia").alias("cand_iid"))
@@ -1618,9 +1659,12 @@ def e_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is unpivoted from the single 1-row aggregate with stack().
     Scores are exact IEEE dot products on both engines (the e_auc
     contract), so threshold comparisons need no pre-rounding."""
+    # Same shape as e_calibration: materialise the scored frame once so
+    # the (lo, hi) broadcast subquery doesn't inline the scoring
+    # lineage a second time (round-13, guide §2.4/§5).
     sc = _scored(spark, sf_dir).select(
         "uv", (F.col("r") >= _AUC_POS).cast("int").alias("pos")
-    )
+    ).localCheckpoint()
     b = sc.agg(F.min("uv").alias("lo"), F.max("uv").alias("hi"))
     j = sc.crossJoin(F.broadcast(b))
     aggs = []
@@ -1854,22 +1898,24 @@ def e_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = lab.groupBy("uv").agg(
         F.count(F.lit(1)).alias("c"), F.sum("pos").alias("np")
     )
-    ranked0 = two_phase_midrank(per, "uv", "c")
-    # Totals come from the midrank output (already checkpointed inside
-    # two_phase_midrank) — aggregating `per` directly would re-execute
-    # the full scoring join a second time (measured 9.1 s vs 4.6 s).
-    tot = F.broadcast(
-        ranked0.agg(F.sum("c").alias("n"), F.sum("np").alias("np_t"))
-    )
-    ranked = ranked0.crossJoin(tot)
+    # Grand totals ride two_phase_midrank's own per-partition offsets
+    # collect (round-13): exact driver integers, so neither total needs
+    # an in-plan aggregate — the old tot broadcast re-executed the
+    # phase-2 midrank window (distinct-score-sized, ≈ corpus here since
+    # scores are near-unique doubles) once per reference. Aggregating
+    # `per` directly would be worse still — that re-executes the full
+    # scoring join (measured 9.1 s vs 4.6 s, round-12 note).
+    ranked, tots = two_phase_midrank(per, "uv", "c", total_sums=["np"])
+    n_lit = F.lit(tots["c"]).cast("long")
+    npt = tots["np"]
     # midrank = asc_before + (c+1)/2  →  rows strictly ABOVE this value
     # (descending rank start) = n − asc_before − c, all exact integers.
     asc_before = (
         F.col("midrank") - (F.col("c").cast("double") + 1) / 2
     ).cast("long")
-    bef = F.col("n") - asc_before - F.col("c")
+    bef = n_lit - asc_before - F.col("c")
     dec = ranked.select(
-        F.floor(bef * 10.0 / F.col("n")).cast("int").alias("decile"),
+        F.floor(bef * 10.0 / n_lit).cast("int").alias("decile"),
         "c",
         "np",
     )
@@ -1879,9 +1925,9 @@ def e_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_cum = Window.orderBy("decile").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )  # 10-row decile frame — bounded by construction
-    np_t, n_t = F.col("np_t"), F.col("n")
+    np_t, n_t = F.lit(npt).cast("long"), n_lit
     return (
-        g.crossJoin(tot)
+        g
         .select(
             F.col("decile").cast("int").alias("decile"),
             F.col("n_rows").cast("long").alias("n_rows"),
@@ -2591,15 +2637,16 @@ def e_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(1 - F.col("tr")).alias("n_c"),
         F.sum((1 - F.col("tr")) * F.col("cv")).alias("p_c"),
     )
-    ranked0 = two_phase_midrank(per, "score", "c")
-    tot = F.broadcast(ranked0.agg(F.sum("c").alias("n")))
-    ranked = ranked0.crossJoin(tot)
+    # Σc rides the midrank's own offsets collect (round-13): the old
+    # tot broadcast re-executed the phase-2 window per reference.
+    ranked, tots = two_phase_midrank(per, "score", "c", total_sums=[])
+    n_lit = F.lit(tots["c"]).cast("long")
     asc_before = (
         F.col("midrank") - (F.col("c").cast("double") + 1) / 2
     ).cast("long")
-    bef = F.col("n") - asc_before - F.col("c")
+    bef = n_lit - asc_before - F.col("c")
     dec = ranked.select(
-        F.floor(bef * 10.0 / F.col("n")).cast("int").alias("decile"),
+        F.floor(bef * 10.0 / n_lit).cast("int").alias("decile"),
         "n_t", "p_t", "n_c", "p_c",
     )
     g = dec.groupBy("decile").agg(
@@ -3231,10 +3278,12 @@ def m_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant-size rows (broadcast joins) — the classic 'aggregate to
     sketch size, then solve exactly in-plan' pattern. Production
     with per-segment curves runs the same plan keyed by segment."""
+    # Materialised once: the (lo, hi) broadcast subquery otherwise
+    # inlines the scoring lineage a second time (round-13, §2.4/§5).
     sc = _scored(spark, sf_dir).select(
         "uv",
         F.when(F.col("r") >= _IPS_REWARD, 1).otherwise(0).alias("y"),
-    )
+    ).localCheckpoint()
     b = sc.agg(F.min("uv").alias("lo"), F.max("uv").alias("hi"))
     bucket = F.least(
         F.floor(

@@ -914,8 +914,14 @@ def a_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bin edges are re-derived from the bucket id inside the aggregate
     so no per-row floats ride the shuffle."""
     ev = _t(spark, sf_dir, "events")
-    b = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
-    total = ev.agg(F.count(F.lit(1)).alias("total"))
+    # The row total rides the same scalar pass as (lo, hi) — a separate
+    # total aggregate was a third full events scan (round-13, §2.4).
+    # It is carried through the bucket aggregate as min(constant).
+    b = ev.agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count(F.lit(1)).alias("total"),
+    )
     lo, hi = F.col("lo"), F.col("hi")
     bucket = F.least(
         F.floor((F.col("value") - lo) * _HIST_BINS / (hi - lo)).cast("long"),
@@ -923,7 +929,7 @@ def a_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ev.crossJoin(F.broadcast(b))
-        .select(bucket.alias("bucket"), "lo", "hi")
+        .select(bucket.alias("bucket"), "lo", "hi", "total")
         .groupBy("bucket")
         .agg(
             F.round(
@@ -933,15 +939,11 @@ def a_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.min(lo + (F.col("bucket") + 1) * (hi - lo) / _HIST_BINS), 4
             ).alias("bin_hi"),
             F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.min("total"), 5
+            ).alias("frac"),
         )
-        .crossJoin(F.broadcast(total))
-        .select(
-            "bucket",
-            "bin_lo",
-            "bin_hi",
-            "n",
-            F.round(F.col("n").cast("double") / F.col("total"), 5).alias("frac"),
-        )
+        .select("bucket", "bin_lo", "bin_hi", "n", "frac")
     )
 
 

@@ -1207,16 +1207,49 @@ def t_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     same head/tail split as the unigram case."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
-    uni = toks.select(F.explode("t").alias("w"))
     # The two LM count tables are vocab- / vocab²-bounded and each is
     # referenced twice (ucnt by nu + the bits join; bcnt by hist + the
     # bits join). Unmaterialised, every reference re-ran the corpus
     # tokenise+explode — 5 corpus passes where the two-pass-LM floor
-    # is 3 (count unigrams, count bigrams, score). Materialise the
-    # model tables once (round-13, guide §2.4/§5: persist the small
+    # is 3. Round-13 part 2: the unigram and bigram counts now come
+    # from ONE mixed-key explode (kind 0 = unigram, kind 1 = bigram —
+    # grouped counts are grouping-invariant exact integers, so
+    # splitting the combined table by kind reproduces both tables
+    # bit-for-bit), reaching the true 2-pass floor: count once, score
+    # once. The combined count table is still vocab²-bounded and is
+    # the one materialised frame (guide §2.4/§5: persist the small
     # model, not the exploded corpus).
-    ucnt = (
-        uni.groupBy("w").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
+    null_s = F.lit(None).cast("string")
+    mixed = F.concat(
+        F.transform(
+            "t",
+            lambda w: F.struct(
+                F.lit(0).alias("k"), w.alias("x"), null_s.alias("y")
+            ),
+        ),
+        F.when(
+            F.size("t") < 2,
+            F.array().cast("array<struct<k:int,x:string,y:string>>"),
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.lit(1).alias("k"),
+                    F.element_at("t", i).alias("x"),
+                    F.element_at("t", i + 1).alias("y"),
+                ),
+            )
+        ),
+    )
+    combo = (
+        toks.select(F.explode(mixed).alias("p"))
+        .groupBy(F.col("p.k").alias("k"), F.col("p.x").alias("x"),
+                 F.col("p.y").alias("y"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    ucnt = combo.filter(F.col("k") == 0).select(
+        F.col("x").alias("w"), "c"
     )
     nu = ucnt.agg(F.sum("c").alias("n"))
     dbg = toks.select(
@@ -1233,11 +1266,7 @@ def t_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", "p.x", "p.y")
-    bcnt = (
-        dbg.groupBy("x", "y")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint()
-    )
+    bcnt = combo.filter(F.col("k") == 1).select("x", "y", "c")
     hist = bcnt.groupBy("x").agg(F.sum("c").alias("ch"))
     bits = (
         bcnt.join(F.broadcast(hist), "x")

@@ -2622,28 +2622,36 @@ def t_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _DSIR_B
         ).alias("bkt"),
     )
-    tgt = (
-        b.filter(F.col("lang") == _DSIR_TARGET)
-        .groupBy("bkt")
-        .agg(F.count(F.lit(1)).alias("ct"))
-    )
-    raw = b.groupBy("bkt").agg(F.count(F.lit(1)).alias("cr"))
-    tots = F.broadcast(
-        raw.agg(F.sum("cr").alias("r")).crossJoin(
-            tgt.agg(F.sum("ct").alias("t"))
+    # ONE {_DSIR_B}-row count table carries both models (round-13,
+    # guide §2.4): the raw count and the target count come from the
+    # same pass as conditional aggregates — the old separate tgt/raw
+    # frames were each referenced twice (totals + the log-ratio join),
+    # re-running the corpus tokenise+hash per reference: 5 corpus
+    # passes for two B-row models. Checkpointed, the totals and the
+    # log-ratio table are B-row arithmetic; the 2-pass floor (count,
+    # score) remains. ct = conditional count is the same exact integer
+    # as the old target-filtered count (0 where the left join was
+    # null — identical after the +1 Laplace shift).
+    cnt = (
+        b.groupBy("bkt")
+        .agg(
+            F.count(F.lit(1)).alias("cr"),
+            F.sum(
+                F.when(F.col("lang") == _DSIR_TARGET, 1).otherwise(0)
+            ).alias("ct"),
         )
+        .localCheckpoint()
+    )
+    tots = F.broadcast(
+        cnt.agg(F.sum("cr").alias("r"), F.sum("ct").alias("t"))
     )
     lr = (
-        raw.join(F.broadcast(tgt), "bkt", "left")
-        .crossJoin(tots)
+        cnt.crossJoin(tots)
         .select(
             "bkt",
             F.round(
                 (
-                    F.log(
-                        (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
-                        / (F.col("t") + _DSIR_B)
-                    )
+                    F.log((F.col("ct") + 1.0) / (F.col("t") + _DSIR_B))
                     - F.log((F.col("cr") + 1.0) / (F.col("r") + _DSIR_B))
                 )
                 * 1000000

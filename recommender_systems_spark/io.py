@@ -293,6 +293,21 @@ def cache_ready(path: str) -> bool:
 _ROW_COUNT_CACHE: dict[str, int] = {}
 
 
+def ckpt_eager(
+    sf_dir: str, table: str = "lineitem", threshold: int = 5_000_000
+) -> bool:
+    """Eagerness for a multi-consumer ``localCheckpoint``: LAZY below
+    the threshold — the first consumer materialises the blocks inside
+    the main action instead of paying a separate blocking driver
+    action (measured +10–20% per query at sf0.1, round-13) — and
+    EAGER past it, where concurrent first-computation of an
+    unmaterialised lazy checkpoint under memory pressure is the
+    documented sf10 "Block rdd_N does not exist" failure mode (the
+    e_ab_simulation / abtest._ab_big idiom, generalised). Row count
+    from the parquet footer — zero Spark jobs."""
+    return table_rows(sf_dir, table) > threshold
+
+
 def table_rows(sf_dir: str, name: str) -> int:
     """Row count of a driver parquet table from footer METADATA — a
     driver-local pyarrow read, zero Spark jobs. Memoized per file

@@ -20,6 +20,7 @@ from recommender_systems_spark.operators.relational import (
     global_running_total,
     global_running_totals,
 )
+from recommender_systems_spark.io import ckpt_eager
 from recommender_systems_spark.registry import _t, register
 # SQL fragments come from the dependency-free _shared module, NEVER from
 # sibling query modules: a module-level import of queries.stats/.textops
@@ -2689,6 +2690,12 @@ def a_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
         )
+        # calendar-bounded (~nations × months rows); referenced by BOTH
+        # pair-join sides — unmaterialised, the orders⋈customer corpus
+        # join ran twice (round-13 census; e_mann_kendall already
+        # checkpoints the identical frame). Lazy below the scale
+        # threshold (io.ckpt_eager): no separate blocking action.
+        .localCheckpoint(eager=ckpt_eager(sf_dir, "orders", 1_500_000))
     )
     slopes = (
         cell.alias("a")

@@ -21,6 +21,7 @@ from recommender_systems_spark.queries._shared import (
     CF_CAP as _CF_CAP,
     CF_MIN_COOC as _CF_MIN_COOC,
 )
+from recommender_systems_spark.io import ckpt_eager
 from recommender_systems_spark.registry import _t, register
 
 PR_ITERS = 3
@@ -262,14 +263,23 @@ def g_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers except the rounded coefficient, so the oracle
     matches bit-for-bit."""
     cooc = _cooc_pairs(spark, sf_dir)
-    und = cooc.select(F.col("ia").alias("a"), F.col("ib").alias("b"))
+    und = cooc.select(
+        F.col("ia").alias("a"), F.col("ib").alias("b")
+    ).localCheckpoint()  # edge build reused 5× (degree, orient, closure,
+    # count). EAGER measured faster than the lazy-guard form here
+    # (0.69× vs 0.82× interleaved): the concurrent join-side stages of
+    # the final job race a lazy first-computation and duplicate it.
+    # Degree table from the CHECKPOINTED edges, itself checkpointed:
+    # referenced 4× below (da, db, wedge-count, node-count) — built from
+    # the pre-checkpoint frame it re-ran the artifact scan + union +
+    # exchange per reference (round-13 census).
     degu = (
         und.select(F.col("a").alias("id"))
         .unionAll(und.select(F.col("b").alias("id")))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint()  # node-dimension-sized; eager (see und above)
     )
-    und = und.localCheckpoint()  # edge build reused 3× (orient, closure, count)
     da = degu.withColumnRenamed("id", "a").withColumnRenamed("d", "da")
     db = degu.withColumnRenamed("id", "b").withColumnRenamed("d", "db")
     lower_first = (F.col("da") < F.col("db")) | (
@@ -577,7 +587,14 @@ def g_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("ia").alias("src"), F.col("ib").alias("dst")
     ).unionAll(pairs.select(F.col("ib").alias("src"), F.col("ia").alias("dst")))
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # Node-dimension-sized; referenced by BOTH endpoint broadcasts —
+    # unmaterialised it re-ran the symmetrised-edge aggregate per
+    # reference (round-13 census).
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=ckpt_eager(sf_dir))
+    )
     common = (
         edges.alias("e1")
         .join(
@@ -972,7 +989,14 @@ def g_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         cooc.select(F.col("ia").alias("src"), F.col("ib").alias("dst"))
         .unionAll(cooc.select(F.col("ib").alias("src"), F.col("ia").alias("dst")))
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # Node-dimension-sized degree table, referenced by BOTH endpoint
+    # joins — unmaterialised it re-ran the artifact scan + union +
+    # exchange per reference (round-13 census).
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=ckpt_eager(sf_dir))
+    )
     p = (
         edges.join(deg.withColumnRenamed("d", "dx"), "src")
         .join(
@@ -1075,14 +1099,21 @@ def g_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     node-dimension-sized. All outputs exact integers except the
     rounded coefficient."""
     cooc = _cooc_pairs(spark, sf_dir)
-    und = cooc.select(F.col("ia").alias("a"), F.col("ib").alias("b"))
+    und = cooc.select(
+        F.col("ia").alias("a"), F.col("ib").alias("b")
+    ).localCheckpoint()  # reused by degree, orient and the closure
+    # join; eager — concurrent join-side stages race a lazy checkpoint
+    # and duplicate its computation (round-13 measurement).
+    # Checkpointed degree table (node-dimension-sized): referenced 3×
+    # below (da, db, final join) — unmaterialised it re-ran the
+    # artifact scan + union + exchange per reference (round-13 census).
     degu = (
         und.select(F.col("a").alias("id"))
         .unionAll(und.select(F.col("b").alias("id")))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint()  # eager (see und above)
     )
-    und = und.localCheckpoint()  # reused by orient and the closure join
     da = degu.withColumnRenamed("id", "a").withColumnRenamed("d", "da")
     db = degu.withColumnRenamed("id", "b").withColumnRenamed("d", "db")
     lower_first = (F.col("da") < F.col("db")) | (

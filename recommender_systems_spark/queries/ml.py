@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from recommender_systems_spark.functions.vector import dot_product
+from recommender_systems_spark.io import ckpt_eager
 from recommender_systems_spark.registry import _t, register
 
 # Reference hyperparameters (prac_1.py:35-39).
@@ -1521,62 +1522,35 @@ def m_slope_one(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_suppkey").alias("uid"), F.col("l_partkey").alias("iid")
     ).agg(F.sum("l_quantity").cast("long").alias("w"))
     wcap = Window.partitionBy("uid").orderBy(F.col("w").desc(), F.col("iid"))
-    # Per-user basket arrays instead of the capped-rows self-join
-    # (round-13, the _cf_frames idiom): groupBy(uid) rides the
-    # hashpartitioning(uid) the cap window already paid (zero new
-    # exchange), the users-sized array table is the one materialised
-    # frame, and each user's ordered pairs are emitted JVM-side with
-    # index-aware array HOFs. Only the ia < ib half is exploded; the
-    # mirror direction is reconstructed on the items²-bounded deviation
-    # table as (ib, ia, n, −sd) — exactly the self-join's other half,
-    # since n is direction-symmetric and sd antisymmetric (both exact
-    # integers). Identical pair multiset, half the exploded rows, two
-    # fewer corpus-row exchanges.
-    seqs = (
+    # Round-13 adjudication: the _cf_frames basket-array rewrite was
+    # applied here (half-pair explode + mirrored deviation table) and
+    # measured **1.41× slower** on a 5-rep isolated interleaved run —
+    # unlike the cooc funnel, the self-join below shuffles rows that
+    # the CAP window has ALREADY bounded to users×CAP (not the corpus),
+    # so the rewrite saved little shuffle while paying collect_list +
+    # struct-array explode CPU and two extra checkpoint actions.
+    # Reverted to the capped self-join.
+    capped = (
         hist.withColumn("rn", F.row_number().over(wcap))
         .filter(F.col("rn") <= _CF_CAP)
-        .groupBy("uid")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("iid", "w"))).alias("xs")
-        )
-        .localCheckpoint()  # consumers: pair explode, sample, anti-join
+        .select("uid", "iid", "w")
+        .localCheckpoint()  # consumers: devs self-join ×2, sample, anti-join
     )
-    pair_structs = F.flatten(
-        F.transform(
-            "xs",
-            lambda x, i: F.transform(
-                F.slice("xs", i + 2, F.size("xs") - i - 1),
-                lambda y: F.struct(
-                    x["iid"].alias("ia"),
-                    y["iid"].alias("ib"),
-                    (x["w"] - y["w"]).alias("dw"),
-                ),
-            ),
+    devs = (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.uid") == F.col("b.uid"))
+            & (F.col("a.iid") != F.col("b.iid")),
         )
-    )
-    half = (
-        seqs.select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.ia").alias("ia"), F.col("p.ib").alias("ib"))
+        .groupBy(F.col("a.iid").alias("ia"), F.col("b.iid").alias("ib"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("p.dw").alias("sd"),
+            F.sum(F.col("a.w") - F.col("b.w")).alias("sd"),
         )
         .filter(F.col("n") >= _SO_MIN_CORATE)
-        # items²-bounded; referenced by BOTH union branches below —
-        # unmaterialised, the pair explode would run twice.
-        .localCheckpoint()
     )
-    devs = half.unionAll(
-        half.select(
-            F.col("ib").alias("ia"),
-            F.col("ia").alias("ib"),
-            F.col("n"),
-            (-F.col("sd")).alias("sd"),
-        )
-    )
-    sample_hist = seqs.filter(F.col("uid") < _SO_USERS).select(
-        "uid", F.explode("xs").alias("x")
-    ).select("uid", F.col("x.iid").alias("iid"), F.col("x.w").alias("w"))
+    sample_hist = capped.filter(F.col("uid") < _SO_USERS)
     cand = (
         sample_hist.join(devs, sample_hist["iid"] == devs["ib"])
         .groupBy("uid", F.col("ia").alias("cand_iid"))

@@ -20,7 +20,7 @@ from recommender_systems_spark.functions.vector import (
     dot_product,
 )
 from recommender_systems_spark.queries._shared import u01_col, u01_sql
-from recommender_systems_spark.io import table_rows
+from recommender_systems_spark.io import ckpt_eager, table_rows
 from recommender_systems_spark.registry import _t, register
 from recommender_systems_spark.similarity.ann import (
     adaptive_bits,
@@ -2088,6 +2088,11 @@ def _pq_frames(
         # File-split count under-parallelises the N×M×K subspace
         # distance stage at sf ≥ 1 (see sim_ivf_topk).
         .repartition(spark.sparkContext.defaultParallelism)
+        # Consumers: codebook sample, subspace distances, and the
+        # callers' query/assignment branches — unmaterialised each
+        # re-scanned embeddings (round-13 census: 4 scans → 1). Lazy
+        # below the scale threshold (io.ckpt_eager).
+        .localCheckpoint(eager=ckpt_eager(sf_dir, "embeddings", 1_000_000))
     )
     wcb = Window.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
     codebook = (
@@ -2095,6 +2100,9 @@ def _pq_frames(
         .limit(PQ_K)
         .withColumn("cid", F.row_number().over(wcb))
         .select("cid", F.col("v").alias("cw"))
+        # K rows; consumers: subspace distances + the caller's LUT —
+        # each re-ran the TakeOrdered sample pass.
+        .localCheckpoint(eager=ckpt_eager(sf_dir, "embeddings", 1_000_000))
     )
     sub = spark.range(PQ_M).select(F.col("id").cast("int").alias("s"))
     sq_dist = F.aggregate(
@@ -2111,13 +2119,18 @@ def _pq_frames(
         .crossJoin(F.broadcast(codebook))
         .select("vec_id", "s", "cid", F.round(sq_dist, 6).alias("dist"))
     )
-    wbest = Window.partitionBy("vec_id", "s").orderBy(
-        F.col("dist").asc(), F.col("cid").asc()
-    )
+    # Argmin as a struct-min AGGREGATE, not a window (round-13, guide
+    # §2.3 aggregate before you shuffle — the ivf_index build idiom):
+    # the broadcast crossJoins keep all K codeword rows of a (vec, s)
+    # group in one partition, so the partial min collapses N×M×K rows
+    # to N×M BEFORE the exchange; the r12 row_number window shipped
+    # and sorted all N×M×K. min(struct(dist, cid)) reproduces the
+    # (dist asc, cid asc) pick exactly.
     best = (
-        dists.withColumn("rn", F.row_number().over(wbest))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "s", "cid", "dist")
+        dists.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("dist", "cid")).alias("b"))
+        .select("vec_id", "s", F.col("b.cid").alias("cid"),
+                F.col("b.dist").alias("dist"))
     )
     return e, codebook, best
 
@@ -2213,6 +2226,13 @@ def v_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _codebook(e).select(
         F.col("vec_id").alias("cell"), F.col("v").alias("cv")
     )
+    # Window form kept deliberately (round-13 adjudication): unlike the
+    # ivf_index BUILD (whose output carries the full vector, making the
+    # struct-max aggregate's pre-exchange collapse the win), this
+    # assignment projects to slim (vec_id, cell, sortkey) rows and the
+    # rn == 1 filter plans as a map-side WindowGroupLimit — already
+    # collapsed before the exchange. The aggregate variant measured
+    # 1.20× interleaved and was reverted.
     w_a = Window.partitionBy("vec_id").orderBy(
         F.round(cosine_similarity("v", "cv"), 5).desc(), F.col("cell")
     )

@@ -21,6 +21,7 @@ from recommender_systems_spark.operators.relational import (
     anti_join_below_threshold,
     two_phase_midrank,
 )
+from recommender_systems_spark.io import ckpt_eager
 from recommender_systems_spark.registry import _t, register
 
 
@@ -2162,7 +2163,12 @@ def v_ild_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _ILD_K)
         .select("qid", "vec_id")
     )
-    pv = top.join(ev, "vec_id")
+    # queries×K rows; referenced by BOTH pair-join sides —
+    # unmaterialised, the whole scoring + ranking chain ran twice
+    # (round-13 census: 3 parquet scans → 1).
+    pv = top.join(ev, "vec_id").localCheckpoint()  # eager: the pair
+    # join's two concurrent sides would race (and duplicate) a lazy
+    # first-computation
     d = (
         F.round(
             (1 - F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 5))

@@ -212,7 +212,7 @@ _BIAS_CTE = f"""
 """
 
 
-def _bias_sweeps(spark: SparkSession, sf_dir: str):
+def _bias_sweeps(spark: SparkSession, sf_dir: str, ckpt_bu: bool = False):
     """Spark twin of _BIAS_CTE: returns (j, bu, bv) DataFrames.
 
     ``j`` is localCheckpointed: every consumer scans it 2-3 times (bu,
@@ -220,12 +220,21 @@ def _bias_sweeps(spark: SparkSession, sf_dir: str):
     columns (~32 bytes/rating — the factor arrays are consumed by the
     dot product inside the join), so materialising once replaces
     repeated broadcast-join + 64-dim dot recomputation. Same pattern at
-    100 TB: persist the scored residuals, not the factor join."""
+    100 TB: persist the scored residuals, not the factor join.
+
+    ``ckpt_bu``: materialise the users-sized user-bias table too — for
+    callers that reference bu MORE than once (m_convergence: inside
+    bv's lineage AND in the delta join), where unmaterialised it
+    re-runs the uid exchange over the corpus blocks per reference.
+    Off by default: every other caller uses bu once and the extra
+    blocking action is a measured loss (the §6q pattern)."""
     j = _scored(spark, sf_dir).localCheckpoint()
     bu = j.groupBy("uid").agg(
         (F.lit(LMD) * F.sum(F.col("r") - F.col("uv"))
          / (F.lit(ALPHA) + F.lit(LMD) * F.count(F.lit(1)))).alias("bu")
     )
+    if ckpt_bu:
+        bu = bu.localCheckpoint()
     bv = (
         j.join(bu, "uid")
         .groupBy("iid")
@@ -273,7 +282,7 @@ def m_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-bias sweeps (prac_1.py:161-187). The fixpoint driver loop in
     ``ml.als.train_als_bias`` collects exactly this scalar per
     iteration."""
-    j, bu, bv = _bias_sweeps(spark, sf_dir)
+    j, bu, bv = _bias_sweeps(spark, sf_dir, ckpt_bu=True)
     bu2 = (
         j.join(bv, "iid")
         .groupBy("uid")

@@ -981,8 +981,21 @@ def t_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
-    uc = uni.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
-    bc = big.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    # Each per-doc n-gram count table feeds BOTH sides of its clipped
+    # join (hypothesis + reference) — unmaterialised, the explode +
+    # (doc_id, g) exchange ran twice per order (round-13). Eager:
+    # the two join sides are concurrent stages and would race (and
+    # duplicate) a lazy first-computation.
+    uc = (
+        uni.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    bc = (
+        big.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
     lens = tk.select("doc_id", F.size("l").alias("n"))
 
     def clipped(cnt: DataFrame) -> DataFrame:

@@ -19,6 +19,7 @@ from recommender_systems_spark.functions.text import (
     rolling_fingerprint,
     tokens,
 )
+from recommender_systems_spark.io import ckpt_eager
 from recommender_systems_spark.registry import _t, register
 
 
@@ -1637,10 +1638,15 @@ def t_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("lang").alias("lang_actual"),
         tokens(F.col("text")).alias("toks"),
     )
+    # vocab×langs-sized; referenced by the stats broadcast AND the
+    # pivoted model — unmaterialised, the corpus explode + exchange ran
+    # twice (round-13). Lazy-guarded: the broadcast subquery
+    # materialises it before the main pass (sequential consumers).
     cagg = (
         train.select("lang", F.explode("toks").alias("tok"))
         .groupBy("lang", "tok")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
     )
     stats = cagg.agg(
         *[

@@ -30,9 +30,14 @@ def dense_id_map(
     out_col: str,
     strategy: str = "two_phase",
     num_partitions: int | None = None,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """Return a mapping DataFrame ``(id_col, out_col)`` where ``out_col``
-    is the 0-based rank of ``id_col`` among the distinct values."""
+    is the 0-based rank of ``id_col`` among the distinct values.
+
+    ``approx_rows``: row estimate for the distinct-id table (an upper
+    bound is fine); sizes the range partitioning from the data instead
+    of the core count (relational.RANGE_ROWS_PER_PART)."""
     ids = df.select(id_col).distinct()
     if strategy == "window":
         w = Window.orderBy(id_col)
@@ -40,15 +45,19 @@ def dense_id_map(
     if strategy != "two_phase":
         raise ValueError(f"unknown densify strategy: {strategy}")
 
-    n = num_partitions or max(ids.sparkSession.sparkContext.defaultParallelism, 2)
+    from recommender_systems_spark.operators.relational import _range_partitions
+
+    n = _range_partitions(ids, approx_rows, num_partitions)
     # localCheckpoint pins the range partitioning: the counts job below
     # and the final ranking job must see the SAME partition boundaries
     # (a re-executed repartitionByRange re-samples them), and the
-    # distinct is computed once instead of twice.
+    # distinct is computed once instead of twice. Lazy: the counts
+    # collect below is the first action and materialises the blocks in
+    # its own job (one blocking action, was two — round-14, guide §5).
     parts = (
         ids.repartitionByRange(n, F.col(id_col))
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # Tiny driver-side exclusive scan: one row per partition.
     sizes = sorted(

@@ -8,8 +8,40 @@ path.
 
 from __future__ import annotations
 
+import math
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# Rows per range partition for the two-phase global-order operators
+# (midrank / running totals / densify). Partition count derives from
+# the DATA SIZE (caller-supplied row estimate from parquet footer
+# metadata — zero Spark jobs), NOT from the core count: the old
+# ``defaultParallelism`` choice made every range op pay a sampling
+# pass, a checkpoint block count and an offsets collect that all GROW
+# with cores while per-partition work shrinks — the driver's 8-vs-32
+# core run measured those queries FASTER on fewer cores (scaling
+# 0.68–0.69, round-13 PERF). 4M slim (value, count) rows ≈ 64–128 MB
+# per shuffle partition (guide §2.2's 100 MB–1 GB band); at 100 TB the
+# same rule yields tens of thousands of partitions, so no parallelism
+# is lost where it matters. RangePartitioner skips its sampling job
+# outright when n == 1, so small inputs also shed the sampling pass
+# that re-executed the upstream lineage. Overridable for cluster
+# tuning without a code change.
+RANGE_ROWS_PER_PART = int(
+    os.environ.get("SPARK_GRAFT_RANGE_ROWS_PER_PART", "4000000")
+)
+
+
+def _range_partitions(
+    df: DataFrame, approx_rows: int | None, num_partitions: int | None
+) -> int:
+    if num_partitions:
+        return num_partitions
+    if approx_rows is not None:
+        return max(1, math.ceil(approx_rows / RANGE_ROWS_PER_PART))
+    return max(df.sparkSession.sparkContext.defaultParallelism, 2)
 
 
 def anti_join_below_threshold(
@@ -99,6 +131,7 @@ def two_phase_midrank(
     out_col: str = "midrank",
     num_partitions: int | None = None,
     total_sums: list[str] | None = None,
+    approx_rows: int | None = None,
 ) -> DataFrame | tuple[DataFrame, dict[str, int]]:
     """Distributed midranks over a pre-aggregated (value, count) table:
     midrank(v) = #rows<v + (count(v)+1)/2 — the rank statistic behind
@@ -117,16 +150,36 @@ def two_phase_midrank(
     already pays — so callers needing Σcount/Σcol scalars (lift/qini
     decile tables) don't re-aggregate the returned frame, which
     re-executes the phase-2 window over the whole distinct-value table
-    once per reference (round-13; guide §2.4). Long sums of longs,
-    summed on the driver over ≤#partitions rows — exact integers,
-    byte-identical to an in-plan F.sum. Returns (df, totals)."""
-    n = num_partitions or max(
-        per_value.sparkSession.sparkContext.defaultParallelism, 2
-    )
+    once per reference (round-13; guide §2.4). LONG-ONLY CONTRACT: the
+    grand totals are a driver-side Python sum, exact for integral
+    columns only — a double column would produce order-dependent float
+    totals that diverge from an in-plan F.sum, so integral types are
+    asserted. Returns (df, totals).
+
+    ``approx_rows``: row estimate for the ``per_value`` table (an upper
+    bound is fine — e.g. the source table's footer row count); sizes
+    the range partitioning from the data instead of the core count
+    (see RANGE_ROWS_PER_PART)."""
+    if total_sums:
+        schema = dict(per_value.dtypes)
+        bad = [
+            c for c in total_sums
+            if schema.get(c) not in ("tinyint", "smallint", "int", "bigint")
+        ]
+        assert not bad, (
+            f"total_sums is exact for integral columns only, got {bad}"
+        )
+    n = _range_partitions(per_value, approx_rows, num_partitions)
     parts = (
         per_value.repartitionByRange(n, F.col(value_col))
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()  # pin boundaries across the two jobs
+        # Lazy: the offsets collect below is the FIRST (and only
+        # pre-consumer) action, so it materialises the blocks inside
+        # its own job — one blocking driver action where the eager
+        # form paid two (round-14; guide §5 fewer driver actions).
+        # Boundaries stay pinned across jobs exactly as before: the
+        # consumer reads the stored blocks, never re-samples.
+        .localCheckpoint(eager=False)
     )
     extra = list(total_sums or [])
     aggs = [F.sum(count_col).alias("t")] + [
@@ -215,6 +268,7 @@ def global_running_total(
     value: str,
     out_col: str = "running_total",
     num_partitions: int | None = None,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """Running total over a GLOBAL ordering without a single-partition
     window (the naive ``Window.orderBy(...)`` collapses all data onto
@@ -227,7 +281,8 @@ def global_running_total(
     a #partitions-row driver scan. The inclusive running total is exact
     and identical to ``SUM(value) OVER (ORDER BY order_by)``."""
     return global_running_totals(
-        df, order_by, [(value, out_col)], num_partitions=num_partitions
+        df, order_by, [(value, out_col)], num_partitions=num_partitions,
+        approx_rows=approx_rows,
     )
 
 
@@ -236,18 +291,27 @@ def global_running_totals(
     order_by: str,
     value_out: list[tuple[str, str]],
     num_partitions: int | None = None,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """Multi-column variant of :func:`global_running_total`: inclusive
     running totals for SEVERAL integer value columns over one shared
     global ordering, in a single range-repartition + one per-partition
     window pass (the KS statistic needs two group ECDFs cumulated over
     the same pooled value order — doing them in one pass halves the
-    shuffles and guarantees both see identical partition boundaries)."""
-    n = num_partitions or max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    shuffles and guarantees both see identical partition boundaries).
+
+    ``approx_rows`` sizes the range partitioning from the data instead
+    of the core count (see RANGE_ROWS_PER_PART)."""
+    n = _range_partitions(df, approx_rows, num_partitions)
     parts = (
         df.repartitionByRange(n, F.col(order_by))
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()  # pin partition boundaries across the two jobs
+        # Lazy: the per-partition sums collect below is the first
+        # action and materialises the blocks in its own job (one
+        # blocking action, was two — round-14, guide §5). Callers that
+        # re-aggregate the returned frame for grand totals still read
+        # the stored blocks, exactly as with the eager form.
+        .localCheckpoint(eager=False)
     )
     sums = {
         r["__pid"]: r

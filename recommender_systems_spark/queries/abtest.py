@@ -123,6 +123,7 @@ def e_ab_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         shapiro_francia_pvalue,
         t_test_pvalues,
     )
+    from recommender_systems_spark.io import table_rows as _tr
     from recommender_systems_spark.queries.stats import (
         levene_bf_from,
         rank_sum_from,
@@ -154,7 +155,11 @@ def e_ab_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     with ThreadPoolExecutor(max_workers=4) as pool:
         f_lev = pool.submit(lambda: levene_bf_from(g).collect()[0])
         f_t = pool.submit(lambda: t_test_stats_from(g).collect()[0])
-        f_rs = pool.submit(lambda: rank_sum_from(g).collect()[0])
+        f_rs = pool.submit(
+            lambda: rank_sum_from(
+                g, approx_rows=_tr(sf_dir, "events")
+            ).collect()[0]
+        )
         f_sf = pool.submit(lambda: shapiro_francia_from(g).collect())
         lev, t_row, rs, sf_rows = (
             f_lev.result(), f_t.result(), f_rs.result(), f_sf.result()

@@ -20,7 +20,7 @@ from recommender_systems_spark.operators.relational import (
     global_running_total,
     global_running_totals,
 )
-from recommender_systems_spark.io import ckpt_eager
+from recommender_systems_spark.io import ckpt_eager, table_rows
 from recommender_systems_spark.registry import _t, register
 # SQL fragments come from the dependency-free _shared module, NEVER from
 # sibling query modules: a module-level import of queries.stats/.textops
@@ -159,7 +159,8 @@ def e_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cum = global_running_totals(
-        per_value, "value", [("a_cnt", "cum_a"), ("b_cnt", "cum_b")]
+        per_value, "value", [("a_cnt", "cum_a"), ("b_cnt", "cum_b")],
+        approx_rows=table_rows(sf_dir, "events"),
     )
     tot = per_value.agg(
         F.sum("a_cnt").alias("na"), F.sum("b_cnt").alias("nb")
@@ -434,7 +435,10 @@ def e_qte_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("tot"),
         )
     )
-    cum = global_running_total(per_value, "value", "tot", out_col="cumt")
+    cum = global_running_total(
+        per_value, "value", "tot", out_col="cumt",
+        approx_rows=table_rows(sf_dir, "events"),
+    )
     tot = per_value.agg(F.sum("tot").alias("n"))
     b = cum.crossJoin(F.broadcast(tot)).select(
         F.least(
@@ -780,8 +784,12 @@ def m_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("converted").alias("d"),
         F.sum(F.lit(1) - F.col("converted")).alias("cens"),
     ).withColumn("leave", F.col("d") + F.col("cens"))
-    cum = global_running_totals(t, "dur_us", [("leave", "cum_leave")])
-    # Total-at-risk rides the running total's eagerly-checkpointed
+    cum = global_running_totals(
+        t, "dur_us", [("leave", "cum_leave")],
+        approx_rows=table_rows(sf_dir, "events"),
+    )
+    # Total-at-risk rides the running total's checkpointed (materialised
+    # by its offsets collect)
     # duration table (Σleave is the same exact integer) instead of
     # re-executing t's whole events→join→groupBy lineage for one
     # scalar (round-13; the a_cvar pattern).
@@ -807,7 +815,10 @@ def m_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lnterm"),
     )
-    s = global_running_totals(ev_rows, "dur_us", [("lnterm", "lnsum")])
+    s = global_running_totals(
+        ev_rows, "dur_us", [("lnterm", "lnsum")],
+        approx_rows=table_rows(sf_dir, "events"),
+    )
     return s.select(
         F.col("dur_us").cast("long").alias("dur_us"),
         F.col("n_risk").cast("long").alias("n_risk"),
@@ -1789,7 +1800,10 @@ def e_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_ev"),
     ).localCheckpoint()  # user-sized; consumers: stratum cut, count, join
     dist = u.groupBy("n_ev").agg(F.count(F.lit(1)).alias("c"))
-    cum = global_running_total(dist, "n_ev", "c", out_col="cumt")
+    cum = global_running_total(
+        dist, "n_ev", "c", out_col="cumt",
+        approx_rows=table_rows(sf_dir, "events"),
+    )
     nn = u.agg(F.count(F.lit(1)).alias("n"))
     bucket = cum.crossJoin(F.broadcast(nn)).select(
         "n_ev",
@@ -2293,7 +2307,10 @@ def e_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     dist = spend.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
-    cum = global_running_total(dist, "cents", "c", out_col="cumt")
+    cum = global_running_total(
+        dist, "cents", "c", out_col="cumt",
+        approx_rows=table_rows(sf_dir, "customer"),
+    )
     terms = cum.select(
         (
             F.col("cents").cast("decimal(38,0)")
@@ -2776,7 +2793,10 @@ def a_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     dist = spend.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
-    cum = global_running_total(dist, "cents", "c", out_col="cumt")
+    cum = global_running_total(
+        dist, "cents", "c", out_col="cumt",
+        approx_rows=table_rows(sf_dir, "customer"),
+    )
     nn = spend.agg(
         F.count(F.lit(1)).alias("n"), F.sum("cents").alias("tot")
     )
@@ -2963,8 +2983,12 @@ def a_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
     )
     dist = val.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
-    cum = global_running_total(dist, "cents", "c", out_col="cumt")
-    # Total row count rides the running total's eagerly-checkpointed
+    cum = global_running_total(
+        dist, "cents", "c", out_col="cumt",
+        approx_rows=table_rows(sf_dir, "orders"),
+    )
+    # Total row count rides the running total's checkpointed (materialised
+    # by its offsets collect)
     # distinct-value table (Σc == count(*), exact integers) instead of
     # a separate corpus aggregate — 3 orders scans → 2 (round-13).
     nn = cum.agg(F.sum("c").alias("n"))
@@ -3247,7 +3271,9 @@ def a_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def rank_pass(col: str) -> DataFrame:
         per = base.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
-        return two_phase_midrank(per, col, "cnt")
+        return two_phase_midrank(
+            per, col, "cnt", approx_rows=table_rows(sf_dir, "customer")
+        )
 
     # The three midrank constructions are independent over the same
     # checkpointed base, but each pays two sequential driver barriers

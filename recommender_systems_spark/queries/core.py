@@ -281,7 +281,12 @@ def w_densify_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions.py:37-45). Two-phase range-partition + per-partition rank
     (zipWithIndex pattern): no single-partition global window at scale."""
     li = _t(spark, sf_dir, "lineitem")
-    return dense_id_map(li, "l_partkey", "l_partkey_order", strategy="two_phase")
+    from recommender_systems_spark.io import table_rows
+
+    return dense_id_map(
+        li, "l_partkey", "l_partkey_order", strategy="two_phase",
+        approx_rows=table_rows(sf_dir, "part"),
+    )
 
 
 @register(

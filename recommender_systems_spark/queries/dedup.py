@@ -324,6 +324,24 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference tie-in: this is A7's dedup generalised from exact-equality
     keys to a similarity graph (SURVEY §2.4)."""
+    labels = _cc_labels(spark, sf_dir)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(F.broadcast(sizes), "label").select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
+def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Converged HashMin/pointer-doubling component labels (id, label)
+    over the SimHash near-pair graph — the shared core of
+    dedup_clusters (which adds cluster sizes) and dedup_canonical_keep
+    (which adds the survivor argmax; before round-14 it re-ran
+    dedup_clusters' size aggregate + broadcast join only to drop both
+    columns). Returns a materialised frame (checkpoint blocks on the
+    small path, a detached localCheckpoint on the reliable-parquet
+    path)."""
     # Storage policy (the sf10 OOM lesson, PLANS.md round-10 addendum):
     # per-round localCheckpoint blocks pile up in the block manager —
     # round N's blocks are garbage once round N+1 is materialised, but
@@ -388,18 +406,31 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         for rnd in range(CLUSTER_MAX_ITER):
-            neigh = (
-                edges.join(labels.withColumnRenamed("id", "dst"), "dst")
-                .groupBy("src")
-                .agg(F.min("label").alias("nl"))
-                .withColumnRenamed("src", "id")
-            )
-            relaxed = labels.join(neigh, "id", "left").select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
-                ).alias("label"),
-                F.col("label").alias("__old"),
+            # relaxed(id) = min(own label ∪ neighbour labels), fused as
+            # ONE union + aggregate (round-14): min over the union of
+            # the label table (which also carries the old label for the
+            # fixpoint test — exactly one non-null __o per id, so
+            # max(__o) recovers it) and the neighbour label rows. The
+            # pre-round-14 form pre-aggregated neighbours per src and
+            # LEFT-joined back onto labels — one more join per round
+            # for the same shuffled bytes (the union agg's map-side
+            # partials collapse neighbour rows to ≤|nodes| per
+            # partition before the exchange, guide §2.3).
+            relaxed = (
+                labels.select("id", "label", F.col("label").alias("__o"))
+                .unionByName(
+                    edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+                    .select(
+                        F.col("src").alias("id"),
+                        "label",
+                        F.lit(None).cast("long").alias("__o"),
+                    )
+                )
+                .groupBy("id")
+                .agg(
+                    F.min("label").alias("label"),
+                    F.max("__o").alias("__old"),
+                )
             )
             # Path shortcut (pointer doubling): replace each label by ITS
             # OWN current label — labels are node ids, so the relaxed frame
@@ -460,12 +491,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
             for d in rnd_dirs:
                 shutil.rmtree(d, ignore_errors=True)
-    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return labels.join(F.broadcast(sizes), "label").select(
-        F.col("id").alias("doc_id"),
-        F.col("label").alias("cluster_id"),
-        "cluster_size",
-    )
+    return labels
 
 
 # ---------------------------------------------------------------------------
@@ -817,8 +843,14 @@ def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     component pass (id-pair shuffles only); this op adds ONE join of
     the clustered-doc list against the documents metadata (never the
     text) and one cluster-keyed argmax — both linear in clustered
-    docs, which near-dup mass keeps a small fraction of the corpus."""
-    lab = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    docs, which near-dup mass keeps a small fraction of the corpus.
+    Consumes _cc_labels directly (round-14): the dedup_clusters wrapper
+    also aggregates + broadcast-joins cluster sizes, both of which this
+    query dropped on the floor (its own argmax aggregate recomputes the
+    size)."""
+    lab = _cc_labels(spark, sf_dir).select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
     meta = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     q = lab.join(meta, "doc_id").localCheckpoint()  # argmax + output share
     surv = q.groupBy("cluster_id").agg(

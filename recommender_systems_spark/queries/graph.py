@@ -589,7 +589,14 @@ def g_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(pairs.select(F.col("ib").alias("src"), F.col("ia").alias("dst")))
     # Node-dimension-sized; referenced by BOTH endpoint broadcasts —
     # unmaterialised it re-ran the symmetrised-edge aggregate per
-    # reference (round-13 census).
+    # reference (round-13 census). Lazy below the ckpt_eager threshold
+    # is SAFE here despite the dual reference: both consumers are
+    # broadcast subqueries, and broadcast exchanges materialise
+    # sequentially on the driver's broadcast thread before the probe
+    # stage launches — no concurrent first-computation race (unlike
+    # self-join/union SIDES, which race as parallel stages of one job;
+    # the g_triangles adjudication). Measured 1.035× local (noise) in
+    # the round-13 interleaved gate.
     deg = (
         edges.groupBy("src")
         .agg(F.count(F.lit(1)).alias("d"))
@@ -991,7 +998,13 @@ def g_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Node-dimension-sized degree table, referenced by BOTH endpoint
     # joins — unmaterialised it re-ran the artifact scan + union +
-    # exchange per reference (round-13 census).
+    # exchange per reference (round-13 census). Lazy below the
+    # ckpt_eager threshold is SAFE despite the dual reference: both
+    # consumers are dimension-sized broadcast builds that materialise
+    # sequentially before the probe stage (no concurrent
+    # first-computation race — the g_triangles eager adjudication
+    # applies to racing self-join/union sides, not broadcasts).
+    # Measured 0.979× local in the round-13 interleaved gate.
     deg = (
         edges.groupBy("src")
         .agg(F.count(F.lit(1)).alias("d"))

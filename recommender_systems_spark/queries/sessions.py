@@ -1074,7 +1074,12 @@ def s_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).alias("delta"),
     )
     g = starts.unionAll(ends).groupBy("k").agg(F.sum("delta").alias("d"))
-    run = global_running_total(g, "k", "d", out_col="occ")
+    from recommender_systems_spark.io import table_rows
+
+    run = global_running_total(
+        g, "k", "d", out_col="occ",
+        approx_rows=2 * table_rows(sf_dir, "events"),
+    )
     peak = run.agg(F.max("occ").alias("p"))
     n = ev.agg(F.count(F.lit(1)).cast("long").alias("n_intervals"))
     return (

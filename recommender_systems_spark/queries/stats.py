@@ -16,12 +16,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from recommender_systems_spark.functions.vector import cosine_similarity
+from recommender_systems_spark.io import table_rows
 from recommender_systems_spark.operators.densify import dense_id_map
 from recommender_systems_spark.operators.relational import (
     anti_join_below_threshold,
     two_phase_midrank,
 )
-from recommender_systems_spark.io import ckpt_eager
 from recommender_systems_spark.registry import _t, register
 
 
@@ -133,10 +133,13 @@ def t_test_stats_from(g: DataFrame) -> DataFrame:
 )
 def e_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E6 wrapper over the sf tables; see rank_sum_from."""
-    return rank_sum_from(_events_grouped(spark, sf_dir))
+    return rank_sum_from(
+        _events_grouped(spark, sf_dir),
+        approx_rows=table_rows(sf_dir, "events"),
+    )
 
 
-def rank_sum_from(g: DataFrame) -> DataFrame:
+def rank_sum_from(g: DataFrame, approx_rows: int | None = None) -> DataFrame:
     """E6: Wilcoxon rank-sum z statistic, fully distributed (reference:
     scipy.stats.ranksums, ab_test.py:348-391; like scipy's ranksums this
     uses the normal approximation without tie correction, but midranks
@@ -152,7 +155,9 @@ def rank_sum_from(g: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.when(F.col("grp") == "A", 1).otherwise(0)).alias("na_v"),
     )
-    ranked = two_phase_midrank(per_value, "value", "cnt")
+    ranked = two_phase_midrank(
+        per_value, "value", "cnt", approx_rows=approx_rows
+    )
     s = ranked.agg(
         F.sum(F.col("na_v") * F.col("midrank")).alias("wa"),
         F.sum("na_v").alias("na"),
@@ -555,7 +560,10 @@ def w_curation_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     filtered = ev.filter(F.col("value") >= 4.0).select("user_id")
     kept = anti_join_below_threshold(filtered, "user_id", 10)
-    mapping = dense_id_map(kept, "user_id", "user_id_order")
+    mapping = dense_id_map(
+        kept, "user_id", "user_id_order",
+        approx_rows=table_rows(sf_dir, "events"),
+    )
     return (
         kept.join(mapping, "user_id")
         .groupBy("user_id", "user_id_order")
@@ -1694,7 +1702,9 @@ def w_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     pv = ev.groupBy("value").agg(F.count(F.lit(1)).alias("cnt"))
-    mr = two_phase_midrank(pv, "value", "cnt").select("value", "midrank")
+    mr = two_phase_midrank(
+        pv, "value", "cnt", approx_rows=table_rows(sf_dir, "events")
+    ).select("value", "midrank")
     nn = ev.agg(F.count(F.lit(1)).alias("n"))
     p = (F.col("midrank") - 0.375) / (F.col("n") + 0.25)
     return (

@@ -308,6 +308,52 @@ def ckpt_eager(
     return table_rows(sf_dir, table) > threshold
 
 
+def scan_splits(sf_dir: str, name: str) -> int:
+    """How many tasks a parquet scan of ``name`` can actually produce:
+    the ROW-GROUP count from footer metadata (driver-local pyarrow
+    read, zero Spark jobs, memoized alongside ``table_rows``). Spark
+    assigns parquet row groups to input splits by midpoint, so a file
+    with one row group is ONE task no matter how the byte range is
+    sliced — the sf0.1 tables are all single-file single-row-group, so
+    every scan stage is serial at any core count (round-14 census)."""
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        st = os.stat(path)
+        key = f"rg|{path}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        key = f"rg|{path}"
+    if key not in _ROW_COUNT_CACHE:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            n = sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_row_groups
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        else:
+            n = pq.ParquetFile(path).metadata.num_row_groups
+        _ROW_COUNT_CACHE[key] = n
+    return _ROW_COUNT_CACHE[key]
+
+
+def spread_scan(df, sf_dir: str, table: str):
+    """Rebalance a CPU-heavy stage fed by a low-parallelism scan (guide
+    §2.5 "input skew: one huge unsplittable file — repartition
+    immediately after the read"): when the scan's maximum task count
+    (row groups, from footer metadata) cannot feed the local cores, pay
+    one round-robin exchange of the slim projected rows so the
+    downstream kernel (md5 ladders, tokenise+explode, shingle hashing)
+    runs on every core. At production scale the scan arrives with
+    thousands of row groups and this is a NO-OP — zero added shuffle —
+    so it is scale-adaptive by construction, not a local[32] constant.
+    Apply AFTER projecting to the columns the kernel needs (§2.3)."""
+    sc = df.sparkSession.sparkContext
+    if scan_splits(sf_dir, table) * 2 <= sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def table_rows(sf_dir: str, name: str) -> int:
     """Row count of a driver parquet table from footer METADATA — a
     driver-local pyarrow read, zero Spark jobs. Memoized per file

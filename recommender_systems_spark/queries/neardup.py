@@ -32,7 +32,7 @@ from recommender_systems_spark.dedup.minhash import (
     sql_tokens,
 )
 from recommender_systems_spark.functions.vector import dot_product
-from recommender_systems_spark.io import table_rows
+from recommender_systems_spark.io import spread_scan, table_rows
 from recommender_systems_spark.registry import _t, register
 from recommender_systems_spark.similarity.ann import (
     adaptive_bits,
@@ -815,8 +815,14 @@ def t_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         winnow_fingerprints_pandas,
     )
 
+    # The Arrow winnowing kernel runs in the scan stage — one task on
+    # the local single-row-group parquet (round-14); spread first,
+    # no-op at scale.
     docs = (
-        _t(spark, sf_dir, "documents")
+        spread_scan(
+            _t(spark, sf_dir, "documents").select("doc_id", "text"),
+            sf_dir, "documents",
+        )
         .select(
             "doc_id",
             winnow_fingerprints_pandas(
@@ -966,7 +972,11 @@ def t_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     from recommender_systems_spark.functions.text import tokens
 
-    tk = docs.select(
+    # Tokenise runs in the scan stage — one task on the local
+    # single-row-group parquet (round-14); spread first, no-op at scale.
+    tk = spread_scan(
+        docs.select("doc_id", "text"), sf_dir, "documents"
+    ).select(
         "doc_id", tokens(F.col("text")).alias("l")
     ).localCheckpoint(eager=eager)  # uni + bigram consumers, one action
     uni = tk.select("doc_id", F.explode("l").alias("g"))

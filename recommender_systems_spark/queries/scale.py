@@ -343,7 +343,16 @@ def j_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sort_array(F.collect_set("h")).alias("bloom"))
     )
-    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    from recommender_systems_spark.io import spread_scan
+
+    # The two salted-md5 bloom probes per row run in the SCAN stage,
+    # which the single-row-group local parquet caps at one task
+    # (round-14 census; scaling 0.98 at 4x cores = serial). spread_scan
+    # pays one slim-row exchange locally, no-op at scale.
+    orders = spread_scan(
+        _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        sf_dir, "orders",
+    )
     cand = orders.crossJoin(F.broadcast(pos)).filter(
         F.array_contains(F.col("bloom"), _bloom_pos(F.col("o_custkey"), "b1"))
         & F.array_contains(F.col("bloom"), _bloom_pos(F.col("o_custkey"), "b2"))

@@ -1470,7 +1470,17 @@ def e_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit before rounding; the inverse-CDF is a shared literal
     CASE ladder. The explode is ×{_BOOT_BLKS} blocks ×4 draws inside
     one codegen stage feeding a {_BOOT_REPS}-row aggregate."""
-    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    from recommender_systems_spark.io import spread_scan
+
+    # The md5 ladder is this query's entire cost and runs in the SCAN
+    # stage — which the single-row-group local parquet caps at ONE task
+    # (round-14 census; driver's 8-vs-32-core scaling 0.69 ≈ serial).
+    # spread_scan pays one slim-row exchange locally and is a no-op at
+    # scale (scan arrives with many row groups).
+    ev = spread_scan(
+        _t(spark, sf_dir, "events").select("event_id", "value"),
+        sf_dir, "events",
+    )
     # One md5 per (event, block) feeds FOUR replicates: the 32-hex
     # digest splits into four 8-hex (32-bit) windows, each an
     # independent uniform for the Poisson inverse-CDF — the hash is

@@ -24,8 +24,13 @@ import sys
 import time
 import urllib.request
 
-from recommender_systems_spark import registry
-from recommender_systems_spark.session import get_spark
+# Resolve the package from cwd first (pinned-worktree runs), falling
+# back to this file's own repo.
+sys.path.insert(0, os.getcwd())
+sys.path.insert(1, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from recommender_systems_spark import registry  # noqa: E402
+from recommender_systems_spark.session import get_spark  # noqa: E402
 
 
 def _rest(url: str):
